@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship north-rule pipeline (pages -> raw->1m->1h
+tier chain) on sf0.001. ``queries()`` / ``oracle_sql()`` — one entry per
+implemented operator family from SURVEY.md section 2, cross-checked by
+the driver against DuckDB at sf0.01.
+
+Exactness discipline for the oracle comparison: every floating
+aggregate is computed over exact fixed-point integers (``round(v*100)``
+— the testdata carries 2-decimal doubles) so sums are order-independent
+and bit-identical across engines; divisions are performed identically
+on both sides. Timestamps are compared as UTC epoch BIGINTs.
 """
 
 from __future__ import annotations
@@ -12,27 +17,583 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from spartan2_spark.operators import rollup as R
+from spartan2_spark.operators import gapfill as G
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> (url, ts, value) points in exact centi units."""
+    return _events(spark, sf_dir).select(
+        F.col("event_type").alias("url"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).alias("value"),
+    )
+
+
+def _epoch(col: str = "bucket_ts"):
+    return F.unix_timestamp(F.col(col)).alias("bucket_s")
+
+
+def _usec(col: str = "ts"):
+    """Exact epoch microseconds. Parquet timestamps load as
+    TIMESTAMP_NTZ in Spark 4; cast to LTZ (session tz is pinned UTC)
+    so unix_micros resolves and matches DuckDB epoch_us."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full tier chain raw->1m->1h over sf0.001 events recast
+    as the north-rule pages shape (url/warc_ts), returning the 1h view."""
+    sf_dir = "/root/testdata/sf0.001"
+    ev = _events(spark, sf_dir)
+    pages_like = ev.select(
+        F.concat(F.lit("https://u"), F.col("user_id"), F.lit(".example.com/"), F.col("event_type")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("props").alias("text"),
+    )
+    pts = R.raw_points(pages_like, metric=F.length("text").cast("double"))
+    t1m = R.rollup_from_points(pts, "1m", bin_mode="int")
+    t1h = R.rollup_tier_up(t1m, "1h")
+    return R.tier_view(t1h, bin_mode="int")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_rollup_1m(spark, sf_dir):
+    t1m = R.rollup_from_points(_event_points(spark, sf_dir), "1m", bin_mode="int")
+    return R.tier_view(t1m, bin_mode="int").select(
+        F.col("url").alias("series_key"), _epoch(), "cnt", "vmin", "vmax", "vmean", "p95"
+    )
+
+
+def _q_rollup_1h(spark, sf_dir):
+    # deliberately via the re-aggregable tier-up path (1m state -> 1h)
+    t1m = R.rollup_from_points(_event_points(spark, sf_dir), "1m", bin_mode="int")
+    t1h = R.rollup_tier_up(t1m, "1h")
+    return R.tier_view(t1h, bin_mode="int").select(
+        F.col("url").alias("series_key"), _epoch(), "cnt", "vmin", "vmax", "vmean", "p95"
+    )
+
+
+def _q_rollup_1d(spark, sf_dir):
+    t1m = R.rollup_from_points(_event_points(spark, sf_dir), "1m", bin_mode="int")
+    t1d = R.rollup_tier_up(R.rollup_tier_up(t1m, "1h"), "1d")
+    return R.tier_view(t1d, bin_mode="int").select(
+        F.col("url").alias("series_key"), _epoch(), "cnt", "vmin", "vmax", "vmean", "p95"
+    )
+
+
+def _rollup_oracle(unit: str) -> str:
+    return f"""
+        SELECT event_type AS series_key,
+               CAST(epoch(date_trunc('{unit}', ts)) AS BIGINT) AS bucket_s,
+               count(*) AS cnt,
+               min(round(value*100)) AS vmin,
+               max(round(value*100)) AS vmax,
+               sum(round(value*100)) / count(*) AS vmean,
+               quantile_disc(round(value*100), 0.95) AS p95
+        FROM events GROUP BY 1, 2
+    """
+
+
+def _q_gapfill_ffill(spark, sf_dir):
+    t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
+    dense = G.densify(t1h, "1h")
+    filled = G.gap_fill(
+        dense.withColumn("cntd", F.col("cnt").cast("double")),
+        value_cols=("cntd",),
+        method="ffill",
+    )
+    return filled.select(
+        F.col("url").alias("series_key"), _epoch(), F.col("cntd").alias("cnt_filled"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+_GAPFILL_FFILL_SQL = """
+    WITH t AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS b, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT k, min(b) AS mn, max(b) AS mx FROM t GROUP BY 1),
+    axis AS (SELECT k, unnest(generate_series(mn, mx, interval 1 hour)) AS b FROM spans),
+    d AS (SELECT axis.k, axis.b, t.c FROM axis LEFT JOIN t ON axis.k = t.k AND axis.b = t.b)
+    SELECT k AS series_key, CAST(epoch(b) AS BIGINT) AS bucket_s,
+           CAST(last_value(c IGNORE NULLS) OVER
+             (PARTITION BY k ORDER BY b ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cnt_filled,
+           CASE WHEN c IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM d
+"""
+
+
+def _q_gapfill_interp(spark, sf_dir):
+    t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
+    dense = G.densify(t1h, "1h").withColumn(
+        "vmean", F.col("vsum") / F.col("cnt")
+    )
+    filled = G.gap_fill(dense, value_cols=("vmean",), method="interp")
+    return filled.select(
+        F.col("url").alias("series_key"),
+        _epoch(),
+        F.round(F.col("vmean"), 6).alias("vmean_filled"),
+    )
+
+
+_GAPFILL_INTERP_SQL = """
+    WITH t AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS b,
+             sum(round(value*100)) / count(*) AS v
+      FROM events GROUP BY 1, 2),
+    spans AS (SELECT k, min(b) AS mn, max(b) AS mx FROM t GROUP BY 1),
+    axis AS (SELECT k, unnest(generate_series(mn, mx, interval 1 hour)) AS b FROM spans),
+    d AS (SELECT axis.k, axis.b, t.v FROM axis LEFT JOIN t ON axis.k = t.k AND axis.b = t.b),
+    f AS (
+      SELECT k, b, v,
+             CAST(epoch(b) AS DOUBLE) AS tt,
+             last_value(v IGNORE NULLS) OVER w_fwd AS prev_v,
+             first_value(v IGNORE NULLS) OVER w_bwd AS nxt_v,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(b) AS DOUBLE) END IGNORE NULLS) OVER w_fwd AS prev_t,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(epoch(b) AS DOUBLE) END IGNORE NULLS) OVER w_bwd AS nxt_t
+      FROM d
+      WINDOW w_fwd AS (PARTITION BY k ORDER BY b ROWS UNBOUNDED PRECEDING),
+             w_bwd AS (PARTITION BY k ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT k AS series_key, CAST(epoch(b) AS BIGINT) AS bucket_s,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_v IS NULL THEN nxt_v
+                      WHEN nxt_v IS NULL THEN prev_v
+                      ELSE prev_v + (nxt_v - prev_v) * (tt - prev_t) / (nxt_t - prev_t)
+                 END, 6) AS vmean_filled
+    FROM f
+"""
+
+
+def _q_iat_stats(spark, sf_dir):
+    """Inter-arrival stats per user (reference iat.py:23-30 calaggiat)."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iat = ev.withColumn("iat_us", _usec("ts") - F.lag(_usec("ts")).over(w))
+    return iat.filter(F.col("iat_us").isNotNull()).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_iat"),
+        (F.sum("iat_us") / F.count(F.lit(1))).alias("mean_iat_us"),
+        F.max("iat_us").alias("max_iat_us"),
+        F.min("iat_us").alias("min_iat_us"),
+    )
+
+
+_IAT_STATS_SQL = """
+    WITH i AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS iat_us
+      FROM events)
+    SELECT user_id, count(*) AS n_iat, sum(iat_us)/count(*) AS mean_iat_us,
+           max(iat_us) AS max_iat_us, min(iat_us) AS min_iat_us
+    FROM i WHERE iat_us IS NOT NULL GROUP BY 1
+"""
+
+
+def _q_iat_hist(spark, sf_dir):
+    """Global IAT histogram in whole seconds (iat.py:63-71 iatcount/pdf)."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    iat = ev.withColumn("iat_us", _usec("ts") - F.lag(_usec("ts")).over(w))
+    hist = (
+        iat.filter(F.col("iat_us").isNotNull())
+        .groupBy(F.floor(F.col("iat_us") / 1_000_000).alias("iat_s"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = hist.agg(F.sum("cnt").alias("__t"))
+    return hist.crossJoin(F.broadcast(total)).select(
+        "iat_s", "cnt", F.round(F.col("cnt") / F.col("__t"), 8).alias("prob")
+    )
+
+
+_IAT_HIST_SQL = """
+    WITH i AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS iat_us
+      FROM events),
+    h AS (SELECT CAST(floor(iat_us/1000000) AS BIGINT) AS iat_s, count(*) AS cnt
+          FROM i WHERE iat_us IS NOT NULL GROUP BY 1)
+    SELECT iat_s, cnt, round(cnt / (SELECT sum(cnt) FROM h), 8) AS prob FROM h
+"""
+
+
+def _q_topk_users(spark, sf_dir):
+    """Top-k by activity with deterministic tie-break (iat.py:144-154)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+_TOPK_USERS_SQL = """
+    SELECT user_id, count(*) AS cnt FROM events
+    GROUP BY 1 ORDER BY cnt DESC, user_id ASC LIMIT 10
+"""
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """Pricing summary (scan->filter->agg), exact fixed-point revenue."""
+    li = _lineitem(spark, sf_dir)
+    ep_c = F.round(F.col("l_extendedprice") * 100)
+    d_c = F.round(F.col("l_discount") * 100)
+    t_c = F.round(F.col("l_tax") * 100)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(ep_c) / 100.0).alias("sum_base_price"),
+            (F.sum(ep_c * (100 - d_c)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ep_c * (100 - d_c) * (100 + t_c)) / 1000000.0).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(ep_c) / 100.0 / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(d_c) / 100.0 / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(round(l_extendedprice*100)) / 100.0 AS sum_base_price,
+           sum(round(l_extendedprice*100) * (100 - round(l_discount*100))) / 10000.0 AS sum_disc_price,
+           sum(round(l_extendedprice*100) * (100 - round(l_discount*100)) * (100 + round(l_tax*100))) / 1000000.0 AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           sum(round(l_extendedprice*100)) / 100.0 / count(*) AS avg_price,
+           sum(round(l_discount*100)) / 100.0 / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_revenue_join(spark, sf_dir):
+    """orders x lineitem equi-join + agg; Catalyst picks the strategy
+    (broadcast at this scale; sort-merge at 100TB with AQE skew split)."""
+    li = _lineitem(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev_c = F.round(F.col("l_extendedprice") * 100) * (100 - F.round(F.col("l_discount") * 100))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.sum(rev_c) / 10000.0).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_REVENUE_JOIN_SQL = """
+    SELECT o_orderpriority,
+           sum(round(l_extendedprice*100) * (100 - round(l_discount*100))) / 10000.0 AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+"""
+
+
+def _q_anti_join(spark, sf_dir):
+    """Customers with no orders, by segment (left_anti ~ NOT EXISTS)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_no_order"))
+    )
+
+
+_ANTI_JOIN_SQL = """
+    SELECT c_mktsegment, count(*) AS n_no_order FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY 1
+"""
+
+
+def _q_semi_join(spark, sf_dir):
+    """Suppliers that shipped high-quantity lines (left_semi ~ EXISTS)."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = _lineitem(spark, sf_dir).filter(F.col("l_quantity") >= 45)
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+_SEMI_JOIN_SQL = """
+    SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 45)
+    GROUP BY 1
+"""
+
+
+def _q_degree_dist(spark, sf_dir):
+    """Graph degree aggregation + degree histogram
+    (reference graph.py:123-145: row sums + np.bincount)."""
+    li = _lineitem(spark, sf_dir)
+    deg = li.groupBy("l_suppkey").agg(F.countDistinct("l_partkey").alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_DEGREE_DIST_SQL = """
+    WITH deg AS (SELECT l_suppkey, count(DISTINCT l_partkey) AS degree
+                 FROM lineitem GROUP BY 1)
+    SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+"""
+
+
+def _q_adjacency_collapse(spark, sf_dir):
+    """Mode-collapse aggregation: sum tensor over complement modes -> 2-D
+    adjacency (reference cpu_backend/tensor.py:596-601, graph.py:32)."""
+    li = _lineitem(spark, sf_dir)
+    return li.groupBy(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).agg(F.sum("l_quantity").alias("weight"), F.count(F.lit(1)).alias("multi"))
+
+
+_ADJ_SQL = """
+    SELECT l_partkey AS src, l_suppkey AS dst, sum(l_quantity) AS weight,
+           count(*) AS multi
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash; canonical = min doc_id."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_doc")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+    SELECT md5(text) AS content_md5, count(*) AS n_copies,
+           min(doc_id) AS canonical_doc
+    FROM documents GROUP BY 1
+"""
+
+
+def _q_token_count(spark, sf_dir):
+    """Whitespace token counting over documents (text-analysis op)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+    SELECT doc_id, len(string_split_regex(trim(text), ' +')) AS n_tokens,
+           length(text) AS n_chars_obs
+    FROM documents
+"""
+
+
+def _q_normalize_minmax(spark, sf_dir):
+    """Per-series min-max normalize to [-1,1]
+    (reference timeseries.py:458-511: (x-mid)/(max-min)*2)."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("event_type")
+    vc = F.round(F.col("value") * 100)
+    mn, mx = F.min(vc).over(w), F.max(vc).over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((vc - (mx + mn) / 2.0) / (mx - mn) * 2.0, 8).alias("v_norm"),
+    )
+
+
+_NORMALIZE_SQL = """
+    SELECT event_id, event_type,
+           round((round(value*100) - (max(round(value*100)) OVER w + min(round(value*100)) OVER w) / 2.0)
+                 / (max(round(value*100)) OVER w - min(round(value*100)) OVER w) * 2.0, 8) AS v_norm
+    FROM events WINDOW w AS (PARTITION BY event_type)
+"""
+
+
+def _q_running_max(spark, sf_dir):
+    """Running per-account extremes (MonLAD ZeroOutCore.py:35-44 batch
+    replay of maxDict/minDict)."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    vc = F.round(F.col("value") * 100)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.max(vc).over(w).alias("run_max"),
+        F.min(vc).over(w).alias("run_min"),
+        F.sum(vc).over(w).alias("run_sum"),
+    )
+
+
+_RUNNING_MAX_SQL = """
+    SELECT event_id, user_id,
+           max(round(value*100)) OVER w AS run_max,
+           min(round(value*100)) OVER w AS run_min,
+           sum(round(value*100)) OVER w AS run_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def _q_sessionize(spark, sf_dir):
+    """Sessionization: new session when gap > 1h; sessions per user."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _usec("ts") - F.lag(_usec("ts")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+_SESSIONIZE_SQL = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 3600000000 THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g)
+    SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+    FROM s GROUP BY 1
+"""
+
+
+def _q_cut_range(spark, sf_dir):
+    """Time-range cut (reference timeseries.py:402-456 cut) + agg.
+    The predicate prunes partitions at scale (range layout on ts)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.round(F.col("value") * 100)).alias("vsum_c"))
+    )
+
+
+_CUT_RANGE_SQL = """
+    SELECT event_type, count(*) AS cnt, sum(round(value*100)) AS vsum_c
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+"""
+
+
+def _q_time_bucket_equal_width(spark, sf_dir):
+    """Equal-width custom binning with last-bin clamp — the reference
+    rollup's exact binning rule (tensor.py:102-123 log_to_time:
+    idx = (t - min)//W clamped to the last bin, sum per (bin, group))."""
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(_usec("ts")).alias("mn"), F.max(_usec("ts")).alias("mx")
+    )
+    width_us = 6 * 3600 * 1_000_000
+    b = ev.crossJoin(F.broadcast(bounds))
+    nbins = F.ceil((F.col("mx") - F.col("mn") + 1) / F.lit(width_us))
+    idx = F.least(
+        F.floor((_usec("ts") - F.col("mn")) / F.lit(width_us)), nbins - 1
+    )
+    return (
+        b.withColumn("bin_idx", idx)
+        .groupBy("bin_idx", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(F.round(F.col("value") * 100)).alias("vsum_c"))
+    )
+
+
+_TIME_BUCKET_SQL = """
+    WITH bounds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events)
+    SELECT least(CAST(floor((epoch_us(ts) - mn) / 21600000000) AS BIGINT),
+                 CAST(ceil((mx - mn + 1) / 21600000000.0) AS BIGINT) - 1) AS bin_idx,
+           event_type, count(*) AS cnt, sum(round(value*100)) AS vsum_c
+    FROM events, bounds
+    GROUP BY 1, 2
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": _q_rollup_1m,
+        "rollup_1h_tierup": _q_rollup_1h,
+        "rollup_1d_tierup": _q_rollup_1d,
+        "gapfill_ffill": _q_gapfill_ffill,
+        "gapfill_interp": _q_gapfill_interp,
+        "iat_stats": _q_iat_stats,
+        "iat_hist": _q_iat_hist,
+        "topk_users": _q_topk_users,
+        "tpch_q1_pricing": _q_tpch_q1,
+        "revenue_join": _q_revenue_join,
+        "anti_join_customers": _q_anti_join,
+        "semi_join_suppliers": _q_semi_join,
+        "degree_dist": _q_degree_dist,
+        "adjacency_collapse": _q_adjacency_collapse,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "normalize_minmax": _q_normalize_minmax,
+        "running_extremes": _q_running_max,
+        "sessionize": _q_sessionize,
+        "cut_range": _q_cut_range,
+        "time_bucket_equal_width": _q_time_bucket_equal_width,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _rollup_oracle("minute"),
+        "rollup_1h_tierup": _rollup_oracle("hour"),
+        "rollup_1d_tierup": _rollup_oracle("day"),
+        "gapfill_ffill": _GAPFILL_FFILL_SQL,
+        "gapfill_interp": _GAPFILL_INTERP_SQL,
+        "iat_stats": _IAT_STATS_SQL,
+        "iat_hist": _IAT_HIST_SQL,
+        "topk_users": _TOPK_USERS_SQL,
+        "tpch_q1_pricing": _TPCH_Q1_SQL,
+        "revenue_join": _REVENUE_JOIN_SQL,
+        "anti_join_customers": _ANTI_JOIN_SQL,
+        "semi_join_suppliers": _SEMI_JOIN_SQL,
+        "degree_dist": _DEGREE_DIST_SQL,
+        "adjacency_collapse": _ADJ_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "token_count": _TOKEN_COUNT_SQL,
+        "normalize_minmax": _NORMALIZE_SQL,
+        "running_extremes": _RUNNING_MAX_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "cut_range": _CUT_RANGE_SQL,
+        "time_bucket_equal_width": _TIME_BUCKET_SQL,
+    }

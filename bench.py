@@ -1,0 +1,157 @@
+"""Benchmark harness (driver contract: ONE JSON line on stdout).
+
+Headline metric: the north-rule throughput — raw crawl points pushed
+through the full raw->1m->1h->1d continuous-aggregate chain (including
+gap-fill of the 1h tier), in points/sec, on the deterministic synthetic
+pages table sized by the scale factor parsed from $SPARK_GRAFT_SF_DIR.
+Also times each headline query at the sf dir.
+
+Pages are materialized once under .cache/ (generation excluded from the
+measured window). Query timing uses the noop sink: full computation, no
+driver collect.
+
+Usage: python bench.py            # env SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
+       python bench.py --scaling  # extra: local[8] vs local[32] efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+PAGES_ROWS_PER_SF = 6_000_000  # sf0.1 -> 600k raw crawl rows (lineitem-scale)
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1d_tierup",
+    "gapfill_interp",
+    "iat_stats",
+    "tpch_q1_pricing",
+    "revenue_join",
+    "dedup_exact",
+    "normalize_minmax",
+    "sessionize",
+]
+
+
+def parse_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_noop(df) -> float:
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def run_flagship(spark, n_rows: int, out_tag: str = "") -> dict:
+    """Materialized rollup ladder, as in production: each tier written
+    to its own table and the next tier computed FROM that table (the
+    re-aggregable-state contract), then the 1h tier gap-filled."""
+    from spartan2_spark.datagen import ensure_pages
+    from spartan2_spark.operators import gapfill as G
+    from spartan2_spark.operators import rollup as R
+
+    pages = ensure_pages(spark, CACHE, n_rows)
+    raw_count = pages.count()  # metadata-only; outside the timed window
+    out = os.path.join(CACHE, f"bench_tiers{out_tag}")
+
+    t0 = time.time()
+    stage_secs = {}
+    t1m = R.rollup_from_points(R.raw_points(pages), "1m")
+    t1m.write.mode("overwrite").parquet(f"{out}/t1m")
+    stage_secs["raw_to_1m"] = round(time.time() - t0, 3)
+
+    t1 = time.time()
+    t1h = R.rollup_tier_up(spark.read.parquet(f"{out}/t1m"), "1h")
+    t1h.write.mode("overwrite").parquet(f"{out}/t1h")
+    stage_secs["1m_to_1h"] = round(time.time() - t1, 3)
+
+    t1 = time.time()
+    t1d = R.rollup_tier_up(spark.read.parquet(f"{out}/t1h"), "1d")
+    t1d.write.mode("overwrite").parquet(f"{out}/t1d")
+    stage_secs["1h_to_1d"] = round(time.time() - t1, 3)
+
+    t1 = time.time()
+    view = R.tier_view(spark.read.parquet(f"{out}/t1h")).select(
+        "url", "bucket_ts", "cnt", "vmean"
+    )
+    filled = G.gap_fill(G.densify(view, "1h"), ("vmean",), method="interp")
+    filled.write.mode("overwrite").parquet(f"{out}/gapfill_1h")
+    stage_secs["gapfill_1h"] = round(time.time() - t1, 3)
+    elapsed = time.time() - t0
+
+    tier_rows = {
+        t: spark.read.parquet(f"{out}/{t}").count() for t in ("t1m", "t1h", "t1d")
+    }
+    return {
+        "raw_points": raw_count,
+        "tier_rows": tier_rows,
+        "stage_secs": stage_secs,
+        "rollup_chain_sec": round(elapsed, 3),
+        "points_per_sec": round(raw_count / elapsed, 1),
+    }
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    sf = parse_sf(SF_DIR)
+    n_rows = int(PAGES_ROWS_PER_SF * sf)
+
+    from spartan2_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+
+    flag = run_flagship(spark, n_rows)
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        qtimes[name] = round(run_noop(qs[name](spark, SF_DIR)), 3)
+
+    result = {
+        "metric": "rollup_chain_points_per_sec",
+        "value": flag["points_per_sec"],
+        "unit": "points/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "flagship": flag,
+        "cpus": CPUS,
+    }
+
+    if scaling:
+        from spartan2_spark.session import stop_all
+
+        stop_all()
+        runs = {}
+        for cores in (8, 32):
+            s = get_spark(f"bench-{cores}", master=f"local[{cores}]")
+            r = run_flagship(s, n_rows)
+            runs[f"local[{cores}]"] = r
+            stop_all()
+        thr8 = runs["local[8]"]["points_per_sec"]
+        thr32 = runs["local[32]"]["points_per_sec"]
+        result["scaling"] = {
+            "local8_pps": thr8,
+            "local32_pps": thr32,
+            "speedup": round(thr32 / thr8, 3),
+            "efficiency_n_to_4n": round(thr32 / (4 * thr8), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Continuous-aggregate tier chain: raw -> 1m -> 1h -> 1d.
+
+Re-expresses the reference's rollup (``TensorData.log_to_time``,
+/root/reference/spartan/tensor/tensor.py:72-123 — equal-width time
+binning + groupby-sum) as a materialized rollup ladder with
+**re-aggregable state**: each tier stores
+``(cnt, vsum, vmin, vmax, vhist)`` per (url, bucket) and every coarser
+tier is computed FROM THE PREVIOUS TIER, never from raw:
+
+    cnt   = sum(cnt)            vmin = min(vmin)   vmax = max(vmax)
+    vsum  = sum(vsum)           mean = vsum / cnt   (finalized at read)
+    vhist = bin-wise count merge (sparse value histogram)
+
+``vhist`` is the engine's mergeable quantile sketch. Bins are a
+deterministic pure function of the value (no data-dependent centroids),
+so the merge is **commutative and associative** — tier values are
+bit-identical at any parallelism level (local[8] == local[32]) with no
+ordering discipline needed. For integer metrics (the default rollup
+metric x = length(text)) and fixed-point metrics the quantile is EXACT;
+for generic doubles a signed log-bin bounds relative error at ~0.1%.
+This is a deliberate departure from a classic t-digest, whose merge is
+order-sensitive; a t-digest is still provided in
+``spartan2_spark.functions.sketches`` for parity experiments.
+
+Everything here is built-in column expressions — zero Python on the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = [
+    "TIERS",
+    "canonical_text",
+    "raw_points",
+    "rollup_from_points",
+    "rollup_tier_up",
+    "tier_view",
+    "bin_col",
+    "unbin_col",
+    "p95_from_hist",
+]
+
+# tier name -> date_trunc unit
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+_LOG_SCALE = 693.0  # bins per e-fold => ~0.144% max relative bin error
+
+
+def bin_col(value: Column, mode: str = "int") -> Column:
+    """Deterministic value -> long bin. Modes:
+
+    - ``int``:   exact for integer-valued metrics (bin == value)
+    - ``centi``: exact for 2-decimal fixed-point metrics (bin == round(100v))
+    - ``log``:   signed log bin, ~0.1% relative error, any double
+    """
+    if mode == "int":
+        return value.cast("long")
+    if mode == "centi":
+        return F.round(value * 100).cast("long")
+    if mode == "log":
+        # |log(|v|)|*SCALE < ~491k for any double, so the signed offset
+        # encoding below never collides: positives land in (+1.5M, +2.5M),
+        # negatives in (-2.5M, -1.5M), zero at 0. Bin order == value order.
+        mag = F.floor(F.log(F.abs(value) + F.lit(1e-300)) * F.lit(_LOG_SCALE)).cast("long")
+        return (
+            F.when(value > 0, mag + F.lit(2_000_000))
+            .when(value < 0, -(mag + F.lit(2_000_000)) - F.lit(1))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    raise ValueError(f"unknown bin mode {mode!r}")
+
+
+def unbin_col(bin_: Column, mode: str = "int") -> Column:
+    """Bin -> representative double (bin midpoint family)."""
+    if mode == "int":
+        return bin_.cast("double")
+    if mode == "centi":
+        return bin_.cast("double") / 100.0
+    if mode == "log":
+        pos = F.exp(((bin_ - F.lit(2_000_000)).cast("double") + 0.5) / _LOG_SCALE)
+        negmag = ((-bin_ - F.lit(1)) - F.lit(2_000_000)).cast("double")
+        neg = -F.exp((negmag + 0.5) / _LOG_SCALE)
+        return (
+            F.when(bin_ > 1_000_000, pos)
+            .when(bin_ < -1_000_000, neg)
+            .otherwise(F.lit(0.0))
+        )
+    raise ValueError(f"unknown bin mode {mode!r}")
+
+
+def canonical_text(pages: DataFrame) -> DataFrame:
+    """Per-url canonical extracted text: latest ``warc_ts`` wins, ties
+    broken by lexicographically greatest sha256(text). Guarantees the
+    byte-identical-text-per-url invariant (BASELINE.json input_hint);
+    the digest is carried into manifests.
+
+    One shuffle (window by url); at scale the window runs on the same
+    hash partitioning the rollup uses, so AQE reuses the exchange.
+    """
+    w = W.partitionBy("url").orderBy(
+        F.col("warc_ts").desc(), F.sha2(F.col("text"), 256).desc()
+    )
+    return (
+        pages.select("url", "warc_ts", "text")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "url",
+            F.col("text").alias("canonical_text"),
+            F.sha2(F.col("text"), 256).alias("text_sha256"),
+        )
+    )
+
+
+def raw_points(pages: DataFrame, metric: Column | None = None) -> DataFrame:
+    """Project the crawl log to (url, ts, value) points.
+
+    Default metric: x = length(text) (FIXTURES.md F1 documented default).
+    Only the needed columns survive => parquet reader prunes html/lang.
+    """
+    metric = metric if metric is not None else F.length("text").cast("double")
+    return pages.select(
+        F.col("url"), F.col("warc_ts").alias("ts"), metric.alias("value")
+    )
+
+
+def rollup_from_points(
+    points: DataFrame, tier: str = "1m", bin_mode: str = "int"
+) -> DataFrame:
+    """raw -> first tier. Single hash aggregation (partial map-side combine
+    + final), then a cheap second agg to assemble the sparse histogram.
+
+    Plan shape: Scan -> partial HashAgg(url,bucket,bin) -> shuffle ->
+    HashAgg -> HashAgg(url,bucket) (no extra shuffle: AQE keeps the
+    (url,bucket,bin) partitioning valid for the (url,bucket) group-by
+    only via another exchange — acceptable because the first agg already
+    collapsed cardinality by orders of magnitude).
+    """
+    unit = TIERS[tier]
+    b = points.select(
+        "url",
+        F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+        F.col("value"),
+        bin_col(F.col("value"), bin_mode).alias("bin"),
+    )
+    per_bin = b.groupBy("url", "bucket_ts", "bin").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    return per_bin.groupBy("url", "bucket_ts").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("vhist"),
+    )
+
+
+def rollup_tier_up(state: DataFrame, tier: str) -> DataFrame:
+    """tier N -> coarser tier N+1 from stored state only (never re-reads
+    raw). Scalar states merge in one agg; histogram entries are exploded,
+    re-summed per bin, and re-sorted — all commutative, so the result is
+    identical at any parallelism/partitioning.
+    """
+    unit = TIERS[tier]
+    keyed = state.withColumn("nb", F.date_trunc(unit, F.col("bucket_ts")))
+    base = keyed.groupBy("url", "nb").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    hist = (
+        keyed.select("url", "nb", F.explode("vhist").alias("e"))
+        .groupBy("url", "nb", F.col("e.bin").alias("bin"))
+        .agg(F.sum("e.cnt").alias("cnt"))
+        .groupBy("url", "nb")
+        .agg(F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("vhist"))
+    )
+    return (
+        base.join(hist, ["url", "nb"])
+        .withColumnRenamed("nb", "bucket_ts")
+        .select("url", "bucket_ts", "cnt", "vsum", "vmin", "vmax", "vhist")
+    )
+
+
+def p95_from_hist(
+    hist: Column, cnt: Column, q: float = 0.95, bin_mode: str = "int"
+) -> Column:
+    """Nearest-rank quantile from the sorted sparse histogram, evaluated
+    with a single higher-order ``aggregate`` expression (JVM-side, no
+    UDF): the smallest bin whose cumulative count reaches ceil(q*cnt).
+    Matches DuckDB ``quantile_disc`` semantics for exact bin modes.
+    """
+    target = F.ceil(F.lit(q) * cnt.cast("double")).cast("long")
+    picked = F.aggregate(
+        hist,
+        F.struct(
+            F.lit(0).cast("long").alias("seen"),
+            F.lit(None).cast("long").alias("res"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["seen"] + e["cnt"]).alias("seen"),
+            F.when(acc["res"].isNotNull(), acc["res"])
+            .when(acc["seen"] + e["cnt"] >= target, e["bin"])
+            .alias("res"),
+        ),
+        lambda acc: acc["res"],
+    )
+    return unbin_col(picked, bin_mode)
+
+
+def tier_view(state: DataFrame, q: float = 0.95, bin_mode: str = "int") -> DataFrame:
+    """Finalize reader-facing aggregates from stored state.
+
+    mean = vsum/cnt (NEVER an average of averages); p95 from the sketch.
+    """
+    return state.select(
+        "url",
+        "bucket_ts",
+        "cnt",
+        "vmin",
+        "vmax",
+        (F.col("vsum") / F.col("cnt")).alias("vmean"),
+        p95_from_hist(F.col("vhist"), F.col("cnt"), q, bin_mode).alias("p95"),
+    )

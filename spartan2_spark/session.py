@@ -1,0 +1,80 @@
+"""SparkSession factory tuned for the rollup engine.
+
+Defaults match the deployment contract (BASELINE.json input_hint):
+Arrow enabled for all pandas-UDF exchange, AQE on (runtime coalesce +
+skew-join backstop), UTC session timezone (required for bit-stable
+timestamp bucketing and for DuckDB oracle comparison — DuckDB
+timestamps are UTC-naive), shuffle partitions sized to the local core
+count rather than the 200 default.
+
+On a real cluster the same factory is used via ``spark-submit
+--py-files``; only ``master`` and memory sizing change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_all"]
+
+
+def get_spark(
+    app_name: str = "spartan2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback
+    ``local[*]``). ``shuffle_partitions`` defaults to the parallelism of
+    the master so small local runs don't fan out into 200 empty tasks.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        if master.startswith("local[") and master[6:-1].isdigit():
+            shuffle_partitions = max(int(master[6:-1]), 8)
+        else:
+            shuffle_partitions = max(os.cpu_count() or 8, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # parquet scan granularity: default 128m is fine at cluster scale;
+        # keep it explicit so the knob is visible for 100TB sizing.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_all() -> None:
+    """Stop the active session (used between parallelism-level benches)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    # clear the cached builder state so the next get_spark honors a new master
+    try:
+        from pyspark.sql import SparkSession as _S
+
+        _S.builder._options = {}
+    except Exception:
+        pass

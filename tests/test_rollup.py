@@ -1,0 +1,117 @@
+"""Tier-chain correctness vs an independent pandas/numpy oracle.
+
+The oracle re-implements the reference rollup semantics
+(/root/reference/spartan/tensor/tensor.py:72-123: time binning +
+group aggregation) directly in pandas, independently of the engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spartan2_spark.datagen import synth_pages
+from spartan2_spark.operators import rollup as R
+
+
+@pytest.fixture(scope="module")
+def pages_pdf(spark):
+    pages = synth_pages(spark, 5000, n_urls=40, days=3)
+    return pages.select("url", "warc_ts", "text").toPandas()
+
+
+@pytest.fixture(scope="module")
+def tier_views(spark, pages_pdf):
+    pages = spark.createDataFrame(pages_pdf)
+    pts = R.raw_points(pages)
+    t1m = R.rollup_from_points(pts, "1m")
+    t1h = R.rollup_tier_up(t1m, "1h")
+    t1d = R.rollup_tier_up(t1h, "1d")
+    return {
+        name: R.tier_view(df).toPandas()
+        for name, df in [("1m", t1m), ("1h", t1h), ("1d", t1d)]
+    }
+
+
+def _oracle(pdf: pd.DataFrame, freq: str) -> pd.DataFrame:
+    df = pdf.copy()
+    df["value"] = df["text"].str.len().astype(float)
+    df["bucket_ts"] = df["warc_ts"].dt.floor(freq)
+
+    def p95_nearest_rank(s):
+        v = np.sort(s.to_numpy())
+        return v[math.ceil(0.95 * len(v)) - 1]
+
+    g = df.groupby(["url", "bucket_ts"])["value"]
+    out = g.agg(
+        cnt="count", vmin="min", vmax="max", vmean="mean", p95=p95_nearest_rank
+    ).reset_index()
+    return out.sort_values(["url", "bucket_ts"], ignore_index=True)
+
+
+@pytest.mark.parametrize("tier,freq", [("1m", "min"), ("1h", "h"), ("1d", "D")])
+def test_tier_matches_pandas_oracle(tier_views, pages_pdf, tier, freq):
+    got = tier_views[tier].sort_values(["url", "bucket_ts"], ignore_index=True)
+    want = _oracle(pages_pdf, freq)
+    assert len(got) == len(want)
+    assert (got["url"] == want["url"]).all()
+    assert (got["bucket_ts"] == want["bucket_ts"]).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+    np.testing.assert_array_equal(got["vmin"].to_numpy(), want["vmin"].to_numpy())
+    np.testing.assert_array_equal(got["vmax"].to_numpy(), want["vmax"].to_numpy())
+    # integer metric: sums exact -> mean matches to float ulp
+    np.testing.assert_allclose(got["vmean"], want["vmean"], rtol=1e-12)
+    # int bin mode: p95 is EXACT nearest-rank
+    np.testing.assert_array_equal(got["p95"].to_numpy(), want["p95"].to_numpy())
+
+
+def test_tier_up_equals_direct(spark, pages_pdf):
+    """1h computed from 1m state == 1h computed straight from raw."""
+    pages = spark.createDataFrame(pages_pdf)
+    pts = R.raw_points(pages)
+    via_state = R.tier_view(R.rollup_tier_up(R.rollup_from_points(pts, "1m"), "1h"))
+    direct = R.tier_view(R.rollup_from_points(pts, "1h"))
+    a = via_state.toPandas().sort_values(["url", "bucket_ts"], ignore_index=True)
+    b = direct.toPandas().sort_values(["url", "bucket_ts"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_parallelism_invariance(spark, pages_pdf):
+    """Tier values identical when computed at different partitioning —
+    the sandbox stand-in for the N vs 4N executor equality check."""
+    pages = spark.createDataFrame(pages_pdf)
+    outs = []
+    for nparts in (2, 16):
+        pts = R.raw_points(pages.repartition(nparts))
+        v = R.tier_view(R.rollup_tier_up(R.rollup_from_points(pts, "1m"), "1h"))
+        outs.append(v.toPandas().sort_values(["url", "bucket_ts"], ignore_index=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_canonical_text_latest_wins(spark):
+    rows = [
+        ("u1", pd.Timestamp("2024-01-01 00:00:00"), "old"),
+        ("u1", pd.Timestamp("2024-01-02 00:00:00"), "new"),
+        ("u2", pd.Timestamp("2024-01-01 00:00:00"), "only"),
+    ]
+    pages = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "warc_ts", "text"]))
+    got = {
+        r["url"]: r["canonical_text"]
+        for r in R.canonical_text(pages).collect()
+    }
+    assert got == {"u1": "new", "u2": "only"}
+
+
+def test_log_bin_roundtrip_error(spark):
+    """log bin mode: relative decode error bounded (~0.15%)."""
+    vals = [0.001, 0.5, 1.0, 3.14159, 1000.0, 1.7e6, -2.5, -9000.0]
+    pdf = pd.DataFrame({"v": vals})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        "v", R.unbin_col(R.bin_col(pd_col := df["v"], "log"), "log").alias("d")
+    ).toPandas()
+    rel = np.abs(out["d"] - out["v"]) / np.abs(out["v"])
+    assert (rel < 0.0016).all()

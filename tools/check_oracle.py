@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark, the matching
+``oracle_sql()`` on DuckDB over the same parquet views, and compares
+row count, column names, and order-insensitive values (columns sorted
+by name, rows sorted, exact equality for ints/strings, equality for
+floats after the queries' own rounding discipline).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(a) != len(b):
+        problems.append(f"row count {len(a)} vs {len(b)}")
+    if sorted(a.columns) != sorted(b.columns):
+        problems.append(f"columns {sorted(a.columns)} vs {sorted(b.columns)}")
+        return problems
+    if problems:
+        return problems
+    a, b = normalize(a), normalize(b)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(float)
+            bv = bv.astype(float)
+            bad = ~(np.isclose(av, bv, rtol=0, atol=0, equal_nan=True))
+            exact_bad = int(bad.sum())
+            close_bad = int((~np.isclose(av, bv, rtol=1e-12, atol=1e-9, equal_nan=True)).sum())
+            if exact_bad:
+                i = int(np.argmax(bad))
+                problems.append(
+                    f"col {c}: {exact_bad} exact mismatches ({close_bad} beyond 1e-12) "
+                    f"e.g. row {i}: {av[i]!r} vs {bv[i]!r}"
+                )
+        else:
+            if not (av == bv).all():
+                bad = av != bv
+                i = int(np.argmax(bad))
+                problems.append(
+                    f"col {c}: {int(bad.sum())} mismatches e.g. row {i}: {av[i]!r} vs {bv[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    import __spark_entry__ as E
+    from spartan2_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {exc}")
+            failed.append(name)
+            continue
+        if name not in os_:
+            print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(os_[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {exc}")
+            failed.append(name)
+            continue
+        problems = compare(sdf, odf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({len(sdf)} rows)")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
