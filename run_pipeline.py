@@ -1,0 +1,56 @@
+"""spark-submit entry point for the north-rule rollup pipeline.
+
+Cluster:  spark-submit --py-files spartan2_spark.zip run_pipeline.py \
+              --pages <parquet path or 'synth:<n_rows>'> --out <dir>
+Local:    python run_pipeline.py --pages synth:100000 --out /tmp/tiers
+
+Resumable: re-running with the same --out continues mid-tier from the
+checkpoint manifests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="parquet path or synth:<n_rows>")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--target-rows-per-salt", type=int, default=1_000_000)
+    args = ap.parse_args()
+
+    from spartan2_spark.session import get_spark
+    from spartan2_spark.plans.pipeline import run_pipeline
+
+    spark = get_spark("rollup-pipeline", master=args.master)
+
+    if args.pages.startswith("synth:"):
+        from spartan2_spark.datagen import synth_pages
+
+        pages = synth_pages(spark, int(args.pages.split(":", 1)[1]))
+    else:
+        pages = spark.read.parquet(args.pages).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+
+    t0 = time.time()
+    reports = run_pipeline(
+        spark,
+        pages,
+        args.out,
+        resume=not args.no_resume,
+        target_rows_per_salt=args.target_rows_per_salt,
+    )
+    print(json.dumps({"elapsed_sec": round(time.time() - t0, 2), "stages": reports}))
+
+
+if __name__ == "__main__":
+    main()

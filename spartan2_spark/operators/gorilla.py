@@ -1,0 +1,94 @@
+"""Gorilla block building/reading as Spark operators.
+
+Per (url, tier) the finalized tier points are encoded into compressed
+blocks (delta-of-delta timestamps + XOR float values, see
+``spartan2_spark.functions.gorilla_codec``) inside an Arrow-batched
+grouped pandas UDF — one group = one url's sorted series; the kernel
+sorts by timestamp before encoding, so blocks and CRCs are
+bit-identical at any parallelism level.
+
+Blocks are capped at ``max_points`` so a pathological head url can't
+produce an unbounded row; at 100TB the (url) grouping key is already
+salted upstream by the partitioning planner (operators/partitioning)
+before the final per-url regroup.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from spartan2_spark.functions import gorilla_codec as C
+from spartan2_spark.schemas import GORILLA_BLOCKS
+
+__all__ = ["encode_tier_blocks", "decode_blocks"]
+
+
+def encode_tier_blocks(
+    view: DataFrame,
+    tier: str,
+    value_col: str = "vmean",
+    max_points: int = 4096,
+    extra_group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tier view (url, bucket_ts, <value_col>) -> GORILLA_BLOCKS rows.
+
+    ``extra_group_cols`` (e.g. ``("dt",)``) bound a block to one output
+    partition so the pipeline's per-dt manifest/resume unit holds; the
+    extra columns are carried through to the output.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(GORILLA_BLOCKS.fields)
+        + [T.StructField(c, view.schema[c].dataType) for c in extra_group_cols]
+    )
+
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+        ts = (pdf["bucket_ts"].astype("int64") // 1_000_000_000).to_numpy(np.int64)
+        vals = pdf[value_col].to_numpy(np.float64)
+        url = pdf["url"].iloc[0]
+        extras = [pdf[c].iloc[0] for c in extra_group_cols]
+        rows = []
+        for s in range(0, len(ts), max_points):
+            t, v = ts[s : s + max_points], vals[s : s + max_points]
+            tb, vb = C.encode_ts(t), C.encode_vals(v)
+            rows.append(
+                (url, tier, int(t[0]), int(t[-1]), len(t), tb, vb,
+                 C.block_crc(tb, vb), *extras)
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    pts = view.select("url", "bucket_ts", value_col, *extra_group_cols)
+    return pts.groupBy("url", *extra_group_cols).applyInPandas(encode_group, out_schema)
+
+
+def decode_blocks(blocks: DataFrame, value_col: str = "value") -> DataFrame:
+    """GORILLA_BLOCKS rows -> (url, tier, ts, value) points via
+    mapInPandas (decode is the read path; CRC verified per block)."""
+    out_schema = f"url string, tier string, ts long, {value_col} double"
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                if C.block_crc(r.ts_block, r.val_block) != r.crc32:
+                    raise ValueError(f"CRC mismatch for url={r.url} tier={r.tier}")
+                ts = C.decode_ts(bytes(r.ts_block), r.n_points)
+                vals = C.decode_vals(bytes(r.val_block), r.n_points)
+                frames.append(
+                    pd.DataFrame(
+                        {"url": r.url, "tier": r.tier, "ts": ts, value_col: vals}
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=["url", "tier", "ts", value_col]
+            )
+
+    return blocks.mapInPandas(decode_batch, out_schema)

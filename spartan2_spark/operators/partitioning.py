@@ -1,0 +1,93 @@
+"""Explicit partitioning: domain hash + salting for head-domain skew,
+range partitioning on warc_ts for tier compaction.
+
+The north rule mandates explicit skew handling: Common-Crawl-style url
+distributions are Zipf in the domain, so naive ``repartition(domain)``
+puts a head domain's entire traffic in one task. The salt planner
+derives per-domain salt counts from a frequency sketch and spreads hot
+domains over ``ceil(freq / target)`` salts; cold domains keep salt 0,
+so small-domain locality is preserved. AQE skew-join handling stays on
+as a backstop, but the plan doesn't rely on it.
+
+All pure column expressions + one broadcast join against the (tiny)
+hot-domain salt map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_domain",
+    "domain_salt_map",
+    "salted_repartition",
+    "range_partition_by_ts",
+]
+
+
+def with_domain(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Extract the url host as the partitioning domain (JVM parse_url)."""
+    return df.withColumn("domain", F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def domain_salt_map(
+    df: DataFrame,
+    target_rows_per_salt: int = 1_000_000,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Frequency sketch -> per-domain salt counts (only domains needing
+    >1 salt are kept, so the map broadcast stays tiny even at 10^12 rows;
+    pass ``sample_fraction`` to sketch from a sample at full scale)."""
+    src = df.sample(sample_fraction) if sample_fraction else df
+    scale = 1.0 / sample_fraction if sample_fraction else 1.0
+    freq = src.groupBy("domain").agg((F.count(F.lit(1)) * scale).alias("freq"))
+    return (
+        freq.withColumn(
+            "n_salts", F.ceil(F.col("freq") / F.lit(target_rows_per_salt)).cast("int")
+        )
+        .filter(F.col("n_salts") > 1)
+        .select("domain", "n_salts")
+    )
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    target_rows_per_salt: int = 1_000_000,
+    salt_map: DataFrame | None = None,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Repartition by (domain, salt) with data-driven salt counts.
+
+    salt = hash(url, ts) mod n_salts — deterministic, so re-runs place
+    every row identically (required for manifest-resume idempotence).
+    """
+    d = with_domain(df, url_col)
+    if salt_map is None:
+        salt_map = domain_salt_map(d, target_rows_per_salt)
+    d = d.join(F.broadcast(salt_map), "domain", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("n_salts").isNotNull(),
+            F.pmod(F.xxhash64(F.col(url_col), F.col(ts_col)), F.col("n_salts")),
+        ).otherwise(F.lit(0)),
+    )
+    parts = [F.col("domain"), F.col("salt")]
+    out = d.repartition(num_partitions, *parts) if num_partitions else d.repartition(*parts)
+    return out.drop("n_salts")
+
+
+def range_partition_by_ts(
+    df: DataFrame,
+    num_partitions: int,
+    ts_col: str = "warc_ts",
+    sort_keys: tuple[str, ...] = ("url",),
+) -> DataFrame:
+    """Range layout on time for tier compaction (the Iceberg
+    days(warc_ts) spec analogue) + in-partition sort so downstream
+    Arrow kernels see a deterministic order (bit-stable outputs)."""
+    return df.repartitionByRange(num_partitions, F.col(ts_col)).sortWithinPartitions(
+        ts_col, *sort_keys
+    )

@@ -1,0 +1,220 @@
+"""The north-rule end-to-end job: pages -> canonical text -> salted
+partitioning -> raw->1m->1h->1d tier ladder -> gap-filled view ->
+Gorilla blocks, with a checkpoint manifest per stage and mid-tier
+resume.
+
+Layout under ``out_root``:
+
+    canonical/            url -> canonical text + sha256 (latest-wins)
+    t1m/ t1h/ t1d/        tier state tables, parquet partitioned by dt
+    gapfill_1h/ blocks_1h/  gap-filled view + Gorilla block table
+    _manifests/<stage>.json per-partition lineage (rows, value_crc,
+                            input_snapshot, input_crc)
+    <table>/_VERSION        table snapshot counter (Iceberg-id analogue)
+
+Resume contract (two layers):
+1. every stage filters its INPUT to dts missing-or-invalid in its own
+   manifest BEFORE any compute — for dt-partitioned parquet inputs that
+   is a partition-pruned scan, so a resumed run doesn't even read
+   completed dates — and writes with dynamic partition overwrite;
+2. validity is chained per-partition via lineage crcs: a downstream
+   entry records the upstream dt's value_crc it was computed from, so a
+   recomputed upstream date invalidates exactly the matching downstream
+   date (incremental view maintenance), and an upstream rewrite that
+   reproduced identical bytes invalidates nothing.
+
+Tier dts are self-contained (a minute/hour/day bucket never spans a
+calendar date), which is what makes the date the correct resume unit.
+The gap-fill stage interpolates ACROSS dates, so it is all-or-nothing:
+it pins a global fingerprint of the whole upstream manifest instead.
+
+Run via ``spark-submit --py-files spartan2_spark.zip`` on a cluster;
+locally the same entry point drives local[N].
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spartan2_spark.operators import gapfill as G
+from spartan2_spark.operators import gorilla as GO
+from spartan2_spark.operators import manifest as M
+from spartan2_spark.operators import partitioning as P
+from spartan2_spark.operators import rollup as R
+
+__all__ = ["run_pipeline"]
+
+
+def _run_stage(
+    spark: SparkSession,
+    out_root: str,
+    stage: str,
+    input_df: DataFrame,
+    input_dt_col,
+    build,
+    input_snapshot: int,
+    resume: bool,
+    upstream: dict[str, int] | None = None,
+) -> dict:
+    """Stage protocol: resume-prune input -> build -> dynamic-overwrite
+    write -> per-partition lineage -> manifest merge -> version bump."""
+    out_dir = os.path.join(out_root, stage)
+    # with crc lineage chaining the snapshot pin is redundant (and would
+    # over-invalidate: an upstream rewrite that reproduced identical
+    # bytes bumps the version but not the crc) — crc decides alone.
+    snap_check = None if upstream is not None else input_snapshot
+    done = (
+        M.completed_partitions(out_root, stage, snap_check, upstream)
+        if resume
+        else set()
+    )
+    pend_in = (
+        input_df.filter(~input_dt_col.cast("string").isin(sorted(done)))
+        if done
+        else input_df
+    )
+    out_df = build(pend_in)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out_df.write.mode("overwrite").partitionBy("dt").parquet(out_dir)
+
+    written = spark.read.parquet(out_dir)
+    new = (
+        written.filter(~F.col("dt").cast("string").isin(sorted(done)))
+        if done
+        else written
+    )
+    entries = M.partition_lineage(new)
+    M.write_partition_entries(out_root, stage, entries, input_snapshot, upstream)
+    # snapshot semantics: a run that added no partitions is not a new
+    # snapshot (otherwise downstream version pins would churn on no-ops)
+    version = M.bump_table_version(out_dir) if entries else M.table_version(out_dir)
+    return {
+        "stage": stage,
+        "new_partitions": len(entries),
+        "rows_written": sum(e["rows"] for e in entries),
+        "skipped_partitions": len(done),
+        "version": version,
+    }
+
+
+def _global_fingerprint(root: str, src_stage: str) -> int:
+    man = M.read_manifest(root, src_stage)
+    s = ";".join(f"{e['dt']}={e['value_crc']}" for e in man)
+    return zlib.crc32(s.encode())
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    resume: bool = True,
+    bin_mode: str = "int",
+    target_rows_per_salt: int = 1_000_000,
+) -> list[dict]:
+    """Full ladder. Returns per-stage stats (for PROGRESS/BENCH logs)."""
+    os.makedirs(out_root, exist_ok=True)
+    reports = []
+    pages_version = 1  # external input table: pinned snapshot
+
+    # -- canonical text per url (byte-identical invariant; crc in manifest)
+    reports.append(
+        _run_stage(
+            spark, out_root, "canonical",
+            pages, F.lit("ALL"),
+            lambda df: R.canonical_text(df).withColumn("dt", F.lit("ALL")),
+            pages_version, resume,
+        )
+    )
+
+    # -- raw -> 1m, with explicit salted partitioning for head domains
+    def build_t1m(df):
+        salted = P.salted_repartition(df, target_rows_per_salt=target_rows_per_salt)
+        return R.rollup_from_points(R.raw_points(salted), "1m", bin_mode).withColumn(
+            "dt", F.to_date("bucket_ts")
+        )
+
+    reports.append(
+        _run_stage(
+            spark, out_root, "t1m",
+            pages, F.to_date("warc_ts"),
+            build_t1m, pages_version, resume,
+        )
+    )
+
+    # -- 1m -> 1h -> 1d from stored state only (per-dt lineage chaining)
+    for src, dst, tier in (("t1m", "t1h", "1h"), ("t1h", "t1d", "1d")):
+        src_dir = os.path.join(out_root, src)
+        reports.append(
+            _run_stage(
+                spark, out_root, dst,
+                spark.read.parquet(src_dir), F.col("dt"),
+                lambda df, t=tier: R.rollup_tier_up(df.drop("dt"), t).withColumn(
+                    "dt", F.to_date("bucket_ts")
+                ),
+                M.table_version(src_dir), resume,
+                upstream=M.upstream_crcs(out_root, src),
+            )
+        )
+
+    # -- gap-filled 1h view (materialized for readers/BeatLex).
+    # Interpolation crosses dates -> all-or-nothing, pinned to a global
+    # fingerprint of the upstream manifest.
+    t1h_dir = os.path.join(out_root, "t1h")
+    fp = _global_fingerprint(out_root, "t1h")
+
+    def build_gap(df):
+        view = R.tier_view(df.drop("dt"), bin_mode=bin_mode)
+        return G.gap_fill(
+            G.densify(view.select("url", "bucket_ts", "cnt", "vmean"), "1h"),
+            ("vmean",),
+            method="interp",
+        ).withColumn("dt", F.to_date("bucket_ts"))
+
+    gap_man = M.read_manifest(out_root, "gapfill_1h")
+    gap_valid = bool(gap_man) and all(e.get("input_crc") == fp for e in gap_man)
+    if resume and gap_valid:
+        reports.append(
+            {
+                "stage": "gapfill_1h",
+                "new_partitions": 0,
+                "rows_written": 0,
+                "skipped_partitions": len(gap_man),
+                "version": M.table_version(os.path.join(out_root, "gapfill_1h")),
+            }
+        )
+    else:
+        reports.append(
+            _run_stage(
+                spark, out_root, "gapfill_1h",
+                spark.read.parquet(t1h_dir), F.lit("__none__"),
+                build_gap, M.table_version(t1h_dir), False,
+                upstream={},  # placeholder; entries pinned below
+            )
+        )
+        # pin every entry to the global fingerprint
+        man = M.read_manifest(out_root, "gapfill_1h")
+        M.write_partition_entries(
+            out_root, "gapfill_1h",
+            [{k: e[k] for k in ("dt", "rows", "value_crc")} for e in man],
+            M.table_version(t1h_dir),
+            {e["dt"]: fp for e in man},
+        )
+
+    # -- Gorilla blocks for the 1h tier (per url x dt; dt-resumable)
+    gap_dir = os.path.join(out_root, "gapfill_1h")
+    reports.append(
+        _run_stage(
+            spark, out_root, "blocks_1h",
+            spark.read.parquet(gap_dir), F.col("dt"),
+            lambda df: GO.encode_tier_blocks(
+                df, "1h", value_col="vmean", extra_group_cols=("dt",)
+            ),
+            M.table_version(gap_dir), resume,
+            upstream=M.upstream_crcs(out_root, "gapfill_1h"),
+        )
+    )
+    return reports

@@ -1,0 +1,100 @@
+"""Gorilla codec round-trip: property tests (numpy level) + Spark
+plumbing round-trip + determinism across parallelism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spartan2_spark.functions import gorilla_codec as C
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=300),
+)
+@settings(max_examples=60, deadline=None)
+def test_ts_roundtrip(deltas):
+    ts = np.cumsum(np.array([1_700_000_000] + deltas, dtype=np.int64))
+    out = C.decode_ts(C.encode_ts(ts), len(ts))
+    np.testing.assert_array_equal(out, ts)
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64, allow_infinity=True),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_vals_roundtrip(vals):
+    v = np.array(vals, dtype=np.float64)
+    out = C.decode_vals(C.encode_vals(v), len(v))
+    np.testing.assert_array_equal(out.view(np.uint64), v.view(np.uint64))
+
+
+def test_regular_series_compresses_well():
+    # minute-regular series with slowly-varying values: the Gorilla
+    # sweet spot; expect far under 16 bytes/point
+    n = 4096
+    ts = 1_700_000_000 + 60 * np.arange(n, dtype=np.int64)
+    vals = np.round(50 + 10 * np.sin(np.arange(n) / 50), 0)
+    tb, vb = C.encode_ts(ts), C.encode_vals(vals)
+    bytes_per_point = (len(tb) + len(vb)) / n
+    assert bytes_per_point < 4.0
+    np.testing.assert_array_equal(C.decode_ts(tb, n), ts)
+    np.testing.assert_array_equal(C.decode_vals(vb, n), vals)
+
+
+def test_spark_roundtrip_and_determinism(spark):
+    from spartan2_spark.datagen import synth_pages
+    from spartan2_spark.operators import gorilla as GO
+    from spartan2_spark.operators import rollup as R
+
+    pages = synth_pages(spark, 4000, n_urls=30, days=2)
+    view = R.tier_view(R.rollup_from_points(R.raw_points(pages), "1h"))
+
+    crcs = []
+    for nparts in (2, 13):
+        blocks = GO.encode_tier_blocks(view.repartition(nparts), "1h")
+        pdf = blocks.toPandas().sort_values(["url", "start_ts"], ignore_index=True)
+        crcs.append(pdf[["url", "n_points", "crc32"]])
+    pd.testing.assert_frame_equal(crcs[0], crcs[1])
+
+    blocks = GO.encode_tier_blocks(view, "1h")
+    decoded = GO.decode_blocks(blocks).toPandas()
+    orig = view.select(
+        "url",
+        (view.bucket_ts.cast("long")).alias("ts"),
+        view.vmean.alias("value"),
+    ).toPandas()
+    a = decoded[["url", "ts", "value"]].sort_values(["url", "ts"], ignore_index=True)
+    b = orig.sort_values(["url", "ts"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_crc_detects_corruption(spark):
+    import pyspark
+
+    from spartan2_spark.operators import gorilla as GO
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u"],
+            "tier": ["1h"],
+            "start_ts": [0],
+            "end_ts": [60],
+            "n_points": [2],
+            "ts_block": [C.encode_ts(np.array([0, 60]))],
+            "val_block": [C.encode_vals(np.array([1.0, 2.0]))],
+            "crc32": [12345],  # wrong on purpose
+        }
+    )
+    from spartan2_spark.schemas import GORILLA_BLOCKS
+
+    blocks = spark.createDataFrame(pdf, GORILLA_BLOCKS)
+    with pytest.raises(Exception, match="CRC mismatch|PythonException"):
+        GO.decode_blocks(blocks).collect()

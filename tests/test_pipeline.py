@@ -1,0 +1,87 @@
+"""End-to-end pipeline: manifests, resume, lineage, invariants."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.datagen import synth_pages
+from spartan2_spark.operators import manifest as M
+from spartan2_spark.plans.pipeline import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def out_root(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("tiers"))
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return synth_pages(spark, 6000, n_urls=60, days=4)
+
+
+@pytest.fixture(scope="module")
+def first_run(spark, pages, out_root):
+    return run_pipeline(spark, pages, out_root, resume=True)
+
+
+def test_stages_and_manifests(spark, first_run, out_root):
+    stages = [r["stage"] for r in first_run]
+    assert stages == ["canonical", "t1m", "t1h", "t1d", "gapfill_1h", "blocks_1h"]
+    for r in first_run:
+        assert r["rows_written"] > 0
+        man = M.read_manifest(out_root, r["stage"])
+        assert man and all("value_crc" in e and "input_snapshot" in e for e in man)
+        assert M.table_version(os.path.join(out_root, r["stage"])) >= 1
+
+
+def test_tier_consistency(spark, out_root):
+    t1m = spark.read.parquet(os.path.join(out_root, "t1m"))
+    t1d = spark.read.parquet(os.path.join(out_root, "t1d"))
+    assert t1m.agg(F.sum("cnt")).collect()[0][0] == t1d.agg(F.sum("cnt")).collect()[0][0]
+
+
+def test_resume_skips_completed(spark, pages, first_run, out_root):
+    r2 = run_pipeline(spark, pages, out_root, resume=True)
+    by_stage = {r["stage"]: r for r in r2}
+    for s in ("canonical", "t1m", "t1h", "t1d", "blocks_1h"):
+        assert by_stage[s]["new_partitions"] == 0, s
+        assert by_stage[s]["skipped_partitions"] > 0, s
+    # manifests unchanged content-wise (same crcs per dt)
+    m1 = {e["dt"]: e["value_crc"] for e in M.read_manifest(out_root, "t1m")}
+    assert len(m1) >= 4
+
+
+def test_resume_recomputes_only_missing(spark, pages, out_root):
+    """Kill/resume: drop one dt from the t1m manifest, rerun, verify the
+    stage reports exactly one new partition and crc matches the original."""
+    man = M.read_manifest(out_root, "t1m")
+    victim = man[0]
+    rest = man[1:]
+    M._atomic_write(
+        M.stage_manifest_path(out_root, "t1m"), json.dumps(rest, indent=0)
+    )
+    r = run_pipeline(spark, pages, out_root, resume=True)
+    by_stage = {x["stage"]: x for x in r}
+    assert by_stage["t1m"]["new_partitions"] == 1
+    man2 = {e["dt"]: e for e in M.read_manifest(out_root, "t1m")}
+    assert man2[victim["dt"]]["value_crc"] == victim["value_crc"]
+    assert man2[victim["dt"]]["rows"] == victim["rows"]
+    # crc lineage chaining: the recompute reproduced identical bytes, so
+    # NOTHING downstream re-ran (incremental view maintenance)
+    for s in ("t1h", "t1d", "gapfill_1h", "blocks_1h"):
+        assert by_stage[s]["new_partitions"] == 0, s
+
+
+def test_canonical_invariant(spark, out_root, pages):
+    canon = spark.read.parquet(os.path.join(out_root, "canonical"))
+    assert canon.groupBy("url").count().agg(F.max("count")).collect()[0][0] == 1
+    # digest matches text bytes
+    bad = canon.filter(
+        F.sha2(F.col("canonical_text"), 256) != F.col("text_sha256")
+    ).count()
+    assert bad == 0
