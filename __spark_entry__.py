@@ -657,6 +657,181 @@ def _q_monlad_zeroout(spark, sf_dir):
     return WD.zero_out_replay(ev, delta_up=50.0, epsilon=5.0)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """All-pairs word-trigram Jaccard above threshold (exact; the
+    verify stage of the LSH dedup path, run standalone here so DuckDB
+    can oracle it)."""
+    from spartan2_spark.operators.dedup import word_ngrams_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", word_ngrams_expr("text", 3).alias("ng")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    jac = F.size(F.array_intersect("ng_a", "ng_b")) / F.size(F.array_union("ng_a", "ng_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 8))
+        .filter(F.col("jaccard") >= 0.2)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_NGRAM_JACCARD_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(trim(text), ' +')) - 2, 1)),
+               i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' '))) AS ng
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ng, b.ng))), 8) AS jaccard
+    FROM d a, d b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.2
+"""
+
+
+def _q_quality_score(spark, sf_dir):
+    """Text quality heuristics (length/punct/stopword/word-length)."""
+    from spartan2_spark.operators.text import quality_score
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_score(d, "text").select(
+        "doc_id", "q_n_tokens", "q_punct_ratio", "q_stop_ratio",
+        "q_mean_word_len", "q_score",
+    )
+
+
+_QUALITY_SQL = """
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(lower(text)), ' +')) AS n_tok,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split_regex(trim(lower(text)), ' +'),
+                 t -> t IN ('the','and','of','to','in','is','that','with','for','it'))) AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           n_tok AS q_n_tokens,
+           round(n_punct / greatest(n_chars, 1), 8) AS q_punct_ratio,
+           round(n_stop / greatest(n_tok, 1), 8) AS q_stop_ratio,
+           round(n_chars / greatest(n_tok, 1), 8) AS q_mean_word_len,
+           round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+             least(n_tok / 200.0, 1.0) * 0.25
+             + least(n_stop / greatest(n_tok, 1) * 5.0, 1.0) * 0.25
+             + n_alpha / greatest(n_chars, 1) * 0.25
+             + CASE WHEN n_chars / greatest(n_tok, 1) >= 3
+                     AND n_chars / greatest(n_tok, 1) <= 12 THEN 0.25 ELSE 0.0 END
+           END, 8) AS q_score
+    FROM f
+"""
+
+
+def _q_lang_id(spark, sf_dir):
+    """Stopword-overlap language ID heuristic."""
+    from spartan2_spark.operators.text import lang_id
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(d, "text").select("doc_id", "lang_pred", "lang_hits")
+
+
+def _langid_oracle() -> str:
+    from spartan2_spark.operators.text import LANG_STOPWORDS
+
+    hit_cols = []
+    for lang, ws in sorted(LANG_STOPWORDS.items()):
+        inlist = ",".join(f"'{w}'" for w in ws)
+        hit_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), ' +'),"
+            f" t -> t IN ({inlist}))) AS h_{lang}"
+        )
+    langs_desc = sorted(LANG_STOPWORDS, reverse=True)
+    m = "greatest(" + ",".join(f"h_{x}" for x in sorted(LANG_STOPWORDS)) + ")"
+    case = " ".join(f"WHEN h_{x} = m THEN '{x}'" for x in langs_desc)
+    return f"""
+        WITH f AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents),
+        g AS (SELECT doc_id, *, {m} AS m FROM f)
+        SELECT doc_id,
+               CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred,
+               m AS lang_hits
+        FROM g
+    """
+
+
+def _q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k over the embeddings table
+    (integer-quantized components -> bit-stable ranking)."""
+    from spartan2_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+_COSINE_TOPK_SQL = """
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS DOUBLE)) AS q FROM embeddings),
+    n AS (SELECT vec_id, q, sqrt(list_inner_product(q, q)) AS nrm FROM v),
+    s AS (
+      SELECT qs.vec_id AS query_id, cs.vec_id AS corpus_id,
+             list_inner_product(qs.q, cs.q) / (qs.nrm * cs.nrm) AS cos
+      FROM n qs, n cs
+      WHERE qs.vec_id < 5 AND cs.vec_id != qs.vec_id),
+    r AS (SELECT query_id, corpus_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS rank
+          FROM s)
+    SELECT query_id, corpus_id, rank, round(cos, 8) AS cosine
+    FROM r WHERE rank <= 5
+"""
+
+
+def _q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs — xxhash-based, rows-only check."""
+    from spartan2_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, k=32, bands=8, jaccard_threshold=0.2)
+
+
+def _q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs — rows-only check."""
+    from spartan2_spark.operators.dedup import simhash64, simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(simhash64(d), max_hamming=10)
+
+
+def _q_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours — rows-only check."""
+    from spartan2_spark.operators.similarity import ann_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    """Bottom-k rolling-hash document fingerprints — rows-only check."""
+    from spartan2_spark.operators.text import fingerprint_bottom_k
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_bottom_k(d, "text").select("doc_id", "fp_hash")
+
+
+def _q_multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction plumbing (stub decoder) over
+    documents' text bytes — rows-only check."""
+    from spartan2_spark.operators.multimodal import extract_features
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_features(d, "payload", "doc_key", n_features=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -687,6 +862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beatlex_summarize": _q_beatlex_summarize,
         "eigenpulse_density": _q_eigenpulse_density,
         "monlad_zeroout": _q_monlad_zeroout,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "cosine_topk": _q_cosine_topk,
+        "minhash_dedup_pairs": _q_minhash_dedup,
+        "simhash_dedup_pairs": _q_simhash_dedup,
+        "ann_topk": _q_ann_topk,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -716,7 +900,12 @@ def oracle_sql() -> dict[str, str]:
         "iat_pairs": _IAT_PAIRS_SQL,
         "infer_freq": _INFER_FREQ_SQL,
         "dict_encode": _DICT_ENCODE_SQL,
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "quality_score": _QUALITY_SQL,
+        "lang_id": _langid_oracle(),
+        "cosine_topk": _COSINE_TOPK_SQL,
         # resample_fourier / beatlex_summarize / eigenpulse_density /
-        # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels, not
-        # SQL-expressible -> driver records rows-only checks
+        # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels;
+        # minhash/simhash/ann/fingerprint/multimodal: xxhash64- or
+        # plane-based (no DuckDB twin) -> driver records rows-only checks
     }

@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all engineered for the 100TB shape (candidate
+generation is always a bucket equi-join — never an all-pairs cross):
+
+- exact:     content-hash groupBy (one shuffle on the digest)
+- minhash:   char-shingles -> k minhashes -> banded LSH buckets ->
+             candidate pairs -> exact shingle-Jaccard verify
+- simhash:   64-bit sign fingerprint of token hashes -> 16-bit band
+             blocking -> Hamming verify via bit_count(xor)
+- ngram:     exact word-n-gram Jaccard on LSH candidates
+- embedding: sign-LSH (random hyperplanes) buckets -> exact cosine
+
+Everything is built-in column expressions + higher-order array
+functions (shingling, hashing, banding all JVM-side); no Python UDFs
+anywhere. Verification joins are self-joins on bucket keys; at scale
+the bucket key is the shuffle key and skewed mega-buckets are bounded
+by ``max_bucket`` (drop pathological buckets, standard LSH practice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "char_shingles_expr",
+    "word_ngrams_expr",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "simhash_pairs",
+    "embedding_lsh_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical row per exact content duplicate group (min id wins)."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(id_col).alias("canonical_doc"),
+    )
+
+
+def char_shingles_expr(text_col: str, n: int = 5):
+    """Distinct character n-gram shingles, JVM-side: substring over a
+    generated position sequence (higher-order transform, no UDF)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)),"
+        f" i -> substring({text_col}, i, {n})))"
+    )
+
+
+def word_ngrams_expr(text_col: str, n: int = 3):
+    """Distinct word n-grams (space-tokenized), JVM-side."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(split(trim({text_col}), ' +')) - {n - 1}, 1)),"
+        f" i -> array_join(slice(split(trim({text_col}), ' +'), i, {n}), ' ')))"
+    )
+
+
+def minhash_signature(shingles, k: int = 64):
+    """k minhashes: min over xxhash64(shingle, seed_j) per seed."""
+    return F.array(
+        *[F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(k)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash + banded LSH + exact verify.
+
+    bands of r = k/bands rows each: P(candidate) = 1-(1-J^r)^bands.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, exact Jaccard on
+    distinct shingle sets (array_intersect/array_union — JVM).
+    """
+    r = k // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        char_shingles_expr(text_col, shingle_n).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", b * r + i + 1) for i in range(r)])
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    # bound pathological buckets (LSH standard practice at web scale)
+    sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    banded = banded.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
+    )
+
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per bit, sign of sum over token hashes of
+    (2*bit-1); assembled JVM-side from 64 one-pass aggregates."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("id").agg(*aggs)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b) if b < 63 else F.when(bit == 1, F.lit(-(2**63))).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 16-bit band blocking + Hamming verify.
+
+    Any pair within Hamming distance <= 3 shares at least one of the
+    four 16-bit bands exactly (pigeonhole), so blocking is lossless."""
+    banded = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    cosine_threshold: float = 0.9,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup embedding pairs: sign-LSH bucket join + exact cosine.
+
+    Hyperplanes are deterministic pseudo-random unit directions derived
+    from xxhash64(seed, plane, component) — built as literal arrays, so
+    the projection is a JVM-side higher-order aggregate (no UDF)."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    proj_bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        proj_bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    bucket = sum(proj_bits[1:], proj_bits[0])
+
+    base = df.select(
+        F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"), bucket.alias("bucket")
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "bucket"
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"), "bucket"
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot_ab / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — broadcast the (small)
+  query set, JVM-side zip_with/aggregate dot products, window top-k.
+  The correctness baseline and the right plan when queries are few:
+  one scan of the corpus, no shuffle of the corpus itself.
+- ``ann_topk``: the scale path — sign-LSH (random hyperplane) bucket
+  index with multi-probe; candidates only from the query's bucket
+  (plus Hamming<=1 probes), then exact cosine rerank. Recall/efficiency
+  trade is tunable via n_planes/probes.
+
+Scores are computed over integer-quantized components (round(x*1000))
+so dot products are exact integers -> results identical at any
+parallelism and comparable bit-for-bit against an external oracle.
+(Quantization noise is ~1e-4 relative — irrelevant for neighbor
+ranking; pass quantize=False for raw float scores.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["cosine_topk", "ann_topk"]
+
+
+def _vec(col, quantize: bool):
+    v = F.transform(col if not isinstance(col, str) else F.col(col), lambda x: x.cast("double"))
+    if quantize:
+        v = F.transform(v, lambda x: F.round(x * 1000))
+    return v
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quantize: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query. Plan: broadcast queries x scan
+    corpus -> per-row dot -> window row_number <= k (tie-break by id)."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _vec(vec_col, quantize).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _vec(vec_col, quantize).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", _dot("cv", "qv") / (F.col("cn") * F.col("qn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+def _bucket_expr(v, planes: np.ndarray):
+    bits = []
+    for p in range(len(planes)):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        bits.append(
+            F.when(_dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        )
+    return sum(bits[1:], bits[0])
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probes: int = 1,
+    seed: int = 42,
+    quantize: bool = True,
+) -> DataFrame:
+    """Approximate top-k: join on LSH bucket (+ Hamming<=probes
+    neighbouring buckets for the query side), exact rerank inside.
+
+    At 100TB the corpus is hash-partitioned by bucket once (a layout,
+    not a per-query shuffle) and each query touches
+    ``C(n_planes, <=probes)`` buckets."""
+    dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _vec(vec_col, quantize).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv"))).withColumn(
+        "bucket", _bucket_expr(F.col("cv"), planes)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _vec(vec_col, quantize).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv"))).withColumn(
+        "qbucket", _bucket_expr(F.col("qv"), planes)
+    )
+    # multi-probe: query probes its own bucket + all buckets within
+    # Hamming distance <= probes (flip subsets of bits)
+    probe_buckets = [F.col("qbucket")]
+    if probes >= 1:
+        probe_buckets += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ]
+    q = q.withColumn("bucket", F.explode(F.array(*probe_buckets)))
+
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "corpus_id"])
+        .withColumn("cosine", _dot("cv", "qv") / (F.col("cn") * F.col("qn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", F.round("cosine", 8).alias("cosine"))
+    )

@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-side column expressions (split/regexp/higher-order array fns);
+the stopword tables are literal arrays (broadcast by constant folding),
+so every op is a single codegen'd projection over the documents scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_expr",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint_bottom_k",
+]
+
+# tiny per-language function-word lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "des", "un", "une", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "en", "que"],
+    "pt": ["o", "a", "os", "e", "de", "um", "uma", "em", "que", "para"],
+}
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), " +")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic
+    blended with word count, the common pretraining-corpus yardstick)."""
+    toks = F.size(tokens_expr(text_col))
+    return df.withColumn("n_tokens", toks.cast("long")).withColumn(
+        "n_subwords_est",
+        F.ceil(F.length(text_col) / 4.0).cast("long"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    features + a composite [0,1] score (C4/Gopher-style heuristics)."""
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_wlen = n_chars / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.when(n_tok < 5, 0.0)
+        .otherwise(
+            F.least(n_tok / 200.0, F.lit(1.0)) * 0.25
+            + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.25
+            + alpha_ratio * 0.25
+            + F.when((mean_wlen >= 3) & (mean_wlen <= 12), 0.25).otherwise(0.0)
+        )
+    )
+    return df.select(
+        "*",
+        n_tok.cast("long").alias("q_n_tokens"),
+        F.round(punct_ratio, 8).alias("q_punct_ratio"),
+        F.round(stop_ratio, 8).alias("q_stop_ratio"),
+        F.round(mean_wlen, 8).alias("q_mean_word_len"),
+        F.round(score, 8).alias("q_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic: argmax over per-language
+    function-word hit counts; 'und' (undetermined) when no hits."""
+    toks = tokens_expr(text_col)
+
+    def _contains(arr):
+        # NB: the lambda must be unary — pyspark derives the SQL lambda
+        # arity from the Python signature, so no default-arg closures
+        return lambda t: F.array_contains(arr, t)
+
+    scores = [
+        F.struct(
+            F.size(
+                F.filter(toks, _contains(F.array(*[F.lit(w) for w in ws])))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "*",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint_bottom_k(
+    df: DataFrame, text_col: str = "text", shingle_n: int = 8, k: int = 16
+) -> DataFrame:
+    """Document fingerprint: bottom-k of rolling char-shingle hashes
+    (a winnowing-family content sketch; two docs' fingerprint overlap
+    estimates their containment)."""
+    from spartan2_spark.operators.dedup import char_shingles_expr
+
+    hashes = F.transform(
+        char_shingles_expr(text_col, shingle_n), lambda s: F.xxhash64(s)
+    )
+    bottom_k = F.slice(F.sort_array(hashes), 1, k)
+    return df.withColumn("fingerprint", bottom_k).withColumn(
+        "fp_hash", F.xxhash64(F.concat_ws(",", F.transform("fingerprint", lambda x: x.cast("string"))))
+    )

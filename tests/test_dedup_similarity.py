@@ -1,0 +1,182 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.operators import dedup as DD
+from spartan2_spark.operators import multimodal as MM
+from spartan2_spark.operators import similarity as SIM
+from spartan2_spark.operators import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # add exact + near duplicates with known structure
+    dup = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tiny tail edit")))
+    )
+    return base.unionByName(dup).unionByName(near)
+
+
+def test_exact_dedup(spark, docs):
+    out = DD.exact_dedup(docs).toPandas()
+    assert (out["n_copies"] >= 2).sum() == 5
+    assert out["n_copies"].sum() == docs.count()
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = DD.minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.5).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    # all 5 exact dups (J=1) and all 5 near dups must surface
+    for i in range(5):
+        assert any(a == i and b >= 100000 for a, b in found) or any(
+            a == i for a, b in found
+        ), (i, found)
+    exact = pairs[pairs.jaccard == 1.0]
+    assert len(exact) >= 5
+
+
+def test_simhash_near_dups(spark, docs):
+    sims = DD.simhash64(docs)
+    pairs = DD.simhash_pairs(sims, max_hamming=6).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    for i in range(5):
+        assert (i, i + 100000) in found  # exact dups: hamming 0
+    assert (pairs.hamming == 0).sum() >= 5
+
+
+def test_simhash_deterministic(spark, docs):
+    a = DD.simhash64(docs).toPandas().sort_values("id", ignore_index=True)
+    b = DD.simhash64(docs.repartition(7)).toPandas().sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    queries = embs.filter(F.col("vec_id") < 3)
+    got = SIM.cosine_topk(embs, queries, k=5, quantize=True).toPandas()
+    pdf = embs.toPandas()
+    V = np.stack(pdf["embedding"].map(lambda v: np.round(np.array(v, dtype=np.float64) * 1000)))
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(V, axis=1)
+    for qid in range(3):
+        qi = np.where(ids == qid)[0][0]
+        cos = (V @ V[qi]) / (norms * norms[qi])
+        cos[qi] = -np.inf
+        order = np.lexsort((ids, -cos))[:5]
+        want = ids[order].tolist()
+        have = got[got.query_id == qid].sort_values("rank")["corpus_id"].tolist()
+        assert have == want, (qid, have, want)
+
+
+def test_ann_topk_recall(spark):
+    # the driver's embeddings are isotropic noise (no neighbor
+    # structure; same-label mean cosine ~ 0), where ANY sublinear ANN
+    # is information-theoretically weak — so recall is validated on
+    # clustered vectors, the workload ANN exists for.
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((25, 64))
+    pts = centers[np.arange(500) % 25] + 0.15 * rng.standard_normal((500, 64))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(500), "embedding": [list(map(float, v)) for v in pts]}
+    )
+    embs = spark.createDataFrame(pdf)
+    queries = embs.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(embs, queries, k=5).toPandas()
+    approx = SIM.ann_topk(embs, queries, k=5, n_planes=6, probes=1).toPandas()
+    e = exact.groupby("query_id")["corpus_id"].apply(set)
+    a = approx.groupby("query_id")["corpus_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / 5 for q in e.index]
+    assert np.mean(recalls) >= 0.9
+
+
+def test_embedding_lsh_pairs_selfdup(spark, embs):
+    # append an exact copy of 3 vectors: cosine 1.0 pairs must surface
+    dup = embs.filter(F.col("vec_id") < 3).withColumn(
+        "vec_id", F.col("vec_id") + 10000
+    )
+    out = DD.embedding_lsh_pairs(
+        embs.unionByName(dup), cosine_threshold=0.999
+    ).toPandas()
+    found = set(zip(out.id_a, out.id_b))
+    for i in range(3):
+        assert (i, i + 10000) in found
+
+
+# ---------------- text analysis
+
+
+def test_quality_and_tokens(spark, docs):
+    out = TX.quality_score(TX.token_count(docs, "text"), "text").toPandas()
+    assert (out["n_tokens"] > 0).all()
+    assert out["q_score"].between(0, 1).all()
+    assert (out["q_stop_ratio"] >= 0).all() and (out["q_stop_ratio"] <= 1).all()
+
+
+def test_lang_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat sat on the mat and it is fine",
+                "der hund ist nicht mit der katze und das ist gut",
+                "le chat est dans la maison et il est content",
+                "xyzzy qwerty plugh",
+            ],
+        }
+    )
+    out = TX.lang_id(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[1, "lang_pred"] == "en"
+    assert out.loc[2, "lang_pred"] == "de"
+    assert out.loc[3, "lang_pred"] == "fr"
+    assert out.loc[4, "lang_pred"] == "und"
+
+
+def test_fingerprint_containment(spark, docs):
+    fp = TX.fingerprint_bottom_k(docs, k=16).toPandas()
+    by_id = fp.set_index("doc_id")["fingerprint"]
+    # exact dup docs share the whole fingerprint
+    for i in range(5):
+        assert list(by_id[i]) == list(by_id[i + 100000])
+    # near dups overlap heavily but docs 0 vs 1 don't
+    inter = len(set(by_id[0]) & set(by_id[200000]))
+    assert inter >= 12
+    cross = len(set(by_id[0]) & set(by_id[1]))
+    assert cross <= inter
+
+
+# ---------------- multimodal plumbing
+
+
+def test_multimodal_stub(spark):
+    from spartan2_spark.datagen import synth_pages
+
+    pages = synth_pages(spark, 200, n_urls=20, days=1)
+    meta = MM.attach_media_meta(pages, "html", "image")
+    row = meta.select("media_meta.*").first()
+    assert row["kind"] == "image" and row["n_bytes"] > 0
+
+    feats = MM.extract_features(pages, "html", "url", n_features=8).toPandas()
+    assert (feats["features"].map(len) == 8).all()
+    assert feats["features"].map(lambda f: all(0 <= x <= 1 for x in f)).all()
+
+    frames = MM.frame_sample(pages.limit(10), "html", "url", frame_bytes=64, every_n=2)
+    pf = frames.toPandas()
+    assert (pf["frame_idx"] % 2 == 0).all()
+    assert pf["frame"].map(len).max() <= 64
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        MM.extract_features(pages.limit(2), decoder="none").collect()
