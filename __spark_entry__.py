@@ -832,6 +832,157 @@ def _q_multimodal_features(spark, sf_dir):
     return extract_features(d, "payload", "doc_key", n_features=8)
 
 
+def _q_hist1d(spark, sf_dir):
+    """Equal-width histogram with last-bin clamp (tensor.py:106-109)."""
+    from spartan2_spark.operators.histogram import hist1d
+
+    ev = _events(spark, sf_dir).select(F.round(F.col("value") * 100).alias("v"))
+    return hist1d(ev, "v", nbins=20)
+
+
+_HIST1D_SQL = """
+    WITH b AS (SELECT min(round(value*100)) mn, max(round(value*100)) mx FROM events),
+    d AS (SELECT round(value*100) v, mn, mx, (mx - mn) / 20 AS w FROM events, b)
+    SELECT least(CAST(floor((v - mn) / w) AS BIGINT), 19) AS bin_idx,
+           count(*) AS cnt,
+           min(mn + least(CAST(floor((v - mn) / w) AS BIGINT), 19) * w) AS bin_start
+    FROM d GROUP BY 1
+"""
+
+
+def _q_hist2d_peak(spark, sf_dir):
+    """2-D log-binned histogram (rect_histogram.py:38-109)."""
+    from spartan2_spark.operators.histogram import hist2d_log
+
+    li = _lineitem(spark, sf_dir)
+    return hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+
+
+_HIST2D_SQL = """
+    SELECT CAST(floor(log10(l_quantity) * 4) AS BIGINT) AS bin_x,
+           CAST(floor(log10(l_extendedprice) * 4) AS BIGINT) AS bin_y,
+           count(*) AS cnt
+    FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+    GROUP BY 1, 2
+"""
+
+
+def _q_suspicious_users(spark, sf_dir):
+    """IQR outlier bound + filter (iat.py:115-141)."""
+    from spartan2_spark.operators.anomaly import suspicious_keys
+
+    counts = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return suspicious_keys(counts, "cnt", method="iqr")
+
+
+_SUSPICIOUS_SQL = """
+    WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+    b AS (SELECT quantile_cont(cnt, 0.75) + 1.5 * (quantile_cont(cnt, 0.75) - quantile_cont(cnt, 0.25)) AS bound FROM c)
+    SELECT user_id, cnt FROM c, b WHERE cnt > bound
+"""
+
+
+def _q_kl_divergence(spark, sf_dir):
+    """Per-sink rating-histogram KL vs global, +1 smoothing
+    (edgepropertyAnalysis.py:216-255)."""
+    from spartan2_spark.operators.anomaly import kl_divergence_per_sink
+
+    ev = _events(spark, sf_dir).withColumn(
+        "rbucket",
+        F.when(F.col("value") < 50, 0).when(F.col("value") < 100, 1).otherwise(2).cast("long"),
+    )
+    out = kl_divergence_per_sink(ev, "event_type", "rbucket", n_buckets=3)
+    return out.select("event_type", F.round("kl", 8).alias("kl"))
+
+
+_KL_SQL = """
+    WITH e AS (SELECT event_type, CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1 ELSE 2 END AS rb FROM events),
+    per AS (SELECT event_type, rb, count(*) AS c FROM e GROUP BY 1, 2),
+    dense AS (
+      SELECT s.event_type, b.rb, coalesce(per.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM per) s
+      CROSS JOIN (SELECT unnest([0,1,2]) AS rb) b
+      LEFT JOIN per ON per.event_type = s.event_type AND per.rb = b.rb),
+    gh AS (SELECT rb, count(*) AS g FROM e GROUP BY 1),
+    gt AS (SELECT sum(g + 1) AS gt FROM gh),
+    j AS (
+      SELECT d.event_type, d.rb, d.c, coalesce(gh.g, 0) AS g, gt.gt,
+             sum(d.c + 1) OVER (PARTITION BY d.event_type) AS st
+      FROM dense d LEFT JOIN gh ON d.rb = gh.rb, gt)
+    SELECT event_type,
+           round(sum(((c+1)/st) * ln(((c+1)/st) / ((g+1)/gt))), 8) AS kl
+    FROM j GROUP BY 1
+"""
+
+
+def _q_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two per-user scores
+    (holoscopeFraudDect.py:228-255, k=60)."""
+    from spartan2_spark.operators.anomaly import reciprocal_rank_fusion
+
+    per_user = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("s_count"),
+        F.sum(F.round(F.col("value") * 100)).alias("s_value"),
+    )
+    return reciprocal_rank_fusion(per_user, "user_id", ["s_count", "s_value"])
+
+
+_RRF_SQL = """
+    WITH s AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS s_count,
+                      sum(round(value*100)) AS s_value
+               FROM events GROUP BY 1),
+    r AS (SELECT user_id, s_count, s_value,
+                 rank() OVER (ORDER BY s_count DESC, user_id ASC) AS r1,
+                 rank() OVER (ORDER BY s_value DESC, user_id ASC) AS r2
+          FROM s)
+    SELECT user_id, s_count, s_value, 1.0/(60+r1) + 1.0/(60+r2) AS rrf FROM r
+"""
+
+
+def _q_burst_peak(spark, sf_dir):
+    """Per-key burst apex: max-count hourly bin
+    (edgepropertyAnalysis.py:304-320 aggregation core)."""
+    from spartan2_spark.operators.anomaly import burst_peak
+
+    return burst_peak(_events(spark, sf_dir), "user_id", "ts", 3600)
+
+
+_BURST_SQL = """
+    WITH b AS (SELECT user_id,
+                      CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS tbin,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT user_id, tbin, cnt,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, tbin ASC) AS rn
+          FROM b)
+    SELECT user_id, tbin AS burst_bin, cnt AS burst_cnt FROM r WHERE rn = 1
+"""
+
+
+def _q_densest_subgraph(spark, sf_dir):
+    """Charikar-style parallel peeling on the (partkey, suppkey)
+    bipartite graph — iterative, rows-only check."""
+    from spartan2_spark.operators.anomaly import densest_subgraph_peel
+
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    res = densest_subgraph_peel(li, max_rounds=10)
+    return res["nodes"].withColumn("density", F.lit(res["density"]))
+
+
+def _q_tdigest_quantiles(spark, sf_dir):
+    """Parallelism-invariant two-phase t-digest quantiles — sketch
+    kernel, rows-only check (accuracy asserted in pytest)."""
+    from spartan2_spark.functions.sketches import tdigest_quantiles
+
+    return tdigest_quantiles(
+        _events(spark, sf_dir), ["event_type"], "value", qs=(0.5, 0.95)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -871,6 +1022,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_features": _q_multimodal_features,
+        "hist1d_clamped": _q_hist1d,
+        "hist2d_log": _q_hist2d_peak,
+        "suspicious_users_iqr": _q_suspicious_users,
+        "kl_divergence": _q_kl_divergence,
+        "rank_fusion_rrf": _q_rank_fusion,
+        "burst_peak": _q_burst_peak,
+        "densest_subgraph": _q_densest_subgraph,
+        "tdigest_quantiles": _q_tdigest_quantiles,
     }
 
 
@@ -904,8 +1063,15 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
+        "hist1d_clamped": _HIST1D_SQL,
+        "hist2d_log": _HIST2D_SQL,
+        "suspicious_users_iqr": _SUSPICIOUS_SQL,
+        "kl_divergence": _KL_SQL,
+        "rank_fusion_rrf": _RRF_SQL,
+        "burst_peak": _BURST_SQL,
         # resample_fourier / beatlex_summarize / eigenpulse_density /
         # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels;
         # minhash/simhash/ann/fingerprint/multimodal: xxhash64- or
-        # plane-based (no DuckDB twin) -> driver records rows-only checks
+        # plane-based (no DuckDB twin); densest_subgraph/tdigest:
+        # iterative/sketch -> driver records rows-only checks
     }

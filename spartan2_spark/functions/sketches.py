@@ -1,0 +1,157 @@
+"""Mergeable quantile sketches.
+
+Two families:
+
+1. The engine's DEFAULT tier-chain quantile state is the sparse value
+   histogram in ``operators/rollup.py`` — exact for integer/fixed-point
+   metrics and order-independent by construction.
+
+2. ``TDigest`` here is the classic centroid sketch (Dunning & Ertl,
+   "Computing extremely accurate quantiles using t-digests") for
+   arbitrary-double metrics, wired into Spark as a two-phase grouped
+   aggregation. t-digest merges are order-SENSITIVE in general, so the
+   Spark wiring makes the result parallelism-invariant by construction:
+   values are assigned to a fixed number of deterministic hash shards
+   (shard = xxhash64(value-bits) mod S, independent of physical
+   partitioning), one partial digest is built per (key, shard) from
+   sorted values, and the per-key fold merges shards in shard order.
+   Same input => same digest, on 8 cores or 800 executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["TDigest", "tdigest_quantiles"]
+
+
+class TDigest:
+    """Minimal deterministic t-digest (k1-style size bound).
+
+    Centroids kept as (mean, weight) arrays sorted by mean. Compression
+    walks sorted centroids left->right greedily merging while the
+    candidate's k-size (q-width scaled by delta) stays <= 1 — fully
+    deterministic given sorted input.
+    """
+
+    __slots__ = ("means", "weights", "delta")
+
+    def __init__(self, means=None, weights=None, delta: int = 100):
+        self.means = np.asarray([] if means is None else means, dtype=np.float64)
+        self.weights = np.asarray([] if weights is None else weights, dtype=np.float64)
+        self.delta = delta
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, delta: int = 100) -> "TDigest":
+        v = np.sort(np.asarray(values, dtype=np.float64))
+        d = cls(v, np.ones_like(v), delta)
+        return d.compress()
+
+    def compress(self) -> "TDigest":
+        if len(self.means) <= 1:
+            return self
+        order = np.argsort(self.means, kind="mergesort")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = m[0], w[0]
+        seen = 0.0
+        for i in range(1, len(m)):
+            q0 = seen / total
+            q2 = (seen + cur_w + w[i]) / total
+            if (q2 - q0) * self.delta <= 1.0:
+                cur_m = (cur_m * cur_w + m[i] * w[i]) / (cur_w + w[i])
+                cur_w += w[i]
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                seen += cur_w
+                cur_m, cur_w = m[i], w[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        return TDigest(np.array(out_m), np.array(out_w), self.delta)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        return TDigest(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+            self.delta,
+        ).compress()
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        target = q * total
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = np.searchsorted(cum, target) - 1
+        t = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + t * (self.means[i + 1] - self.means[i]))
+
+    def to_arrays(self):
+        return self.means.tolist(), self.weights.tolist()
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    delta: int = 100,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-key quantiles via parallelism-invariant two-phase t-digest.
+
+    Phase 1: partial digest per (key, deterministic value-hash shard)
+    — grouped pandas UDF over sorted values.
+    Phase 2: per key, merge shard digests in shard order.
+    """
+    src = df.select(*key_cols, F.col(value_col).cast("double").alias("v")).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("v").cast("string")), F.lit(n_shards))
+    )
+
+    part_schema = T.StructType(
+        [df.schema[k] for k in key_cols]
+        + [
+            T.StructField("shard", T.LongType()),
+            T.StructField("means", T.ArrayType(T.DoubleType())),
+            T.StructField("weights", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.from_values(pdf["v"].to_numpy(), delta)
+        m, w = d.to_arrays()
+        row = {k: [pdf[k].iloc[0]] for k in key_cols}
+        row.update({"shard": [pdf["shard"].iloc[0]], "means": [m], "weights": [w]})
+        return pd.DataFrame(row)
+
+    partials = src.groupBy(*key_cols, "shard").applyInPandas(partial, part_schema)
+
+    final_schema = T.StructType(
+        [df.schema[k] for k in key_cols]
+        + [T.StructField(f"q{int(q * 100)}", T.DoubleType()) for q in qs]
+    )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("shard", kind="mergesort")
+        acc = TDigest(delta=delta)
+        for m, w in zip(pdf["means"], pdf["weights"]):
+            acc = acc.merge(TDigest(np.array(m), np.array(w), delta))
+        row = {k: [pdf[k].iloc[0]] for k in key_cols}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = [acc.quantile(q)]
+        return pd.DataFrame(row)
+
+    return partials.groupBy(*key_cols).applyInPandas(final, final_schema)

@@ -1,0 +1,179 @@
+"""Anomaly-score aggregates (the HoloScope/IAT analytic family,
+SURVEY.md 2.4/2.6), as plain relational compositions.
+
+- quantile / sigma outlier bounds + suspicious-entity filter
+  (/root/reference/spartan/model/iat/iat.py:115-141)
+- KL-divergence of per-sink rating histograms vs global, +1 smoothing
+  (model/holoscope/edgepropertyAnalysis.py:216-255)
+- reciprocal-rank fusion across score columns (k=60)
+  (model/holoscope/holoscopeFraudDect.py:228-255)
+- burst peak per key: max-count time bin
+  (edgepropertyAnalysis.py:304-320 simplified to its aggregation core)
+- densest-subgraph greedy peeling, batch analogue: Charikar-style
+  iterative removal of below-average-degree nodes (O(log n) rounds of
+  filter+agg instead of the reference's sequential MinTree peeling,
+  util/MinTree.py:5-43 — the correct distributed re-expression)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = [
+    "iqr_bound",
+    "sigma_bound",
+    "suspicious_keys",
+    "kl_divergence_per_sink",
+    "reciprocal_rank_fusion",
+    "burst_peak",
+    "densest_subgraph_peel",
+]
+
+
+def iqr_bound(df: DataFrame, col: str) -> DataFrame:
+    """q75 + 1.5*IQR (iat.py:115-120), exact percentiles."""
+    q = F.percentile(F.col(col), F.lit([0.25, 0.75]))
+    return df.agg(
+        (F.element_at(q, 2) + 1.5 * (F.element_at(q, 2) - F.element_at(q, 1))).alias(
+            "bound"
+        )
+    )
+
+
+def sigma_bound(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
+    """mean + k*std (population std, matching np.std; iat.py:122-125)."""
+    return df.agg((F.avg(col) + k * F.stddev_pop(col)).alias("bound"))
+
+
+def suspicious_keys(
+    counts: DataFrame, col: str = "cnt", method: str = "iqr"
+) -> DataFrame:
+    """Keys whose count exceeds the outlier bound (iat.py:127-141)."""
+    bound = iqr_bound(counts, col) if method == "iqr" else sigma_bound(counts, col)
+    return counts.crossJoin(F.broadcast(bound)).filter(
+        F.col(col) > F.col("bound")
+    ).drop("bound")
+
+
+def kl_divergence_per_sink(
+    df: DataFrame,
+    sink_col: str,
+    bucket_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """KL(sink histogram || global histogram) with +1 smoothing.
+
+    One groupBy for per-sink bucket counts, one for global, a broadcast
+    join, and a sum of p*ln(p/q) terms — all column math.
+    """
+    per = df.groupBy(sink_col, bucket_col).agg(F.count(F.lit(1)).alias("c"))
+    # densify buckets per sink so +1 smoothing covers empty buckets
+    sinks = per.select(sink_col).distinct()
+    buckets = per.sparkSession.range(n_buckets).select(
+        F.col("id").cast(per.schema[bucket_col].dataType).alias(bucket_col)
+    )
+    dense = sinks.crossJoin(F.broadcast(buckets)).join(
+        per, [sink_col, bucket_col], "left"
+    ).fillna({"c": 0})
+    glob = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("g"))
+    gtot = glob.agg(F.sum(F.col("g") + 1).alias("gt"))
+    j = (
+        dense.join(F.broadcast(glob), bucket_col, "left")
+        .fillna({"g": 0})
+        .crossJoin(F.broadcast(gtot))
+    )
+    stot = F.sum(F.col("c") + 1).over(W.partitionBy(sink_col))
+    p = (F.col("c") + 1) / stot
+    q = (F.col("g") + 1) / F.col("gt")
+    return (
+        j.withColumn("term", p * F.log(p / q))
+        .groupBy(sink_col)
+        .agg(F.sum("term").alias("kl"))
+    )
+
+
+def reciprocal_rank_fusion(
+    df: DataFrame, key_col: str, score_cols: list[str], k: int = 60
+) -> DataFrame:
+    """RRF: sum over score columns of 1/(k + rank_desc(score));
+    deterministic tie-break by key."""
+    out = df
+    terms = []
+    for c in score_cols:
+        w = W.orderBy(F.desc(c), F.asc(key_col))
+        out = out.withColumn(f"__r_{c}", F.rank().over(w))
+        terms.append(1.0 / (F.lit(k) + F.col(f"__r_{c}")))
+    fused = terms[0]
+    for t in terms[1:]:
+        fused = fused + t
+    return out.withColumn("rrf", fused).select(key_col, *score_cols, "rrf")
+
+
+def burst_peak(
+    df: DataFrame, key_col: str, time_col: str, bin_seconds: int = 3600
+) -> DataFrame:
+    """Per key: the time bin with the most events (burst apex), with a
+    deterministic tie-break on the earlier bin."""
+    binned = df.groupBy(
+        key_col,
+        (F.floor(F.unix_timestamp(time_col) / bin_seconds) * bin_seconds).alias("tbin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy(key_col).orderBy(F.desc("cnt"), F.asc("tbin"))
+    return (
+        binned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(key_col, F.col("tbin").alias("burst_bin"), F.col("cnt").alias("burst_cnt"))
+    )
+
+
+def densest_subgraph_peel(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 30
+) -> dict:
+    """Charikar 2-approx densest subgraph by parallel peeling.
+
+    Each round removes every node with degree <= 2*density (instead of
+    one min-degree node at a time) — the standard distributed analogue
+    of greedy peeling; O(log n) rounds, each one agg + two semi-joins.
+    Returns {'density': best, 'rounds': r, 'nodes': node DataFrame}.
+
+    Iterative-plan discipline: every round ends with an EAGER
+    ``localCheckpoint`` — without it the logical plan references the
+    previous round's plan twice (via the degree table) and grows
+    exponentially, and the driver ends up spending minutes in
+    ``TreeNode.generateTreeString`` (observed via jstack). Lineage
+    truncation per round is the canonical fix for iterative DataFrame
+    algorithms.
+    """
+    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    best_density, best_nodes = -1.0, None
+    rounds = 0
+    for _ in range(max_rounds):
+        n_edges = cur.count()
+        if n_edges == 0:
+            break
+        nodes = (
+            cur.select(F.col("s").alias("n"))
+            .unionAll(cur.select(F.col("d").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
+        )
+        n_nodes = nodes.count()
+        density = n_edges / n_nodes
+        if density > best_density:
+            best_density = density
+            best_nodes = nodes.select("n")
+        keep = nodes.filter(F.col("deg") > 2 * density).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "s"), "s", "left_semi")
+            .join(keep.withColumnRenamed("n", "d"), "d", "left_semi")
+            .localCheckpoint()
+        )
+        rounds += 1
+        if nxt.count() == n_edges:  # fixpoint (clique-like core)
+            cur = nxt
+            break
+        cur = nxt
+    return {"density": best_density, "rounds": rounds, "nodes": best_nodes}

@@ -1,0 +1,95 @@
+"""Histogram operators (SURVEY.md 2.4).
+
+Reference semantics:
+- 1-D equal-width histogram with last-bin clamp
+  (/root/reference/spartan/tensor/tensor.py:106-109 binning rule;
+  model/holoscope/edgepropertyAnalysis.py:304-320 burst histograms)
+- 2-D log-binned histogram + peak-bin search + points-in-bin retrieval
+  (/root/reference/spartan/util/rect_histogram.py:38-198)
+- heuristic log bucketizers
+  (model/eaglemine/tools/histogram_heuristic_generator.py:50-107)
+
+All single-pass groupBy aggregations; the peak search is an
+orderBy/limit over the (tiny) histogram relation, with deterministic
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hist1d",
+    "hist2d_log",
+    "find_peak",
+    "points_in_peak_bin",
+    "log_bucketize",
+]
+
+
+def hist1d(
+    df: DataFrame, col: str, nbins: int, weight: str | None = None
+) -> DataFrame:
+    """Equal-width histogram with the reference's last-bin clamp."""
+    bounds = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
+    b = df.crossJoin(F.broadcast(bounds))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(nbins)
+    idx = F.least(
+        F.floor((F.col(col) - F.col("__mn")) / width).cast("long"),
+        F.lit(nbins - 1),
+    )
+    agg = F.sum(weight) if weight else F.count(F.lit(1))
+    return (
+        b.withColumn("bin_idx", idx)
+        .groupBy("bin_idx")
+        .agg(
+            agg.alias("cnt"),
+            F.first(F.col("__mn") + F.col("bin_idx") * width).alias("bin_start"),
+        )
+    )
+
+
+def hist2d_log(
+    df: DataFrame, x: str, y: str, bins_per_decade: int = 4
+) -> DataFrame:
+    """2-D log10-binned histogram; non-positive points dropped first
+    (the reference's positivity guard, rect_histogram.py:45-56)."""
+    k = bins_per_decade
+    pos = df.filter((F.col(x) > 0) & (F.col(y) > 0))
+    bx = F.floor(F.log10(x) * k).cast("long")
+    by = F.floor(F.log10(y) * k).cast("long")
+    return pos.groupBy(bx.alias("bin_x"), by.alias("bin_y")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def find_peak(hist: DataFrame) -> DataFrame:
+    """Max-count bin with deterministic tie-break (count desc, bins asc)
+    — rect_histogram.py:111-179 peak search collapsed to a top-1."""
+    order = [F.desc("cnt")] + [F.asc(c) for c in hist.columns if c != "cnt"]
+    return hist.orderBy(*order).limit(1)
+
+
+def points_in_peak_bin(
+    df: DataFrame, x: str, y: str, bins_per_decade: int = 4
+) -> DataFrame:
+    """Rows that fall in the 2-D histogram's peak bin
+    (rect_histogram.py:183-198 find_peak_rect)."""
+    k = bins_per_decade
+    hist = hist2d_log(df, x, y, k)
+    peak = find_peak(hist).select("bin_x", "bin_y")
+    pos = df.filter((F.col(x) > 0) & (F.col(y) > 0))
+    keyed = pos.withColumn("bin_x", F.floor(F.log10(x) * k).cast("long")).withColumn(
+        "bin_y", F.floor(F.log10(y) * k).cast("long")
+    )
+    return keyed.join(F.broadcast(peak), ["bin_x", "bin_y"], "left_semi")
+
+
+def log_bucketize(col, n_buckets: int = 10, base: float = 10.0):
+    """Heuristic log bucketizer: floor(log_base(x) * n) for x>0, else 0
+    (histogram_heuristic_generator.py:50-107 family)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c > 0, F.floor(F.log(float(base), c) * n_buckets).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )

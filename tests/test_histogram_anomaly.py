@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.operators import anomaly as AN
+from spartan2_spark.operators import histogram as HG
+
+
+def test_hist1d_clamp(spark):
+    pdf = pd.DataFrame({"v": [0.0, 1.0, 5.0, 9.9, 10.0]})
+    out = HG.hist1d(spark.createDataFrame(pdf), "v", nbins=10).toPandas()
+    # max value lands in the LAST bin (clamp), not a phantom bin 10
+    assert out["bin_idx"].max() == 9
+    assert out.set_index("bin_idx").loc[9, "cnt"] == 2  # 9.9 and 10.0
+    assert out["cnt"].sum() == 5
+
+
+def test_hist2d_log_and_peak(spark):
+    rng = np.random.default_rng(0)
+    pdf = pd.DataFrame(
+        {
+            "x": np.concatenate([rng.uniform(10, 12, 50), rng.uniform(1, 1000, 50)]),
+            "y": np.concatenate([rng.uniform(100, 120, 50), rng.uniform(1, 1000, 50)]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    hist = HG.hist2d_log(df, "x", "y", 4)
+    peak = HG.find_peak(hist).collect()[0]
+    assert peak["cnt"] >= 50  # the injected cluster dominates
+    pts = HG.points_in_peak_bin(df, "x", "y", 4).toPandas()
+    assert len(pts) == peak["cnt"]
+    assert ((pts.x >= 10) & (pts.x <= 18)).all()
+
+
+def test_hist2d_drops_nonpositive(spark):
+    pdf = pd.DataFrame({"x": [1.0, -1.0, 0.0], "y": [1.0, 1.0, 1.0]})
+    out = HG.hist2d_log(spark.createDataFrame(pdf), "x", "y").toPandas()
+    assert out["cnt"].sum() == 1
+
+
+def test_bounds_and_suspicious(spark):
+    counts = spark.createDataFrame(
+        pd.DataFrame({"k": list("abcdefgh"), "cnt": [1, 2, 2, 3, 3, 3, 4, 100]})
+    )
+    iqr = AN.iqr_bound(counts, "cnt").collect()[0]["bound"]
+    # q25=2, q75=3.25 -> bound = 3.25 + 1.5*1.25 = 5.125
+    assert abs(iqr - 5.125) < 1e-9
+    sus = AN.suspicious_keys(counts, "cnt").toPandas()
+    assert sus["k"].tolist() == ["h"]
+    sig = AN.sigma_bound(counts, "cnt").collect()[0]["bound"]
+    arr = np.array([1, 2, 2, 3, 3, 3, 4, 100])
+    assert abs(sig - (arr.mean() + 3 * arr.std())) < 1e-9
+
+
+def test_kl_divergence(spark):
+    # sink 'b' has a skewed histogram vs global -> higher KL than 'a'
+    rows = [("a", 0)] * 10 + [("a", 1)] * 10 + [("a", 2)] * 10 + [("b", 2)] * 30
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["sink", "rb"]))
+    out = AN.kl_divergence_per_sink(df, "sink", "rb", 3).toPandas().set_index("sink")
+    assert out.loc["b", "kl"] > out.loc["a", "kl"]
+    assert (out["kl"] >= 0).all()
+
+
+def test_rrf(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "s1": [3.0, 2.0, 1.0], "s2": [1.0, 2.0, 3.0]})
+    )
+    out = AN.reciprocal_rank_fusion(df, "k", ["s1", "s2"]).toPandas().set_index("k")
+    # symmetric scores: k=2 (rank 2+2) loses to k=1/k=3 (rank 1+3)
+    assert abs(out.loc[1, "rrf"] - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(out.loc[2, "rrf"] - (2 / 62)) < 1e-12
+
+
+def test_burst_peak(spark):
+    ts = pd.to_datetime(
+        ["2024-01-01 00:10", "2024-01-01 00:20", "2024-01-01 05:00"]
+    )
+    df = spark.createDataFrame(pd.DataFrame({"k": ["u", "u", "u"], "ts": ts}))
+    out = AN.burst_peak(df, "k", "ts", 3600).collect()[0]
+    assert out["burst_cnt"] == 2
+    assert out["burst_bin"] == int(pd.Timestamp("2024-01-01").timestamp())
+
+
+def test_densest_subgraph_finds_planted_block(spark):
+    rng = np.random.default_rng(4)
+    # sparse background + planted dense bipartite block (5x5 complete)
+    bg = pd.DataFrame(
+        {"src": rng.integers(100, 200, 150), "dst": rng.integers(100, 200, 150)}
+    )
+    block = pd.DataFrame(
+        [(i, j) for i in range(5) for j in range(50, 55)], columns=["src", "dst"]
+    )
+    df = spark.createDataFrame(pd.concat([bg, block])).distinct()
+    res = AN.densest_subgraph_peel(df, max_rounds=15)
+    nodes = set(r["n"] for r in res["nodes"].collect())
+    assert res["density"] >= 2.0
+    assert set(range(5)) <= nodes and set(range(50, 55)) <= nodes

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spartan2_spark.functions.sketches import TDigest, tdigest_quantiles
+
+
+def test_tdigest_accuracy():
+    rng = np.random.default_rng(1)
+    for dist in (rng.standard_normal(20000), rng.exponential(2.0, 20000)):
+        d = TDigest.from_values(dist, delta=100)
+        assert len(d.means) < 250
+        for q in (0.05, 0.5, 0.95, 0.99):
+            exact = np.quantile(dist, q)
+            got = d.quantile(q)
+            spread = np.quantile(dist, min(q + 0.02, 1.0)) - np.quantile(
+                dist, max(q - 0.02, 0.0)
+            )
+            assert abs(got - exact) <= max(spread, 1e-3), (q, got, exact)
+
+
+def test_tdigest_merge_equals_whole():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(10000)
+    whole = TDigest.from_values(x)
+    parts = TDigest(delta=100)
+    for chunk in np.array_split(np.sort(x), 7):
+        parts = parts.merge(TDigest.from_values(chunk))
+    for q in (0.1, 0.5, 0.95):
+        assert abs(whole.quantile(q) - parts.quantile(q)) < 0.05
+
+
+def test_spark_tdigest_parallelism_invariant(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat(["a", "b"], 5000),
+            "v": np.concatenate([rng.standard_normal(5000), rng.exponential(1, 5000)]),
+        }
+    )
+    outs = []
+    for nparts in (2, 17):
+        df = spark.createDataFrame(pdf).repartition(nparts)
+        out = (
+            tdigest_quantiles(df, ["k"], "v", qs=(0.5, 0.95))
+            .toPandas()
+            .sort_values("k", ignore_index=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-identical
+    # and accurate vs exact
+    for k, g in pdf.groupby("k"):
+        exact = np.quantile(g["v"], 0.95)
+        got = outs[0].set_index("k").loc[k, "q95"]
+        assert abs(got - exact) < 0.1
