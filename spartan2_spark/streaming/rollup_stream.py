@@ -1,0 +1,125 @@
+"""Structured Streaming surface (SURVEY.md 2.9).
+
+The reference streams by pulling time-sorted lines through overlapping
+windows and assumes no late data (EOF ends the stream,
+/root/reference/spartan/tensor/tensor.py:170-231). Our engine replaces
+that with Structured Streaming:
+
+- ``stream_rollup``: file-source stream -> watermark -> tumbling/
+  sliding ``F.window`` aggregation of the tier state (same re-aggregable
+  (cnt, sum, min, max) state as the batch ladder — p95 sketch is added
+  at compaction, not in-flight);
+- ``stream_running_extremes``: per-key stateful operator via
+  ``applyInPandasWithState`` (the MonLAD running-state analogue,
+  ZeroOutCore.py:35-44): carries (n, max, min, sum) across micro-batches.
+
+Late data: rows older than the watermark are dropped by Spark; the
+batch pipeline's manifest-driven re-run of affected dt partitions is
+the repair path for anything later than that (north-rule note,
+SURVEY.md 2.9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["stream_rollup", "stream_running_extremes", "run_stream_to_memory"]
+
+
+def stream_rollup(
+    stream: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+    key_col: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming tier aggregation with watermarked late-data handling."""
+    win = (
+        F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_ts"),
+            key_col,
+            "cnt",
+            "vsum",
+            "vmin",
+            "vmax",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("sm", T.DoubleType()),
+    ]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("run_max", T.DoubleType()),
+        T.StructField("run_min", T.DoubleType()),
+        T.StructField("run_sum", T.DoubleType()),
+    ]
+)
+
+
+def _extremes_fn(key, pdfs, state: GroupState):
+    n, mx, mn, sm = state.get if state.exists else (0, float("-inf"), float("inf"), 0.0)
+    for pdf in pdfs:
+        v = pdf["value"]
+        n += len(v)
+        if len(v):
+            mx = max(mx, float(v.max()))
+            mn = min(mn, float(v.min()))
+            sm += float(v.sum())
+    state.update((n, mx, mn, sm))
+    yield pd.DataFrame(
+        {"key": [str(key[0])], "n_events": [n], "run_max": [mx], "run_min": [mn], "run_sum": [sm]}
+    )
+
+
+def stream_running_extremes(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Per-key running extremes carried across micro-batches
+    (applyInPandasWithState; update mode)."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _extremes_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(streaming_df: DataFrame, name: str, output_mode: str):
+    """Drive a streaming query synchronously to completion over the
+    currently-available input (test/smoke harness)."""
+    q = (
+        streaming_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,116 @@
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spartan2_spark import io as IO
+from spartan2_spark.streaming.rollup_stream import (
+    run_stream_to_memory,
+    stream_rollup,
+    stream_running_extremes,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    pdf = pd.DataFrame(
+        {
+            "url": ["a", "a", "b", "a", "b"],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:10",
+                    "2024-01-01 00:00:40",
+                    "2024-01-01 00:00:50",
+                    "2024-01-01 00:01:10",
+                    "2024-01-01 00:02:05",
+                ]
+            ),
+            "value": [1.0, 3.0, 5.0, 7.0, 9.0],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_rollup(spark, stream_dir):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, stream_dir, schema, fmt="parquet")
+    agg = stream_rollup(stream, window="1 minute", watermark="5 minutes")
+    # append mode only emits windows older than the advanced watermark;
+    # a single availableNow pass never closes them -> use complete mode
+    # to observe the aggregation state in the memory sink
+    run_stream_to_memory(agg, "rollup_out", "complete")
+    out = spark.sql("select * from rollup_out").toPandas()
+    got = out.set_index(["url", out.bucket_ts.dt.strftime("%H:%M")])
+    assert got.loc[("a", "00:00"), "cnt"] == 2
+    assert got.loc[("a", "00:00"), "vsum"] == 4.0
+    assert got.loc[("a", "00:01"), "vmax"] == 7.0
+    assert got.loc[("b", "00:02"), "vmin"] == 9.0
+
+
+def test_stream_running_extremes(spark, stream_dir):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, stream_dir, schema, fmt="parquet").select(
+        F.col("url").alias("key"), "value"
+    )
+    out_stream = stream_running_extremes(stream, "key")
+    run_stream_to_memory(out_stream, "extremes_out", "update")
+    out = spark.sql(
+        """select key, n_events, run_max, run_min, run_sum from (
+             select *, row_number() over (partition by key order by n_events desc) rn
+             from extremes_out) where rn = 1"""
+    ).toPandas().set_index("key")
+    assert out.loc["a", "n_events"] == 3
+    assert out.loc["a", "run_max"] == 7.0
+    assert out.loc["b", "run_sum"] == 14.0
+
+
+def test_load_tensor_csv_and_positional_schema(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "example.tensor")
+    with open(p, "w") as f:
+        f.write("# comment line\n1,10,0.5\n2,20,1.5\n3,30,2.5\n")
+    df = IO.load_tensor(spark, p, col_idx=[0, 2], col_types=[int, float])
+    out = df.toPandas()
+    assert list(out.columns) == ["c0", "c1"]
+    assert out["c0"].tolist() == [1, 2, 3]
+    assert out["c1"].tolist() == [0.5, 1.5, 2.5]
+    assert df.schema["c0"].dataType.typeName() == "long"
+
+
+def test_load_tensor_gz_multifile(spark, tmp_path):
+    import gzip
+
+    d = str(tmp_path)
+    with gzip.open(os.path.join(d, "part1.tensor.gz"), "wt") as f:
+        f.write("1,1\n2,2\n")
+    with gzip.open(os.path.join(d, "part2.tensor.gz"), "wt") as f:
+        f.write("3,3\n")
+    df = IO.load_tensor(spark, d + "/*.tensor.gz", col_idx=[0, 1], col_types=[int, int])
+    assert df.count() == 3
+
+
+def test_dict_list_roundtrip(spark, tmp_path):
+    p = os.path.join(str(tmp_path), "dictlist")
+    pdf = pd.DataFrame({"k": ["x", "y"], "vals": [[1, 2, 3], [4, 5]]})
+    IO.save_dict_list(spark.createDataFrame(pdf), "k", "vals", p)
+    back = IO.load_dict_list(spark, p).toPandas().set_index("key")
+    assert back.loc["x", "values"].tolist() == ["1", "2", "3"]
+    assert back.loc["y", "values"].tolist() == ["4", "5"]
