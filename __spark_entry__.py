@@ -983,6 +983,329 @@ def _q_tdigest_quantiles(spark, sf_dir):
     )
 
 
+def _q_agg_ts_list(spark, sf_dir):
+    """Per-key time-sorted event-time list (reference TensorData.to_aggts,
+    tensor.py:125-135) — list rendered as a CSV string so the value hash
+    is representation-independent across engines."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), _usec("ts").alias("ts")
+    )
+    agg = TS.to_aggts(ev)
+    return agg.select(
+        "key",
+        F.array_join(F.transform("aggts", lambda v: v.cast("string")), ",").alias(
+            "ts_list"
+        ),
+        F.size("aggts").cast("long").alias("n_ts"),
+    )
+
+
+_AGG_TS_SQL = """
+    SELECT user_id AS key,
+           string_agg(CAST(epoch_us(ts) AS VARCHAR), ',' ORDER BY epoch_us(ts)) AS ts_list,
+           count(*) AS n_ts
+    FROM events GROUP BY 1
+"""
+
+
+def _q_cumsum_daily(spark, sf_dir):
+    """Cumulative sum over the time axis per series (reference
+    common.py:356-389 cumsum) on exact centi units."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100)).alias("vsum_c"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.unix_timestamp("day").alias("day_s"),
+        F.sum("vsum_c").over(w).alias("cum_vsum_c"),
+    )
+
+
+_CUMSUM_SQL = """
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      sum(round(value*100)) AS vsum_c
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, epoch(day)::BIGINT AS day_s,
+           sum(vsum_c) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING) AS cum_vsum_c
+    FROM d
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_pivot_rollup(spark, sf_dir):
+    """The reference rollup's pivot step (log_to_time unstack,
+    tensor.py:116): bucket x group matrix, one column per group.
+    Explicit pivot values keep the plan single-pass (no distinct scan)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.round(F.col("value") * 100)))
+        .select(F.unix_timestamp("day").alias("day_s"), *_EVENT_TYPES)
+    )
+
+
+_PIVOT_SQL = """
+    SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+           sum(CASE WHEN event_type = 'click' THEN round(value*100) END) AS click,
+           sum(CASE WHEN event_type = 'error' THEN round(value*100) END) AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN round(value*100) END) AS purchase,
+           sum(CASE WHEN event_type = 'signup' THEN round(value*100) END) AS signup,
+           sum(CASE WHEN event_type = 'view' THEN round(value*100) END) AS view
+    FROM events GROUP BY 1
+"""
+
+
+def _q_graph_difference(spark, sf_dir):
+    """Edge-set difference (reference geneutil graph1_minus_graph2):
+    distinct (user, event_type) edges seen in the first half of the
+    month but never in the second half — anti-join."""
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("ts") < F.lit("2024-01-03 00:00:00")).select(
+        F.col("user_id").alias("src"), F.col("event_type").alias("dst")
+    ).distinct()
+    b = ev.filter(F.col("ts") >= F.lit("2024-01-29 00:00:00")).select(
+        F.col("user_id").alias("src"), F.col("event_type").alias("dst")
+    )
+    return GR.graph_minus(a, b)
+
+
+_GRAPH_DIFF_SQL = """
+    SELECT DISTINCT user_id AS src, event_type AS dst FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    EXCEPT
+    SELECT DISTINCT user_id AS src, event_type AS dst FROM events
+    WHERE ts >= TIMESTAMP '2024-01-29 00:00:00'
+"""
+
+
+def _q_subgraph_reindex(spark, sf_dir):
+    """Subgraph by node-id sets + dense re-index (reference
+    Graph.get_sub_graph, graph.py:60-88): keep edges whose endpoints
+    fall in the given sets, then re-map the kept src ids to dense
+    0..n-1 via a broadcast dimension join (StringMapper analogue)."""
+    ev = _events(spark, sf_dir)
+    edges = (
+        ev.filter((F.col("user_id") < 50) & F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("user_id").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    enc, _dim = GR.encode_ids(edges, "src")
+    return enc.select(F.col("src").alias("src_id"), "dst", "weight")
+
+
+_SUBGRAPH_SQL = """
+    WITH e AS (SELECT user_id AS src, event_type AS dst, count(*) AS weight
+               FROM events
+               WHERE user_id < 50 AND event_type IN ('click', 'view')
+               GROUP BY 1, 2),
+    dim AS (SELECT src, dense_rank() OVER (ORDER BY src) - 1 AS src_id
+            FROM (SELECT DISTINCT src FROM e))
+    SELECT dim.src_id, e.dst, e.weight FROM e JOIN dim USING (src)
+"""
+
+
+def _q_concat_union(spark, sf_dir):
+    """Time-axis series append (reference Timeseries.concat,
+    timeseries.py:246-307 — identical labels required, concatenate
+    along time): two disjoint time slices unioned then re-aggregated."""
+    from spartan2_spark.operators.timeseries import concat_series, cut
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).alias("v"),
+    )
+    a = cut(ev, "2024-01-01 00:00:00", "2024-01-08 00:00:00", time_col="ts")
+    b = cut(ev, "2024-01-22 00:00:00", "2024-02-01 00:00:00", time_col="ts")
+    both = concat_series(a, b)
+    return both.groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("vsum_c")
+    )
+
+
+_CONCAT_SQL = """
+    WITH u AS (
+      SELECT event_type AS key, round(value*100) AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+      UNION ALL
+      SELECT event_type AS key, round(value*100) AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-02-01')
+    SELECT key, count(*) AS cnt, sum(v) AS vsum_c FROM u GROUP BY 1
+"""
+
+
+def _q_combine_join(spark, sf_dir):
+    """Column-wise series combine on a shared time axis (reference
+    Timeseries.combine, timeseries.py:309-374 — equal freq required,
+    clashing labels suffixed): click vs view daily mean joined on day."""
+    from spartan2_spark.operators.timeseries import combine_series
+
+    ev = _events(spark, sf_dir)
+
+    def daily(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.date_trunc("day", F.col("ts").cast("timestamp")).alias("ts"))
+            .agg(
+                (
+                    F.sum(F.round(F.col("value") * 100))
+                    / F.count(F.lit(1))
+                ).alias("vmean_c")
+            )
+            .withColumn("key", F.lit("daily"))
+        )
+
+    out = combine_series(daily("click"), daily("view"))
+    return out.select(
+        F.unix_timestamp("ts").alias("day_s"),
+        F.round("vmean_c_1", 8).alias("click_mean_c"),
+        F.round("vmean_c_2", 8).alias("view_mean_c"),
+    )
+
+
+_COMBINE_SQL = """
+    WITH c AS (SELECT date_trunc('day', ts) AS day,
+                      sum(round(value*100)) / count(*) AS m
+               FROM events WHERE event_type = 'click' GROUP BY 1),
+    v AS (SELECT date_trunc('day', ts) AS day,
+                 sum(round(value*100)) / count(*) AS m
+          FROM events WHERE event_type = 'view' GROUP BY 1)
+    SELECT epoch(c.day)::BIGINT AS day_s,
+           round(c.m, 8) AS click_mean_c, round(v.m, 8) AS view_mean_c
+    FROM c JOIN v USING (day)
+"""
+
+
+def _q_burst_involvement(spark, sf_dir):
+    """Burst-involvement ratio per sink (edgepropertyAnalysis.py:258-301)."""
+    from spartan2_spark.operators.anomaly import burst_involvement
+
+    return burst_involvement(_events(spark, sf_dir), "event_type", "ts", 3600)
+
+
+_BURST_INVOLV_SQL = """
+    WITH b AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS tbin,
+                      count(*) AS cnt
+               FROM events GROUP BY 1),
+    peak AS (SELECT tbin AS burst_start FROM b
+             ORDER BY cnt DESC, tbin ASC LIMIT 1)
+    SELECT event_type,
+           sum(CASE WHEN CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                    = burst_start THEN 1 ELSE 0 END) AS n_burst,
+           count(*) AS n_total,
+           round(sum(CASE WHEN CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                          = burst_start THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 8) AS involv
+    FROM events, peak GROUP BY event_type, burst_start
+"""
+
+
+def _q_mean_var_sink(spark, sf_dir):
+    """One-pass per-sink mean + biased variance (reference amean/avar,
+    edgepropertyAnalysis.py:95-110,128-135; divisor n per
+    cpu_backend/tensor.py:300). Computed from exact integer sums so the
+    float division is the only inexact step and is identical on both
+    engines."""
+    ev = _events(spark, sf_dir)
+    vc = F.round(F.col("value") * 100)
+    g = ev.groupBy("event_type").agg(
+        F.sum(vc).alias("s"),
+        F.sum(vc * vc).alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "event_type",
+        F.round(F.col("s") / F.col("n"), 8).alias("mean_c"),
+        F.round(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"), 6
+        ).alias("var_c"),
+        F.col("n").alias("n"),
+    )
+
+
+_MEAN_VAR_SQL = """
+    WITH g AS (SELECT event_type, sum(round(value*100)) AS s,
+                      sum(round(value*100) * round(value*100)) AS ss,
+                      count(*) AS n
+               FROM events GROUP BY 1)
+    SELECT event_type, round(s / n, 8) AS mean_c,
+           round((ss - s * s / n) / n, 6) AS var_c, n
+    FROM g
+"""
+
+
+def _q_rating_digitize(spark, sf_dir):
+    """Digitize a continuous value into rating buckets then count per
+    (sink, bucket) — np.digitize / width_bucket semantics
+    (edgepropertyAnalysis.py:88-92, holoscopeFraudDect.py:431)."""
+    ev = _events(spark, sf_dir)
+    bucket = (
+        F.when(F.col("value") < 25, 0)
+        .when(F.col("value") < 50, 1)
+        .when(F.col("value") < 75, 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return ev.groupBy("event_type", bucket.alias("rbucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+_DIGITIZE_SQL = """
+    SELECT event_type,
+           CASE WHEN value < 25 THEN 0 WHEN value < 50 THEN 1
+                WHEN value < 75 THEN 2 ELSE 3 END AS rbucket,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _q_sliding_window(spark, sf_dir):
+    """Time-based sliding window with overlap retention (reference
+    TensorStream.fetch_slide_window, tensor.py:170-231: window=10m
+    stride=5m keeps the 5m overlap) — Spark's window() multi-assigns
+    each row to both containing windows, which IS the overlap."""
+    ev = _events(spark, sf_dir)
+    win = F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes")
+    return ev.groupBy(win.alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("value") * 100)).alias("vsum_c"),
+    ).select(
+        F.unix_timestamp("w.start").alias("win_start_s"), "cnt", "vsum_c"
+    )
+
+
+_SLIDING_SQL = """
+    WITH cand AS (
+      SELECT unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+                     CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - 300])
+               AS win_start_s,
+             round(value*100) AS v
+      FROM events)
+    SELECT win_start_s, count(*) AS cnt, sum(v) AS vsum_c
+    FROM cand GROUP BY 1
+"""
+
+
+def _q_kcore(spark, sf_dir):
+    """Iterative k-core peeling (MinTree/Fraudar batch analogue) —
+    iterative fixpoint, rows-only check."""
+    li = _lineitem(spark, sf_dir).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return GR.kcore(li, k=34)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1030,6 +1353,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_peak": _q_burst_peak,
         "densest_subgraph": _q_densest_subgraph,
         "tdigest_quantiles": _q_tdigest_quantiles,
+        "agg_ts_list": _q_agg_ts_list,
+        "cumsum_daily": _q_cumsum_daily,
+        "pivot_rollup": _q_pivot_rollup,
+        "graph_difference": _q_graph_difference,
+        "subgraph_reindex": _q_subgraph_reindex,
+        "concat_union": _q_concat_union,
+        "combine_join": _q_combine_join,
+        "burst_involvement": _q_burst_involvement,
+        "mean_var_sink": _q_mean_var_sink,
+        "rating_digitize": _q_rating_digitize,
+        "sliding_window_count": _q_sliding_window,
+        "kcore_peel": _q_kcore,
     }
 
 
@@ -1069,6 +1404,18 @@ def oracle_sql() -> dict[str, str]:
         "kl_divergence": _KL_SQL,
         "rank_fusion_rrf": _RRF_SQL,
         "burst_peak": _BURST_SQL,
+        "agg_ts_list": _AGG_TS_SQL,
+        "cumsum_daily": _CUMSUM_SQL,
+        "pivot_rollup": _PIVOT_SQL,
+        "graph_difference": _GRAPH_DIFF_SQL,
+        "subgraph_reindex": _SUBGRAPH_SQL,
+        "concat_union": _CONCAT_SQL,
+        "combine_join": _COMBINE_SQL,
+        "burst_involvement": _BURST_INVOLV_SQL,
+        "mean_var_sink": _MEAN_VAR_SQL,
+        "rating_digitize": _DIGITIZE_SQL,
+        "sliding_window_count": _SLIDING_SQL,
+        # kcore_peel: iterative fixpoint -> rows-only
         # resample_fourier / beatlex_summarize / eigenpulse_density /
         # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels;
         # minhash/simhash/ann/fingerprint/multimodal: xxhash64- or

@@ -28,6 +28,7 @@ __all__ = [
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
     "burst_peak",
+    "burst_involvement",
     "densest_subgraph_peel",
 ]
 
@@ -125,6 +126,39 @@ def burst_peak(
         binned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(key_col, F.col("tbin").alias("burst_bin"), F.col("cnt").alias("burst_cnt"))
+    )
+
+
+def burst_involvement(
+    df: DataFrame, sink_col: str, time_col: str, bin_seconds: int = 3600
+) -> DataFrame:
+    """Per-sink burst-involvement ratio (reference HoloScope
+    edgepropertyAnalysis.py:258-301): find the global peak time bin
+    (deterministic tie-break on earlier bin), treat that bin as the
+    burst interval, and score each sink by the fraction of its events
+    falling inside it. One global agg (broadcast, 1 row) + one
+    grouped agg — no shuffle beyond the groupBys.
+    """
+    tbin = (F.floor(F.unix_timestamp(time_col) / bin_seconds) * bin_seconds).alias(
+        "tbin"
+    )
+    peak = (
+        df.groupBy(tbin)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tbin"))
+        .limit(1)
+        .select(F.col("tbin").alias("burst_start"))
+    )
+    inside = F.col("__tbin") == F.col("burst_start")
+    return (
+        df.withColumn("__tbin", tbin)
+        .crossJoin(F.broadcast(peak))
+        .groupBy(F.col(sink_col))
+        .agg(
+            F.sum(F.when(inside, 1).otherwise(0)).alias("n_burst"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumn("involv", F.round(F.col("n_burst") / F.col("n_total"), 8))
     )
 
 

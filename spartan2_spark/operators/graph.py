@@ -25,6 +25,7 @@ __all__ = [
     "subgraph",
     "graph_minus",
     "encode_ids",
+    "kcore",
 ]
 
 
@@ -81,6 +82,46 @@ def subgraph(
 def graph_minus(a: DataFrame, b: DataFrame, src="src", dst="dst") -> DataFrame:
     """Edges of a not present in b (anti-join on endpoints)."""
     return a.join(b.select(src, dst), [src, dst], "left_anti")
+
+
+def kcore(
+    edges: DataFrame, k: int, src: str = "src", dst: str = "dst", max_rounds: int = 50
+) -> DataFrame:
+    """k-core of an undirected multigraph: iteratively drop nodes with
+    degree < k until fixpoint — the distributed batch analogue of the
+    reference's MinTree-driven greedy peeling (util/MinTree.py:5-43;
+    fraudar/greedy.py:173-244 removes one min-degree node at a time;
+    the k-core rounds remove all of them at once, O(log n) rounds).
+
+    Returns (node, degree) of surviving nodes. Each round is one
+    groupBy + two semi-joins; ``localCheckpoint`` truncates the
+    iterative lineage (same discipline as densest_subgraph_peel).
+    """
+    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("s").alias("n"))
+            .unionAll(cur.select(F.col("d").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint()
+        )
+        keep = deg.filter(F.col("degree") >= k).select("n")
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "s"), "s", "left_semi")
+            .join(keep.withColumnRenamed("n", "d"), "d", "left_semi")
+            .localCheckpoint()
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return (
+        cur.select(F.col("s").alias("n"))
+        .unionAll(cur.select(F.col("d").alias("n")))
+        .groupBy(F.col("n").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
 
 
 def encode_ids(
