@@ -116,9 +116,10 @@ def _rollup_oracle(unit: str) -> str:
 
 def _q_gapfill_ffill(spark, sf_dir):
     t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
-    dense = G.densify(t1h, "1h")
-    filled = G.gap_fill(
-        dense.withColumn("cntd", F.col("cnt").cast("double")),
+    view = R.tier_view(t1h, bin_mode="int").select("url", "bucket_ts", "cnt")
+    filled = G.densify_fill(
+        view.withColumn("cntd", F.col("cnt").cast("double")),
+        "1h",
         value_cols=("cntd",),
         method="ffill",
     )
@@ -145,10 +146,8 @@ _GAPFILL_FFILL_SQL = """
 
 def _q_gapfill_interp(spark, sf_dir):
     t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
-    dense = G.densify(t1h, "1h").withColumn(
-        "vmean", F.col("vsum") / F.col("cnt")
-    )
-    filled = G.gap_fill(dense, value_cols=("vmean",), method="interp")
+    view = R.tier_view(t1h, bin_mode="int").select("url", "bucket_ts", "vmean")
+    filled = G.densify_fill(view, "1h", value_cols=("vmean",), method="interp")
     return filled.select(
         F.col("url").alias("series_key"),
         _epoch(),
@@ -608,10 +607,8 @@ def _q_resample_fourier(spark, sf_dir):
     ev = _events(spark, sf_dir)
     # regularize: per event_type hourly mean series, then resample 2x
     t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
-    series = G.gap_fill(
-        G.densify(t1h, "1h").withColumn("vmean", F.col("vsum") / F.col("cnt")),
-        ("vmean",), method="interp",
-    ).select(
+    view = R.tier_view(t1h, bin_mode="int").select("url", "bucket_ts", "vmean")
+    series = G.densify_fill(view, "1h", ("vmean",), method="interp").select(
         F.col("url").alias("key"),
         F.unix_timestamp("bucket_ts").cast("double").alias("ts"),
         F.col("vmean").alias("value"),
@@ -625,10 +622,8 @@ def _q_beatlex_summarize(spark, sf_dir):
     from spartan2_spark.models.beatlex import summarize
 
     t1h = R.rollup_from_points(_event_points(spark, sf_dir), "1h", bin_mode="int")
-    series = G.gap_fill(
-        G.densify(t1h, "1h").withColumn("vmean", F.col("vsum") / F.col("cnt")),
-        ("vmean",), method="interp",
-    ).select(
+    view = R.tier_view(t1h, bin_mode="int").select("url", "bucket_ts", "vmean")
+    series = G.densify_fill(view, "1h", ("vmean",), method="interp").select(
         F.col("url").alias("key"),
         F.unix_timestamp("bucket_ts").cast("double").alias("ts"),
         F.col("vmean").alias("value"),
@@ -1306,6 +1301,107 @@ def _q_kcore(spark, sf_dir):
     return GR.kcore(li, k=34)
 
 
+def _q_svd_spokes(spark, sf_dir):
+    """Leading singular vector by distributed power iteration + the
+    EigenSpokes node pick |u_i| >= 1/sqrt(m)
+    (holoscopeFraudDect.py:395-626 fast init; EigenSpokes.py:8-38) —
+    iterative, rows-only check."""
+    from spartan2_spark.operators.spectral import eigen_spokes_nodes, power_iteration
+
+    edges = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    res = power_iteration(edges, weight="w", n_iter=6)
+    m = res["u"].count()
+    return (
+        eigen_spokes_nodes(res["u"], m)
+        .select("node", F.round("score", 6).alias("u_score"))
+        .withColumn("sigma1", F.round(F.lit(res["sigma1"]), 4))
+    )
+
+
+def _q_graph_summarize(spark, sf_dir):
+    """DPGS-style MinHash-LSH graph summarization — hash-defined
+    grouping, rows-only check."""
+    from spartan2_spark.operators.spectral import summarize_graph_lsh
+
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    res = summarize_graph_lsh(li, k_hashes=4)
+    return res["mdl_gain_bits"].select(
+        "supernode", "n_nodes", F.round("gain_bits", 6).alias("gain_bits")
+    )
+
+
+def _q_holoscope_fusion(spark, sf_dir):
+    """HoloScope-style suspiciousness fusion: reciprocal-rank fusion of
+    the KL-divergence and burst-involvement property scores per sink
+    (holoscopeFraudDect.py:228-255 fuses property scores the same way;
+    k=60). Fully SQL-expressible -> oracle-checked."""
+    from spartan2_spark.operators.anomaly import (
+        burst_involvement,
+        kl_divergence_per_sink,
+        reciprocal_rank_fusion,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "rbucket",
+        F.when(F.col("value") < 50, 0).when(F.col("value") < 100, 1).otherwise(2).cast("long"),
+    )
+    kl = kl_divergence_per_sink(ev, "event_type", "rbucket", n_buckets=3).select(
+        "event_type", F.round("kl", 8).alias("s_kl")
+    )
+    bi = burst_involvement(ev, "event_type", "ts", 3600).select(
+        "event_type", F.col("involv").alias("s_burst")
+    )
+    fused = reciprocal_rank_fusion(
+        kl.join(bi, "event_type"), "event_type", ["s_kl", "s_burst"]
+    )
+    return fused.select("event_type", "s_kl", "s_burst", F.round("rrf", 8).alias("rrf"))
+
+
+_HOLOSCOPE_FUSION_SQL = """
+    WITH e AS (SELECT event_type, ts,
+                      CASE WHEN value < 50 THEN 0 WHEN value < 100 THEN 1 ELSE 2 END AS rb
+               FROM events),
+    per AS (SELECT event_type, rb, count(*) AS c FROM e GROUP BY 1, 2),
+    dense AS (
+      SELECT s.event_type, b.rb, coalesce(per.c, 0) AS c
+      FROM (SELECT DISTINCT event_type FROM per) s
+      CROSS JOIN (SELECT unnest([0,1,2]) AS rb) b
+      LEFT JOIN per ON per.event_type = s.event_type AND per.rb = b.rb),
+    gh AS (SELECT rb, count(*) AS g FROM e GROUP BY 1),
+    gt AS (SELECT sum(g + 1) AS gt FROM gh),
+    j AS (
+      SELECT d.event_type, d.rb, d.c, coalesce(gh.g, 0) AS g, gt.gt,
+             sum(d.c + 1) OVER (PARTITION BY d.event_type) AS st
+      FROM dense d LEFT JOIN gh ON d.rb = gh.rb, gt),
+    kl AS (SELECT event_type,
+                  round(sum(((c+1)/st) * ln(((c+1)/st) / ((g+1)/gt))), 8) AS s_kl
+           FROM j GROUP BY 1),
+    hb AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS tbin,
+                  count(*) AS cnt
+           FROM e GROUP BY 1),
+    peak AS (SELECT tbin AS burst_start FROM hb ORDER BY cnt DESC, tbin ASC LIMIT 1),
+    bi AS (SELECT event_type,
+                  round(sum(CASE WHEN CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                                 = burst_start THEN 1 ELSE 0 END)
+                        / CAST(count(*) AS DOUBLE), 8) AS s_burst
+           FROM e, peak GROUP BY event_type, burst_start),
+    s AS (SELECT kl.event_type, s_kl, s_burst FROM kl JOIN bi USING (event_type)),
+    r AS (SELECT event_type, s_kl, s_burst,
+                 rank() OVER (ORDER BY s_kl DESC, event_type ASC) AS r1,
+                 rank() OVER (ORDER BY s_burst DESC, event_type ASC) AS r2
+          FROM s)
+    SELECT event_type, s_kl, s_burst,
+           round(1.0/(60+r1) + 1.0/(60+r2), 8) AS rrf
+    FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1365,6 +1461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rating_digitize": _q_rating_digitize,
         "sliding_window_count": _q_sliding_window,
         "kcore_peel": _q_kcore,
+        "svd_power_spokes": _q_svd_spokes,
+        "graph_summarize_lsh": _q_graph_summarize,
+        "holoscope_fusion": _q_holoscope_fusion,
     }
 
 
@@ -1415,7 +1514,9 @@ def oracle_sql() -> dict[str, str]:
         "mean_var_sink": _MEAN_VAR_SQL,
         "rating_digitize": _DIGITIZE_SQL,
         "sliding_window_count": _SLIDING_SQL,
-        # kcore_peel: iterative fixpoint -> rows-only
+        "holoscope_fusion": _HOLOSCOPE_FUSION_SQL,
+        # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
+        # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
         # resample_fourier / beatlex_summarize / eigenpulse_density /
         # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels;
         # minhash/simhash/ann/fingerprint/multimodal: xxhash64- or

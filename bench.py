@@ -86,7 +86,7 @@ def run_flagship(spark, n_rows: int, out_tag: str = "") -> dict:
     view = R.tier_view(spark.read.parquet(f"{out}/t1h")).select(
         "url", "bucket_ts", "cnt", "vmean"
     )
-    filled = G.gap_fill(G.densify(view, "1h"), ("vmean",), method="interp")
+    filled = G.densify_fill(view, "1h", ("vmean",), method="interp")
     filled.write.mode("overwrite").parquet(f"{out}/gapfill_1h")
     stage_secs["gapfill_1h"] = round(time.time() - t1, 3)
     elapsed = time.time() - t0
@@ -135,19 +135,60 @@ def main() -> None:
         from spartan2_spark.session import stop_all
 
         stop_all()
+        # Strong-scaling needs compute-dominated runs: at sf0.1 the whole
+        # chain finishes in seconds and fixed overhead (scheduling, plan
+        # time, file commit) swamps the core count. Use >=16M raw points
+        # (~2 min at local[8]) for the N-vs-4N evidence regardless of the
+        # bench sf.
+        scal_rows = max(n_rows, 16_000_000)
+        # warm-up pass (same JVM): JIT-compile the window/agg codegen so
+        # neither measured run pays one-time compilation for the other.
+        s = get_spark("bench-warmup", master="local[32]")
+        run_flagship(s, min(n_rows, 600_000), out_tag="_warmup")
+        stop_all()
+        # Two passes per level, report the second (fully JIT-warm) pass —
+        # the single shared JVM means pass 1 of the first level would
+        # otherwise pay one-time codegen compilation the other level
+        # doesn't. Cluster benches do the same (discard warm-up epoch).
         runs = {}
         for cores in (8, 32):
             s = get_spark(f"bench-{cores}", master=f"local[{cores}]")
-            r = run_flagship(s, n_rows)
-            runs[f"local[{cores}]"] = r
+            run_flagship(s, scal_rows, out_tag=f"_c{cores}")
+            runs[f"local[{cores}]"] = run_flagship(s, scal_rows, out_tag=f"_c{cores}")
             stop_all()
         thr8 = runs["local[8]"]["points_per_sec"]
         thr32 = runs["local[32]"]["points_per_sec"]
+
+        # determinism gate (north rule): tier values must be identical
+        # regardless of parallelism — order-insensitive content hash per
+        # tier table at both core counts.
+        s = get_spark("bench-verify", master="local[8]")
+        from pyspark.sql import functions as F
+
+        identical = {}
+        for t in ("t1m", "t1h", "t1d", "gapfill_1h"):
+            hashes = []
+            for cores in (8, 32):
+                df = s.read.parquet(os.path.join(CACHE, f"bench_tiers_c{cores}", t))
+                h = (
+                    df.select(
+                        F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)").alias("h")
+                    )
+                    .agg(F.sum("h").alias("hs"), F.count(F.lit(1)).alias("n"))
+                    .collect()[0]
+                )
+                hashes.append((str(h.hs), h.n))
+            identical[t] = hashes[0] == hashes[1]
+        stop_all()
+
         result["scaling"] = {
+            "raw_points": scal_rows,
             "local8_pps": thr8,
             "local32_pps": thr32,
             "speedup": round(thr32 / thr8, 3),
             "efficiency_n_to_4n": round(thr32 / (4 * thr8), 3),
+            "stage_secs": {lvl: r["stage_secs"] for lvl, r in runs.items()},
+            "tiers_bit_identical_across_parallelism": identical,
         }
 
     print(json.dumps(result))

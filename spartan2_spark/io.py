@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["load_tensor", "load_tensor_stream", "save_dict_list", "load_dict_list"]
+__all__ = [
+    "load_tensor",
+    "load_tensor_stream",
+    "save_dict_list",
+    "load_dict_list",
+    "load_file_to_dict",
+    "load_histogram",
+]
 
 _TYPE_MAP = {
     int: T.LongType(),
@@ -117,3 +124,44 @@ def load_dict_list(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(
         key.alias("key"), F.split(F.trim(rest), " +").alias("values")
     )
+
+
+def load_file_to_dict(spark: SparkSession, path: str) -> dict:
+    """Key/value file -> driver-side dict (ioutil.py:361-411
+    ``loadFile2Dict`` semantics, used by EagleMine). Only for small
+    dimension tables — the dict is meant to be ``spark.sparkContext
+    .broadcast()``-ed, the distributed analogue of the reference's
+    in-process lookup."""
+    return dict(
+        load_dict_list(spark, path)
+        .select("key", F.col("values"))
+        .rdd.map(lambda r: (r[0], list(r[1])))
+        .collect()
+    )
+
+
+def load_histogram(spark: SparkSession, path: str) -> dict:
+    """Histogram file -> {'shape': [...], 'ticks': [[...]], 'cells':
+    DataFrame(coords array<long>, cnt long)} (ioutil.py:414-456
+    ``loadHistogram``: first line = shape, next ndim lines = per-dim
+    ticks, remaining lines = nnz cells ``i,j,...,count``).
+
+    Header lines are tiny driver-side metadata; the nnz cell body —
+    the part that grows with data — stays a distributed DataFrame.
+    """
+    head = spark.read.text(path).limit(64).collect()
+    lines = [r.value for r in head]
+    shape = [int(x) for x in lines[0].split(",")]
+    ndim = len(shape)
+    ticks = [[float(x) for x in ln.split(",")] for ln in lines[1 : 1 + ndim]]
+    body = (
+        spark.read.text(path)
+        .withColumn("__i", F.monotonically_increasing_id())
+        .filter(F.col("__i") >= 1 + ndim)
+        .select(F.split("value", ",").alias("p"))
+    )
+    cells = body.select(
+        F.slice(F.transform("p", lambda x: x.cast("long")), 1, ndim).alias("coords"),
+        F.element_at(F.col("p"), ndim + 1).cast("long").alias("cnt"),
+    )
+    return {"shape": shape, "ticks": ticks, "cells": cells}

@@ -3,24 +3,35 @@
 Re-expresses the reference's rollup (``TensorData.log_to_time``,
 /root/reference/spartan/tensor/tensor.py:72-123 — equal-width time
 binning + groupby-sum) as a materialized rollup ladder with
-**re-aggregable state**: each tier stores
-``(cnt, vsum, vmin, vmax, vhist)`` per (url, bucket) and every coarser
-tier is computed FROM THE PREVIOUS TIER, never from raw:
+**re-aggregable state**. State is LONG format — one row per
+``(url, bucket_ts, bin)`` carrying ``(cnt, vsum, vmin, vmax)`` — and
+every coarser tier is computed FROM THE PREVIOUS TIER, never from raw:
 
     cnt   = sum(cnt)            vmin = min(vmin)   vmax = max(vmax)
     vsum  = sum(vsum)           mean = vsum / cnt   (finalized at read)
-    vhist = bin-wise count merge (sparse value histogram)
+    per-bin rows merge by key    (sparse value histogram, relationally)
 
-``vhist`` is the engine's mergeable quantile sketch. Bins are a
-deterministic pure function of the value (no data-dependent centroids),
-so the merge is **commutative and associative** — tier values are
-bit-identical at any parallelism level (local[8] == local[32]) with no
-ordering discipline needed. For integer metrics (the default rollup
-metric x = length(text)) and fixed-point metrics the quantile is EXACT;
-for generic doubles a signed log-bin bounds relative error at ~0.1%.
-This is a deliberate departure from a classic t-digest, whose merge is
+The sparse histogram IS the engine's mergeable quantile sketch, held
+relationally instead of as an array column: ``bin`` is a deterministic
+pure function of the value (no data-dependent centroids), so the merge
+is **commutative and associative** — tier values are bit-identical at
+any parallelism level (local[8] == local[32]) with no ordering
+discipline needed. For integer metrics (the default rollup metric
+x = length(text)) and fixed-point metrics the quantile is EXACT; for
+generic doubles a signed log-bin bounds relative error at ~0.1%. This
+is a deliberate departure from a classic t-digest, whose merge is
 order-sensitive; a t-digest is still provided in
 ``spartan2_spark.functions.sketches`` for parity experiments.
+
+Why long format and not ``array<struct<bin,cnt>>`` per bucket: every
+tier hop becomes ONE scalar hash aggregation (partial map-side combine
++ final, fully inside whole-stage codegen) instead of
+agg + explode + re-agg + join, and the hot path allocates no
+per-group arrays (measured: the array representation's allocation
+churn made the 16M-row chain GC-bound and killed N->4N scaling).
+Arrays appear only at the read edge (``tier_view``) where cardinality
+is already collapsed. Integer-valued metrics keep float sums exact
+(< 2^53), so ``vsum`` is order-independent too.
 
 Everything here is built-in column expressions — zero Python on the
 hot path.
@@ -131,14 +142,9 @@ def raw_points(pages: DataFrame, metric: Column | None = None) -> DataFrame:
 def rollup_from_points(
     points: DataFrame, tier: str = "1m", bin_mode: str = "int"
 ) -> DataFrame:
-    """raw -> first tier. Single hash aggregation (partial map-side combine
-    + final), then a cheap second agg to assemble the sparse histogram.
-
-    Plan shape: Scan -> partial HashAgg(url,bucket,bin) -> shuffle ->
-    HashAgg -> HashAgg(url,bucket) (no extra shuffle: AQE keeps the
-    (url,bucket,bin) partitioning valid for the (url,bucket) group-by
-    only via another exchange — acceptable because the first agg already
-    collapsed cardinality by orders of magnitude).
+    """raw -> first tier (long-format state). ONE hash aggregation:
+    Scan -> partial HashAgg(url,bucket,bin) -> shuffle -> final HashAgg,
+    entirely scalar, entirely inside whole-stage codegen.
     """
     unit = TIERS[tier]
     b = points.select(
@@ -147,46 +153,33 @@ def rollup_from_points(
         F.col("value"),
         bin_col(F.col("value"), bin_mode).alias("bin"),
     )
-    per_bin = b.groupBy("url", "bucket_ts", "bin").agg(
+    return b.groupBy("url", "bucket_ts", "bin").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum("value").alias("vsum"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
     )
-    return per_bin.groupBy("url", "bucket_ts").agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("vsum").alias("vsum"),
-        F.min("vmin").alias("vmin"),
-        F.max("vmax").alias("vmax"),
-        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("vhist"),
-    )
 
 
 def rollup_tier_up(state: DataFrame, tier: str) -> DataFrame:
     """tier N -> coarser tier N+1 from stored state only (never re-reads
-    raw). Scalar states merge in one agg; histogram entries are exploded,
-    re-summed per bin, and re-sorted — all commutative, so the result is
-    identical at any parallelism/partitioning.
+    raw). ONE scalar hash aggregation — per-bin rows merge by key; all
+    states commutative, so the result is identical at any parallelism
+    or partitioning.
     """
     unit = TIERS[tier]
-    keyed = state.withColumn("nb", F.date_trunc(unit, F.col("bucket_ts")))
-    base = keyed.groupBy("url", "nb").agg(
-        F.sum("cnt").alias("cnt"),
-        F.sum("vsum").alias("vsum"),
-        F.min("vmin").alias("vmin"),
-        F.max("vmax").alias("vmax"),
-    )
-    hist = (
-        keyed.select("url", "nb", F.explode("vhist").alias("e"))
-        .groupBy("url", "nb", F.col("e.bin").alias("bin"))
-        .agg(F.sum("e.cnt").alias("cnt"))
-        .groupBy("url", "nb")
-        .agg(F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("vhist"))
-    )
     return (
-        base.join(hist, ["url", "nb"])
-        .withColumnRenamed("nb", "bucket_ts")
-        .select("url", "bucket_ts", "cnt", "vsum", "vmin", "vmax", "vhist")
+        state.groupBy(
+            "url",
+            F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+            "bin",
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
     )
 
 
@@ -217,11 +210,20 @@ def p95_from_hist(
 
 
 def tier_view(state: DataFrame, q: float = 0.95, bin_mode: str = "int") -> DataFrame:
-    """Finalize reader-facing aggregates from stored state.
+    """Finalize reader-facing aggregates from long-format state: one
+    agg collapses the per-bin rows to one row per (url, bucket) — the
+    sparse histogram becomes an array only HERE, at the read edge.
 
     mean = vsum/cnt (NEVER an average of averages); p95 from the sketch.
     """
-    return state.select(
+    per_bucket = state.groupBy("url", "bucket_ts").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias("vhist"),
+    )
+    return per_bucket.select(
         "url",
         "bucket_ts",
         "cnt",

@@ -1,0 +1,147 @@
+"""Distributed spectral ops on edge-list DataFrames.
+
+Reference semantics being re-expressed (NOT ported — the reference runs
+scipy on an in-memory sparse matrix, we run DataFrame joins/aggs):
+
+- ``power_iteration``: leading singular triple (u, s, v) of the
+  bipartite adjacency. The reference gets it from
+  ``scipy.sparse.linalg.svds`` for HoloScope's fast init
+  (/root/reference/spartan/model/holoscope/holoscopeFraudDect.py:395-626)
+  and EigenSpokes' spoke plots
+  (/root/reference/spartan/model/eigenspokes/EigenSpokes.py:8-38).
+  One power step is two shuffles: ``y = A v`` is a join of edges with
+  the v-vector on dst + groupBy(src); ``v' = A^T y`` symmetrically.
+  O(log(1/eps)/log(s1/s2)) rounds; each round ends with an eager
+  ``localCheckpoint`` to truncate the iterative plan lineage.
+
+- ``eigen_spokes_nodes``: EigenSpokes' node pick — entries of the
+  leading singular vector with ``|u_i| >= 1/sqrt(m)``
+  (/root/reference/spartan/model/eigenpulse/util.py:5-16 uses the same
+  rule for EigenPulse submatrix selection).
+
+- ``summarize_graph_lsh``: DPGS-style graph summarization
+  (/root/reference/spartan/model/DPGS/DPGS.py:49-310 groups nodes by
+  MinHash-LSH of neighbourhoods, then merges within groups by an MDL
+  score). Our distributed analogue: one MinHash signature per node over
+  its neighbour set (k independent xxhash64 min-hashes — one groupBy,
+  no pairwise work), nodes sharing the full signature form a supernode,
+  edges collapse to weighted superedges, and the MDL-ish score
+  ``sum(c*ln(c))`` accounts for the encoding gain.
+
+Determinism: all hashes are xxhash64 with fixed seeds; the power
+iteration normalizes with a fixed reduction expression, so results are
+identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["power_iteration", "eigen_spokes_nodes", "summarize_graph_lsh"]
+
+
+def power_iteration(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    n_iter: int = 8,
+) -> dict:
+    """Leading singular triple of the (src x dst) adjacency.
+
+    Returns {'sigma1': float, 'u': DataFrame(node, score),
+    'v': DataFrame(node, score)}. ``u`` spans src nodes, ``v`` dst
+    nodes. Deterministic start vector: v = 1/sqrt(n_dst).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w")
+    ).localCheckpoint()
+
+    v = (
+        e.select(F.col("d").alias("node"))
+        .distinct()
+        .withColumn("score", F.lit(1.0))
+    ).localCheckpoint()
+    # normalize start
+    n_dst = v.count()
+    v = v.withColumn("score", F.col("score") / F.lit(math.sqrt(float(n_dst))))
+
+    sigma = 0.0
+    u = None
+    for _ in range(n_iter):
+        # y = A v  (join on dst, sum per src)
+        y = (
+            e.join(v.withColumnRenamed("node", "d"), "d")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
+        )
+        y_norm = y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
+        u = y.withColumn("score", F.col("score") / F.lit(y_norm)).localCheckpoint()
+        # v' = A^T u (join on src, sum per dst)
+        z = (
+            e.join(u.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
+        )
+        sigma = z.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
+        v = z.withColumn("score", F.col("score") / F.lit(sigma)).localCheckpoint()
+    return {"sigma1": float(sigma), "u": u, "v": v}
+
+
+def eigen_spokes_nodes(u: DataFrame, n_rows: int) -> DataFrame:
+    """EigenSpokes pick: |u_i| >= 1/sqrt(m) (eigenpulse/util.py:5-16)."""
+    thr = 1.0 / math.sqrt(float(n_rows))
+    return u.filter(F.abs(F.col("score")) >= F.lit(thr))
+
+
+def summarize_graph_lsh(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_hashes: int = 4,
+) -> dict:
+    """DPGS-style summarization via MinHash of neighbour sets.
+
+    Nodes with identical k-MinHash neighbourhood signatures merge into a
+    supernode; edges collapse to (super_src, dst, multiplicity). Returns
+    {'assign': DataFrame(node, supernode), 'superedges': DataFrame,
+    'mdl_gain_bits': DataFrame(supernode, n_nodes, gain_bits)} where
+    gain ~ (n_nodes-1) * log2(n_nodes) style grouping saving — the
+    same xlogx shape as the reference's c_MDL code-length terms
+    (model/DPGS/DPGS.py:38-47).
+    """
+    sig = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col(dst), F.lit(i))).alias(f"h{i}")
+                for i in range(k_hashes)
+            ]
+        )
+        .withColumn(
+            "supernode",
+            F.concat_ws("_", *[F.col(f"h{i}") for i in range(k_hashes)]),
+        )
+        .select("node", "supernode")
+    )
+    superedges = (
+        edges.join(sig.withColumnRenamed("node", src), src)
+        .groupBy("supernode", F.col(dst).alias("dst"))
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+    gain = (
+        sig.groupBy("supernode")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .withColumn(
+            "gain_bits",
+            F.when(
+                F.col("n_nodes") > 1,
+                (F.col("n_nodes") - 1) * F.log2(F.col("n_nodes").cast("double")),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return {"assign": sig, "superedges": superedges, "mdl_gain_bits": gain}

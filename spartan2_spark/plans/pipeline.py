@@ -168,8 +168,9 @@ def run_pipeline(
 
     def build_gap(df):
         view = R.tier_view(df.drop("dt"), bin_mode=bin_mode)
-        return G.gap_fill(
-            G.densify(view.select("url", "bucket_ts", "cnt", "vmean"), "1h"),
+        return G.densify_fill(
+            view.select("url", "bucket_ts", "cnt", "vmean"),
+            "1h",
             ("vmean",),
             method="interp",
         ).withColumn("dt", F.to_date("bucket_ts"))

@@ -22,19 +22,21 @@ PAGES = T.StructType(
     ]
 )
 
-# Tier state: re-aggregable continuous-aggregate state per (url, bucket).
-# mean is NEVER stored (sum/count only — re-averaging averages is wrong,
-# cf. SURVEY.md section 2.4 notes); p95 state is a sparse value-histogram
-# (map bin -> count), exact for integer metrics, log-binned for floats.
+# Tier state: re-aggregable continuous-aggregate state, LONG format —
+# one row per (url, bucket, value-bin). mean is NEVER stored (sum/count
+# only — re-averaging averages is wrong, cf. SURVEY.md section 2.4
+# notes); the per-bin rows ARE the sparse value-histogram quantile
+# sketch (exact for integer metrics, log-binned for floats); arrays are
+# assembled only at the read edge (rollup.tier_view).
 TIER_STATE = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("bucket_ts", T.TimestampType(), False),
+        T.StructField("bin", T.LongType(), False),
         T.StructField("cnt", T.LongType(), False),
         T.StructField("vsum", T.DoubleType(), False),
         T.StructField("vmin", T.DoubleType(), False),
         T.StructField("vmax", T.DoubleType(), False),
-        T.StructField("vhist", T.MapType(T.LongType(), T.LongType()), False),
     ]
 )
 

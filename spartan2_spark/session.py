@@ -58,6 +58,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Throughput-batch engine: ParallelGC beats G1 here. Measured on
+        # the 16M-row gap-fill stage (876M output rows, local[32]):
+        # 187s under G1 (allocation-rate death spiral at 32 threads) vs
+        # 68s under ParallelGC. Executors on a real cluster get the same
+        # flag via spark.executor.extraJavaOptions in spark-submit conf.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,53 @@
+"""Spectral ops: power iteration vs numpy SVD; LSH summarization sanity."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from spartan2_spark.operators.spectral import (  # noqa: E402
+    eigen_spokes_nodes,
+    power_iteration,
+    summarize_graph_lsh,
+)
+
+
+def test_power_iteration_matches_numpy(spark):
+    # 3x3 weighted bipartite adjacency with a clear leading block
+    rows = [
+        ("a", "x", 5.0), ("a", "y", 4.0),
+        ("b", "x", 4.0), ("b", "y", 5.0),
+        ("c", "z", 1.0),
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst", "w"])
+    res = power_iteration(edges, weight="w", n_iter=20)
+
+    A = np.array([[5.0, 4.0, 0.0], [4.0, 5.0, 0.0], [0.0, 0.0, 1.0]])
+    u_np, s_np, vt_np = np.linalg.svd(A)
+    assert abs(res["sigma1"] - s_np[0]) < 1e-6
+
+    u = {r.node: r.score for r in res["u"].collect()}
+    # leading left vector is [1,1,0]/sqrt(2) up to sign
+    assert abs(abs(u["a"]) - 1 / np.sqrt(2)) < 1e-6
+    assert abs(abs(u["b"]) - 1 / np.sqrt(2)) < 1e-6
+    assert abs(u.get("c", 0.0)) < 1e-6
+
+    spokes = eigen_spokes_nodes(res["u"], 3)
+    assert {r.node for r in spokes.collect()} == {"a", "b"}
+
+
+def test_graph_summarize_lsh_merges_twins(spark):
+    # u1 and u2 have identical neighbour sets -> same supernode
+    rows = [("u1", "p"), ("u1", "q"), ("u2", "p"), ("u2", "q"), ("u3", "r")]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    res = summarize_graph_lsh(edges, k_hashes=4)
+    assign = {r.node: r.supernode for r in res["assign"].collect()}
+    assert assign["u1"] == assign["u2"] != assign["u3"]
+    gains = {r.supernode: (r.n_nodes, r.gain_bits) for r in res["mdl_gain_bits"].collect()}
+    assert gains[assign["u1"]][0] == 2 and gains[assign["u1"]][1] == 1.0
+    assert gains[assign["u3"]] == (1, 0.0)
+    se = {(r.supernode, r.dst): r.multiplicity for r in res["superedges"].collect()}
+    assert se[(assign["u1"], "p")] == 2  # collapsed multiplicity

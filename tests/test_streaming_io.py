@@ -114,3 +114,28 @@ def test_dict_list_roundtrip(spark, tmp_path):
     back = IO.load_dict_list(spark, p).toPandas().set_index("key")
     assert back.loc["x", "values"].tolist() == ["1", "2", "3"]
     assert back.loc["y", "values"].tolist() == ["4", "5"]
+
+
+def test_load_file_to_dict_roundtrip(spark, tmp_path):
+    from spartan2_spark.io import load_file_to_dict, save_dict_list
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4])], ["k", "vs"]
+    ).select("k", F.transform("vs", lambda x: x.cast("long")).alias("vs"))
+    p = str(tmp_path / "dictlist")
+    save_dict_list(df, "k", "vs", p)
+    d = load_file_to_dict(spark, p)
+    assert d == {"a": ["1", "2", "3"], "b": ["4"]}
+
+
+def test_load_histogram(spark, tmp_path):
+    from spartan2_spark.io import load_histogram
+
+    p = tmp_path / "hist.txt"
+    p.write_text("2,3\n0.0,1.0\n0.0,0.5,1.0\n0,1,7\n1,2,9\n")
+    h = load_histogram(spark, str(p))
+    assert h["shape"] == [2, 3]
+    assert h["ticks"] == [[0.0, 1.0], [0.0, 0.5, 1.0]]
+    cells = {tuple(r.coords): r.cnt for r in h["cells"].collect()}
+    assert cells == {(0, 1): 7, (1, 2): 9}
