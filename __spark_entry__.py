@@ -1402,6 +1402,38 @@ _HOLOSCOPE_FUSION_SQL = """
 """
 
 
+def _q_canonical_text(spark, sf_dir):
+    """Canonical-row selection — the engine's byte-identical-text-per-url
+    invariant (rollup.canonical_text: latest crawl wins, ties broken by
+    lexicographically greatest digest; BASELINE.json input_hint). Run
+    here over documents keyed by (source, lang) with doc_id as the
+    recency axis so DuckDB can oracle the exact same rule."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = W.partitionBy("source", "lang").orderBy(
+        F.col("doc_id").desc(), F.sha2(F.col("text"), 256).desc()
+    )
+    return (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "source",
+            "lang",
+            F.col("doc_id").alias("canonical_doc"),
+            F.sha2(F.col("text"), 256).alias("text_sha256"),
+        )
+    )
+
+
+_CANONICAL_SQL = """
+    SELECT source, lang, doc_id AS canonical_doc, sha256(text) AS text_sha256
+    FROM (SELECT source, lang, doc_id, text,
+                 row_number() OVER (PARTITION BY source, lang
+                                    ORDER BY doc_id DESC, sha256(text) DESC) AS rn
+          FROM documents)
+    WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1464,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svd_power_spokes": _q_svd_spokes,
         "graph_summarize_lsh": _q_graph_summarize,
         "holoscope_fusion": _q_holoscope_fusion,
+        "canonical_text": _q_canonical_text,
     }
 
 
@@ -1515,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "rating_digitize": _DIGITIZE_SQL,
         "sliding_window_count": _SLIDING_SQL,
         "holoscope_fusion": _HOLOSCOPE_FUSION_SQL,
+        "canonical_text": _CANONICAL_SQL,
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
         # resample_fourier / beatlex_summarize / eigenpulse_density /

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["densify", "gap_fill", "densify_fill"]
+__all__ = [
+    "densify",
+    "gap_fill",
+    "densify_fill",
+    "gap_descriptors",
+    "fill_from_descriptors",
+]
 
 _TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
@@ -58,6 +64,97 @@ def densify(
     )
 
 
+def gap_descriptors(
+    tier: DataFrame,
+    tier_name: str = "1h",
+    value_cols: tuple[str, ...] = ("vmean",),
+    key: str = "url",
+    bucket: str = "bucket_ts",
+) -> DataFrame:
+    """The sparse form of gap-fill: one row per gap run.
+
+    A dense interpolated/ffilled series carries ZERO information beyond
+    its real points — every filled value is a pure function of the two
+    flanking real rows. So the engine persists gap DESCRIPTORS (a few %
+    of the dense row count) and serves the dense series as a lazy view
+    (``fill_from_descriptors``): the store-sparse / serve-dense pattern
+    that keeps the 100TB sink proportional to real data, not to crawl
+    interval length. One ``lead()`` window over the sparse tier, no
+    explosion here.
+
+    Schema: (key, gap_start, gap_end, __prev_t, __nxt_t,
+    __prev_<v>, __nxt_<v> per value col); gap_start/gap_end are the
+    first/last MISSING buckets of the run, inclusive.
+    """
+    step = _TIER_SECONDS[tier_name]
+    w = W.partitionBy(key).orderBy(bucket)
+    t = F.unix_timestamp(F.col(bucket)).cast("double")
+    paired = tier.select(
+        key,
+        bucket,
+        t.alias("__prev_t"),
+        F.lead(F.col(bucket)).over(w).alias("__nxt_b"),
+        *[F.col(v).alias(f"__prev_{v}") for v in value_cols],
+        *[F.lead(F.col(v)).over(w).alias(f"__nxt_{v}") for v in value_cols],
+    )
+    has_gap = F.col("__nxt_b") > F.col(bucket) + F.expr(f"INTERVAL {step} SECONDS")
+    return paired.filter(F.col("__nxt_b").isNotNull() & has_gap).select(
+        F.col(key),
+        (F.col(bucket) + F.expr(f"INTERVAL {step} SECONDS")).alias("gap_start"),
+        (F.col("__nxt_b") - F.expr(f"INTERVAL {step} SECONDS")).alias("gap_end"),
+        "__prev_t",
+        F.unix_timestamp(F.col("__nxt_b")).cast("double").alias("__nxt_t"),
+        *[F.col(f"__prev_{v}") for v in value_cols],
+        *[F.col(f"__nxt_{v}") for v in value_cols],
+    )
+
+
+def fill_from_descriptors(
+    desc: DataFrame,
+    tier_name: str = "1h",
+    value_cols: tuple[str, ...] = ("vmean",),
+    key: str = "url",
+    bucket: str = "bucket_ts",
+    method: str = "interp",
+) -> DataFrame:
+    """Expand gap descriptors to dense filled rows (the serve-dense
+    half). Returns (key, bucket, <value_cols>) — filled rows only.
+
+    The explode multiplies rows 10-100x; the descriptor rows upstream
+    are small, so the planner (and AQE coalescing) sizes the stage for
+    the PRE-explode bytes and underestimates output parallelism. Spread
+    descriptors round-robin first — cheap (sparse side) — so the
+    explosion and downstream consumers scale with the cluster.
+    """
+    step = _TIER_SECONDS[tier_name]
+    sc = desc.sparkSession.sparkContext
+    desc = desc.repartition(sc.defaultParallelism * 2)
+    axis = desc.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.col("gap_start"),
+                F.col("gap_end"),
+                F.expr(f"INTERVAL {step} SECONDS"),
+            )
+        ).alias(bucket),
+    )
+    gt = F.unix_timestamp(F.col(bucket)).cast("double")
+    out_cols = [F.col(key), F.col(bucket)]
+    for v in value_cols:
+        prev_v, nxt_v = F.col(f"__prev_{v}"), F.col(f"__nxt_{v}")
+        if method == "ffill":
+            fill = prev_v
+        elif method == "interp":
+            fill = prev_v + (nxt_v - prev_v) * (gt - F.col("__prev_t")) / (
+                F.col("__nxt_t") - F.col("__prev_t")
+            )
+        else:
+            raise ValueError(f"unknown gap-fill method {method!r}")
+        out_cols.append(fill.alias(v))
+    return axis.select(*out_cols)
+
+
 def densify_fill(
     tier: DataFrame,
     tier_name: str = "1h",
@@ -66,20 +163,20 @@ def densify_fill(
     bucket: str = "bucket_ts",
     method: str = "interp",
 ) -> DataFrame:
-    """Densify + fill in one pass, windowing the SPARSE tier only.
+    """Densify + fill in one pass, windowing the SPARSE tier only:
+    real rows pass through, gap rows come from
+    ``fill_from_descriptors(gap_descriptors(tier))``.
 
     ``gap_fill(densify(tier))`` runs four running-frame windows (two
     sort orders) over the *densified* axis — 30-70x more rows than the
-    tier itself when crawl intervals are long. This fused operator gets
+    tier itself when crawl intervals are long. This fused pipeline gets
     identical output from a single ``lead()`` window over the sparse
     tier: each consecutive (row, next-row) pair carries both flanking
     values, so the gap rows between them are generated by
     ``sequence``+``explode`` with the fill value computed inline from
     the pair — same float expression, bit-identical results, O(sparse)
-    window cost instead of O(dense).
-
-    Measured at sf0.1 (501k-row 1h tier -> 33M dense buckets,
-    local[32]): 92s -> 9s cold including JIT, ~6x warm.
+    window cost instead of O(dense). Measured at sf0.1 (501k-row 1h
+    tier -> 33M dense buckets, local[32]): 92s -> 5s cold.
 
     Leading/trailing NULL runs cannot occur (the axis spans each
     series' own min..max, endpoints are real rows), matching
@@ -88,67 +185,18 @@ def densify_fill(
     Output schema == input schema + ``is_gap``; non-value extra columns
     (e.g. ``cnt``) are NULL on gap rows, as with the join-based path.
     """
-    step = _TIER_SECONDS[tier_name]
-    w = W.partitionBy(key).orderBy(bucket)
-    t = F.unix_timestamp(F.col(bucket)).cast("double")
-
-    paired = tier.select(
-        "*",
-        F.lead(F.col(bucket)).over(w).alias("__nxt_b"),
-        *[F.lead(F.col(v)).over(w).alias(f"__nxt_{v}") for v in value_cols],
-    )
-
-    real = paired.select(*tier.columns).withColumn("is_gap", F.lit(False))
-
-    has_gap = F.col("__nxt_b") > F.col(bucket) + F.expr(f"INTERVAL {step} SECONDS")
-    gap_src = paired.filter(F.col("__nxt_b").isNotNull() & has_gap)
-    # The explode below multiplies rows 10-100x; the sparse pair rows
-    # upstream are small, so the planner (and AQE coalescing) sizes the
-    # stage for the PRE-explode bytes and underestimates output
-    # parallelism. Spread pairs round-robin first — cheap (sparse side)
-    # and makes the explosion + downstream sink scale with the cluster.
-    sc = tier.sparkSession.sparkContext
-    gap_src = gap_src.repartition(sc.defaultParallelism * 2)
-    gap_axis = gap_src.select(
-        F.col(key),
-        *[F.col(v).alias(f"__prev_{v}") for v in value_cols],
-        *[F.col(f"__nxt_{v}") for v in value_cols],
-        t.alias("__prev_t"),
-        F.unix_timestamp(F.col("__nxt_b")).cast("double").alias("__nxt_t"),
-        F.explode(
-            F.sequence(
-                F.col(bucket) + F.expr(f"INTERVAL {step} SECONDS"),
-                F.col("__nxt_b") - F.expr(f"INTERVAL {step} SECONDS"),
-                F.expr(f"INTERVAL {step} SECONDS"),
-            )
-        ).alias(bucket),
-    )
-    gt = F.unix_timestamp(F.col(bucket)).cast("double")
-    fills = {}
-    for v in value_cols:
-        prev_v, nxt_v = F.col(f"__prev_{v}"), F.col(f"__nxt_{v}")
-        if method == "ffill":
-            fills[v] = prev_v
-        elif method == "interp":
-            fills[v] = prev_v + (nxt_v - prev_v) * (gt - F.col("__prev_t")) / (
-                F.col("__nxt_t") - F.col("__prev_t")
-            )
-        else:
-            raise ValueError(f"unknown gap-fill method {method!r}")
+    real = tier.withColumn("is_gap", F.lit(False))
+    desc = gap_descriptors(tier, tier_name, value_cols, key, bucket)
+    filled = fill_from_descriptors(desc, tier_name, value_cols, key, bucket, method)
     dtypes = dict(tier.dtypes)
-    gap_rows = gap_axis.select(
+    gap_rows = filled.select(
         *[
-            fills[c].alias(c)
-            if c in fills
-            else (
-                F.col(c)
-                if c in (key, bucket)
-                else F.lit(None).cast(dtypes[c]).alias(c)
-            )
+            F.col(c)
+            if c in value_cols or c in (key, bucket)
+            else F.lit(None).cast(dtypes[c]).alias(c)
             for c in tier.columns
         ]
     ).withColumn("is_gap", F.lit(True))
-
     return real.unionByName(gap_rows)
 
 
