@@ -1434,6 +1434,219 @@ _CANONICAL_SQL = """
 """
 
 
+def _flow_sides(spark, sf_dir):
+    """Tripartite transfer sides for CubeFlow/FlowScope semantics:
+    odd lineitem rows are A->M transfers into the part (mid), even rows
+    are M->C transfers out; value in exact centi units, bucketed by
+    ship month."""
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_partkey").alias("mid"),
+        F.unix_timestamp(F.date_trunc("month", F.col("l_shipdate").cast("timestamp"))).alias("bucket"),
+        F.round(F.col("l_extendedprice") * 100).alias("value"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    return (
+        li.filter(F.col("ln") % 2 == 1).drop("ln"),
+        li.filter(F.col("ln") % 2 == 0).drop("ln"),
+    )
+
+
+def _q_flow_balance(spark, sf_dir):
+    """CubeFlow per-(mid, bucket) flow balance cells
+    (CubeFlow.py:37-322 objective term min(qin,qout) - alpha*|qin-qout|;
+    alpha=0.75 is dyadic so every score is exact)."""
+    from spartan2_spark.operators.flow import flow_balance
+
+    am, mc = _flow_sides(spark, sf_dir)
+    out = flow_balance(am, mc, alpha=0.75)
+    return out.select(
+        "mid", F.col("bucket").alias("bucket_s"), "q_in", "q_out", "balance_score"
+    )
+
+
+_FLOW_SIDES_SQL = """
+    sides AS (SELECT l_partkey AS mid,
+                     CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS bucket_s,
+                     round(l_extendedprice * 100) AS v,
+                     l_linenumber % 2 AS par
+              FROM lineitem),
+    qin AS (SELECT mid, bucket_s, sum(v) AS q_in FROM sides WHERE par = 1 GROUP BY 1, 2),
+    qout AS (SELECT mid, bucket_s, sum(v) AS q_out FROM sides WHERE par = 0 GROUP BY 1, 2),
+    cells AS (SELECT mid, bucket_s,
+                     coalesce(q_in, 0) AS q_in, coalesce(q_out, 0) AS q_out,
+                     least(coalesce(q_in, 0), coalesce(q_out, 0))
+                       - 0.75 * abs(coalesce(q_in, 0) - coalesce(q_out, 0)) AS balance_score
+              FROM qin FULL JOIN qout USING (mid, bucket_s))
+"""
+
+_FLOW_BALANCE_SQL = (
+    "WITH " + _FLOW_SIDES_SQL + "SELECT mid, bucket_s, q_in, q_out, balance_score FROM cells"
+)
+
+
+def _q_flow_top_mids(spark, sf_dir):
+    """CubeFlow's kept block, distributed: top-10 middle accounts by
+    total balance score (stand-in for MinTree greedy peeling; scores
+    are exact multiples of 0.25 so the sum is order-independent)."""
+    from spartan2_spark.operators.flow import flow_balance, flow_suspicious_mids
+
+    am, mc = _flow_sides(spark, sf_dir)
+    return flow_suspicious_mids(flow_balance(am, mc, alpha=0.75), k=10)
+
+
+_FLOW_TOP_SQL = (
+    "WITH " + _FLOW_SIDES_SQL
+    + """
+    SELECT mid, sum(balance_score) AS total_score,
+           sum(q_in) AS total_in, sum(q_out) AS total_out
+    FROM cells GROUP BY mid
+    ORDER BY total_score DESC, mid ASC LIMIT 10
+"""
+)
+
+
+def _q_rpeak_segments(spark, sf_dir):
+    """RPeak-style peak detection + fixed segment windows
+    (RPeak.py:24-36): strict local maxima over each user's value series
+    at-or-above the per-series mean, then a +-60s segment around each
+    peak. Threshold uses k_sigma=0 so every comparison is against the
+    exact integer-sum mean -> oracle-exact."""
+    from spartan2_spark.operators.peaks import detect_peaks
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.col("ts"), F.round(F.col("value") * 100).alias("v")
+    )
+    pk = detect_peaks(ev, key="user_id", ts="ts", val="v", k_sigma=0.0)
+    return pk.select(
+        "user_id",
+        _usec("ts").alias("ts_us"),
+        "v",
+        "thr",
+        (_usec("ts") - 60_000_000).alias("seg_start_us"),
+        (_usec("ts") + 60_000_000).alias("seg_end_us"),
+    )
+
+
+_RPEAK_SQL = """
+    WITH s AS (SELECT user_id, ts, round(value * 100) AS v,
+                      lag(round(value * 100)) OVER w AS pv,
+                      lead(round(value * 100)) OVER w AS nv,
+                      avg(round(value * 100)) OVER (PARTITION BY user_id) AS thr
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+    SELECT user_id, epoch_us(ts) AS ts_us, v, thr,
+           epoch_us(ts) - 60000000 AS seg_start_us,
+           epoch_us(ts) + 60000000 AS seg_end_us
+    FROM s
+    WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v >= nv AND v >= thr
+"""
+
+
+def _q_beatgan_recon(spark, sf_dir):
+    """BeatGAN's scoring shape (model/beatgan/): per-point
+    reconstruction error vs a context reconstruction, top anomalies by
+    error. The deterministic reconstructor is a centered +-2 moving
+    average (the torch generator slots in behind the same contract);
+    integer centi inputs keep the single division exact on both
+    engines."""
+    from spartan2_spark.operators.peaks import reconstruction_scores
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"), F.col("ts"), F.round(F.col("value") * 100).alias("v")
+    )
+    sc = reconstruction_scores(ev, key="user_id", ts="ts", val="v", half_window=2)
+    return (
+        sc.orderBy(F.desc("err"), F.asc("user_id"), F.asc("ts"))
+        .limit(20)
+        .select("user_id", _usec("ts").alias("ts_us"), "v", "recon", "err")
+    )
+
+
+_BEATGAN_SQL = """
+    WITH s AS (SELECT user_id, ts, round(value * 100) AS v,
+                      avg(round(value * 100)) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS recon
+               FROM events)
+    SELECT user_id, epoch_us(ts) AS ts_us, v, recon, abs(v - recon) AS err
+    FROM s ORDER BY err DESC, user_id ASC, ts ASC LIMIT 20
+"""
+
+
+def _q_eaglemine_clusters(spark, sf_dir):
+    """EagleMine-style histogram clustering (model/eaglemine/): connected
+    components of non-empty 2-D log-histogram cells under 4-adjacency,
+    labeled by min cell id. Same cells as hist2d_log; DuckDB oracles the
+    fixpoint with a recursive CTE."""
+    from spartan2_spark.operators.histogram import cluster_histogram_cells, hist2d_log
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    return cluster_histogram_cells(hist)
+
+
+_EAGLEMINE_SQL = """
+    WITH RECURSIVE cells AS (
+      SELECT CAST(floor(log10(l_quantity) * 4) AS BIGINT) AS bin_x,
+             CAST(floor(log10(l_extendedprice) * 4) AS BIGINT) AS bin_y,
+             count(*) AS cnt
+      FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+      GROUP BY 1, 2),
+    c AS (SELECT bin_x * 100000 + bin_y AS cid, bin_x, bin_y, cnt FROM cells),
+    e AS (SELECT a.cid AS u, b.cid AS v FROM c a JOIN c b
+          ON abs(a.bin_x - b.bin_x) + abs(a.bin_y - b.bin_y) = 1),
+    reach(u, lbl) AS (
+      SELECT cid, cid FROM c
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.u),
+    lab AS (SELECT u AS cid, min(lbl) AS cluster FROM reach GROUP BY u)
+    SELECT bin_x, bin_y, cnt, cluster FROM c JOIN lab USING (cid)
+"""
+
+
+def _q_specgreedy(spark, sf_dir):
+    """SpecGreedy-style spectrally-seeded densest block
+    (SpecGreedy.py:19-257): power-iteration seeding + parallel
+    Charikar-style refinement — iterative fixpoint, rows-only check."""
+    from spartan2_spark.operators.spectral import specgreedy_subgraph
+
+    edges = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("src", "dst")
+    )
+    res = specgreedy_subgraph(edges, n_iter=6, refine_rounds=4)
+    su = res["src_nodes"].select(
+        F.col("node").cast("string").alias("node"), F.lit("src").alias("side")
+    )
+    sv = res["dst_nodes"].select(
+        F.col("node").cast("string").alias("node"), F.lit("dst").alias("side")
+    )
+    return su.unionByName(sv).withColumn(
+        "density", F.round(F.lit(res["density"]), 6)
+    )
+
+
+def _q_kgrass(spark, sf_dir):
+    """kGrass-style k-supernode summarization (kGS/kGrass.py:14-216):
+    MinHash-signature bucketing into k supernodes + the reference's
+    reconstruction-error objective — hash-defined grouping, rows-only
+    check."""
+    from spartan2_spark.operators.spectral import kgrass_summarize
+
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    res = kgrass_summarize(li, k=8)
+    return res["superedges"].select(
+        "sn_src",
+        "sn_dst",
+        "multiplicity",
+        "size_src",
+        "size_dst",
+        F.round("err_term", 6).alias("err_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1497,6 +1710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summarize_lsh": _q_graph_summarize,
         "holoscope_fusion": _q_holoscope_fusion,
         "canonical_text": _q_canonical_text,
+        "flow_balance": _q_flow_balance,
+        "flow_top_mids": _q_flow_top_mids,
+        "rpeak_segments": _q_rpeak_segments,
+        "beatgan_recon": _q_beatgan_recon,
+        "eaglemine_clusters": _q_eaglemine_clusters,
+        "specgreedy_block": _q_specgreedy,
+        "kgrass_summary": _q_kgrass,
     }
 
 
@@ -1549,6 +1769,13 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window_count": _SLIDING_SQL,
         "holoscope_fusion": _HOLOSCOPE_FUSION_SQL,
         "canonical_text": _CANONICAL_SQL,
+        "flow_balance": _FLOW_BALANCE_SQL,
+        "flow_top_mids": _FLOW_TOP_SQL,
+        "rpeak_segments": _RPEAK_SQL,
+        "beatgan_recon": _BEATGAN_SQL,
+        "eaglemine_clusters": _EAGLEMINE_SQL,
+        # specgreedy_block / kgrass_summary: iterative spectral seed /
+        # xxhash64 bucketing -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
         # resample_fourier / beatlex_summarize / eigenpulse_density /

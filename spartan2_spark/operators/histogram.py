@@ -8,6 +8,14 @@ Reference semantics:
   (/root/reference/spartan/util/rect_histogram.py:38-198)
 - heuristic log bucketizers
   (model/eaglemine/tools/histogram_heuristic_generator.py:50-107)
+- EagleMine histogram clustering (model/eaglemine/, 5260 LoC): the
+  reference fits a tree of "islands" of connected non-empty histogram
+  cells (its WaterLoo/tree stages grow clusters from dense cells
+  outward through adjacent non-empty cells). The distributed analogue
+  here is connected-component labeling of the non-empty cells under
+  4-adjacency — min-label propagation, a loop of self-joins over the
+  (tiny, post-aggregation) cell relation, converging in
+  O(component diameter) rounds.
 
 All single-pass groupBy aggregations; the peak search is an
 orderBy/limit over the (tiny) histogram relation, with deterministic
@@ -25,6 +33,7 @@ __all__ = [
     "find_peak",
     "points_in_peak_bin",
     "log_bucketize",
+    "cluster_histogram_cells",
 ]
 
 
@@ -84,6 +93,67 @@ def points_in_peak_bin(
         "bin_y", F.floor(F.log10(y) * k).cast("long")
     )
     return keyed.join(F.broadcast(peak), ["bin_x", "bin_y"], "left_semi")
+
+
+def cluster_histogram_cells(
+    hist: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """EagleMine-style clustering: connected components of non-empty
+    cells under 4-adjacency (|dx|+|dy| = 1), labeled by the minimum
+    cell id in the component.
+
+    ``hist`` is (bin_x, bin_y, cnt) as produced by :func:`hist2d_log`.
+    Returns (bin_x, bin_y, cnt, cluster). Deterministic: the label is
+    ``min(bin_x*100000 + bin_y)`` over the component, independent of
+    partitioning and join order.
+
+    The cell relation is post-aggregation (thousands of rows at most,
+    regardless of input scale), so the propagation loop's self-joins
+    are broadcast-sized; each round ends in localCheckpoint to truncate
+    the iterative lineage.
+    """
+    cid = (F.col("bin_x") * 100000 + F.col("bin_y")).alias("cid")
+    cells = hist.select(cid, "bin_x", "bin_y", "cnt").localCheckpoint()
+    edges = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (
+                F.abs(F.col("a.bin_x") - F.col("b.bin_x"))
+                + F.abs(F.col("a.bin_y") - F.col("b.bin_y"))
+            )
+            == 1,
+        )
+        .select(F.col("a.cid").alias("u"), F.col("b.cid").alias("v"))
+        .localCheckpoint()
+    )
+    labels = cells.select("cid", F.col("cid").alias("cluster"))
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels.withColumnRenamed("cid", "v"), "v")
+            .groupBy(F.col("u").alias("cid"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(prop, "cid", "left")
+            .select(
+                "cid",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", "cluster")
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster", "new_cluster")
+            .join(labels, "cid")
+            .filter(F.col("new_cluster") != F.col("cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return cells.join(labels, "cid").select("bin_x", "bin_y", "cnt", "cluster")
 
 
 def log_bucketize(col, n_buckets: int = 10, base: float = 10.0):

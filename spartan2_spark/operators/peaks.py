@@ -1,0 +1,112 @@
+"""Per-series peak detection + fixed-window segmentation (RPeak) and
+moving-average reconstruction scoring (BeatGAN's task shape).
+
+Reference semantics being re-expressed (NOT ported):
+
+- RPeak (/root/reference/spartan/model/rpeak/RPeak.py:24-36) finds
+  R-peaks in an ECG series with ``biosppy.signals.ecg`` (Hamilton
+  detector) and cuts a fixed window of samples around each detected
+  peak. biosppy is not in this container and the detector is an
+  external black box; the *engine semantics* — "detect prominent local
+  maxima per series, emit a fixed segment around each" — are expressed
+  with window functions: a peak is a strict local maximum whose value
+  clears an adaptive per-series threshold (mean + k*stddev, the same
+  shape as the reference's adaptive thresholding stage). 100%
+  JVM-side; no per-row Python.
+
+- BeatGAN (/root/reference/spartan/model/beatgan/, 906 LoC torch GAN)
+  trains an autoencoder-GAN and scores each window by reconstruction
+  error |x - G(x)|. torch is not in this container; the *pipeline
+  semantics* — "per series, reconstruct each point from its context and
+  rank by reconstruction error" — are expressed with a centered
+  moving-average reconstructor (the deterministic stand-in) so the
+  whole scoring path is window aggregates in whole-stage codegen. The
+  torch-backed generator can be slotted in behind ``reconstructor=``
+  as a grouped pandas UDF when available (see models/beatgan_stub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+__all__ = ["detect_peaks", "peak_segments", "reconstruction_scores"]
+
+
+def detect_peaks(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    val: str = "value",
+    k_sigma: float = 1.0,
+) -> DataFrame:
+    """Strict local maxima above the per-series adaptive threshold.
+
+    A row is a peak iff value > both neighbours (ties broken toward the
+    earlier sample, so plateaus yield exactly one peak) and
+    value >= mean + k_sigma * stddev_pop of its own series.
+    Returns (key, ts, value, thr).
+    """
+    w = W.partitionBy(key).orderBy(ts)
+    wall = W.partitionBy(key)
+    v, prev, nxt = F.col(val), F.lag(val).over(w), F.lead(val).over(w)
+    return (
+        df.withColumn("_prev", prev)
+        .withColumn("_next", nxt)
+        .withColumn(
+            "thr",
+            F.avg(val).over(wall) + F.lit(k_sigma) * F.stddev_pop(val).over(wall),
+        )
+        .filter(
+            (F.col("_prev").isNotNull())
+            & (F.col("_next").isNotNull())
+            & (v > F.col("_prev"))
+            & (v >= F.col("_next"))
+            & (v >= F.col("thr"))
+        )
+        .select(key, ts, val, "thr")
+    )
+
+
+def peak_segments(
+    peaks: DataFrame,
+    ts: str = "ts",
+    before_s: int = 60,
+    after_s: int = 60,
+) -> DataFrame:
+    """RPeak's fixed window around each peak (RPeak.py:30-33 cuts
+    ``[r - before, r + after]`` samples): emit segment bounds as
+    timestamps; the caller range-joins raw points back in if the
+    segment contents are needed."""
+    t = F.col(ts).cast("timestamp")
+    return peaks.withColumn(
+        "seg_start", t - F.make_interval(secs=F.lit(before_s))
+    ).withColumn("seg_end", t + F.make_interval(secs=F.lit(after_s)))
+
+
+def reconstruction_scores(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    val: str = "value",
+    half_window: int = 2,
+    reconstructor: Column | None = None,
+) -> DataFrame:
+    """Per-point reconstruction error vs a centered moving average of
+    ±half_window neighbours (the deterministic stand-in for BeatGAN's
+    generator). Returns (key, ts, value, recon, err).
+
+    ``reconstructor`` may override the reconstruction column (e.g. a
+    pandas-UDF-computed generator output joined in upstream)."""
+    w = (
+        W.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(-half_window, half_window)
+    )
+    recon = reconstructor if reconstructor is not None else F.avg(val).over(w)
+    return (
+        df.withColumn("recon", recon)
+        .withColumn("err", F.abs(F.col(val) - F.col("recon")))
+        .select(key, ts, val, "recon", "err")
+    )

@@ -40,7 +40,13 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["power_iteration", "eigen_spokes_nodes", "summarize_graph_lsh"]
+__all__ = [
+    "power_iteration",
+    "eigen_spokes_nodes",
+    "summarize_graph_lsh",
+    "specgreedy_subgraph",
+    "kgrass_summarize",
+]
 
 
 def power_iteration(
@@ -145,3 +151,139 @@ def summarize_graph_lsh(
         )
     )
     return {"assign": sig, "superedges": superedges, "mdl_gain_bits": gain}
+
+
+def specgreedy_subgraph(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 8,
+    refine_rounds: int = 4,
+) -> dict:
+    """SpecGreedy-style densest-subgraph detection
+    (/root/reference/spartan/model/specgreedy/SpecGreedy.py:19-257):
+    seed the candidate block from the leading singular vectors
+    (entries >= 1/sqrt(n), the spectral seeding step), then greedily
+    refine toward higher average degree. The reference peels nodes one
+    at a time with a MinTree; the distributed analogue drops, each
+    round, EVERY node whose in-block degree is below the block's
+    current average degree — the parallel (Charikar-style) peel that
+    converges to the same 2-approximation of the densest block.
+
+    Returns {'src_nodes': DataFrame(node), 'dst_nodes': DataFrame(node),
+    'density': float, 'rounds': int}.
+    """
+    tri = power_iteration(edges, src, dst, n_iter=n_iter)
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    su = eigen_spokes_nodes(tri["u"], tri["u"].count()).select(
+        F.col("node").alias("s")
+    ).localCheckpoint()
+    sv = eigen_spokes_nodes(tri["v"], tri["v"].count()).select(
+        F.col("node").alias("d")
+    ).localCheckpoint()
+
+    density = 0.0
+    rounds = 0
+    for rounds in range(1, refine_rounds + 1):
+        blk = (
+            e.join(F.broadcast(su), "s", "left_semi")
+            .join(F.broadcast(sv), "d", "left_semi")
+            .localCheckpoint()
+        )
+        stats = blk.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.countDistinct("s").alias("ns"),
+            F.countDistinct("d").alias("nd"),
+        ).collect()[0]
+        if not stats.m:
+            break
+        density = 2.0 * stats.m / float(stats.ns + stats.nd)
+        half = density / 2.0
+        keep_s = (
+            blk.groupBy("s").count().filter(F.col("count") >= half).select("s")
+        ).localCheckpoint()
+        keep_d = (
+            blk.groupBy("d").count().filter(F.col("count") >= half).select("d")
+        ).localCheckpoint()
+        if keep_s.count() == su.count() and keep_d.count() == sv.count():
+            break
+        su, sv = keep_s, keep_d
+    return {
+        "src_nodes": su.select(F.col("s").alias("node")),
+        "dst_nodes": sv.select(F.col("d").alias("node")),
+        "density": float(density),
+        "rounds": rounds,
+    }
+
+
+def kgrass_summarize(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 8,
+) -> dict:
+    """kGrass-style summarization to at most ``k`` supernodes
+    (/root/reference/spartan/model/kGS/kGrass.py:14-216): the reference
+    greedily merges the node pair with minimal error increase until k
+    groups remain. Sequential pairwise merging doesn't distribute; the
+    scalable analogue groups nodes by neighbourhood similarity in ONE
+    pass — each node's MinHash-of-neighbours signature is bucketed into
+    k supernodes — then reports the same reconstruction-error metric
+    the reference minimizes (sum over superedges of
+    ``c*(1 - c/(|A|*|B|))``, the expected per-cell error of a uniform
+    superedge density).
+
+    Returns {'assign', 'superedges', 'error'} — assign: (node,
+    supernode in [0,k)); superedges: (sn_src, sn_dst, multiplicity,
+    size_src, size_dst, err_term); error: float.
+    """
+    sig = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.min(F.xxhash64(dst, F.lit(0))).alias("h0"))
+        .withColumn("supernode", F.pmod(F.xxhash64("h0", F.lit(1)), F.lit(k)))
+        .select("node", "supernode")
+    )
+    sizes = sig.groupBy("supernode").agg(F.count(F.lit(1)).alias("size"))
+    e = (
+        edges.join(
+            sig.withColumnRenamed("node", src).withColumnRenamed(
+                "supernode", "sn_src"
+            ),
+            src,
+        )
+        .join(
+            sig.withColumnRenamed("node", dst).withColumnRenamed(
+                "supernode", "sn_dst"
+            ),
+            dst,
+            "left",
+        )
+        .fillna(-1, subset=["sn_dst"])
+    )
+    superedges = (
+        e.groupBy("sn_src", "sn_dst")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+        .join(
+            F.broadcast(sizes.withColumnRenamed("supernode", "sn_src")
+                        .withColumnRenamed("size", "size_src")),
+            "sn_src",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("supernode", "sn_dst")
+                        .withColumnRenamed("size", "size_dst")),
+            "sn_dst",
+            "left",
+        )
+        .fillna(1, subset=["size_dst"])
+        .withColumn(
+            "err_term",
+            F.col("multiplicity")
+            * (
+                1.0
+                - F.col("multiplicity")
+                / (F.col("size_src") * F.col("size_dst"))
+            ),
+        )
+    )
+    err = superedges.agg(F.sum("err_term")).collect()[0][0]
+    return {"assign": sig, "superedges": superedges, "error": float(err or 0.0)}

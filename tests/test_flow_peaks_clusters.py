@@ -1,0 +1,115 @@
+"""Unit tests for flow balance (CubeFlow/FlowScope), peak detection
+(RPeak), reconstruction scoring (BeatGAN shape), histogram-cell
+clustering (EagleMine), SpecGreedy, and kGrass operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.operators.flow import flow_balance, flow_suspicious_mids
+from spartan2_spark.operators.histogram import cluster_histogram_cells
+from spartan2_spark.operators.peaks import (
+    detect_peaks,
+    peak_segments,
+    reconstruction_scores,
+)
+from spartan2_spark.operators.spectral import kgrass_summarize, specgreedy_subgraph
+
+
+def _ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def test_flow_balance_score(spark):
+    am = spark.createDataFrame(
+        [("m1", 0, 100.0), ("m1", 0, 50.0), ("m2", 0, 10.0)],
+        "mid string, bucket int, value double",
+    )
+    mc = spark.createDataFrame(
+        [("m1", 0, 140.0), ("m3", 0, 5.0)],
+        "mid string, bucket int, value double",
+    )
+    rows = {r.mid: r for r in flow_balance(am, mc, alpha=0.75).collect()}
+    # m1: in=150 out=140 -> min 140 - 0.75*10 = 132.5
+    assert rows["m1"].balance_score == 132.5
+    # m2: in=10 out=0 -> 0 - 7.5 = -7.5 (pure in-flow is NOT suspicious)
+    assert rows["m2"].balance_score == -7.5
+    assert rows["m3"].balance_score == -3.75
+    top = flow_suspicious_mids(flow_balance(am, mc, alpha=0.75), k=1).collect()
+    assert top[0].mid == "m1"
+
+
+def test_detect_peaks_local_maxima(spark):
+    # series: 1 5 1 1 9 1 — peaks at 5 and 9; mean = 3 so both clear thr
+    vals = [1.0, 5.0, 1.0, 1.0, 9.0, 1.0]
+    df = spark.createDataFrame(
+        [("a", _ts(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, value double",
+    )
+    pk = detect_peaks(df, k_sigma=0.0).collect()
+    assert sorted(r.value for r in pk) == [5.0, 9.0]
+    seg = peak_segments(detect_peaks(df, k_sigma=0.0), before_s=60, after_s=60)
+    r = seg.orderBy("ts").first()
+    assert (r.seg_end - r.seg_start).total_seconds() == 120
+
+
+def test_detect_peaks_plateau_single(spark):
+    # plateau 7 7: value > prev and value >= next picks the FIRST sample
+    vals = [1.0, 7.0, 7.0, 1.0]
+    df = spark.createDataFrame(
+        [("a", _ts(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, value double",
+    )
+    pk = detect_peaks(df, k_sigma=0.0).collect()
+    assert len(pk) == 1 and pk[0].ts == _ts(1)
+
+
+def test_reconstruction_scores_flags_spike(spark):
+    vals = [10.0] * 5 + [100.0] + [10.0] * 5
+    df = spark.createDataFrame(
+        [("a", _ts(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, value double",
+    )
+    sc = reconstruction_scores(df, half_window=2)
+    top = sc.orderBy(F.desc("err")).first()
+    assert top.value == 100.0  # the spike has the largest error
+    flat = sc.filter(F.col("ts") == _ts(9)).first()
+    assert flat.err == 0.0  # far from the spike: perfect reconstruction
+
+
+def test_cluster_histogram_cells_components(spark):
+    # two L-shaped components separated by a gap
+    cells = [(0, 0, 5), (0, 1, 3), (1, 0, 2), (5, 5, 7), (5, 6, 1)]
+    hist = spark.createDataFrame(cells, "bin_x long, bin_y long, cnt long")
+    out = cluster_histogram_cells(hist).collect()
+    comp = {(r.bin_x, r.bin_y): r.cluster for r in out}
+    assert comp[(0, 0)] == comp[(0, 1)] == comp[(1, 0)] == 0
+    assert comp[(5, 5)] == comp[(5, 6)] == 5 * 100000 + 5
+    assert len({r.cluster for r in out}) == 2
+
+
+def test_specgreedy_finds_planted_block(spark):
+    # dense 4x4 bipartite block + sparse noise
+    block = [(f"u{i}", f"v{j}") for i in range(4) for j in range(4)]
+    noise = [(f"u{i}", f"v{i}") for i in range(10, 30)]
+    edges = spark.createDataFrame(block + noise, "src string, dst string")
+    res = specgreedy_subgraph(edges, n_iter=6, refine_rounds=3)
+    srcs = {r.node for r in res["src_nodes"].collect()}
+    assert {"u0", "u1", "u2", "u3"} <= srcs
+    assert res["density"] >= 2.0  # planted block density = 2*16/8 = 4
+
+
+def test_kgrass_error_and_sizes(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 20}") for i in range(20)],
+        "src string, dst string",
+    )
+    res = kgrass_summarize(edges, k=4)
+    assign = res["assign"].collect()
+    assert {r.supernode for r in assign} <= set(range(4))
+    assert res["error"] >= 0.0
+    # multiplicities conserve the edge count
+    tot = res["superedges"].agg(F.sum("multiplicity")).collect()[0][0]
+    assert tot == 20
