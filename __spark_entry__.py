@@ -807,6 +807,16 @@ def _q_ann_topk(spark, sf_dir):
     return ann_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_planes=4)
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate nearest neighbours: deterministic
+    centroid seed + distributed Lloyd refinement + nprobe cell probing —
+    hash-seeded, rows-only check."""
+    from spartan2_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nlist=8, nprobe=2)
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     """Bottom-k rolling-hash document fingerprints — rows-only check."""
     from spartan2_spark.operators.text import fingerprint_bottom_k
@@ -1717,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eaglemine_clusters": _q_eaglemine_clusters,
         "specgreedy_block": _q_specgreedy,
         "kgrass_summary": _q_kgrass,
+        "ivf_topk": _q_ivf_topk,
     }
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["cosine_topk", "ann_topk"]
+__all__ = ["cosine_topk", "ann_topk", "ivf_topk"]
 
 
 def _vec(col, quantize: bool):
@@ -60,6 +60,106 @@ def cosine_topk(
     ).withColumn("qn", _norm(F.col("qv")))
     scored = (
         c.crossJoin(F.broadcast(q))
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", _dot("cv", "qv") / (F.col("cn") * F.col("qn")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+def _assign_nearest(vecs: DataFrame, cents: DataFrame, vcol: str, out: str) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine numerator;
+    centroids are normalized so dot == cosine ranking). Broadcast the
+    centroid table, argmin via one groupBy(min(struct))."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "__d", -_dot(vcol, "centroid")
+    )
+    keys = [c for c in vecs.columns]
+    return (
+        scored.groupBy(*keys)
+        .agg(F.min(F.struct(F.col("__d"), F.col("centroid_id"))).alias("__m"))
+        .withColumn(out, F.col("__m.centroid_id"))
+        .drop("__m")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    nprobe: int = 2,
+    lloyd_rounds: int = 2,
+    quantize: bool = True,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``nlist``
+    Voronoi cells around centroids, probe the ``nprobe`` nearest cells
+    per query, exact cosine rerank inside.
+
+    Centroid seeding is deterministic — the ``nlist`` corpus vectors
+    with smallest ``xxhash64(id)`` — then ``lloyd_rounds`` distributed
+    Lloyd iterations refine them (assign = broadcast-join argmin;
+    update = posexplode + per-(cell, pos) mean — all JVM column ops,
+    no Python kernels).
+
+    At 100 TB the assignment is computed once and persisted as a layout
+    (repartition by cell); per-query work touches nprobe cells only.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _vec(vec_col, quantize).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+
+    cents = (
+        c.withColumn("__h", F.xxhash64(F.col("corpus_id")))
+        .orderBy("__h")
+        .limit(nlist)
+        .select(
+            F.row_number()
+            .over(W.orderBy("__h"))
+            .alias("centroid_id"),
+            F.col("cv").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(lloyd_rounds):
+        assigned = _assign_nearest(c, cents, "cv", "cell")
+        cents = (
+            assigned.select("cell", F.posexplode("cv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy(F.col("cell").alias("centroid_id"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+
+    cells = _assign_nearest(c, cents, "cv", "cell")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _vec(vec_col, quantize).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "qd", -_dot("qv", "centroid")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.asc("qd"), F.asc("centroid_id"))
+    qprobe = (
+        qscored.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "qn", F.col("centroid_id").alias("cell"))
+    )
+
+    scored = (
+        cells.join(F.broadcast(qprobe), "cell")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cosine", _dot("cv", "qv") / (F.col("cn") * F.col("qn")))
     )

@@ -103,6 +103,32 @@ def test_ann_topk_recall(spark):
     assert np.mean(recalls) >= 0.9
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    # same clustered workload as the LSH test: IVF probes the nprobe
+    # nearest Voronoi cells, so with well-separated clusters recall
+    # should be near-perfect; and the centroid seed is hash-based, so
+    # two runs must agree exactly.
+    rng = np.random.default_rng(12)
+    centers = rng.standard_normal((10, 64))
+    pts = centers[np.arange(400) % 10] + 0.15 * rng.standard_normal((400, 64))
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(400), "embedding": [list(map(float, v)) for v in pts]}
+    )
+    embs_c = spark.createDataFrame(pdf)
+    queries = embs_c.filter(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(embs_c, queries, k=5).toPandas()
+    ivf1 = SIM.ivf_topk(embs_c, queries, k=5, nlist=10, nprobe=3).toPandas()
+    ivf2 = SIM.ivf_topk(embs_c, queries, k=5, nlist=10, nprobe=3).toPandas()
+    e = exact.groupby("query_id")["corpus_id"].apply(set)
+    a = ivf1.groupby("query_id")["corpus_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / 5 for q in e.index]
+    assert np.mean(recalls) >= 0.9
+    pd.testing.assert_frame_equal(
+        ivf1.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
 def test_embedding_lsh_pairs_selfdup(spark, embs):
     # append an exact copy of 3 vectors: cosine 1.0 pairs must surface
     dup = embs.filter(F.col("vec_id") < 3).withColumn(

@@ -1,0 +1,105 @@
+"""Physical-plan hygiene gates (SURVEY.md §7 audit):
+
+- predicates reach the parquet scan (PushedFilters)
+- column pruning reaches the scan (ReadSchema excludes unused columns)
+- small dimension joins broadcast
+- NO row-at-a-time Python anywhere (BatchEvalPython is banned; the
+  vectorized Arrow forms ArrowEvalPython / FlatMapGroupsInPandas /
+  MapInPandas are the only Python allowed on any path)
+- the tier hop is a single partial+final hash aggregation in
+  whole-stage codegen
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# Representative non-iterative queries across operator families.
+AUDIT_QUERIES = [
+    "rollup_1m",
+    "rollup_1h_tierup",
+    "gapfill_interp",
+    "iat_stats",
+    "tpch_q1_pricing",
+    "revenue_join",
+    "dedup_exact",
+    "token_count",
+    "normalize_minmax",
+    "sessionize",
+    "cut_range",
+    "cosine_topk",
+    "minhash_dedup_pairs",
+    "quality_score",
+    "lang_id",
+    "flow_balance",
+    "rpeak_segments",
+    "beatgan_recon",
+    "canonical_text",
+    "multimodal_features",
+    "beatlex_summarize",
+    "resample_fourier",
+]
+
+
+@pytest.mark.parametrize("name", AUDIT_QUERIES)
+def test_no_per_row_python(spark, sf_dir, name):
+    df = E.queries()[name](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, f"{name} has row-at-a-time Python"
+
+
+def test_cut_range_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(E.queries()["cut_range"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the time-range predicate itself must be in the pushed set
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("ts" in l and ("GreaterThan" in l or "LessThan" in l) for l in pushed)
+
+
+def test_rollup_scan_prunes_columns(spark):
+    """raw_points projects url/ts/value => the pages scan must not read
+    html or lang (ReadSchema pruning)."""
+    from spartan2_spark.datagen import ensure_pages
+    from spartan2_spark.operators import rollup as R
+
+    pages = ensure_pages(spark, "/root/repo/.cache", 20_000)
+    plan = plan_of(R.rollup_from_points(R.raw_points(pages), "1m"))
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines, "no scan ReadSchema found"
+    assert all("html" not in l and "lang" not in l for l in schema_lines)
+
+
+def test_rollup_is_single_partial_final_hashagg(spark):
+    from spartan2_spark.datagen import ensure_pages
+    from spartan2_spark.operators import rollup as R
+
+    pages = ensure_pages(spark, "/root/repo/.cache", 20_000)
+    plan = plan_of(R.rollup_from_points(R.raw_points(pages), "1m"), "simple")
+    assert plan.count("HashAggregate") == 2  # partial + final, nothing else
+    assert "Exchange" in plan and plan.count("Exchange") == 1
+    codegen = plan_of(R.rollup_from_points(R.raw_points(pages), "1m"), "codegen")
+    assert "WholeStageCodegen" in codegen
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(E.queries()["revenue_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(E.queries()["semi_join_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
