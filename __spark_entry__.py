@@ -1657,6 +1657,31 @@ def _q_kgrass(spark, sf_dir):
     )
 
 
+def _q_gorilla_roundtrip(spark, sf_dir):
+    """North-rule storage codec, proven end-to-end: 1m tier -> Gorilla
+    blocks (delta-of-delta ts + XOR doubles, per-url Arrow kernel) ->
+    decode -> points. The codec is lossless for float64, so the decoded
+    points must equal the plain SQL rollup bit-for-bit — the oracle
+    checks the whole encode/decode path, not just the rollup."""
+    from spartan2_spark.operators.gorilla import decode_blocks, encode_tier_blocks
+
+    pts = _event_points(spark, sf_dir)
+    t1m = R.rollup_from_points(pts, "1m", bin_mode="int")
+    view = R.tier_view(t1m, bin_mode="int")
+    blocks = encode_tier_blocks(view, "1m", value_col="vmean")
+    return decode_blocks(blocks, value_col="value").select(
+        "url", F.col("ts").alias("ts_s"), "value"
+    )
+
+
+_GORILLA_SQL = """
+    SELECT event_type AS url,
+           CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ts_s,
+           sum(round(value * 100)) / count(*) AS value
+    FROM events GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _q_rollup_1m,
@@ -1728,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "specgreedy_block": _q_specgreedy,
         "kgrass_summary": _q_kgrass,
         "ivf_topk": _q_ivf_topk,
+        "gorilla_roundtrip": _q_gorilla_roundtrip,
     }
 
 
@@ -1785,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "rpeak_segments": _RPEAK_SQL,
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,
+        "gorilla_roundtrip": _GORILLA_SQL,
         # specgreedy_block / kgrass_summary: iterative spectral seed /
         # xxhash64 bucketing -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
