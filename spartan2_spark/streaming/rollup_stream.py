@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stream_rollup", "stream_running_extremes", "run_stream_to_memory"]
+__all__ = [
+    "stream_rollup",
+    "stream_running_extremes",
+    "stream_zero_out",
+    "run_stream_to_memory",
+]
 
 
 def stream_rollup(
@@ -105,6 +110,80 @@ def stream_running_extremes(stream: DataFrame, key_col: str = "key") -> DataFram
         _extremes_fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ZO_STATE = T.StructType(
+    [
+        T.StructField("bal", T.DoubleType()),
+        T.StructField("run_min", T.DoubleType()),
+        T.StructField("open", T.BooleanType()),
+        T.StructField("n_cycles", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_ZO_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_zero_outs", T.LongType()),
+        T.StructField("balance", T.DoubleType()),
+    ]
+)
+
+
+def _make_zero_out_fn(delta_up: float, epsilon: float):
+    def fn(key, pdfs, state: GroupState):
+        bal, run_min, open_, n_cycles, n_events = (
+            state.get if state.exists else (0.0, 0.0, False, 0, 0)
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for amt in pdf["amount"].to_numpy():
+                bal += float(amt)
+                run_min = min(run_min, bal)
+                n_events += 1
+                if bal - run_min >= delta_up and not open_:
+                    open_ = True
+                elif bal - run_min <= epsilon and open_:
+                    open_ = False
+                    n_cycles += 1
+        state.update((bal, run_min, open_, n_cycles, n_events))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_events": [n_events],
+                "n_zero_outs": [n_cycles],
+                "balance": [bal],
+            }
+        )
+
+    return fn
+
+
+def stream_zero_out(
+    stream: DataFrame,
+    key_col: str = "key",
+    delta_up: float = 100.0,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """MonLAD's per-account pump-and-drain state machine as a streaming
+    stateful operator (the per-event core of
+    /root/reference/spartan/model/MonLAD/ZeroOutCore.py:19-62 — balance
+    remainder + up/down flips vs deltaUp/epsilon — carried across
+    micro-batches via applyInPandasWithState). Matches the batch replay
+    ``operators.windows.zero_out_replay`` on the same input.
+
+    The per-event loop is per GROUP inside an Arrow batch (the state
+    transition is inherently sequential per account — same as the
+    reference); accounts are processed in parallel across partitions.
+    """
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _make_zero_out_fn(delta_up, epsilon),
+        outputStructType=_ZO_OUT,
+        stateStructType=_ZO_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -83,6 +83,48 @@ def test_stream_running_extremes(spark, stream_dir):
     assert out.loc["b", "run_sum"] == 14.0
 
 
+def test_stream_zero_out_matches_batch_replay(spark, tmp_path):
+    from spartan2_spark.operators.windows import zero_out_replay
+    from spartan2_spark.streaming.rollup_stream import stream_zero_out
+
+    # pump 3x50 (crosses delta_up=100), then drain back to the trough
+    amounts = [50.0, 50.0, 50.0, -149.5, 30.0, -29.8, 200.0, -200.0]
+    pdf = pd.DataFrame(
+        {
+            "key": ["acc1"] * 8,
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:00:{i:02d}" for i in range(8)]
+            ),
+            "amount": amounts,
+        }
+    )
+    d = str(tmp_path / "zo_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+
+    batch = zero_out_replay(
+        spark.read.parquet(d), "key", "ts", "amount", delta_up=100.0, epsilon=1.0
+    ).toPandas().set_index("key")
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, d, schema, fmt="parquet")
+    run_stream_to_memory(stream_zero_out(stream, "key"), "zo_out", "update")
+    got = spark.sql(
+        """select * from (
+             select *, row_number() over (partition by key order by n_events desc) rn
+             from zo_out) where rn = 1"""
+    ).toPandas().set_index("key")
+
+    assert got.loc["acc1", "n_zero_outs"] == batch.loc["acc1", "n_zero_outs"] == 2
+    assert got.loc["acc1", "n_events"] == 8
+    assert abs(got.loc["acc1", "balance"] - 0.7) < 1e-9
+
+
 def test_load_tensor_csv_and_positional_schema(spark, tmp_path):
     p = os.path.join(str(tmp_path), "example.tensor")
     with open(p, "w") as f:
