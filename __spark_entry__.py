@@ -1657,6 +1657,45 @@ def _q_kgrass(spark, sf_dir):
     )
 
 
+def _q_score_level_users(spark, sf_dir):
+    """HoloScope's score_level_objects (holoscopeFraudDect.py:16-38):
+    keep objects whose score is at/above the p-quantile of all scores.
+    Quantile is exact nearest-rank (row_number == ceil(p*n) on the
+    sorted scores, ties broken by user id) so DuckDB's quantile_disc
+    matches bit-for-bit."""
+    counts = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score")
+    )
+    n = counts.count()
+    import math
+
+    target = math.ceil(0.9 * n)
+    thr = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.asc("score"), F.asc("user_id"))),
+        )
+        .filter(F.col("rn") == target)
+        .select(F.col("score").alias("thr"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("score") >= F.col("thr"))
+        .select("user_id", "score")
+    )
+
+
+_SCORE_LEVEL_SQL = """
+    WITH c AS (SELECT user_id, count(*) AS score FROM events GROUP BY 1),
+    t AS (SELECT score AS thr FROM
+            (SELECT score, row_number() OVER (ORDER BY score ASC, user_id ASC) AS rn,
+                    count(*) OVER () AS n
+             FROM c)
+          WHERE rn = CAST(ceil(0.9 * n) AS BIGINT))
+    SELECT user_id, score FROM c, t WHERE score >= thr
+"""
+
+
 def _q_gorilla_roundtrip(spark, sf_dir):
     """North-rule storage codec, proven end-to-end: 1m tier -> Gorilla
     blocks (delta-of-delta ts + XOR doubles, per-url Arrow kernel) ->
@@ -1754,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kgrass_summary": _q_kgrass,
         "ivf_topk": _q_ivf_topk,
         "gorilla_roundtrip": _q_gorilla_roundtrip,
+        "score_level_users": _q_score_level_users,
     }
 
 
@@ -1812,6 +1852,7 @@ def oracle_sql() -> dict[str, str]:
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
+        "score_level_users": _SCORE_LEVEL_SQL,
         # specgreedy_block / kgrass_summary: iterative spectral seed /
         # xxhash64 bucketing -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
