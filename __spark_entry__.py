@@ -1670,12 +1670,26 @@ def _q_score_level_users(spark, sf_dir):
     import math
 
     target = math.ceil(0.9 * n)
-    thr = (
-        counts.withColumn(
-            "rn",
-            F.row_number().over(W.orderBy(F.asc("score"), F.asc("user_id"))),
+    # nearest-rank threshold WITHOUT sorting all objects into one
+    # window: collapse to the (tiny) distinct-score histogram first,
+    # cumulative-sum it, take the smallest score whose cumulative
+    # count reaches the target rank — the target row's SCORE is
+    # uniquely determined by rank regardless of tie order, so this
+    # equals the row_number formulation the oracle uses.
+    cum = (
+        counts.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+            ),
         )
-        .filter(F.col("rn") == target)
+    )
+    thr = (
+        cum.filter(F.col("cum") >= target)
+        .orderBy("score")
+        .limit(1)
         .select(F.col("score").alias("thr"))
     )
     return (

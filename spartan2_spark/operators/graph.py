@@ -131,10 +131,12 @@ def encode_ids(
     relational analogue of the reference's StringMapper (insertion order
     replaced by sort order, which is the deterministic choice in a
     distributed setting). Returns (encoded edges, dimension table)."""
-    dim = (
-        edges.select(F.col(col).alias("node_key"))
-        .distinct()
-        .withColumn("node_id", F.row_number().over(W.orderBy("node_key")) - 1)
+    from spartan2_spark.operators.partitioning import global_dense_ids
+
+    dim = global_dense_ids(
+        edges.select(F.col(col).alias("node_key")).distinct(),
+        "node_key",
+        "node_id",
     )
     enc = (
         edges.join(F.broadcast(dim), edges[col] == dim.node_key)

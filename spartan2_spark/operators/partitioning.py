@@ -23,6 +23,7 @@ __all__ = [
     "domain_salt_map",
     "salted_repartition",
     "range_partition_by_ts",
+    "global_dense_ids",
 ]
 
 
@@ -77,6 +78,58 @@ def salted_repartition(
     parts = [F.col("domain"), F.col("salt")]
     out = d.repartition(num_partitions, *parts) if num_partitions else d.repartition(*parts)
     return out.drop("n_salts")
+
+
+def global_dense_ids(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based dense ids in global ``key_col`` sort order WITHOUT a
+    single-partition window (``row_number().over(Window.orderBy(k))``
+    moves every row to one task — fine at 10^4 keys, fatal at 10^9).
+
+    Three distributed steps: range-repartition on the key (preserves
+    global order across partitions), per-partition local ``row_number``
+    (window partitioned by ``spark_partition_id``), then add broadcast
+    per-partition offsets (a cumulative sum over the tiny
+    partition-count relation). The output ids depend only on the global
+    key order — identical at any parallelism or range boundaries.
+
+    ``df`` must be unique on ``key_col`` (callers pass a ``distinct()``
+    dimension).
+    """
+    from pyspark.sql import Window as W
+
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(key_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(key_col))
+    ).withColumn("__pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "__local",
+        F.row_number().over(W.partitionBy("__pid").orderBy(key_col)),
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__offset") + F.col("__local") - 1).cast("long"))
+        .drop("__pid", "__local", "__offset")
+    )
 
 
 def range_partition_by_ts(

@@ -1,0 +1,60 @@
+"""Tests for the explicit-partitioning layer: domain extraction, salt
+planning for head-domain skew, range layout, and the distributed dense
+id assigner."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.datagen import synth_pages
+from spartan2_spark.operators.partitioning import (
+    domain_salt_map,
+    global_dense_ids,
+    salted_repartition,
+    with_domain,
+)
+
+
+def test_with_domain_extracts_host(spark):
+    df = spark.createDataFrame(
+        [("https://a.example.com/x/y",), ("https://b.org/p",)], "url string"
+    )
+    got = {r.domain for r in with_domain(df).collect()}
+    assert got == {"a.example.com", "b.org"}
+
+
+def test_salt_map_targets_hot_domains_only(spark):
+    pages = with_domain(synth_pages(spark, 20_000, n_urls=200, days=2))
+    m = domain_salt_map(pages, target_rows_per_salt=2_000).toPandas()
+    # Zipf head: at least one hot domain needs >1 salt; cold ones absent
+    assert len(m) >= 1
+    assert (m["n_salts"] > 1).all()
+    freqs = pages.groupBy("domain").count().toPandas().set_index("domain")
+    assert all(freqs.loc[d, "count"] > 2_000 for d in m["domain"])
+
+
+def test_salted_repartition_deterministic_and_bounded(spark):
+    pages = synth_pages(spark, 20_000, n_urls=200, days=2)
+    a = salted_repartition(pages, 16, target_rows_per_salt=2_000)
+    b = salted_repartition(pages, 16, target_rows_per_salt=2_000)
+    # same rows land with the same (domain, salt) on every run
+    ka = a.select("url", "warc_ts", "salt").toPandas().sort_values(["url", "warc_ts"])
+    kb = b.select("url", "warc_ts", "salt").toPandas().sort_values(["url", "warc_ts"])
+    assert (ka["salt"].to_numpy() == kb["salt"].to_numpy()).all()
+    # the hottest (domain, salt) cell is smaller than the hottest domain
+    dom = a.groupBy("domain").count().agg(F.max("count")).collect()[0][0]
+    cell = a.groupBy("domain", "salt").count().agg(F.max("count")).collect()[0][0]
+    assert cell < dom
+
+
+def test_global_dense_ids_order_and_parallelism_invariance(spark):
+    keys = spark.createDataFrame(
+        [(f"k{i:04d}",) for i in range(997)], "node_key string"
+    )
+    a = global_dense_ids(keys, "node_key", "node_id", num_partitions=7).toPandas()
+    b = global_dense_ids(keys, "node_key", "node_id", num_partitions=2).toPandas()
+    a = a.sort_values("node_key").reset_index(drop=True)
+    b = b.sort_values("node_key").reset_index(drop=True)
+    # dense 0..n-1 in key sort order, independent of partition count
+    assert list(a["node_id"]) == list(range(997))
+    assert (a["node_id"].to_numpy() == b["node_id"].to_numpy()).all()
