@@ -99,12 +99,19 @@ def reciprocal_rank_fusion(
     df: DataFrame, key_col: str, score_cols: list[str], k: int = 60
 ) -> DataFrame:
     """RRF: sum over score columns of 1/(k + rank_desc(score));
-    deterministic tie-break by key."""
+    deterministic tie-break by key (the order is total, so rank ==
+    row_number and the distributed range-partitioned numbering in
+    ``partitioning.global_row_numbers`` computes it without a
+    single-partition window — object cardinality is unbounded at the
+    100TB scale)."""
+    from spartan2_spark.operators.partitioning import global_row_numbers
+
     out = df
     terms = []
     for c in score_cols:
-        w = W.orderBy(F.desc(c), F.asc(key_col))
-        out = out.withColumn(f"__r_{c}", F.rank().over(w))
+        out = global_row_numbers(
+            out, [F.desc(c), F.asc(key_col)], id_col=f"__r_{c}"
+        )
         terms.append(1.0 / (F.lit(k) + F.col(f"__r_{c}")))
     fused = terms[0]
     for t in terms[1:]:

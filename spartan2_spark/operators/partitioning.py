@@ -24,6 +24,7 @@ __all__ = [
     "salted_repartition",
     "range_partition_by_ts",
     "global_dense_ids",
+    "global_row_numbers",
 ]
 
 
@@ -100,16 +101,33 @@ def global_dense_ids(
     ``df`` must be unique on ``key_col`` (callers pass a ``distinct()``
     dimension).
     """
+    return global_row_numbers(df, [F.col(key_col)], id_col, num_partitions, base=0)
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str = "rn",
+    num_partitions: int | None = None,
+    base: int = 1,
+) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)`` (callers
+    pass a total order, e.g. a unique-key tie-break): range-repartition
+    on the order columns (preserves global order across partitions),
+    number locally per partition, add broadcast cumulative offsets.
+    ``base`` 1 = SQL row_number, 0 = dense 0-based ids. The ids depend
+    only on the global order, not on range boundary placement.
+    """
     from pyspark.sql import Window as W
 
     ranged = (
-        df.repartitionByRange(num_partitions, F.col(key_col))
+        df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
-        else df.repartitionByRange(F.col(key_col))
+        else df.repartitionByRange(*order_cols)
     ).withColumn("__pid", F.spark_partition_id())
     local = ranged.withColumn(
         "__local",
-        F.row_number().over(W.partitionBy("__pid").orderBy(key_col)),
+        F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols)),
     )
     offsets = (
         ranged.groupBy("__pid")
@@ -127,7 +145,10 @@ def global_dense_ids(
     )
     return (
         local.join(F.broadcast(offsets), "__pid")
-        .withColumn(id_col, (F.col("__offset") + F.col("__local") - 1).cast("long"))
+        .withColumn(
+            id_col,
+            (F.col("__offset") + F.col("__local") - 1 + F.lit(base)).cast("long"),
+        )
         .drop("__pid", "__local", "__offset")
     )
 
