@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "normalize_minmax",
     "sessionize",
+    "gorilla_roundtrip",
+    "flow_balance",
+    "cosine_topk",
 ]
 
 

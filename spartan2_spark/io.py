@@ -72,6 +72,8 @@ def load_tensor(
         df = spark.read.parquet(path)
     elif ext == "json":
         df = spark.read.json(path)
+    elif ext in ("npy", "npz"):
+        df = _read_np(spark, path, ext)
     else:  # csv / tensor / arbitrary text tables; codecs transparent
         reader = spark.read.option("comment", comment).option("header", header)
         df = reader.csv(path, sep=sep)
@@ -85,6 +87,31 @@ def load_tensor(
             cols.append(c.cast(t).alias(f"c{j}"))
         df = df.select(*cols)
     return df
+
+
+def _read_np(spark: SparkSession, path: str, ext: str) -> DataFrame:
+    """.npy/.npz reader (the reference's NPFile dispatch,
+    ioutil.py:132-156). These are single-machine binary formats with no
+    splittable layout, so — exactly like the reference — the array is
+    materialized once (driver-side) and parallelized; 1-D arrays become
+    one column c0, 2-D arrays one column per matrix column. Production
+    data belongs in parquet; this exists for loadTensor parity with the
+    reference's fixture formats.
+    """
+    import glob as _glob
+
+    import numpy as np
+    import pandas as pd
+
+    frames = []
+    for f in sorted(_glob.glob(path)):
+        arr = np.load(f)
+        if ext == "npz":
+            arr = arr[list(arr.keys())[0]]
+        if arr.ndim == 1:
+            arr = arr.reshape(-1, 1)
+        frames.append(pd.DataFrame(arr, columns=[f"c{i}" for i in range(arr.shape[1])]))
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
 
 
 def load_tensor_stream(

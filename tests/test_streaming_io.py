@@ -171,6 +171,24 @@ def test_load_file_to_dict_roundtrip(spark, tmp_path):
     assert d == {"a": ["1", "2", "3"], "b": ["4"]}
 
 
+def test_load_tensor_npy_npz(spark, tmp_path):
+    import numpy as np
+
+    a = np.arange(12, dtype=np.float64).reshape(4, 3)
+    np.save(str(tmp_path / "m.npy"), a)
+    np.savez(str(tmp_path / "m.npz"), a)
+
+    d1 = IO.load_tensor(spark, str(tmp_path / "m.npy")).toPandas()
+    assert list(d1.columns) == ["c0", "c1", "c2"] and len(d1) == 4
+    assert d1.iloc[3, 2] == 11.0
+
+    d2 = IO.load_tensor(
+        spark, str(tmp_path / "m.npz"), col_idx=[1], col_types=[float]
+    ).toPandas()
+    assert list(d2.columns) == ["c0"]
+    assert list(d2["c0"]) == [1.0, 4.0, 7.0, 10.0]
+
+
 def test_load_histogram(spark, tmp_path):
     from spartan2_spark.io import load_histogram
 
