@@ -1720,8 +1720,15 @@ def _q_gorilla_roundtrip(spark, sf_dir):
 
     pts = _event_points(spark, sf_dir)
     t1m = R.rollup_from_points(pts, "1m", bin_mode="int")
-    view = R.tier_view(t1m, bin_mode="int")
-    blocks = encode_tier_blocks(view, "1m", value_col="vmean")
+    # chunk fat series on aligned 4096-minute ranges so encode
+    # parallelism scales with data volume, not url cardinality (chunks
+    # don't overlap in time, so the decoded union is the same point set)
+    view = R.tier_view(t1m, bin_mode="int").withColumn(
+        "chunk", F.floor(F.unix_timestamp("bucket_ts") / (60 * 4096))
+    )
+    blocks = encode_tier_blocks(
+        view, "1m", value_col="vmean", extra_group_cols=("chunk",)
+    )
     return decode_blocks(blocks, value_col="value").select(
         "url", F.col("ts").alias("ts_s"), "value"
     )
