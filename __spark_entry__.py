@@ -640,16 +640,61 @@ def _q_eigenpulse_density(spark, sf_dir):
 
 
 def _q_monlad_zeroout(spark, sf_dir):
-    """MonLAD-family pump/drain cycle replay per account — rows-only."""
+    """MonLAD-family pump/drain cycle replay per account
+    (ZeroOutCore.py:19-62 batch replay). Oracle-checked: the sequential
+    state machine is equivalent to 'count drained markers whose
+    immediately-previous marker is pumped' over the per-key marker
+    sequence — pure window SQL (see _MONLAD_SQL); centi-integer amounts
+    keep every running sum exact on both engines."""
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("key"),
         _usec("ts").alias("ts"),
         # signed flow: debits for error/purchase events, credits otherwise
-        F.when(F.col("event_type").isin("error", "purchase"), -F.col("value"))
-        .otherwise(F.col("value"))
+        F.when(
+            F.col("event_type").isin("error", "purchase"),
+            -F.round(F.col("value") * 100),
+        )
+        .otherwise(F.round(F.col("value") * 100))
         .alias("amount"),
     )
-    return WD.zero_out_replay(ev, delta_up=50.0, epsilon=5.0)
+    return WD.zero_out_replay(ev, delta_up=5000.0, epsilon=500.0)
+
+
+_MONLAD_SQL = """
+    WITH e AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS tsu,
+             CASE WHEN event_type IN ('error', 'purchase')
+                  THEN -round(value * 100) ELSE round(value * 100) END AS amount
+      FROM events),
+    b AS (
+      SELECT key, tsu,
+             sum(amount) OVER (PARTITION BY key ORDER BY tsu) AS bal
+      FROM e),
+    r AS (
+      SELECT key, tsu, bal,
+             least(min(bal) OVER (PARTITION BY key ORDER BY tsu), 0) AS run_min
+      FROM b),
+    m AS (
+      SELECT key, tsu, bal,
+             CASE WHEN bal - run_min >= 5000 THEN 'P'
+                  WHEN bal - run_min <= 500 THEN 'D' END AS mark
+      FROM r),
+    mk AS (
+      SELECT key, mark,
+             lag(mark) OVER (PARTITION BY key ORDER BY tsu) AS pmark
+      FROM m WHERE mark IS NOT NULL),
+    z AS (
+      SELECT key,
+             sum(CASE WHEN mark = 'D' AND pmark = 'P' THEN 1 ELSE 0 END) AS n_zero_outs
+      FROM mk GROUP BY key),
+    agg AS (
+      SELECT key, count(*) AS n_events, max(bal) AS max_balance,
+             arg_max(bal, tsu) AS final_balance
+      FROM m GROUP BY key)
+    SELECT a.key, a.n_events, CAST(coalesce(z.n_zero_outs, 0) AS BIGINT) AS n_zero_outs,
+           a.max_balance, a.final_balance
+    FROM agg a LEFT JOIN z USING (key)
+"""
 
 
 def _q_ngram_jaccard(spark, sf_dir):
@@ -1874,12 +1919,13 @@ def oracle_sql() -> dict[str, str]:
         "eaglemine_clusters": _EAGLEMINE_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
+        "monlad_zeroout": _MONLAD_SQL,
         # specgreedy_block / kgrass_summary: iterative spectral seed /
         # xxhash64 bucketing -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
         # resample_fourier / beatlex_summarize / eigenpulse_density /
-        # monlad_zeroout: whole-series FFT/DTW/SVD/state kernels;
+        # whole-series FFT/DTW/SVD kernels;
         # minhash/simhash/ann/fingerprint/multimodal: xxhash64- or
         # plane-based (no DuckDB twin); densest_subgraph/tdigest:
         # iterative/sketch -> driver records rows-only checks
