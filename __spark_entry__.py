@@ -1013,14 +1013,53 @@ _BURST_SQL = """
 
 def _q_densest_subgraph(spark, sf_dir):
     """Charikar-style parallel peeling on the (partkey, suppkey)
-    bipartite graph — iterative, rows-only check."""
+    bipartite graph. Oracle-checked by a fixed unroll: each round's
+    density is a pure function of the previous round's edge set, the
+    best round = (max density, earliest round) — the early-stop in the
+    Spark loop is an optimization, not a semantic (see
+    _densest_sql)."""
     from spartan2_spark.operators.anomaly import densest_subgraph_peel
 
     li = _lineitem(spark, sf_dir).select(
-        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     res = densest_subgraph_peel(li, max_rounds=10)
     return res["nodes"].withColumn("density", F.lit(res["density"]))
+
+
+def _densest_sql(rounds: int = 10) -> str:
+    parts = [
+        "e0 AS MATERIALIZED (SELECT 'p' || l_partkey AS s, 's' || l_suppkey AS d FROM lineitem)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*) AS deg FROM "
+            f"(SELECT s AS n FROM e{i} UNION ALL SELECT d FROM e{i}) GROUP BY n)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT {i} AS r, "
+            f"(SELECT count(*) FROM e{i}) AS m, (SELECT count(*) FROM d{i}) AS nn)"
+        )
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT n FROM d{i}, s{i} "
+            f"WHERE deg > 2.0 * (m / nn))"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.s, e.d FROM e{i} e "
+            f"JOIN k{i} a ON e.s = a.n JOIN k{i} b ON e.d = b.n)"
+        )
+    stats_union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(rounds))
+    nodes_union = " UNION ALL ".join(
+        f"SELECT {i} AS r, n FROM d{i}" for i in range(rounds)
+    )
+    parts.append(f"stats AS (SELECT r, m / nn AS density FROM ({stats_union}) WHERE m > 0)")
+    parts.append("best AS (SELECT r, density FROM stats ORDER BY density DESC, r ASC LIMIT 1)")
+    parts.append(f"an AS ({nodes_union})")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + "\n    SELECT an.n, best.density FROM an, best WHERE an.r = best.r"
+    )
 
 
 def _q_tdigest_quantiles(spark, sf_dir):
@@ -1702,6 +1741,30 @@ def _q_kgrass(spark, sf_dir):
     )
 
 
+def _kcore_sql(k: int = 34, rounds: int = 24) -> str:
+    """Unrolled k-core oracle: the peel converges to a fixpoint, after
+    which every further round is a no-op — so a fixed unroll >= the
+    convergence depth computes the exact same k-core as the iterative
+    Spark loop (kcore's early-stop is an optimization, not a semantic)."""
+    parts = [
+        "e0 AS MATERIALIZED (SELECT 'p' || l_partkey AS s, 's' || l_suppkey AS d FROM lineitem)"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*) AS degree FROM "
+            f"(SELECT s AS n FROM e{i} UNION ALL SELECT d FROM e{i}) GROUP BY n)"
+        )
+        parts.append(f"k{i} AS MATERIALIZED (SELECT n FROM d{i} WHERE degree >= {k})")
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.s, e.d FROM e{i} e "
+            f"JOIN k{i} a ON e.s = a.n JOIN k{i} b ON e.d = b.n)"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"\n    SELECT n AS node, count(*) AS degree FROM "
+        f"(SELECT s AS n FROM e{rounds} UNION ALL SELECT d FROM e{rounds}) GROUP BY n"
+    )
+
+
 def _q_score_level_users(spark, sf_dir):
     """HoloScope's score_level_objects (holoscopeFraudDect.py:16-38):
     keep objects whose score is at/above the p-quantile of all scores.
@@ -1920,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "gorilla_roundtrip": _GORILLA_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
+        "kcore_peel": _kcore_sql(k=34, rounds=24),
+        "densest_subgraph": _densest_sql(rounds=10),
         # specgreedy_block / kgrass_summary: iterative spectral seed /
         # xxhash64 bucketing -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
