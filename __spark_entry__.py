@@ -829,11 +829,59 @@ _COSINE_TOPK_SQL = """
 
 
 def _q_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs — xxhash-based, rows-only check."""
+    """MinHash+LSH near-dup pairs, portable-hash mode: the whole
+    shingle -> k-minhash -> banded-bucket-join -> exact-Jaccard-verify
+    pipeline is value-exact oracle-checked against DuckDB (xxhash mode
+    stays the production default)."""
     from spartan2_spark.operators.dedup import minhash_lsh_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(d, k=32, bands=8, jaccard_threshold=0.2)
+    return minhash_lsh_pairs(
+        d, k=32, bands=8, jaccard_threshold=0.2, hash_mode="poly"
+    )
+
+
+def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
+                 threshold: float = 0.2, max_bucket: int = 1000) -> str:
+    r = k // bands
+    p = 2147483647
+    minexprs = ",\n             ".join(
+        f"list_aggregate(list_transform(hv, h -> (({2 * j + 1} * h + {j * j + 7}) % {p})), 'min')"
+        for j in range(k)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT id, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(f"sig[{b * r + i + 1}]::VARCHAR" for i in range(r)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),
+               i -> substring(text, i, {shingle_n}))) AS sh
+      FROM documents),
+    hs AS MATERIALIZED (
+      SELECT id,
+             list_transform(sh, s -> list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % {p})) AS hv
+      FROM sh),
+    sig AS MATERIALIZED (
+      SELECT id, [{minexprs}] AS sig FROM hs),
+    banded AS MATERIALIZED ({band_selects}),
+    okb AS (SELECT band, bh FROM (SELECT band, bh, count(*) AS n FROM banded GROUP BY 1, 2)
+            WHERE n <= {max_bucket}),
+    bb AS (SELECT banded.* FROM banded JOIN okb USING (band, bh)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bb a JOIN bb b USING (band, bh) WHERE a.id < b.id),
+    j AS (SELECT c.id_a, c.id_b,
+                 len(list_intersect(x.sh, y.sh))::DOUBLE
+                   / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
+          FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b)
+    SELECT id_a, id_b, round(jac, 8) AS jaccard FROM j WHERE jac >= {threshold}
+"""
 
 
 def _q_simhash_dedup(spark, sf_dir):
@@ -863,11 +911,39 @@ def _q_ivf_topk(spark, sf_dir):
 
 
 def _q_doc_fingerprint(spark, sf_dir):
-    """Bottom-k rolling-hash document fingerprints — rows-only check."""
+    """Bottom-k rolling-hash document fingerprints, portable-hash mode
+    (polynomial mod 2^31-1 — same values computable in DuckDB, so the
+    whole shingle->hash->bottom-k->combine pipeline is value-exact
+    oracle-checked; xxhash mode stays the production default)."""
     from spartan2_spark.operators.text import fingerprint_bottom_k
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint_bottom_k(d, "text").select("doc_id", "fp_hash")
+    return fingerprint_bottom_k(d, "text", hash_mode="poly").select(
+        "doc_id", "fp_hash"
+    )
+
+
+_FINGERPRINT_SQL = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(text) - 7, 1) + 1),
+               i -> substring(text, i, 8))) AS shingles
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(shingles, s ->
+               list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(string_split(s, ''), c -> ascii(c)::BIGINT)),
+                 (a, b) -> (a * 31 + b) % 2147483647)) AS hashes
+      FROM sh),
+    bk AS (SELECT doc_id, list_slice(list_sort(hashes), 1, 16) AS fp FROM h)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, fp),
+                       (a, b) -> (a * 1000003 + b) % 2147483647) AS fp_hash
+    FROM bk
+"""
 
 
 def _q_multimodal_features(spark, sf_dir):
@@ -1985,6 +2061,8 @@ def oracle_sql() -> dict[str, str]:
         "monlad_zeroout": _MONLAD_SQL,
         "kcore_peel": _kcore_sql(k=34, rounds=24),
         "densest_subgraph": _densest_sql(rounds=10),
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "minhash_dedup_pairs": _minhash_sql(),
         # specgreedy_block / kgrass_summary: iterative spectral seed /
         # xxhash64 bucketing -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only

@@ -60,11 +60,39 @@ def word_ngrams_expr(text_col: str, n: int = 3):
     )
 
 
-def minhash_signature(shingles, k: int = 64):
-    """k minhashes: min over xxhash64(shingle, seed_j) per seed."""
-    return F.array(
-        *[F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(k)]
-    )
+_POLY_P = 2147483647  # 2^31 - 1
+
+
+def minhash_signature(shingles, k: int = 64, hash_mode: str = "xxhash"):
+    """k minhashes per shingle set.
+
+    ``xxhash`` (default): min over xxhash64(shingle, seed_j) — fastest,
+    JVM intrinsic. ``poly``: a universal-hash family over a portable
+    polynomial base hash, h_j(s) = ((2j+1)*poly(s) + j^2 + 7) mod
+    (2^31-1) — identical values computable in any SQL engine (the
+    DuckDB oracle twin uses it).
+    """
+    # NB: the per-slot lambdas below MUST take exactly one parameter —
+    # PySpark interprets a second higher-order-function lambda parameter
+    # as the ARRAY INDEX, which would silently replace the seed j and
+    # collapse every signature slot to the same value.
+    def _xxhash_slot(j: int):
+        seed = F.lit(j)
+        return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, seed)))
+
+    if hash_mode == "xxhash":
+        return F.array(*[_xxhash_slot(j) for j in range(k)])
+    if hash_mode == "poly":
+        from spartan2_spark.operators.text import _poly_hash
+
+        base = F.transform(shingles, _poly_hash)
+
+        def _poly_slot(j: int):
+            a, b = F.lit(2 * j + 1), F.lit(j * j + 7)
+            return F.array_min(F.transform(base, lambda h: (a * h + b) % _POLY_P))
+
+        return F.array(*[_poly_slot(j) for j in range(k)])
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
 
 
 def minhash_lsh_pairs(
@@ -76,30 +104,36 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 1000,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash + banded LSH + exact verify.
 
     bands of r = k/bands rows each: P(candidate) = 1-(1-J^r)^bands.
     Returns (id_a, id_b, jaccard) with id_a < id_b, exact Jaccard on
     distinct shingle sets (array_intersect/array_union — JVM).
+    ``hash_mode='poly'`` makes every value engine-portable (see
+    minhash_signature); the band bucket key is then the plain joined
+    signature string instead of its xxhash.
     """
     r = k // bands
     sh = df.select(
         F.col(id_col).alias("id"),
         char_shingles_expr(text_col, shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    ).withColumn("sig", minhash_signature(F.col("sh"), k, hash_mode))
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",", *[F.element_at("sig", b * r + i + 1) for i in range(r)]
+        )
+        return joined if hash_mode == "poly" else F.xxhash64(joined)
+
     banded = sh.select(
         "id",
         "sh",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * r + i + 1) for i in range(r)])
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
                     for b in range(bands)
                 ]
             )
