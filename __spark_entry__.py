@@ -1493,17 +1493,42 @@ def _q_svd_spokes(spark, sf_dir):
 
 
 def _q_graph_summarize(spark, sf_dir):
-    """DPGS-style MinHash-LSH graph summarization — hash-defined
-    grouping, rows-only check."""
+    """DPGS-style MinHash-LSH graph summarization, portable-hash mode —
+    the signature family is the same polynomial universal hash the
+    DuckDB twin computes, so supernode grouping and the MDL gain are
+    value-exact oracle-checked."""
     from spartan2_spark.operators.spectral import summarize_graph_lsh
 
     li = _lineitem(spark, sf_dir).select(
         F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
-    res = summarize_graph_lsh(li, k_hashes=4)
+    res = summarize_graph_lsh(li, k_hashes=4, hash_mode="poly")
     return res["mdl_gain_bits"].select(
         "supernode", "n_nodes", F.round("gain_bits", 6).alias("gain_bits")
     )
+
+
+_POLY_SQL_BASE = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({col}, ''),"
+    " c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)"
+)
+
+
+def _graph_summarize_sql(k_hashes: int = 4) -> str:
+    base = _POLY_SQL_BASE.format(col="CAST(l_suppkey AS VARCHAR)")
+    hmins = ", ".join(
+        f"min((({2 * i + 1} * {base} + {i * i + 7}) % 2147483647)) AS h{i}"
+        for i in range(k_hashes)
+    )
+    sup = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(k_hashes))
+    return f"""
+    WITH sig AS (SELECT l_partkey AS node, {hmins} FROM lineitem GROUP BY 1),
+    g AS (SELECT {sup} AS supernode, count(*) AS n_nodes FROM sig GROUP BY 1)
+    SELECT supernode, n_nodes,
+           round(CASE WHEN n_nodes > 1
+                      THEN (n_nodes - 1) * log2(n_nodes::DOUBLE) ELSE 0.0 END, 6) AS gain_bits
+    FROM g
+"""
 
 
 def _q_holoscope_fusion(spark, sf_dir):
@@ -1799,14 +1824,14 @@ def _q_specgreedy(spark, sf_dir):
 def _q_kgrass(spark, sf_dir):
     """kGrass-style k-supernode summarization (kGS/kGrass.py:14-216):
     MinHash-signature bucketing into k supernodes + the reference's
-    reconstruction-error objective — hash-defined grouping, rows-only
-    check."""
+    reconstruction-error objective. Portable-hash mode -> value-exact
+    oracle-checked."""
     from spartan2_spark.operators.spectral import kgrass_summarize
 
     li = _lineitem(spark, sf_dir).select(
         F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
-    res = kgrass_summarize(li, k=8)
+    res = kgrass_summarize(li, k=8, hash_mode="poly")
     return res["superedges"].select(
         "sn_src",
         "sn_dst",
@@ -1815,6 +1840,32 @@ def _q_kgrass(spark, sf_dir):
         "size_dst",
         F.round("err_term", 6).alias("err_term"),
     )
+
+
+def _kgrass_sql(k: int = 8) -> str:
+    base = _POLY_SQL_BASE.format(col="CAST(l_suppkey AS VARCHAR)")
+    return f"""
+    WITH sig AS (
+      SELECT l_partkey AS node,
+             ((min((({base} + 7) % 2147483647)) * 31 + 17) % 2147483647) % {k} AS supernode
+      FROM lineitem GROUP BY 1),
+    sizes AS (SELECT supernode, count(*) AS size FROM sig GROUP BY 1),
+    e AS (
+      SELECT ss.supernode AS sn_src,
+             coalesce(sd.supernode, -1) AS sn_dst
+      FROM lineitem l
+      JOIN sig ss ON ss.node = l.l_partkey
+      LEFT JOIN sig sd ON sd.node = l.l_suppkey),
+    se AS (SELECT sn_src, sn_dst, count(*) AS multiplicity FROM e GROUP BY 1, 2),
+    sz AS (
+      SELECT se.sn_src, se.sn_dst, se.multiplicity,
+             a.size AS size_src, coalesce(b.size, 1) AS size_dst
+      FROM se JOIN sizes a ON a.supernode = se.sn_src
+      LEFT JOIN sizes b ON b.supernode = se.sn_dst)
+    SELECT sn_src, sn_dst, multiplicity, size_src, size_dst,
+           round(multiplicity * (1.0 - multiplicity::DOUBLE / (size_src * size_dst)), 6) AS err_term
+    FROM sz
+"""
 
 
 def _kcore_sql(k: int = 34, rounds: int = 24) -> str:
@@ -2063,8 +2114,9 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": _densest_sql(rounds=10),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "minhash_dedup_pairs": _minhash_sql(),
-        # specgreedy_block / kgrass_summary: iterative spectral seed /
-        # xxhash64 bucketing -> rows-only
+        "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
+        "kgrass_summary": _kgrass_sql(k=8),
+        # specgreedy_block: iterative spectral seed -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
         # resample_fourier / beatlex_summarize / eigenpulse_density /

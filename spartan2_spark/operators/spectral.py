@@ -104,11 +104,25 @@ def eigen_spokes_nodes(u: DataFrame, n_rows: int) -> DataFrame:
     return u.filter(F.abs(F.col("score")) >= F.lit(thr))
 
 
+_POLY_P = 2147483647
+
+
+def _poly_node_hash(col, j: int):
+    """Portable per-node hash h_j(x) = ((2j+1)*poly(x) + j^2+7) mod p —
+    same universal family as dedup.minhash_signature(poly); computable
+    verbatim in the DuckDB oracle."""
+    from spartan2_spark.operators.text import _poly_hash
+
+    h = _poly_hash(F.col(col).cast("string"))
+    return (F.lit(2 * j + 1) * h + F.lit(j * j + 7)) % _POLY_P
+
+
 def summarize_graph_lsh(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     k_hashes: int = 4,
+    hash_mode: str = "xxhash",
 ) -> dict:
     """DPGS-style summarization via MinHash of neighbour sets.
 
@@ -120,14 +134,18 @@ def summarize_graph_lsh(
     same xlogx shape as the reference's c_MDL code-length terms
     (model/DPGS/DPGS.py:38-47).
     """
+    if hash_mode == "poly":
+        hcols = [
+            F.min(_poly_node_hash(dst, i)).alias(f"h{i}") for i in range(k_hashes)
+        ]
+    else:
+        hcols = [
+            F.min(F.xxhash64(F.col(dst), F.lit(i))).alias(f"h{i}")
+            for i in range(k_hashes)
+        ]
     sig = (
         edges.groupBy(F.col(src).alias("node"))
-        .agg(
-            *[
-                F.min(F.xxhash64(F.col(dst), F.lit(i))).alias(f"h{i}")
-                for i in range(k_hashes)
-            ]
-        )
+        .agg(*hcols)
         .withColumn(
             "supernode",
             F.concat_ws("_", *[F.col(f"h{i}") for i in range(k_hashes)]),
@@ -221,6 +239,7 @@ def kgrass_summarize(
     src: str = "src",
     dst: str = "dst",
     k: int = 8,
+    hash_mode: str = "xxhash",
 ) -> dict:
     """kGrass-style summarization to at most ``k`` supernodes
     (/root/reference/spartan/model/kGS/kGrass.py:14-216): the reference
@@ -237,10 +256,16 @@ def kgrass_summarize(
     supernode in [0,k)); superedges: (sn_src, sn_dst, multiplicity,
     size_src, size_dst, err_term); error: float.
     """
+    if hash_mode == "poly":
+        base = F.min(_poly_node_hash(dst, 0)).alias("h0")
+        bucket = F.pmod((F.col("h0") * 31 + 17) % _POLY_P, F.lit(k))
+    else:
+        base = F.min(F.xxhash64(dst, F.lit(0))).alias("h0")
+        bucket = F.pmod(F.xxhash64("h0", F.lit(1)), F.lit(k))
     sig = (
         edges.groupBy(F.col(src).alias("node"))
-        .agg(F.min(F.xxhash64(dst, F.lit(0))).alias("h0"))
-        .withColumn("supernode", F.pmod(F.xxhash64("h0", F.lit(1)), F.lit(k)))
+        .agg(base)
+        .withColumn("supernode", bucket)
         .select("node", "supernode")
     )
     sizes = sig.groupBy("supernode").agg(F.count(F.lit(1)).alias("size"))
