@@ -885,19 +885,100 @@ def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
 
 
 def _q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only check."""
+    """SimHash near-dup pairs, portable-hash mode: parity-bit
+    polynomial hashes make the 64-bit fingerprints, the 16-bit band
+    blocking, and the Hamming verify value-exact oracle-checked
+    (xxhash mode stays the production default)."""
     from spartan2_spark.operators.dedup import simhash64, simhash_pairs
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(simhash64(d), max_hamming=10)
+    return simhash_pairs(simhash64(d, hash_mode="poly"), max_hamming=10)
+
+
+def _simhash_sql(max_hamming: int = 10) -> str:
+    p = 2147483647
+    base = _POLY_SQL_BASE.format(col="t")
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN ((({2 * b + 1} * ph + {b * b + 7}) % {p}) % 2) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)
+    )
+    fp = f"{fp_terms} + (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    bands = " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS band, (simhash >> {i * 16}) & 65535 AS key FROM fp"
+        for i in range(4)
+    )
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), ' +')) AS t
+      FROM documents),
+    ph AS MATERIALIZED (SELECT id, {base} AS ph FROM tok),
+    s AS MATERIALIZED (
+      SELECT id, {sums}
+      FROM ph GROUP BY id),
+    fp AS MATERIALIZED (SELECT id, {fp} AS simhash FROM s),
+    banded AS MATERIALIZED ({bands}),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.simhash AS h_a, b.simhash AS h_b
+             FROM banded a JOIN banded b USING (band, key) WHERE a.id < b.id)
+    SELECT id_a, id_b, bit_count(xor(h_a, h_b)) AS hamming
+    FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
 
 
 def _q_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbours — rows-only check."""
+    """LSH-bucketed approximate nearest neighbours. Quantized vectors
+    AND quantized hyperplanes make every bucket sign and cosine an
+    exact-integer computation -> value-exact oracle-checked (the twin
+    embeds the same seeded planes as SQL literals)."""
     from spartan2_spark.operators.similarity import ann_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+
+
+def _ann_sql(k: int = 5, n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = np.round(rng.standard_normal((n_planes, dim)) * 1000).astype(int)
+    rows = ", ".join(
+        "({p}, [{v}])".format(p=p, v=", ".join(str(x) for x in planes[p]))
+        for p in range(n_planes)
+    )
+    probe_flips = ", ".join(f"xor(qbucket, {1 << b})" for b in range(n_planes))
+    return f"""
+    WITH planes(pid, pv) AS (VALUES {rows}),
+    c AS MATERIALIZED (
+      SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv
+      FROM embeddings),
+    cb AS MATERIALIZED (
+      SELECT corpus_id, cv, sqrt(list_dot_product(cv, cv)) AS cn,
+             (SELECT sum(CASE WHEN list_dot_product(cv, pv) >= 0
+                              THEN 1 << pid ELSE 0 END) FROM planes) AS bucket
+      FROM c),
+    q AS (SELECT corpus_id AS query_id, cv AS qv, cn AS qn, bucket AS qbucket
+          FROM cb WHERE corpus_id < 5),
+    qp AS (SELECT query_id, qv, qn,
+                  unnest([qbucket, {probe_flips}]) AS bucket
+           FROM q),
+    cand AS (SELECT DISTINCT cb.corpus_id, qp.query_id, cb.cv, cb.cn, qp.qv, qp.qn
+             FROM cb JOIN qp USING (bucket)
+             WHERE cb.corpus_id != qp.query_id),
+    scored AS (SELECT query_id, corpus_id,
+                      list_dot_product(cv, qv) / (cn * qn) AS cosine
+               FROM cand),
+    r AS (SELECT query_id, corpus_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, corpus_id ASC) AS rank
+          FROM scored)
+    SELECT query_id, corpus_id, rank, round(cosine, 8) AS cosine
+    FROM r WHERE rank <= {k}
+"""
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -2116,6 +2197,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_sql(),
         "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
         "kgrass_summary": _kgrass_sql(k=8),
+        "simhash_dedup_pairs": _simhash_sql(max_hamming=10),
+        "ann_topk": _ann_sql(k=5, n_planes=4),
         # specgreedy_block: iterative spectral seed -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only

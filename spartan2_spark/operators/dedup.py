@@ -168,19 +168,48 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash",
+) -> DataFrame:
     """64-bit SimHash: per bit, sign of sum over token hashes of
-    (2*bit-1); assembled JVM-side from 64 one-pass aggregates."""
+    (2*bit-1); assembled JVM-side from 64 one-pass aggregates.
+
+    ``poly`` mode draws bit b from the parity of the b-th polynomial
+    universal hash g_b(t) = ((2b+1)*poly(t) + b^2 + 7) mod (2^31-1) —
+    engine-portable (DuckDB oracle twin computes identical bits);
+    ``xxhash`` (default) takes the 64 bits of one xxhash64."""
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
-    aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(64)
-    ]
+    )
+    if hash_mode == "poly":
+        from spartan2_spark.operators.text import _poly_hash
+
+        tok = tok.withColumn("ph", _poly_hash(F.col("t")))
+        aggs = [
+            F.sum(
+                F.when(
+                    ((F.lit(2 * b + 1) * F.col("ph") + F.lit(b * b + 7)) % _POLY_P)
+                    % 2
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    elif hash_mode == "xxhash":
+        tok = tok.withColumn("h", F.xxhash64("t"))
+        aggs = [
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     per_doc = tok.groupBy("id").agg(*aggs)
     sim = None
     for b in range(64):

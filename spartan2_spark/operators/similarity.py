@@ -197,10 +197,17 @@ def ann_topk(
 
     At 100TB the corpus is hash-partitioned by bucket once (a layout,
     not a per-query shuffle) and each query touches
-    ``C(n_planes, <=probes)`` buckets."""
+    ``C(n_planes, <=probes)`` buckets.
+
+    With ``quantize=True`` the hyperplanes are quantized to integers
+    too (round(p*1000)), so every bucket sign is an exact integer dot —
+    bit-identical at any parallelism and reproducible by the DuckDB
+    oracle twin."""
     dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
+    if quantize:
+        planes = np.round(planes * 1000)
 
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), _vec(vec_col, quantize).alias("cv")
