@@ -982,13 +982,79 @@ def _ann_sql(k: int = 5, n_planes: int = 4, dim: int = 64, seed: int = 42) -> st
 
 
 def _q_ivf_topk(spark, sf_dir):
-    """IVF (inverted-file) approximate nearest neighbours: deterministic
-    centroid seed + distributed Lloyd refinement + nprobe cell probing —
-    hash-seeded, rows-only check."""
+    """IVF (inverted-file) approximate nearest neighbours: portable
+    poly-hash centroid seed + 2 unrolled Lloyd rounds + nprobe cell
+    probing. Value-exact oracle-checked: integer-quantized vectors make
+    Lloyd means exact rationals, and both engines evaluate dot products
+    as the same strictly-sequential left fold, so every distance,
+    assignment, and cosine is bit-identical."""
     from spartan2_spark.operators.similarity import ivf_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5, nlist=8, nprobe=2)
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=5, nlist=8, nprobe=2, hash_mode="poly"
+    )
+
+
+def _ivf_sql(k: int = 5, nlist: int = 8, nprobe: int = 2, dim: int = 64,
+             lloyd_rounds: int = 2) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+            f"(x, y) -> x + y)"
+        )
+
+    seed = _POLY_SQL_BASE.format(col="CAST(corpus_id AS VARCHAR)")
+    parts = [
+        "c AS MATERIALIZED (SELECT vec_id AS corpus_id, "
+        "list_transform(embedding, x -> round(x::DOUBLE * 1000)) AS cv FROM embeddings)",
+        f"cents0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, corpus_id) AS cid, "
+        f"cv AS cent FROM (SELECT corpus_id, cv, {seed} AS h FROM c "
+        f"ORDER BY h, corpus_id LIMIT {nlist}))",
+    ]
+    for r in range(lloyd_rounds):
+        parts.append(
+            f"asn{r} AS MATERIALIZED (SELECT corpus_id, cv, "
+            f"struct_extract(min({{'d': -({dot('cv', 'cent')}), 'cid': cid}}), 'cid') AS cell "
+            f"FROM c CROSS JOIN cents{r} GROUP BY corpus_id, cv)"
+        )
+        parts.append(
+            f"cents{r + 1} AS MATERIALIZED (SELECT cell AS cid, "
+            f"list(avgx ORDER BY pos) AS cent FROM "
+            f"(SELECT cell, i AS pos, avg(cv[i]) AS avgx FROM asn{r}, "
+            f"range(1, {dim + 1}) t(i) GROUP BY cell, i) GROUP BY cell)"
+        )
+    fin = lloyd_rounds
+    parts.append(
+        f"cells AS MATERIALIZED (SELECT corpus_id, cv, "
+        f"struct_extract(min({{'d': -({dot('cv', 'cent')}), 'cid': cid}}), 'cid') AS cell "
+        f"FROM c CROSS JOIN cents{fin} GROUP BY corpus_id, cv)"
+    )
+    parts.append("q AS (SELECT corpus_id AS query_id, cv AS qv FROM c WHERE corpus_id < 5)")
+    parts.append(
+        f"qprobe AS (SELECT query_id, qv, cid AS cell FROM "
+        f"(SELECT q.query_id, q.qv, cents{fin}.cid, row_number() OVER "
+        f"(PARTITION BY q.query_id ORDER BY -({dot('qv', 'cent')}) ASC, cid ASC) AS pr "
+        f"FROM q CROSS JOIN cents{fin}) WHERE pr <= {nprobe})"
+    )
+    parts.append(
+        f"scored AS (SELECT qp.query_id, ce.corpus_id, "
+        f"({dot('ce.cv', 'qp.qv')}) / (sqrt({dot('ce.cv', 'ce.cv')}) * "
+        f"sqrt({dot('qp.qv', 'qp.qv')})) AS cosine "
+        f"FROM cells ce JOIN qprobe qp USING (cell) "
+        f"WHERE ce.corpus_id != qp.query_id)"
+    )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, corpus_id, rank, round(cosine, 8) AS cosine FROM
+      (SELECT query_id, corpus_id, cosine, row_number() OVER
+         (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rank
+       FROM scored)
+    WHERE rank <= {k}
+"""
+    )
 
 
 def _q_doc_fingerprint(spark, sf_dir):
@@ -2199,6 +2265,7 @@ def oracle_sql() -> dict[str, str]:
         "kgrass_summary": _kgrass_sql(k=8),
         "simhash_dedup_pairs": _simhash_sql(max_hamming=10),
         "ann_topk": _ann_sql(k=5, n_planes=4),
+        "ivf_topk": _ivf_sql(k=5, nlist=8, nprobe=2),
         # specgreedy_block: iterative spectral seed -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only

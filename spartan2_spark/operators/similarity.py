@@ -97,6 +97,7 @@ def ivf_topk(
     nprobe: int = 2,
     lloyd_rounds: int = 2,
     quantize: bool = True,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``nlist``
     Voronoi cells around centroids, probe the ``nprobe`` nearest cells
@@ -115,13 +116,19 @@ def ivf_topk(
         F.col(id_col).alias("corpus_id"), _vec(vec_col, quantize).alias("cv")
     ).withColumn("cn", _norm(F.col("cv")))
 
+    if hash_mode == "poly":
+        from spartan2_spark.operators.text import _poly_hash
+
+        seed_h = _poly_hash(F.col("corpus_id").cast("string"))
+    else:
+        seed_h = F.xxhash64(F.col("corpus_id"))
     cents = (
-        c.withColumn("__h", F.xxhash64(F.col("corpus_id")))
-        .orderBy("__h")
+        c.withColumn("__h", seed_h)
+        .orderBy("__h", "corpus_id")
         .limit(nlist)
         .select(
             F.row_number()
-            .over(W.orderBy("__h"))
+            .over(W.orderBy("__h", "corpus_id"))
             .alias("centroid_id"),
             F.col("cv").alias("centroid"),
         )
