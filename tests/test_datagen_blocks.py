@@ -1,0 +1,60 @@
+"""Inject-then-detect: the reference validates its detectors on
+planted dense blocks (holoscope/gendenseblock.py); same loop here —
+plant a block with the Spark-native generators, recover it with the
+engine's densest-subgraph peel."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.datagen_blocks import (
+    gen_di_hyper_rect_blocks,
+    gen_even_dense_block,
+    gen_hyperbola_dense_block,
+    inject_clique_camo,
+)
+from spartan2_spark.operators.anomaly import densest_subgraph_peel
+
+
+def test_even_block_density_and_determinism(spark):
+    a = gen_even_dense_block(spark, 50, 40, 0.5, seed=3)
+    b = gen_even_dense_block(spark, 50, 40, 0.5, seed=3)
+    na, nb = a.count(), b.count()
+    assert na == nb  # counter-based randomness: identical every run
+    assert 0.4 * 2000 < na < 0.6 * 2000  # ~Bernoulli(0.5) of 50*40
+
+
+def test_hyperbola_block_shape(spark):
+    m = gen_hyperbola_dense_block(spark, 20, 20, alpha=-0.5, tau=0.2).toPandas()
+    # (i+1)^-.5 (j+1)^-.5 > .2  <=>  (i+1)(j+1) < 25: corner-heavy
+    assert ((m["src"] + 1) * (m["dst"] + 1) < 25).all()
+    # corner-heavy: row 0 keeps every col of the 20-wide grid
+    # ((1)(j+1) < 25 for all j <= 19), row 19 only col 0 ((20)(1) < 25)
+    assert m[m["src"] == 0]["dst"].max() == 19
+    assert set(m[m["src"] == 19]["dst"]) == {0}
+
+
+def test_di_hyper_rect_blocks_offsets(spark):
+    m = gen_di_hyper_rect_blocks(spark, 10, 10, 15, 15, p=1.0).toPandas()
+    b1 = m[(m.src < 10)]
+    b2 = m[(m.src >= 10)]
+    assert len(b1) == 100  # p=1 full block
+    assert (b2.dst >= 10).all()  # block-diagonal: no cross edges
+
+
+def test_inject_and_recover_clique(spark):
+    # sparse honest background over 200x200, plant a 12x12 p=1 clique
+    noise = gen_even_dense_block(spark, 200, 200, 0.01, seed=5)
+    g = inject_clique_camo(noise, 12, 12, p=1.0, test_idx=1, seed=9)
+    res = densest_subgraph_peel(g, max_rounds=15)
+    found = {r.n for r in res["nodes"].collect()}
+    assert set(range(12)) <= found  # every clique node recovered
+    assert res["density"] > 3.0  # clique density ~ 2*144/24 = 12 >> noise
+
+
+def test_camo_modes_add_edges(spark):
+    noise = gen_even_dense_block(spark, 100, 100, 0.02, seed=5)
+    base = inject_clique_camo(noise, 10, 10, p=0.8, test_idx=0, seed=9).count()
+    camo1 = inject_clique_camo(noise, 10, 10, p=0.8, test_idx=1, seed=9).count()
+    camo3 = inject_clique_camo(noise, 10, 10, p=0.8, test_idx=3, seed=9).count()
+    assert camo1 > base and camo3 > base
