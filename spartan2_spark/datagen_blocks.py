@@ -37,6 +37,7 @@ __all__ = [
     "gen_hyperbola_dense_block",
     "gen_di_hyper_rect_blocks",
     "inject_clique_camo",
+    "inject_fraud_props",
 ]
 
 _SCALE = 1 << 20
@@ -147,3 +148,36 @@ def inject_clique_camo(
         out = out.unionByName(camo)
 
     return out.dropDuplicates([src, dst])
+
+
+def inject_fraud_props(
+    edges: DataFrame,
+    fraud_edges: DataFrame,
+    t0: int,
+    burst_s: int = 3600,
+    ratings=(4.0, 4.5),
+    seed: int = 13,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Property-graph fraud injection (injectFraud2PropGraph +
+    generateProps, gendenseblock.py:78-97): honest edges keep their
+    ``ts``/``rating`` columns; injected ``fraud_edges`` get a high
+    rating drawn from ``ratings`` (the reference's {4, 4.5} choice) and
+    a timestamp inside the burst window [t0, t0+burst_s) — counter-
+    based, so identical at any parallelism. Output:
+    (src, dst, ts:long epoch s, rating:double)."""
+    h1 = F.pmod(F.xxhash64(src, dst, F.lit(seed)), F.lit(_SCALE))
+    rating = F.when(
+        h1 < _SCALE // len(ratings), F.lit(float(ratings[0]))
+    )
+    for i in range(1, len(ratings)):
+        cond = h1 < (_SCALE * (i + 1)) // len(ratings)
+        rating = rating.when(cond, F.lit(float(ratings[i])))
+    ts = F.lit(t0) + F.pmod(
+        F.xxhash64(src, dst, F.lit(seed + 1)), F.lit(burst_s)
+    )
+    injected = fraud_edges.select(
+        src, dst, ts.cast("long").alias("ts"), rating.alias("rating")
+    )
+    return edges.select(src, dst, "ts", "rating").unionByName(injected)

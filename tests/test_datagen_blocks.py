@@ -52,6 +52,49 @@ def test_inject_and_recover_clique(spark):
     assert res["density"] > 3.0  # clique density ~ 2*144/24 = 12 >> noise
 
 
+def test_inject_fraud_props_and_holoscope_detects(spark):
+    """The reference's demo loop: inject a rating/timestamp fraud block
+    (injectFraud2PropGraph) and confirm the HoloScope-style property
+    scores rank the fraud sinks above honest ones."""
+    import datetime as dt
+
+    from spartan2_spark.datagen_blocks import inject_fraud_props
+    from spartan2_spark.operators.anomaly import (
+        burst_involvement,
+        kl_divergence_per_sink,
+    )
+
+    t0 = int(dt.datetime(2024, 1, 1).timestamp())
+    # honest traffic: uniform ratings 1-3 spread over 30 days
+    honest = (
+        gen_even_dense_block(spark, 400, 30, 0.2, seed=21)
+        .withColumn(
+            "ts",
+            (t0 + F.pmod(F.xxhash64("src", "dst", F.lit(31)), F.lit(30 * 86400))).cast("long"),
+        )
+        .withColumn(
+            "rating",
+            (1.0 + F.pmod(F.xxhash64("src", "dst", F.lit(32)), F.lit(3)).cast("double")),
+        )
+    )
+    fraud = gen_even_dense_block(spark, 30, 5, 0.9, seed=22)
+    g = inject_fraud_props(honest, fraud, t0=t0, burst_s=3600)
+
+    ev = g.select(
+        F.col("dst").alias("sink"),
+        F.to_timestamp(F.from_unixtime("ts")).alias("ts"),
+        F.when(F.col("rating") >= 4, 2).when(F.col("rating") >= 2, 1).otherwise(0)
+        .cast("long").alias("rb"),
+    )
+    kl = kl_divergence_per_sink(ev, "sink", "rb", n_buckets=3).toPandas()
+    bi = burst_involvement(ev, "sink", "ts", 3600).toPandas()
+    fraud_sinks = set(range(5))
+    top_kl = set(kl.nlargest(5, "kl")["sink"])
+    top_bi = set(bi.nlargest(5, "involv")["sink"])
+    assert len(top_kl & fraud_sinks) >= 4  # rating-divergence flags them
+    assert len(top_bi & fraud_sinks) >= 4  # burst-involvement flags them
+
+
 def test_camo_modes_add_edges(spark):
     noise = gen_even_dense_block(spark, 100, 100, 0.02, seed=5)
     base = inject_clique_camo(noise, 10, 10, p=0.8, test_idx=0, seed=9).count()
