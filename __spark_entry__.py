@@ -1214,6 +1214,31 @@ _RRF_SQL = """
 """
 
 
+def _q_rank_fusion_sum(spark, sf_dir):
+    """Sum-of-ranks fusion — the reference's other fusion mode
+    (holoscopeFraudDect.py:228-255 rankdata sum); smaller = more
+    suspicious."""
+    from spartan2_spark.operators.anomaly import rank_sum_fusion
+
+    per_user = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("s_count"),
+        F.sum(F.round(F.col("value") * 100)).alias("s_value"),
+    )
+    return rank_sum_fusion(per_user, "user_id", ["s_count", "s_value"])
+
+
+_RANK_SUM_SQL = """
+    WITH s AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS s_count,
+                      sum(round(value*100)) AS s_value
+               FROM events GROUP BY 1),
+    r AS (SELECT user_id, s_count, s_value,
+                 row_number() OVER (ORDER BY s_count DESC, user_id ASC) AS r1,
+                 row_number() OVER (ORDER BY s_value DESC, user_id ASC) AS r2
+          FROM s)
+    SELECT user_id, s_count, s_value, r1 + r2 AS rank_sum FROM r
+"""
+
+
 def _q_burst_peak(spark, sf_dir):
     """Per-key burst apex: max-count hourly bin
     (edgepropertyAnalysis.py:304-320 aggregation core)."""
@@ -1346,6 +1371,41 @@ _CUMSUM_SQL = """
     SELECT event_type, epoch(day)::BIGINT AS day_s,
            sum(vsum_c) OVER (PARTITION BY event_type ORDER BY day
                              ROWS UNBOUNDED PRECEDING) AS cum_vsum_c
+    FROM d
+"""
+
+
+def _q_cumprod_daily(spark, sf_dir):
+    """Cumulative product over the time axis per series (reference
+    common.py:356-389 cumprod — the other cumulative op). Daily growth
+    factor 1 + vsum/10^6; both engines evaluate the running product as
+    the same in-order sequential multiply, so doubles are
+    bit-identical."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day")
+    ).agg(
+        (1.0 + F.sum(F.round(F.col("value") * 100)) / 1_000_000.0).alias("factor")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.unix_timestamp("day").alias("day_s"),
+        F.round(F.product("factor").over(w), 8).alias("cum_growth"),
+    )
+
+
+_CUMPROD_SQL = """
+    WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                      1.0 + sum(round(value*100)) / 1000000.0 AS factor
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, epoch(day)::BIGINT AS day_s,
+           round(product(factor) OVER (PARTITION BY event_type ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING), 8) AS cum_growth
     FROM d
 """
 
@@ -2197,6 +2257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "gorilla_roundtrip": _q_gorilla_roundtrip,
         "score_level_users": _q_score_level_users,
+        "cumprod_daily": _q_cumprod_daily,
+        "rank_fusion_sum": _q_rank_fusion_sum,
     }
 
 
@@ -2266,6 +2328,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup_pairs": _simhash_sql(max_hamming=10),
         "ann_topk": _ann_sql(k=5, n_planes=4),
         "ivf_topk": _ivf_sql(k=5, nlist=8, nprobe=2),
+        "cumprod_daily": _CUMPROD_SQL,
+        "rank_fusion_sum": _RANK_SUM_SQL,
         # specgreedy_block: iterative spectral seed -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only

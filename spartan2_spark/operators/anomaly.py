@@ -119,6 +119,29 @@ def reciprocal_rank_fusion(
     return out.withColumn("rrf", fused).select(key_col, *score_cols, "rrf")
 
 
+def rank_sum_fusion(
+    df: DataFrame, key_col: str, score_cols: list[str]
+) -> DataFrame:
+    """HoloScope's other fusion mode (holoscopeFraudDect.py:228-255
+    sums scipy ``rankdata`` ranks across property scores before the
+    reciprocal-rank variant was added): fused = sum of descending
+    ranks, smaller = more suspicious. Same distributed range-
+    partitioned numbering as RRF — no single-partition window."""
+    from spartan2_spark.operators.partitioning import global_row_numbers
+
+    out = df
+    for c in score_cols:
+        out = global_row_numbers(
+            out, [F.desc(c), F.asc(key_col)], id_col=f"__r_{c}"
+        )
+    fused = F.col(f"__r_{score_cols[0]}")
+    for c in score_cols[1:]:
+        fused = fused + F.col(f"__r_{c}")
+    return out.withColumn("rank_sum", fused).select(
+        key_col, *score_cols, "rank_sum"
+    )
+
+
 def burst_peak(
     df: DataFrame, key_col: str, time_col: str, bin_seconds: int = 3600
 ) -> DataFrame:
