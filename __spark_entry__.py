@@ -1239,6 +1239,53 @@ _RANK_SUM_SQL = """
 """
 
 
+def _q_holoscope_objective(spark, sf_dir):
+    """HoloScope's scalar objective ``maxobjfunc``
+    (holoscopeFraudDect.py:214-226): dot(fbs, bsusps) / (|A| + sum
+    bsusps) — the suspect set's total score normalized by source count
+    plus suspect count. Suspects = users above the IQR bound of event
+    counts (iat.py:115-120 rule); one row out."""
+    counts = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("score")
+    )
+    q = counts.agg(
+        F.expr("percentile(score, 0.75)").alias("q3"),
+        F.expr("percentile(score, 0.25)").alias("q1"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    j = counts.crossJoin(F.broadcast(q)).withColumn(
+        "is_susp", (F.col("score") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).cast("long")
+    )
+    return j.agg(
+        F.sum(F.col("score") * F.col("is_susp")).alias("susp_score"),
+        F.sum("is_susp").alias("n_susp"),
+        F.first("n_users").alias("n_users"),
+    ).select(
+        "susp_score",
+        "n_susp",
+        "n_users",
+        F.round(
+            F.col("susp_score") / (F.col("n_users") + F.col("n_susp")), 8
+        ).alias("objective"),
+    )
+
+
+_HOLOSCOPE_OBJ_SQL = """
+    WITH c AS (SELECT user_id, count(*) AS score FROM events GROUP BY 1),
+    q AS (SELECT quantile_cont(score, 0.75) AS q3, quantile_cont(score, 0.25) AS q1,
+                 count(*) AS n_users FROM c),
+    j AS (SELECT score,
+                 CASE WHEN score > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END AS is_susp,
+                 n_users
+          FROM c, q)
+    SELECT sum(score * is_susp) AS susp_score,
+           sum(is_susp) AS n_susp,
+           min(n_users) AS n_users,
+           round(sum(score * is_susp) / (min(n_users) + sum(is_susp)), 8) AS objective
+    FROM j
+"""
+
+
 def _q_burst_peak(spark, sf_dir):
     """Per-key burst apex: max-count hourly bin
     (edgepropertyAnalysis.py:304-320 aggregation core)."""
@@ -2259,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_level_users": _q_score_level_users,
         "cumprod_daily": _q_cumprod_daily,
         "rank_fusion_sum": _q_rank_fusion_sum,
+        "holoscope_objective": _q_holoscope_objective,
     }
 
 
@@ -2330,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ivf_sql(k=5, nlist=8, nprobe=2),
         "cumprod_daily": _CUMPROD_SQL,
         "rank_fusion_sum": _RANK_SUM_SQL,
+        "holoscope_objective": _HOLOSCOPE_OBJ_SQL,
         # specgreedy_block: iterative spectral seed -> rows-only
         # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
         # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
