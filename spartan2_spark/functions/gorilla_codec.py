@@ -43,7 +43,10 @@ def _pack_codes(vals: np.ndarray, lens: np.ndarray) -> bytes:
     """Concatenate variable-length big-endian codes into packed bytes.
 
     vals: uint64 code words (right-aligned), lens: bit lengths (<=64).
-    Fully vectorized: one bool bit per output position, then packbits.
+    Fully vectorized, O(n) elements (NOT O(total bits)): each code
+    straddles at most two 64-bit output words, so two masked
+    ``bitwise_or.at`` scatters place everything; words serialize
+    big-endian so the stream stays MSB-first.
     """
     vals = vals.astype(np.uint64)
     lens = lens.astype(np.int64)
@@ -52,25 +55,40 @@ def _pack_codes(vals: np.ndarray, lens: np.ndarray) -> bytes:
     total = int(lens.sum())
     if total == 0:
         return b""
-    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    elem = np.repeat(np.arange(len(lens)), lens)  # element id per bit
-    bitpos = np.arange(total) - np.repeat(offsets, lens)  # 0..len-1, MSB first
-    shift = (lens[elem] - 1 - bitpos).astype(np.uint64)
-    bits = (vals[elem] >> shift) & np.uint64(1)
-    return np.packbits(bits.astype(np.uint8)).tobytes()
+    ends = np.cumsum(lens)
+    offs = ends - lens
+    out = np.zeros((total + 63) // 64 + 1, dtype=np.uint64)  # +1 spill word
+    word = offs >> 6
+    bit = (offs & 63).astype(np.int64)
+    fit = 64 - bit  # bits available in the first word
+    left_len = np.minimum(lens, fit)
+    right_len = lens - left_len
+    left_chunk = (vals >> right_len.astype(np.uint64)) << (
+        (fit - left_len).astype(np.uint64)
+    )
+    np.bitwise_or.at(out, word, left_chunk)
+    has_r = right_len > 0
+    if has_r.any():
+        rl = right_len[has_r].astype(np.uint64)
+        right_chunk = (
+            vals[has_r] & ((np.uint64(1) << rl) - np.uint64(1))
+        ) << (np.uint64(64) - rl)
+        np.bitwise_or.at(out, word[has_r] + 1, right_chunk)
+    return out.astype(">u8").tobytes()[: (total + 7) // 8]
 
 
 class _BitReader:
     def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.buf = bytes(buf)
         self.pos = 0
 
     def read(self, n: int) -> int:
-        out = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            out = (out << 1) | int(b)
-        self.pos += n
-        return out
+        start = self.pos
+        end = start + n
+        self.pos = end
+        b0, b1 = start >> 3, (end + 7) >> 3
+        chunk = int.from_bytes(self.buf[b0:b1], "big")
+        return (chunk >> ((b1 << 3) - end)) & ((1 << n) - 1)
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
