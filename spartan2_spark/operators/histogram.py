@@ -43,7 +43,12 @@ def hist1d(
     """Equal-width histogram with the reference's last-bin clamp."""
     bounds = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
     b = df.crossJoin(F.broadcast(bounds))
-    width = (F.col("__mx") - F.col("__mn")) / F.lit(nbins)
+    # constant column: min == max -> zero width; np.histogram widens the
+    # range to unit width around the value, putting everything in bin 0
+    width = F.when(
+        F.col("__mx") > F.col("__mn"),
+        (F.col("__mx") - F.col("__mn")) / F.lit(nbins),
+    ).otherwise(F.lit(1.0))
     idx = F.least(
         F.floor((F.col(col) - F.col("__mn")) / width).cast("long"),
         F.lit(nbins - 1),

@@ -94,7 +94,12 @@ def normalize_minmax(
     out = df
     for c in value_cols:
         mn, mx = F.min(c).over(w), F.max(c).over(w)
-        out = out.withColumn(c, (F.col(c) - (mx + mn) / 2) / (mx - mn) * 2)
+        # constant series: max == min -> 0/0; the reference's numpy
+        # division yields nan silently, ANSI Spark would throw —
+        # try_divide gives the relational nan (NULL)
+        out = out.withColumn(
+            c, F.try_divide(F.col(c) - (mx + mn) / 2, mx - mn) * 2
+        )
     return out
 
 

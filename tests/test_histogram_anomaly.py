@@ -99,3 +99,25 @@ def test_densest_subgraph_finds_planted_block(spark):
     nodes = set(r["n"] for r in res["nodes"].collect())
     assert res["density"] >= 2.0
     assert set(range(5)) <= nodes and set(range(50, 55)) <= nodes
+
+
+def test_hist1d_constant_column(spark):
+    """ANSI edge: a constant column must not divide by zero — numpy's
+    rule (unit-width range around the value) puts everything in bin 0."""
+    from spartan2_spark.operators.histogram import hist1d
+
+    df = spark.createDataFrame([(5.0,)] * 10, "v double")
+    out = hist1d(df, "v", nbins=4).collect()
+    assert len(out) == 1 and out[0].bin_idx == 0 and out[0].cnt == 10
+
+
+def test_normalize_constant_series_null(spark):
+    """Constant series normalizes to NULL (the relational nan), not an
+    ANSI divide-by-zero error."""
+    from spartan2_spark.operators.timeseries import normalize_minmax
+
+    df = spark.createDataFrame(
+        [("a", i, 3.0) for i in range(4)], "key string, ts long, value double"
+    )
+    out = normalize_minmax(df, "key", ("value",)).collect()
+    assert all(r.value is None for r in out)
