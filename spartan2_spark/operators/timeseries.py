@@ -160,9 +160,13 @@ def add_column(df: DataFrame, name: str, value) -> DataFrame:
 
 
 def infer_freq(df: DataFrame, key_col="key", time_col="ts") -> DataFrame:
-    """freq = n / (t.max() - t.min()) per key (timeseries.py:62-64)."""
+    """freq = n / (t.max() - t.min()) per key (timeseries.py:62-64).
+    A single-sample key has zero span -> NULL freq (try_divide), not an
+    ANSI divide-by-zero error."""
     return df.groupBy(key_col).agg(
-        (F.count(F.lit(1)) / (F.max(time_col) - F.min(time_col))).alias("freq")
+        F.try_divide(
+            F.count(F.lit(1)), F.max(time_col) - F.min(time_col)
+        ).alias("freq")
     )
 
 
