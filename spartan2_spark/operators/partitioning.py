@@ -25,6 +25,7 @@ __all__ = [
     "range_partition_by_ts",
     "global_dense_ids",
     "global_row_numbers",
+    "write_bucketed",
 ]
 
 
@@ -150,6 +151,31 @@ def global_row_numbers(
             (F.col("__offset") + F.col("__local") - 1 + F.lit(base)).cast("long"),
         )
         .drop("__pid", "__local", "__offset")
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] = ("url",),
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = ("bucket_ts",),
+) -> None:
+    """Persist a tier table bucketed (and sorted) on its series key —
+    the co-located-join/agg layout (SURVEY.md §4.2 access-path row):
+    every later ``groupBy(url, ...)`` or url-equi-join over the table
+    reads pre-shuffled buckets and plans NO Exchange, which at the
+    10^12-row tier scale removes the dominant shuffle of every
+    tier-compaction and serving query. (Iceberg's bucket transform is
+    the cluster equivalent; the Spark bucketed table is the in-sandbox
+    realization of the same layout contract.)
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table)
     )
 
 

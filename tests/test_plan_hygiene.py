@@ -52,6 +52,14 @@ AUDIT_QUERIES = [
     "multimodal_features",
     "beatlex_summarize",
     "resample_fourier",
+    "cumprod_daily",
+    "rank_fusion_sum",
+    "score_level_users",
+    "monlad_zeroout",
+    "gorilla_roundtrip",
+    "simhash_dedup_pairs",
+    "doc_fingerprint",
+    "holoscope_objective",
 ]
 
 
