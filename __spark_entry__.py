@@ -1178,7 +1178,9 @@ _KL_SQL = """
       FROM (SELECT DISTINCT event_type FROM per) s
       CROSS JOIN (SELECT unnest([0,1,2]) AS rb) b
       LEFT JOIN per ON per.event_type = s.event_type AND per.rb = b.rb),
-    gh AS (SELECT rb, count(*) AS g FROM e GROUP BY 1),
+    gh AS (SELECT b.rb, coalesce(gx.g, 0) AS g
+          FROM (SELECT unnest([0,1,2]) AS rb) b
+          LEFT JOIN (SELECT rb, count(*) AS g FROM e GROUP BY 1) gx ON gx.rb = b.rb),
     gt AS (SELECT sum(g + 1) AS gt FROM gh),
     j AS (
       SELECT d.event_type, d.rb, d.c, coalesce(gh.g, 0) AS g, gt.gt,
@@ -1822,7 +1824,9 @@ _HOLOSCOPE_FUSION_SQL = """
       FROM (SELECT DISTINCT event_type FROM per) s
       CROSS JOIN (SELECT unnest([0,1,2]) AS rb) b
       LEFT JOIN per ON per.event_type = s.event_type AND per.rb = b.rb),
-    gh AS (SELECT rb, count(*) AS g FROM e GROUP BY 1),
+    gh AS (SELECT b.rb, coalesce(gx.g, 0) AS g
+          FROM (SELECT unnest([0,1,2]) AS rb) b
+          LEFT JOIN (SELECT rb, count(*) AS g FROM e GROUP BY 1) gx ON gx.rb = b.rb),
     gt AS (SELECT sum(g + 1) AS gt FROM gh),
     j AS (
       SELECT d.event_type, d.rb, d.c, coalesce(gh.g, 0) AS g, gt.gt,
@@ -1978,15 +1982,24 @@ def _q_rpeak_segments(spark, sf_dir):
 
 _RPEAK_SQL = """
     WITH s AS (SELECT user_id, ts, round(value * 100) AS v,
-                      lag(round(value * 100)) OVER w AS pv,
-                      lead(round(value * 100)) OVER w AS nv,
-                      avg(round(value * 100)) OVER (PARTITION BY user_id) AS thr
-               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
-    SELECT user_id, epoch_us(ts) AS ts_us, v, thr,
+                      CASE WHEN lag(round(value * 100)) OVER w IS NULL
+                                OR round(value * 100) != lag(round(value * 100)) OVER w
+                           THEN 1 ELSE 0 END AS chg
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    r AS (SELECT user_id, ts, v,
+                 sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS rid
+          FROM s),
+    runs AS (SELECT user_id, rid, min(ts) AS ts, min(v) AS v
+             FROM r GROUP BY 1, 2),
+    st AS (SELECT user_id, avg(round(value * 100)) AS thr FROM events GROUP BY 1),
+    rr AS (SELECT runs.*, lag(v) OVER wr AS pv, lead(v) OVER wr AS nv
+           FROM runs WINDOW wr AS (PARTITION BY user_id ORDER BY rid))
+    SELECT rr.user_id, epoch_us(ts) AS ts_us, v, thr,
            epoch_us(ts) - 60000000 AS seg_start_us,
            epoch_us(ts) + 60000000 AS seg_end_us
-    FROM s
-    WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v >= nv AND v >= thr
+    FROM rr JOIN st ON st.user_id = rr.user_id
+    WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv AND v >= thr
 """
 
 
@@ -2097,25 +2110,28 @@ def _q_kgrass(spark, sf_dir):
 
 
 def _kgrass_sql(k: int = 8) -> str:
-    base = _POLY_SQL_BASE.format(col="CAST(l_suppkey AS VARCHAR)")
+    nbr = _POLY_SQL_BASE.format(col="CAST(d AS VARCHAR)")
+    slf = _POLY_SQL_BASE.format(col="CAST(node AS VARCHAR)")
     return f"""
-    WITH sig AS (
-      SELECT l_partkey AS node,
-             ((min((({base} + 7) % 2147483647)) * 31 + 17) % 2147483647) % {k} AS supernode
-      FROM lineitem GROUP BY 1),
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem),
+    src_sig AS (SELECT s AS node, min((({nbr} + 7) % 2147483647)) AS h0
+                FROM e0 GROUP BY 1),
+    an AS (SELECT DISTINCT node FROM
+             (SELECT s AS node FROM e0 UNION ALL SELECT d FROM e0)),
+    sinks AS (SELECT an.node, (({slf} + 7) % 2147483647) AS h0
+              FROM an WHERE NOT EXISTS (SELECT 1 FROM src_sig WHERE src_sig.node = an.node)),
+    sig AS (SELECT node, ((h0 * 31 + 17) % 2147483647) % {k} AS supernode
+            FROM (SELECT * FROM src_sig UNION ALL SELECT * FROM sinks)),
     sizes AS (SELECT supernode, count(*) AS size FROM sig GROUP BY 1),
-    e AS (
-      SELECT ss.supernode AS sn_src,
-             coalesce(sd.supernode, -1) AS sn_dst
-      FROM lineitem l
-      JOIN sig ss ON ss.node = l.l_partkey
-      LEFT JOIN sig sd ON sd.node = l.l_suppkey),
-    se AS (SELECT sn_src, sn_dst, count(*) AS multiplicity FROM e GROUP BY 1, 2),
-    sz AS (
-      SELECT se.sn_src, se.sn_dst, se.multiplicity,
-             a.size AS size_src, coalesce(b.size, 1) AS size_dst
-      FROM se JOIN sizes a ON a.supernode = se.sn_src
-      LEFT JOIN sizes b ON b.supernode = se.sn_dst)
+    se AS (SELECT a1.supernode AS sn_src, a2.supernode AS sn_dst,
+                  count(*) AS multiplicity
+           FROM e0 JOIN sig a1 ON a1.node = e0.s JOIN sig a2 ON a2.node = e0.d
+           GROUP BY 1, 2),
+    sz AS (SELECT se.sn_src, se.sn_dst, se.multiplicity,
+                  a.size AS size_src, b.size AS size_dst
+           FROM se JOIN sizes a ON a.supernode = se.sn_src
+           JOIN sizes b ON b.supernode = se.sn_dst)
     SELECT sn_src, sn_dst, multiplicity, size_src, size_dst,
            round(multiplicity * (1.0 - multiplicity::DOUBLE / (size_src * size_dst)), 6) AS err_term
     FROM sz

@@ -27,6 +27,7 @@ __all__ = [
     "suspicious_keys",
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
+    "rank_sum_fusion",
     "burst_peak",
     "burst_involvement",
     "densest_subgraph_peel",
@@ -68,7 +69,16 @@ def kl_divergence_per_sink(
 
     One groupBy for per-sink bucket counts, one for global, a broadcast
     join, and a sum of p*ln(p/q) terms — all column math.
+
+    Rows with bucket values outside [0, n_buckets) are dropped (the
+    reference's ``np.bincount(minlength=n)`` addresses exactly that
+    axis); BOTH the per-sink and the global +1-smoothed histograms are
+    normalized over the full dense [0, n_buckets) axis, so p and q
+    each sum to 1 even when some bucket has zero observations.
     """
+    df = df.filter(
+        (F.col(bucket_col) >= 0) & (F.col(bucket_col) < n_buckets)
+    )
     per = df.groupBy(sink_col, bucket_col).agg(F.count(F.lit(1)).alias("c"))
     # densify buckets per sink so +1 smoothing covers empty buckets
     sinks = per.select(sink_col).distinct()
@@ -78,7 +88,11 @@ def kl_divergence_per_sink(
     dense = sinks.crossJoin(F.broadcast(buckets)).join(
         per, [sink_col, bucket_col], "left"
     ).fillna({"c": 0})
-    glob = df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("g"))
+    glob = buckets.join(
+        df.groupBy(bucket_col).agg(F.count(F.lit(1)).alias("g")),
+        bucket_col,
+        "left",
+    ).fillna({"g": 0})
     gtot = glob.agg(F.sum(F.col("g") + 1).alias("gt"))
     j = (
         dense.join(F.broadcast(glob), bucket_col, "left")

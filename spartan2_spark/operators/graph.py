@@ -98,6 +98,7 @@ def kcore(
     iterative lineage (same discipline as densest_subgraph_peel).
     """
     cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         deg = (
             cur.select(F.col("s").alias("n"))
@@ -114,8 +115,16 @@ def kcore(
         )
         if nxt.count() == cur.count():
             cur = nxt
+            converged = True
             break
         cur = nxt
+    if not converged:
+        # a silent partial peel would report a k-core for graphs whose
+        # true k-core is empty (e.g. long paths peel two nodes/round)
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint within {max_rounds} rounds; "
+            "raise max_rounds (each round strictly shrinks the edge set)"
+        )
     return (
         cur.select(F.col("s").alias("n"))
         .unionAll(cur.select(F.col("d").alias("n")))
@@ -130,16 +139,25 @@ def encode_ids(
     """Deterministic dense id assignment for a node column — the
     relational analogue of the reference's StringMapper (insertion order
     replaced by sort order, which is the deterministic choice in a
-    distributed setting). Returns (encoded edges, dimension table)."""
+    distributed setting). ``shared_with`` contributes additional rows
+    to the key universe — the shared-mapper semantics for homogeneous
+    graphs (basicutil.py:128-134), so both edge sets encode against one
+    id space. Returns (encoded edges, dimension table).
+
+    The dimension join is left to the planner: with AQE on, a small
+    dimension broadcasts; an unbounded one (10^9 distinct nodes) sort-
+    merge-joins instead of OOMing the driver with a forced broadcast.
+    """
     from spartan2_spark.operators.partitioning import global_dense_ids
 
-    dim = global_dense_ids(
-        edges.select(F.col(col).alias("node_key")).distinct(),
-        "node_key",
-        "node_id",
-    )
+    keys = edges.select(F.col(col).alias("node_key"))
+    if shared_with is not None:
+        keys = keys.unionByName(
+            shared_with.select(F.col(col).alias("node_key"))
+        )
+    dim = global_dense_ids(keys.distinct(), "node_key", "node_id")
     enc = (
-        edges.join(F.broadcast(dim), edges[col] == dim.node_key)
+        edges.join(dim, edges[col] == dim.node_key)
         .drop("node_key", col)
         .withColumnRenamed("node_id", col)
     )

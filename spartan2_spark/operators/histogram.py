@@ -133,6 +133,7 @@ def cluster_histogram_cells(
         .localCheckpoint()
     )
     labels = cells.select("cid", F.col("cid").alias("cluster"))
+    converged = False
     for _ in range(max_rounds):
         prop = (
             edges.join(labels.withColumnRenamed("cid", "v"), "v")
@@ -157,7 +158,13 @@ def cluster_histogram_cells(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"cluster_histogram_cells did not converge in {max_rounds} "
+            "rounds (component diameter exceeds max_rounds); raise it"
+        )
     return cells.join(labels, "cid").select("bin_x", "bin_y", "cnt", "cluster")
 
 

@@ -42,7 +42,9 @@ def domain_salt_map(
     """Frequency sketch -> per-domain salt counts (only domains needing
     >1 salt are kept, so the map broadcast stays tiny even at 10^12 rows;
     pass ``sample_fraction`` to sketch from a sample at full scale)."""
-    src = df.sample(sample_fraction) if sample_fraction else df
+    # fixed seed: the salt map must be identical across re-runs — the
+    # manifest-resume idempotence contract depends on stable placement
+    src = df.sample(sample_fraction, seed=42) if sample_fraction else df
     scale = 1.0 / sample_fraction if sample_fraction else 1.0
     freq = src.groupBy("domain").agg((F.count(F.lit(1)) * scale).alias("freq"))
     return (

@@ -43,27 +43,40 @@ def detect_peaks(
 ) -> DataFrame:
     """Strict local maxima above the per-series adaptive threshold.
 
-    A row is a peak iff value > both neighbours (ties broken toward the
-    earlier sample, so plateaus yield exactly one peak) and
-    value >= mean + k_sigma * stddev_pop of its own series.
-    Returns (key, ts, value, thr).
+    Plateau-correct: consecutive equal values collapse to one RUN, and
+    a run is a peak iff its value exceeds BOTH flanking runs' values
+    (so a plateau followed by a further rise is NOT a peak) and clears
+    ``mean + k_sigma * stddev_pop`` of its own series. The emitted row
+    is the run's first sample. Returns (key, ts, value, thr).
     """
     w = W.partitionBy(key).orderBy(ts)
-    wall = W.partitionBy(key)
-    v, prev, nxt = F.col(val), F.lag(val).over(w), F.lead(val).over(w)
-    return (
-        df.withColumn("_prev", prev)
-        .withColumn("_next", nxt)
+    v = F.col(val)
+    chg = F.when(
+        F.lag(val).over(w).isNull() | (v != F.lag(val).over(w)), 1
+    ).otherwise(0)
+    runs = (
+        df.withColumn("_chg", chg)
         .withColumn(
-            "thr",
-            F.avg(val).over(wall) + F.lit(k_sigma) * F.stddev_pop(val).over(wall),
+            "_rid",
+            F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, 0)),
         )
+        .groupBy(key, "_rid")
+        .agg(F.min(ts).alias(ts), F.min(val).alias(val))
+    )
+    stats = df.groupBy(key).agg(
+        (F.avg(val) + F.lit(k_sigma) * F.stddev_pop(val)).alias("thr")
+    )
+    wr = W.partitionBy(key).orderBy("_rid")
+    return (
+        runs.withColumn("_prev", F.lag(val).over(wr))
+        .withColumn("_next", F.lead(val).over(wr))
+        .join(stats, key)
         .filter(
-            (F.col("_prev").isNotNull())
-            & (F.col("_next").isNotNull())
-            & (v > F.col("_prev"))
-            & (v >= F.col("_next"))
-            & (v >= F.col("thr"))
+            F.col("_prev").isNotNull()
+            & F.col("_next").isNotNull()
+            & (F.col(val) > F.col("_prev"))
+            & (F.col(val) > F.col("_next"))
+            & (F.col(val) >= F.col("thr"))
         )
         .select(key, ts, val, "thr")
     )

@@ -72,9 +72,12 @@ def cosine_topk(
 
 
 def _assign_nearest(vecs: DataFrame, cents: DataFrame, vcol: str, out: str) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine numerator;
-    centroids are normalized so dot == cosine ranking). Broadcast the
-    centroid table, argmin via one groupBy(min(struct))."""
+    """Assign each vector to the centroid maximizing the INNER PRODUCT
+    (an IVF-IP coarse quantizer — centroids are raw means, not unit
+    vectors, so with strongly heterogeneous corpus norms cell shapes
+    skew toward large-norm centroids; the final rerank is exact cosine
+    either way). Broadcast the centroid table, argmin via one
+    groupBy(min(struct))."""
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
         "__d", -_dot(vcol, "centroid")
     )
@@ -226,13 +229,16 @@ def ann_topk(
     ).withColumn("qn", _norm(F.col("qv"))).withColumn(
         "qbucket", _bucket_expr(F.col("qv"), planes)
     )
-    # multi-probe: query probes its own bucket + all buckets within
-    # Hamming distance <= probes (flip subsets of bits)
-    probe_buckets = [F.col("qbucket")]
-    if probes >= 1:
-        probe_buckets += [
-            F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
-        ]
+    # multi-probe: query probes its own bucket + every bucket within
+    # Hamming distance <= probes (all bit-subset flips up to that size)
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << b for b in combo)
+        for r in range(1, min(probes, n_planes) + 1)
+        for combo in combinations(range(n_planes), r)
+    ]
+    probe_buckets = [F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks]
     q = q.withColumn("bucket", F.explode(F.array(*probe_buckets)))
 
     scored = (

@@ -226,6 +226,20 @@ def specgreedy_subgraph(
         if keep_s.count() == su.count() and keep_d.count() == sv.count():
             break
         su, sv = keep_s, keep_d
+    # report the density OF THE RETURNED SETS (the loop may end by
+    # round exhaustion with su/sv peeled past the last measured block)
+    blk = (
+        e.join(F.broadcast(su), "s", "left_semi")
+        .join(F.broadcast(sv), "d", "left_semi")
+    )
+    stats = blk.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.countDistinct("s").alias("ns"),
+        F.countDistinct("d").alias("nd"),
+    ).collect()[0]
+    density = (
+        2.0 * stats.m / float(stats.ns + stats.nd) if stats.m else 0.0
+    )
     return {
         "src_nodes": su.select(F.col("s").alias("node")),
         "dst_nodes": sv.select(F.col("d").alias("node")),
@@ -256,34 +270,46 @@ def kgrass_summarize(
     supernode in [0,k)); superedges: (sn_src, sn_dst, multiplicity,
     size_src, size_dst, err_term); error: float.
     """
+    # simple-graph semantics (the reference summarizes adjacency cells,
+    # not multi-edges): deduplicate edge pairs first so the per-
+    # superedge multiplicity counts DISTINCT cells and is bounded by
+    # |A|*|B| — keeping err_term = c*(1 - c/(|A|*|B|)) in [0, c].
+    e0 = edges.select(src, dst).dropDuplicates([src, dst]).localCheckpoint()
+
     if hash_mode == "poly":
-        base = F.min(_poly_node_hash(dst, 0)).alias("h0")
+        nbr_h = _poly_node_hash(dst, 0)
+        self_h = _poly_node_hash("node", 0)
+        # h0 < 2^31 so the affine re-mix stays in int64 under ANSI
         bucket = F.pmod((F.col("h0") * 31 + 17) % _POLY_P, F.lit(k))
     else:
-        base = F.min(F.xxhash64(dst, F.lit(0))).alias("h0")
+        nbr_h = F.xxhash64(dst, F.lit(0))
+        self_h = F.xxhash64("node", F.lit(0))
+        # full-width xxhash h0 would overflow an affine re-mix — re-hash
         bucket = F.pmod(F.xxhash64("h0", F.lit(1)), F.lit(k))
+
+    src_sig = e0.groupBy(F.col(src).alias("node")).agg(F.min(nbr_h).alias("h0"))
+    all_nodes = (
+        e0.select(F.col(src).alias("node"))
+        .unionByName(e0.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # sink-only nodes have no out-neighbourhood; their signature falls
+    # back to the hash of the node id itself (deterministic, portable)
+    sinks = all_nodes.join(src_sig, "node", "left_anti").withColumn(
+        "h0", self_h
+    )
     sig = (
-        edges.groupBy(F.col(src).alias("node"))
-        .agg(base)
+        src_sig.unionByName(sinks)
         .withColumn("supernode", bucket)
         .select("node", "supernode")
     )
     sizes = sig.groupBy("supernode").agg(F.count(F.lit(1)).alias("size"))
-    e = (
-        edges.join(
-            sig.withColumnRenamed("node", src).withColumnRenamed(
-                "supernode", "sn_src"
-            ),
-            src,
-        )
-        .join(
-            sig.withColumnRenamed("node", dst).withColumnRenamed(
-                "supernode", "sn_dst"
-            ),
-            dst,
-            "left",
-        )
-        .fillna(-1, subset=["sn_dst"])
+    e = e0.join(
+        sig.withColumnRenamed("node", src).withColumnRenamed("supernode", "sn_src"),
+        src,
+    ).join(
+        sig.withColumnRenamed("node", dst).withColumnRenamed("supernode", "sn_dst"),
+        dst,
     )
     superedges = (
         e.groupBy("sn_src", "sn_dst")
@@ -297,9 +323,7 @@ def kgrass_summarize(
             F.broadcast(sizes.withColumnRenamed("supernode", "sn_dst")
                         .withColumnRenamed("size", "size_dst")),
             "sn_dst",
-            "left",
         )
-        .fillna(1, subset=["size_dst"])
         .withColumn(
             "err_term",
             F.col("multiplicity")

@@ -113,3 +113,15 @@ def test_kgrass_error_and_sizes(spark):
     # multiplicities conserve the edge count
     tot = res["superedges"].agg(F.sum("multiplicity")).collect()[0][0]
     assert tot == 20
+
+
+def test_detect_peaks_rising_plateau_not_peak(spark):
+    # [1, 5, 5, 9, 1]: the 5-plateau is followed by a rise to 9, so the
+    # only peak is 9 (run-based flanking comparison, not sample-based)
+    vals = [1.0, 5.0, 5.0, 9.0, 1.0]
+    df = spark.createDataFrame(
+        [("a", _ts(i), v) for i, v in enumerate(vals)],
+        "key string, ts timestamp, value double",
+    )
+    pk = detect_peaks(df, k_sigma=0.0).collect()
+    assert [r.value for r in pk] == [9.0]
