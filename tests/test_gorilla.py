@@ -98,3 +98,24 @@ def test_crc_detects_corruption(spark):
     blocks = spark.createDataFrame(pdf, GORILLA_BLOCKS)
     with pytest.raises(Exception, match="CRC mismatch|PythonException"):
         GO.decode_blocks(blocks).collect()
+
+
+def test_vals_roundtrip_pathological_bit_patterns():
+    """nan (several payloads), +-inf, +-0, denormals — the codec is
+    pure bit-XOR so every float64 bit pattern must survive exactly."""
+    pats = np.array(
+        [
+            0x7FF8000000000001,  # nan with payload
+            0xFFF8000000000000,  # -nan
+            0x7FF0000000000000,  # +inf
+            0xFFF0000000000000,  # -inf
+            0x0000000000000000,  # +0
+            0x8000000000000000,  # -0
+            0x0000000000000001,  # smallest denormal
+            0x000FFFFFFFFFFFFF,  # largest denormal
+            0x7FEFFFFFFFFFFFFF,  # largest finite
+        ],
+        dtype=np.uint64,
+    ).view(np.float64)
+    out = C.decode_vals(C.encode_vals(pats), len(pats))
+    np.testing.assert_array_equal(out.view(np.uint64), pats.view(np.uint64))

@@ -81,3 +81,22 @@ def test_global_dense_ids_order_and_parallelism_invariance(spark):
     # dense 0..n-1 in key sort order, independent of partition count
     assert list(a["node_id"]) == list(range(997))
     assert (a["node_id"].to_numpy() == b["node_id"].to_numpy()).all()
+
+
+def test_global_row_numbers_matches_single_partition_reference(spark):
+    """Property: the distributed numbering equals the plain
+    row_number() over a single-partition window, including with
+    duplicate sort keys broken by a unique tie-break column."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    from spartan2_spark.operators.partitioning import global_row_numbers
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), float(rng.integers(0, 20))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    order = [F.desc("score"), F.asc("id")]
+    got = global_row_numbers(df, order, "rn", num_partitions=7).toPandas()
+    ref = df.withColumn("rn_ref", F.row_number().over(W.orderBy(*order))).toPandas()
+    m = got.merge(ref[["id", "rn_ref"]], on="id")
+    assert (m["rn"] == m["rn_ref"]).all()
