@@ -1141,19 +1141,30 @@ _HIST2D_SQL = """
 
 
 def _q_suspicious_users(spark, sf_dir):
-    """IQR outlier bound + filter (iat.py:115-141)."""
-    from spartan2_spark.operators.anomaly import suspicious_keys
+    """IQR outlier rule (iat.py:115-141), emitted for EVERY user with
+    the bound and the flag — the bound value itself is oracle-compared,
+    so the check stays strong even when the sf's counts have no
+    outliers (the filtered set would then be empty rows)."""
+    from spartan2_spark.operators.anomaly import iqr_bound
 
     counts = _events(spark, sf_dir).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return suspicious_keys(counts, "cnt", method="iqr")
+    bound = iqr_bound(counts, "cnt")
+    return counts.crossJoin(F.broadcast(bound)).select(
+        "user_id",
+        "cnt",
+        F.round("bound", 6).alias("iqr_bound"),
+        (F.col("cnt") > F.col("bound")).cast("int").alias("is_susp"),
+    )
 
 
 _SUSPICIOUS_SQL = """
     WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
     b AS (SELECT quantile_cont(cnt, 0.75) + 1.5 * (quantile_cont(cnt, 0.75) - quantile_cont(cnt, 0.25)) AS bound FROM c)
-    SELECT user_id, cnt FROM c, b WHERE cnt > bound
+    SELECT user_id, cnt, round(bound, 6) AS iqr_bound,
+           CAST(cnt > bound AS INT) AS is_susp
+    FROM c, b
 """
 
 
