@@ -44,22 +44,29 @@ def hist1d(
     bounds = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
     b = df.crossJoin(F.broadcast(bounds))
     # constant column: min == max -> zero width; np.histogram widens the
-    # range to unit width around the value, putting everything in bin 0
-    width = F.when(
-        F.col("__mx") > F.col("__mn"),
-        (F.col("__mx") - F.col("__mn")) / F.lit(nbins),
-    ).otherwise(F.lit(1.0))
+    # range to (v-0.5, v+0.5), so the constant value lands in the MIDDLE
+    # bin (floor(0.5*nbins)) of nbins bins each 1/nbins wide — reproduce
+    # that by shifting the range start and shrinking the width.
+    const = F.col("__mx") <= F.col("__mn")
+    lo = F.when(const, F.col("__mn") - 0.5).otherwise(F.col("__mn"))
+    width = F.when(const, F.lit(1.0) / F.lit(nbins)).otherwise(
+        (F.col("__mx") - F.col("__mn")) / F.lit(nbins)
+    )
     idx = F.least(
-        F.floor((F.col(col) - F.col("__mn")) / width).cast("long"),
+        F.floor((F.col(col) - lo) / width).cast("long"),
         F.lit(nbins - 1),
     )
     agg = F.sum(weight) if weight else F.count(F.lit(1))
     return (
         b.withColumn("bin_idx", idx)
+        .withColumn("__lo", lo)
+        .withColumn("__w", width)
         .groupBy("bin_idx")
         .agg(
             agg.alias("cnt"),
-            F.first(F.col("__mn") + F.col("bin_idx") * width).alias("bin_start"),
+            F.first(F.col("__lo") + F.col("bin_idx") * F.col("__w")).alias(
+                "bin_start"
+            ),
         )
     )
 

@@ -40,6 +40,7 @@ def detect_peaks(
     ts: str = "ts",
     val: str = "value",
     k_sigma: float = 1.0,
+    tie: str | None = None,
 ) -> DataFrame:
     """Strict local maxima above the per-series adaptive threshold.
 
@@ -48,8 +49,13 @@ def detect_peaks(
     (so a plateau followed by a further rise is NOT a peak) and clears
     ``mean + k_sigma * stddev_pop`` of its own series. The emitted row
     is the run's first sample. Returns (key, ts, value, thr).
+
+    ``tie`` names a column appended to the window ORDER BY so duplicate
+    (key, ts) rows segment deterministically across partitionings and
+    engines (pass the same tie-break in any SQL twin).
     """
-    w = W.partitionBy(key).orderBy(ts)
+    order = [ts, tie] if tie else [ts]
+    w = W.partitionBy(key).orderBy(*order)
     v = F.col(val)
     chg = F.when(
         F.lag(val).over(w).isNull() | (v != F.lag(val).over(w)), 1
@@ -105,21 +111,26 @@ def reconstruction_scores(
     val: str = "value",
     half_window: int = 2,
     reconstructor: Column | None = None,
+    tie: str | None = None,
 ) -> DataFrame:
     """Per-point reconstruction error vs a centered moving average of
     ±half_window neighbours (the deterministic stand-in for BeatGAN's
     generator). Returns (key, ts, value, recon, err).
 
     ``reconstructor`` may override the reconstruction column (e.g. a
-    pandas-UDF-computed generator output joined in upstream)."""
+    pandas-UDF-computed generator output joined in upstream).
+    ``tie`` appends a tie-break column to the window ORDER BY so
+    duplicate (key, ts) rows get a deterministic neighbourhood."""
+    order = [ts, tie] if tie else [ts]
     w = (
         W.partitionBy(key)
-        .orderBy(ts)
+        .orderBy(*order)
         .rowsBetween(-half_window, half_window)
     )
     recon = reconstructor if reconstructor is not None else F.avg(val).over(w)
+    cols = [key, ts] + ([tie] if tie else []) + [val, "recon", "err"]
     return (
         df.withColumn("recon", recon)
         .withColumn("err", F.abs(F.col(val) - F.col("recon")))
-        .select(key, ts, val, "recon", "err")
+        .select(*cols)
     )

@@ -139,8 +139,18 @@ def _make_zero_out_fn(delta_up: float, epsilon: float):
         bal, run_min, open_, n_cycles, n_events = (
             state.get if state.exists else (0.0, 0.0, False, 0, 0)
         )
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts", kind="mergesort")
+        # A group larger than arrow.maxRecordsPerBatch arrives as multiple
+        # chunks; sorting each chunk independently would replay events out
+        # of timestamp order across chunk boundaries. Materialize the whole
+        # group for this micro-batch and sort ONCE — group state is small
+        # (5 scalars) and a single group's batch fits one task's memory.
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("ts", kind="mergesort")
             for amt in pdf["amount"].to_numpy():
                 bal += float(amt)
                 run_min = min(run_min, bal)
@@ -151,6 +161,7 @@ def _make_zero_out_fn(delta_up: float, epsilon: float):
                     open_ = False
                     n_cycles += 1
         state.update((bal, run_min, open_, n_cycles, n_events))
+
         yield pd.DataFrame(
             {
                 "key": [str(key[0])],

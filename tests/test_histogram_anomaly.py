@@ -103,12 +103,15 @@ def test_densest_subgraph_finds_planted_block(spark):
 
 def test_hist1d_constant_column(spark):
     """ANSI edge: a constant column must not divide by zero — numpy's
-    rule (unit-width range around the value) puts everything in bin 0."""
+    rule widens the range to (v-0.5, v+0.5), landing the constant value
+    in the MIDDLE bin (np.histogram([5.0]*10, bins=4) -> bin 2,
+    edges start at 4.5)."""
     from spartan2_spark.operators.histogram import hist1d
 
     df = spark.createDataFrame([(5.0,)] * 10, "v double")
     out = hist1d(df, "v", nbins=4).collect()
-    assert len(out) == 1 and out[0].bin_idx == 0 and out[0].cnt == 10
+    assert len(out) == 1 and out[0].bin_idx == 2 and out[0].cnt == 10
+    assert out[0].bin_start == 5.0  # 4.5 + 2 * 0.25
 
 
 def test_normalize_constant_series_null(spark):
