@@ -699,24 +699,15 @@ _MONLAD_SQL = """
 
 
 def _q_ngram_jaccard(spark, sf_dir):
-    """All-pairs word-trigram Jaccard above threshold (exact; the
-    verify stage of the LSH dedup path, run standalone here so DuckDB
-    can oracle it)."""
-    from spartan2_spark.operators.dedup import word_ngrams_expr
+    """EXACT word-trigram Jaccard similarity join — inverted-index plan
+    (explode grams -> equi-join on gram -> count common -> derive
+    Jaccard), NOT an all-pairs cross join. Lossless for threshold > 0
+    since qualifying pairs share >= 1 gram; the DuckDB twin computes the
+    same set via brute-force all-pairs (fine at oracle scale)."""
+    from spartan2_spark.operators.dedup import ngram_jaccard_join
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", word_ngrams_expr("text", 3).alias("ng")
-    )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
-    jac = F.size(F.array_intersect("ng_a", "ng_b")) / F.size(F.array_union("ng_a", "ng_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jac, 8))
-        .filter(F.col("jaccard") >= 0.2)
-        .select("id_a", "id_b", "jaccard")
-    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_join(d, "text", "doc_id", n=3, threshold=0.2)
 
 
 _NGRAM_JACCARD_SQL = """
@@ -938,7 +929,7 @@ def _q_ann_topk(spark, sf_dir):
     from spartan2_spark.operators.similarity import ann_topk
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ann_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_planes=4)
+    return ann_topk(e, e.filter(F.col("vec_id") < 5), k=5, n_planes=4, dim=64)
 
 
 def _ann_sql(k: int = 5, n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:

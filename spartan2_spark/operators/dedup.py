@@ -29,6 +29,7 @@ __all__ = [
     "word_ngrams_expr",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "ngram_jaccard_join",
     "simhash64",
     "simhash_pairs",
     "embedding_lsh_pairs",
@@ -127,9 +128,14 @@ def minhash_lsh_pairs(
         )
         return joined if hash_mode == "poly" else F.xxhash64(joined)
 
+    # Shuffle diet: band rows carry ONLY (id, band, bh) through the
+    # bucket self-join — NOT the shingle arrays, which would otherwise be
+    # duplicated into every band row (×bands) and shuffled twice more
+    # through the join. Shingle sets are re-joined on id for the
+    # (candidate pairs only) verify stage, so each doc's shingles travel
+    # the network once per join side instead of ×bands.
     banded = sh.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -138,7 +144,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     # bound pathological buckets (LSH standard practice at web scale)
     sizes = banded.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
@@ -146,18 +152,18 @@ def minhash_lsh_pairs(
         sizes.filter(F.col("n") <= max_bucket).select("band", "bh"), ["band", "bh"]
     )
 
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    shg = sh.select("id", "sh")
+    cand = cand.join(
+        shg.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(shg.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -165,6 +171,57 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join WITHOUT an all-pairs cross
+    join: inverted-index self-join (explode n-grams, equi-join on the
+    gram, count common grams per pair, derive Jaccard from
+    |A∩B| / (|A| + |B| - |A∩B|)).
+
+    Lossless for any threshold > 0 — a pair with positive Jaccard
+    shares at least one n-gram, so every qualifying pair appears in the
+    gram join. The shuffle key is the n-gram; super-common grams create
+    skewed groups, so at web scale pass ``max_token_df`` to df-prune
+    grams appearing in more than that many docs (standard prefix/df
+    filtering; lossy only for pairs whose ENTIRE overlap is stopword-
+    grade grams — sized so threshold*min_size exceeds it in practice).
+    """
+    d = df.select(
+        F.col(id_col).alias("id"), word_ngrams_expr(text_col, n).alias("ng")
+    )
+    sz = d.select("id", F.size("ng").alias("n_sz"))
+    tok = d.select("id", F.explode("ng").alias("g"))
+    if max_token_df is not None:
+        dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        tok = tok.join(
+            dfreq.filter(F.col("df") <= max_token_df).select("g"), "g"
+        )
+    a = tok.select(F.col("id").alias("id_a"), "g")
+    b = tok.select(F.col("id").alias("id_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        common.join(
+            sz.select(F.col("id").alias("id_a"), F.col("n_sz").alias("n_a")), "id_a"
+        )
+        .join(sz.select(F.col("id").alias("id_b"), F.col("n_sz").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.round(jac, 8))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

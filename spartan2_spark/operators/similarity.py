@@ -201,6 +201,7 @@ def ann_topk(
     probes: int = 1,
     seed: int = 42,
     quantize: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: join on LSH bucket (+ Hamming<=probes
     neighbouring buckets for the query side), exact rerank inside.
@@ -212,8 +213,12 @@ def ann_topk(
     With ``quantize=True`` the hyperplanes are quantized to integers
     too (round(p*1000)), so every bucket sign is an exact integer dot —
     bit-identical at any parallelism and reproducible by the DuckDB
-    oracle twin."""
-    dim = len(corpus.select(vec_col).first()[0])
+    oracle twin.
+
+    Pass ``dim`` (embedding width) explicitly at scale — the fallback
+    probes the corpus with a driver-side ``first()`` action."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     if quantize:

@@ -54,18 +54,47 @@ _DENSITY_SCHEMA = T.StructType(
 )
 
 
-def _qb_sketch_svd(M: np.ndarray, rank: int, seed: int) -> np.ndarray:
+class _COO:
+    """Minimal sparse COO matrix (scipy is not in this container) with
+    exactly the products the QB sketch needs, each O(nnz * rank) time
+    and O((m + n) * rank) memory via per-column bincount segment sums."""
+
+    def __init__(self, ri: np.ndarray, ci: np.ndarray, v: np.ndarray, shape):
+        self.ri, self.ci, self.v, self.shape = ri, ci, v, shape
+
+    def __matmul__(self, D: np.ndarray) -> np.ndarray:  # M @ D -> (m, k)
+        m = self.shape[0]
+        w = self.v[:, None] * D[self.ci]
+        return np.column_stack(
+            [np.bincount(self.ri, weights=w[:, c], minlength=m) for c in range(w.shape[1])]
+        )
+
+    def tmatmul(self, Q: np.ndarray) -> np.ndarray:  # Q.T @ M -> (k, n)
+        n = self.shape[1]
+        w = self.v[:, None] * Q[self.ri]
+        return np.column_stack(
+            [np.bincount(self.ci, weights=w[:, c], minlength=n) for c in range(w.shape[1])]
+        ).T
+
+    def subsum(self, sel_r: np.ndarray, sel_c: np.ndarray) -> float:
+        return float(self.v[sel_r[self.ri] & sel_c[self.ci]].sum())
+
+
+def _qb_sketch_svd(M, rank: int, seed: int):
     """Single-pass randomized QB sketch -> left singular vectors.
 
     Q, B with M ~ Q @ B, Q orthonormal (Halko et al. randomized SVD,
     the same construction EigenPulse's SinglePassPCA uses); SVD runs on
     the small B only. Deterministic via seeded Gaussian test matrix.
-    """
+
+    ``M`` may be dense OR a ``_COO`` — only ``M @ omega`` (m×k) and
+    ``Q.T @ M`` (k×n) are ever materialized, so kernel memory is
+    O((m+n)·rank), never O(m·n)."""
     rng = np.random.default_rng(seed)
     k = min(rank, min(M.shape))
     omega = rng.standard_normal((M.shape[1], k))
     Q, _ = np.linalg.qr(M @ omega)
-    B = Q.T @ M
+    B = M.tmatmul(Q) if hasattr(M, "tmatmul") else Q.T @ M
     u_b, s, vt = np.linalg.svd(B, full_matrices=False)
     return Q @ u_b, s, vt
 
@@ -87,19 +116,28 @@ def window_spectral_density(
         rows, row_idx = np.unique(pdf[row_col].to_numpy(), return_inverse=True)
         cols, col_idx = np.unique(pdf[col_col].to_numpy(), return_inverse=True)
         m, n = len(rows), len(cols)
-        M = np.zeros((m, n))
-        np.add.at(M, (row_idx, col_idx), 1.0)
+        # COO triplets, never a dense (m, n) buffer: a hot window of
+        # 1e5 x 1e5 keys would need an 80 GB dense matrix; the COO form
+        # is O(nnz) and the sketch products are O((m+n)*rank).
+        flat = row_idx.astype(np.int64) * n + col_idx
+        uniq, counts = np.unique(flat, return_counts=True)
+        M = _COO(
+            (uniq // n).astype(np.int64),
+            (uniq % n).astype(np.int64),
+            counts.astype(np.float64),
+            (m, n),
+        )
         U, s, Vt = _qb_sketch_svd(M, rank, seed)
         sel_r = np.abs(U[:, 0]) >= 1.0 / np.sqrt(m)
         sel_c = np.abs(Vt[0]) >= 1.0 / np.sqrt(n)
-        sub = M[np.ix_(sel_r, sel_c)]
+        sub_sum = M.subsum(sel_r, sel_c)
         denom = max(int(sel_r.sum()) + int(sel_c.sum()), 1)
         return pd.DataFrame(
             {
                 "win_start": [pdf["win_start"].iloc[0]],
                 "n_rows": [m],
                 "n_cols": [n],
-                "density": [float(sub.sum()) / denom],
+                "density": [sub_sum / denom],
             }
         )
 

@@ -99,6 +99,54 @@ def test_window_spectral_density(spark):
     )
 
 
+def test_coo_sketch_matches_dense():
+    """The sparse COO sketch products must equal the dense ones
+    bit-for-bit (same summation per output cell via bincount)."""
+    from spartan2_spark.operators.windows import _COO, _qb_sketch_svd
+
+    rng = np.random.default_rng(7)
+    m, n, nnz = 40, 25, 200
+    ri = rng.integers(0, m, nnz)
+    ci = rng.integers(0, n, nnz)
+    dense = np.zeros((m, n))
+    np.add.at(dense, (ri, ci), 1.0)
+    flat = ri * n + ci
+    uniq, counts = np.unique(flat, return_counts=True)
+    coo = _COO(uniq // n, uniq % n, counts.astype(float), (m, n))
+
+    omega = rng.standard_normal((n, 5))
+    assert np.allclose(coo @ omega, dense @ omega, atol=1e-12)
+    q = rng.standard_normal((m, 5))
+    assert np.allclose(coo.tmatmul(q), q.T @ dense, atol=1e-12)
+
+    u_d, s_d, vt_d = _qb_sketch_svd(dense, 5, seed=42)
+    u_s, s_s, vt_s = _qb_sketch_svd(coo, 5, seed=42)
+    assert np.allclose(s_d, s_s, atol=1e-9)
+    assert np.allclose(np.abs(u_d[:, 0]), np.abs(u_s[:, 0]), atol=1e-9)
+
+    sel_r = np.abs(u_s[:, 0]) >= 1.0 / np.sqrt(m)
+    sel_c = np.abs(vt_s[0]) >= 1.0 / np.sqrt(n)
+    assert coo.subsum(sel_r, sel_c) == dense[np.ix_(sel_r, sel_c)].sum()
+
+
+def test_coo_sketch_large_window_bounded_memory():
+    """A 40k x 40k window (12.8 GB dense) sketches fine from 100k COO
+    triplets — the kernel never allocates O(m*n)."""
+    from spartan2_spark.operators.windows import _COO, _qb_sketch_svd
+
+    rng = np.random.default_rng(3)
+    m = n = 40_000
+    nnz = 100_000
+    ri = rng.integers(0, m, nnz).astype(np.int64)
+    ci = rng.integers(0, n, nnz).astype(np.int64)
+    flat = ri * n + ci
+    uniq, counts = np.unique(flat, return_counts=True)
+    coo = _COO(uniq // n, uniq % n, counts.astype(float), (m, n))
+    u, s, vt = _qb_sketch_svd(coo, 10, seed=42)
+    assert u.shape == (m, 10) and vt.shape[1] == n
+    assert np.isfinite(s).all()
+
+
 def test_zero_out_replay(spark):
     rows = []
     # account A: pump 200, drain to 0, twice -> 2 cycles
