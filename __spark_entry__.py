@@ -1873,6 +1873,95 @@ _HOLOSCOPE_FUSION_SQL = """
 """
 
 
+def _q_holoscope_shaving(spark, sf_dir):
+    """HoloScope's greedy shaving loop (holoscopeFraudDect.py:314-394)
+    as a batched mean-credit peel over integer suspicious credits:
+    credit(u) = sum over u's (user, sink) edge weights x the sink's
+    burst-bin event count (the graphr @ bsusps MinTree seed); each
+    round drops credit <= mean and the best-objective round's suspect
+    set is returned. Fixed-unroll SQL twin (fixpoint semantics, like
+    kcore/densest)."""
+    from spartan2_spark.operators.anomaly import holoscope_greedy_shave
+
+    ev = _events(spark, sf_dir)
+    tbin = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("tbin")
+    peak = (
+        ev.groupBy(tbin)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tbin"))
+        .limit(1)
+        .select(F.col("tbin").alias("burst_start"))
+    )
+    nb = (
+        ev.withColumn("__tbin", tbin)
+        .crossJoin(F.broadcast(peak))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("__tbin") == F.col("burst_start"), 1).otherwise(0)
+            ).alias("n_burst")
+        )
+    )
+    wt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("w"))
+    cred = (
+        wt.join(nb, "event_type")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("w") * F.col("n_burst")).alias("credit"))
+    )
+    res = holoscope_greedy_shave(cred, key="user_id", credit="credit", max_rounds=12)
+    return (
+        res["nodes"]
+        .withColumn("rnd", F.lit(res["round"]))
+        .withColumn("objective", F.round(F.lit(res["objective"]), 8))
+    )
+
+
+def _holoscope_shave_sql(rounds: int = 12) -> str:
+    """Unrolled SQL twin of the batched greedy shave: each round is a
+    pure integer-comparison function of the previous round's set, and
+    the emitted set is the best-objective round's (ties -> earliest
+    round) — exactly the Spark loop's rule."""
+    parts = [
+        """e AS (SELECT user_id, event_type,
+                 CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS tbin FROM events)""",
+        "hb AS (SELECT tbin, count(*) AS cnt FROM e GROUP BY 1)",
+        "peak AS (SELECT tbin AS burst_start FROM hb ORDER BY cnt DESC, tbin ASC LIMIT 1)",
+        """nb AS (SELECT event_type,
+                 CAST(sum(CASE WHEN tbin = burst_start THEN 1 ELSE 0 END) AS BIGINT) AS n_burst
+          FROM e, peak GROUP BY 1)""",
+        "wt AS (SELECT user_id, event_type, count(*) AS w FROM e GROUP BY 1, 2)",
+        """a0 AS MATERIALIZED (SELECT user_id, CAST(sum(w * n_burst) AS BIGINT) AS credit
+          FROM wt JOIN nb USING (event_type) GROUP BY 1)""",
+        "nu AS (SELECT count(*) AS nu FROM a0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"m{i} AS (SELECT CAST(sum(credit) AS BIGINT) AS sc, count(*) AS n FROM a{i})"
+        )
+        parts.append(
+            f"o{i} AS (SELECT {i} AS rnd, CAST(sc AS DOUBLE) / (nu.nu + n) AS obj "
+            f"FROM m{i}, nu WHERE n > 0)"
+        )
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT a{i}.* FROM a{i}, m{i} "
+            f"WHERE credit * n > sc)"
+        )
+    objs = " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(rounds))
+    tagged = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, user_id, credit FROM a{i}" for i in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f",\n    objs AS ({objs}),"
+        + "\n    best AS (SELECT rnd, obj FROM objs ORDER BY obj DESC, rnd ASC LIMIT 1),"
+        + f"\n    tagged AS ({tagged})"
+        + "\n    SELECT t.user_id, t.credit, best.rnd AS rnd,"
+        + " round(best.obj, 8) AS objective"
+        + "\n    FROM tagged t JOIN best ON t.rnd = best.rnd"
+    )
+
+
 def _q_canonical_text(spark, sf_dir):
     """Canonical-row selection — the engine's byte-identical-text-per-url
     invariant (rollup.canonical_text: latest crawl wins, ties broken by
@@ -2305,6 +2394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumprod_daily": _q_cumprod_daily,
         "rank_fusion_sum": _q_rank_fusion_sum,
         "holoscope_objective": _q_holoscope_objective,
+        # --- new this round ---
+        "holoscope_shaving": _q_holoscope_shaving,
         # --- fixed this round (r01 FAIL / oracle ERROR) ---
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal_features,
@@ -2408,6 +2499,9 @@ def oracle_sql() -> dict[str, str]:
         "rating_digitize": _DIGITIZE_SQL,
         "sliding_window_count": _SLIDING_SQL,
         "holoscope_fusion": _HOLOSCOPE_FUSION_SQL,
+        # unroll depth == the Spark loop's max_rounds (mean-credit peel
+        # halves the set per round; 12 rounds covers any converging set)
+        "holoscope_shaving": _holoscope_shave_sql(rounds=12),
         "canonical_text": _CANONICAL_SQL,
         "flow_balance": _FLOW_BALANCE_SQL,
         "flow_top_mids": _FLOW_TOP_SQL,

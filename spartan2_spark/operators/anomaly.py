@@ -31,6 +31,7 @@ __all__ = [
     "burst_peak",
     "burst_involvement",
     "densest_subgraph_peel",
+    "holoscope_greedy_shave",
 ]
 
 
@@ -204,6 +205,60 @@ def burst_involvement(
         )
         .withColumn("involv", F.round(F.col("n_burst") / F.col("n_total"), 8))
     )
+
+
+def holoscope_greedy_shave(
+    credits: DataFrame,
+    key: str = "user_id",
+    credit: str = "credit",
+    n_total: int | None = None,
+    max_rounds: int = 12,
+) -> dict:
+    """HoloScope's greedy shaving loop
+    (/root/reference/spartan/model/holoscope/holoscopeFraudDect.py:314-394),
+    re-expressed as a distributed BATCHED shave: the reference removes
+    ONE min-credit user per step via a MinTree and tracks the best
+    objective along the way; the batch analogue removes every user at
+    or below the current mean credit per round (O(log n) rounds of one
+    2-scalar agg + one filter) and tracks the objective per round.
+
+    - ``credits``: per-user suspicious credit (user's edge weights
+      dotted with the per-sink suspiciousness scores — the same
+      ``graphr[cands] @ bsusps`` the reference seeds its MinTree with,
+      holoscopeFraudDect.py:340-345). Integer credits keep every
+      comparison engine-portable.
+    - Removal rule: drop u iff credit(u) * |A| <= sum_credit(A)
+      (i.e. credit <= mean) — pure integer comparison, no float
+      thresholds to diverge across engines.
+    - Objective per round (maxobjfunc, holoscopeFraudDect.py:214-226
+      shape): sum_credit(A) / (n_total + |A|) — one exact IEEE division
+      of two integers, identical bits in any engine.
+
+    Returns {'nodes': best round's credit table, 'objective': float,
+    'round': int}. Per round only 2 scalars hit the driver; the filter
+    is a map-side predicate (no shuffle), so the loop scales as
+    O(rounds) scans of a (user, credit) table.
+    """
+    cur = credits.select(
+        F.col(key).alias("k"), F.col(credit).alias("c")
+    ).localCheckpoint()
+    if n_total is None:
+        n_total = cur.count()
+    best_df, best_obj, best_round = None, float("-inf"), -1
+    for r in range(max_rounds):
+        row = cur.agg(F.sum("c").alias("sc"), F.count(F.lit(1)).alias("n")).collect()[0]
+        sc, n = row["sc"], row["n"]
+        if not n:
+            break
+        obj = sc / (n_total + n)
+        if obj > best_obj:
+            best_df, best_obj, best_round = cur, obj, r
+        cur = cur.filter(F.col("c") * F.lit(n) > F.lit(sc)).localCheckpoint()
+    return {
+        "nodes": best_df.select(F.col("k").alias(key), F.col("c").alias(credit)),
+        "objective": best_obj,
+        "round": best_round,
+    }
 
 
 def densest_subgraph_peel(

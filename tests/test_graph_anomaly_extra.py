@@ -48,3 +48,30 @@ def test_burst_involvement_ratio(spark):
     assert out["x"].n_burst == 3 and out["x"].n_total == 4
     assert abs(out["x"].involv - 0.75) < 1e-9
     assert out["y"].n_burst == 1 and out["y"].n_total == 2
+
+
+def test_holoscope_greedy_shave_later_round_wins(spark):
+    from spartan2_spark.operators.anomaly import holoscope_greedy_shave
+
+    # 100 background users (credit 10) + 5 fraudsters (credit 1000):
+    # round 0 obj = 6000/210 ~ 28.6; round 1 keeps the 5 above-mean
+    # users, obj = 5000/110 ~ 45.5 -> the SHAVED set must win.
+    rows = [(f"bg{i}", 10) for i in range(100)] + [
+        (f"fraud{i}", 1000) for i in range(5)
+    ]
+    cred = spark.createDataFrame(rows, ["user_id", "credit"])
+    res = holoscope_greedy_shave(cred, key="user_id", credit="credit", max_rounds=8)
+    assert res["round"] == 1
+    nodes = {r.user_id for r in res["nodes"].collect()}
+    assert nodes == {f"fraud{i}" for i in range(5)}
+    assert abs(res["objective"] - 5000 / 110) < 1e-12
+
+
+def test_holoscope_greedy_shave_uniform_credits(spark):
+    from spartan2_spark.operators.anomaly import holoscope_greedy_shave
+
+    # all-equal credits: round 1 drops everyone (credit <= mean), so
+    # round 0 is the only (and best) round
+    cred = spark.createDataFrame([(f"u{i}", 7) for i in range(10)], ["user_id", "credit"])
+    res = holoscope_greedy_shave(cred, max_rounds=5)
+    assert res["round"] == 0 and res["nodes"].count() == 10
