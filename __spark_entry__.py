@@ -2065,6 +2065,70 @@ _FLOW_TOP_SQL = (
 )
 
 
+def _q_flow_peel_block(spark, sf_dir):
+    """CubeFlow's greedy block refinement (CubeFlow.py:37-322): ratio
+    peel over integer per-mid scores (4x the exact quarter-unit balance
+    scores, so every round is a pure integer comparison), regularized
+    by the bucket-mode size as the reference's |S|=|A|+|M|+|C|
+    denominator. Emits the best-objective round's block."""
+    from spartan2_spark.operators.flow import flow_balance, flow_greedy_peel
+
+    am, mc = _flow_sides(spark, sf_dir)
+    cells = flow_balance(am, mc, alpha=0.75)
+    iscore = cells.groupBy("mid").agg(
+        F.sum((F.col("balance_score") * 4).cast("long")).alias("iscore4")
+    )
+    k_reg = cells.select("bucket").distinct().count()
+    res = flow_greedy_peel(
+        iscore, mid="mid", score="iscore4", k_reg=k_reg, max_rounds=12
+    )
+    return (
+        res["nodes"]
+        .withColumn("rnd", F.lit(res["round"]))
+        .withColumn("objective4", F.round(F.lit(res["objective"]), 8))
+    )
+
+
+def _flow_peel_sql(rounds: int = 12) -> str:
+    """Fixed-unroll twin of the CubeFlow ratio peel (fixpoint semantics:
+    a no-peel round repeats the same set/objective and 'earliest round
+    wins ties' mirrors the Spark early stop)."""
+    parts = [
+        _FLOW_SIDES_SQL.strip().rstrip(),
+        """sc0 AS MATERIALIZED (SELECT mid,
+              CAST(sum(4 * balance_score) AS BIGINT) AS iscore4
+           FROM cells GROUP BY 1)""",
+        "kreg AS (SELECT count(DISTINCT bucket_s) AS k FROM cells)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"m{i} AS (SELECT CAST(sum(iscore4) AS BIGINT) AS tot, count(*) AS n "
+            f"FROM sc{i})"
+        )
+        parts.append(
+            f"o{i} AS (SELECT {i} AS rnd, CAST(tot AS DOUBLE) / (n + kreg.k) AS obj "
+            f"FROM m{i}, kreg WHERE n > 0)"
+        )
+        parts.append(
+            f"sc{i + 1} AS MATERIALIZED (SELECT sc{i}.* FROM sc{i}, m{i}, kreg "
+            f"WHERE iscore4 * (n + kreg.k) > tot)"
+        )
+    objs = " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(rounds))
+    tagged = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, mid, iscore4 FROM sc{i}" for i in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f",\n    objs AS ({objs}),"
+        + "\n    best AS (SELECT rnd, obj FROM objs ORDER BY obj DESC, rnd ASC LIMIT 1),"
+        + f"\n    tagged AS ({tagged})"
+        + "\n    SELECT t.mid, t.iscore4, best.rnd AS rnd,"
+        + " round(best.obj, 8) AS objective4"
+        + "\n    FROM tagged t JOIN best ON t.rnd = best.rnd"
+    )
+
+
 def _q_rpeak_segments(spark, sf_dir):
     """RPeak-style peak detection + fixed segment windows
     (RPeak.py:24-36): strict local maxima over each user's value series
@@ -2396,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holoscope_objective": _q_holoscope_objective,
         # --- new this round ---
         "holoscope_shaving": _q_holoscope_shaving,
+        "flow_peel_block": _q_flow_peel_block,
         # --- fixed this round (r01 FAIL / oracle ERROR) ---
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal_features,
@@ -2505,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_text": _CANONICAL_SQL,
         "flow_balance": _FLOW_BALANCE_SQL,
         "flow_top_mids": _FLOW_TOP_SQL,
+        "flow_peel_block": _flow_peel_sql(rounds=12),
         "rpeak_segments": _RPEAK_SQL,
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,

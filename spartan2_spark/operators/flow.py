@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["flow_balance", "flow_suspicious_mids"]
+__all__ = ["flow_balance", "flow_suspicious_mids", "flow_greedy_peel"]
 
 
 def flow_balance(
@@ -78,3 +78,52 @@ def flow_suspicious_mids(
         .orderBy(F.desc("total_score"), F.col(mid))
         .limit(k)
     )
+
+
+def flow_greedy_peel(
+    scores: DataFrame,
+    mid: str = "mid",
+    score: str = "iscore",
+    k_reg: int = 0,
+    max_rounds: int = 12,
+) -> dict:
+    """CubeFlow's greedy block refinement (CubeFlow.py:37-322
+    ``__initGreedy``/``__computeScore``): the reference peels ONE
+    account at a time off a MinTree to maximize f(S)/|S|; the
+    distributed analogue is a Dinkelbach-style ratio peel — each round
+    computes the current objective g = sum(score)/(|M| + k_reg) and
+    drops every middle with score*(|M|+k_reg) <= sum(score) (i.e.
+    score <= g; pure INTEGER comparison when scores are integers, so
+    any SQL engine reproduces the rounds bit-for-bit). For this
+    linear-fractional objective the iteration converges to the optimal
+    block {m : score(m) > g*}; the best-objective round is returned
+    (ties -> earliest).
+
+    ``k_reg`` plays the role of the non-middle mode sizes in the
+    reference's |S| = |A|+|M|+|C| denominator — without it a static
+    per-middle score peels down to the single best account.
+
+    Per round: one 2-scalar agg + one map-side filter; scales as
+    O(rounds) scans of the (mid, score) table.
+    """
+    cur = scores.select(
+        F.col(mid).alias("k"), F.col(score).alias("s")
+    ).localCheckpoint()
+    best_df, best_obj, best_round = None, float("-inf"), -1
+    for r in range(max_rounds):
+        row = cur.agg(F.sum("s").alias("ts"), F.count(F.lit(1)).alias("n")).collect()[0]
+        tot, n = row["ts"], row["n"]
+        if not n:
+            break
+        obj = tot / (n + k_reg)
+        if obj > best_obj:
+            best_df, best_obj, best_round = cur, obj, r
+        nxt = cur.filter(F.col("s") * F.lit(n + k_reg) > F.lit(tot)).localCheckpoint()
+        if nxt.count() == n:  # fixpoint: nothing peeled
+            break
+        cur = nxt
+    return {
+        "nodes": best_df.select(F.col("k").alias(mid), F.col("s").alias(score)),
+        "objective": best_obj,
+        "round": best_round,
+    }

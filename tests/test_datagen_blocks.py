@@ -101,3 +101,34 @@ def test_camo_modes_add_edges(spark):
     camo1 = inject_clique_camo(noise, 10, 10, p=0.8, test_idx=1, seed=9).count()
     camo3 = inject_clique_camo(noise, 10, 10, p=0.8, test_idx=3, seed=9).count()
     assert camo1 > base and camo3 > base
+
+
+def test_inject_and_recover_flow_block(spark):
+    """CubeFlow inject-then-recover: plant 6 perfectly-balanced,
+    high-volume middle accounts in imbalanced background traffic;
+    flow_greedy_peel must converge on exactly the planted block."""
+    from spartan2_spark.operators.flow import flow_balance, flow_greedy_peel
+
+    rows_in, rows_out = [], []
+    # background: 60 mids with IMBALANCED flow (in 100, out 20 centi)
+    for m in range(60):
+        for b in (0, 1):
+            rows_in.append((f"bg{m}", b, 100))
+            rows_out.append((f"bg{m}", b, 20))
+    # planted block: 6 mids pumping 5000 in == 5000 out per bucket
+    for m in range(6):
+        for b in (0, 1):
+            rows_in.append((f"fraud{m}", b, 5000))
+            rows_out.append((f"fraud{m}", b, 5000))
+    am = spark.createDataFrame(rows_in, ["mid", "bucket", "value"])
+    mc = spark.createDataFrame(rows_out, ["mid", "bucket", "value"])
+    cells = flow_balance(am, mc, alpha=0.75)
+    iscore = cells.groupBy("mid").agg(
+        F.sum((F.col("balance_score") * 4).cast("long")).alias("iscore4")
+    )
+    res = flow_greedy_peel(iscore, mid="mid", score="iscore4", k_reg=2, max_rounds=12)
+    found = {r.mid for r in res["nodes"].collect()}
+    assert found == {f"fraud{m}" for m in range(6)}
+    # objective4 of the block: per mid 2 buckets * 4*5000 = 40000;
+    # 6 mids -> 240000 over (6 + 2)
+    assert abs(res["objective"] - 240000 / 8) < 1e-9
