@@ -2215,33 +2215,65 @@ _BEATGAN_SQL = """
 
 
 def _q_eaglemine_clusters(spark, sf_dir):
-    """EagleMine-style histogram clustering (model/eaglemine/): connected
-    components of non-empty 2-D log-histogram cells under 4-adjacency,
-    labeled by min cell id. Same cells as hist2d_log; DuckDB oracles the
-    fixpoint with a recursive CTE."""
-    from spartan2_spark.operators.histogram import cluster_histogram_cells, hist2d_log
+    """EagleMine water-level tree (model/eaglemine/core/leveltree.py
+    build_level_tree, eaglemine_model.py level-tree stage): nested
+    density islands of the 2-D log-histogram. 2x2 binary-opening
+    smoothing, pure-integer water levels (alive at level l iff
+    cnt >= 2^l - 1, the inter_npts emission rule on [2^(l-1), 2^l-1]),
+    8-adjacency components labeled by min cell id, tiny blobs
+    (<= 4 cells) dropped, parent = the containing island one emitted
+    level down. DuckDB oracles the whole sweep with a recursive CTE."""
+    from spartan2_spark.operators.histogram import hist2d_log, water_level_tree
 
     li = _lineitem(spark, sf_dir)
     hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
-    return cluster_histogram_cells(hist)
+    return water_level_tree(hist, min_hcubes=4, smooth=True)
 
 
 _EAGLEMINE_SQL = """
-    WITH RECURSIVE cells AS (
+    WITH RECURSIVE cells0 AS (
       SELECT CAST(floor(log10(l_quantity) * 4) AS BIGINT) AS bin_x,
              CAST(floor(log10(l_extendedprice) * 4) AS BIGINT) AS bin_y,
              count(*) AS cnt
       FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
       GROUP BY 1, 2),
-    c AS (SELECT bin_x * 100000 + bin_y AS cid, bin_x, bin_y, cnt FROM cells),
-    e AS (SELECT a.cid AS u, b.cid AS v FROM c a JOIN c b
-          ON abs(a.bin_x - b.bin_x) + abs(a.bin_y - b.bin_y) = 1),
-    reach(u, lbl) AS (
-      SELECT cid, cid FROM c
+    anchors AS (
+      SELECT a.bin_x, a.bin_y FROM cells0 a
+      WHERE EXISTS (SELECT 1 FROM cells0 b WHERE b.bin_x = a.bin_x + 1 AND b.bin_y = a.bin_y)
+        AND EXISTS (SELECT 1 FROM cells0 b WHERE b.bin_x = a.bin_x AND b.bin_y = a.bin_y + 1)
+        AND EXISTS (SELECT 1 FROM cells0 b WHERE b.bin_x = a.bin_x + 1 AND b.bin_y = a.bin_y + 1)),
+    covered AS (
+      SELECT DISTINCT a.bin_x + d.dx AS bin_x, a.bin_y + d.dy AS bin_y
+      FROM anchors a, (VALUES (0,0),(0,1),(1,0),(1,1)) AS d(dx, dy)),
+    c AS (SELECT s.bin_x * 100000 + s.bin_y AS cid, s.bin_x, s.bin_y, s.cnt
+          FROM cells0 s JOIN covered v ON v.bin_x = s.bin_x AND v.bin_y = s.bin_y),
+    mx AS (SELECT max(cnt) AS m FROM c),
+    lv AS (SELECT t.l, (1::BIGINT << t.l) - 1 AS thresh, (1::BIGINT << (t.l - 1)) AS half
+           FROM range(1, 63) t(l), mx WHERE (1::BIGINT << t.l) <= mx.m),
+    kept AS (SELECT l, thresh FROM lv
+             WHERE l = 1 OR EXISTS (SELECT 1 FROM c
+                                    WHERE c.cnt >= lv.half AND c.cnt <= lv.thresh)),
+    alive AS (SELECT k.l, c.cid, c.bin_x, c.bin_y, c.cnt
+              FROM kept k JOIN c ON c.cnt >= k.thresh),
+    e AS (SELECT a.l, a.cid AS u, b.cid AS v FROM alive a JOIN alive b
+          ON a.l = b.l AND abs(a.bin_x - b.bin_x) <= 1
+             AND abs(a.bin_y - b.bin_y) <= 1 AND a.cid <> b.cid),
+    reach(l, u, lbl) AS (
+      SELECT l, cid, cid FROM alive
       UNION
-      SELECT e.v, r.lbl FROM reach r JOIN e ON e.u = r.u),
-    lab AS (SELECT u AS cid, min(lbl) AS cluster FROM reach GROUP BY u)
-    SELECT bin_x, bin_y, cnt, cluster FROM c JOIN lab USING (cid)
+      SELECT e.l, e.v, r.lbl FROM reach r JOIN e ON e.l = r.l AND e.u = r.u),
+    lab AS (SELECT l, u AS cid, min(lbl) AS node FROM reach GROUP BY l, u),
+    big AS (SELECT l, node FROM lab GROUP BY l, node HAVING count(*) > 4),
+    prev AS (SELECT x.l, max(y.l) AS pl
+             FROM (SELECT DISTINCT l FROM kept) x
+             JOIN (SELECT DISTINCT l FROM kept) y ON y.l < x.l GROUP BY x.l),
+    surv AS (
+      SELECT s.l AS level, s.cid, s.node, coalesce(p.node, -1) AS parent
+      FROM lab s JOIN big ON big.l = s.l AND big.node = s.node
+      LEFT JOIN prev ON prev.l = s.l
+      LEFT JOIN lab p ON p.l = prev.pl AND p.cid = s.cid)
+    SELECT o.level, c.bin_x, c.bin_y, c.cnt, o.node, o.parent
+    FROM surv o JOIN c ON c.cid = o.cid
 """
 
 

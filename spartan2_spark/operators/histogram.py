@@ -34,6 +34,8 @@ __all__ = [
     "points_in_peak_bin",
     "log_bucketize",
     "cluster_histogram_cells",
+    "smooth_open_2x2",
+    "water_level_tree",
 ]
 
 
@@ -181,4 +183,208 @@ def log_bucketize(col, n_buckets: int = 10, base: float = 10.0):
     c = F.col(col) if isinstance(col, str) else col
     return F.when(c > 0, F.floor(F.log(float(base), c) * n_buckets).cast("long")).otherwise(
         F.lit(0).cast("long")
+    )
+
+
+def smooth_open_2x2(hist: DataFrame) -> DataFrame:
+    """Morphological binary opening of the non-empty-cell mask with a
+    2x2 structuring element, the level-tree's smoothing step
+    (model/eaglemine/core/leveltree.py:85-92 `_search_components_`
+    morphology branch, `snm.binary_opening(..., np.ones((2,2)))`).
+
+    Opening is origin-independent: a cell survives iff some fully-set
+    2x2 block covers it. Expressed as equi-joins on the (tiny,
+    post-aggregation) cell relation: anchors = cells whose (x+1,y),
+    (x,y+1), (x+1,y+1) neighbours all exist; a cell survives iff it is
+    one of the four cells covered by some anchor. Surviving cells keep
+    their original counts.
+    """
+    c = hist.select("bin_x", "bin_y").localCheckpoint()
+
+    def shifted(dx: int, dy: int) -> DataFrame:
+        return c.select(
+            (F.col("bin_x") - dx).alias("bin_x"), (F.col("bin_y") - dy).alias("bin_y")
+        )
+
+    anchors = (
+        c.join(shifted(1, 0), ["bin_x", "bin_y"], "left_semi")
+        .join(shifted(0, 1), ["bin_x", "bin_y"], "left_semi")
+        .join(shifted(1, 1), ["bin_x", "bin_y"], "left_semi")
+    )
+    covered = (
+        anchors.select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("dx"), "bin_x", "bin_y"
+        )
+        .select(
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("dy"), "dx", "bin_x", "bin_y"
+        )
+        .select(
+            (F.col("bin_x") + F.col("dx")).alias("bin_x"),
+            (F.col("bin_y") + F.col("dy")).alias("bin_y"),
+        )
+        .distinct()
+    )
+    return hist.join(covered, ["bin_x", "bin_y"], "left_semi")
+
+
+def water_level_tree(
+    hist: DataFrame,
+    min_hcubes: int = 4,
+    smooth: bool = True,
+    max_rounds: int = 96,
+) -> DataFrame:
+    """EagleMine water-level tree over a 2-D histogram: the hierarchy of
+    density "islands" the reference's LevelTree reports
+    (model/eaglemine/core/leveltree.py:155-228 `build_level_tree`,
+    eaglemine_model.py level-tree stage).
+
+    Reference semantics re-expressed with pure-integer thresholds so the
+    Spark plan and the DuckDB oracle agree bit-for-bit (the reference
+    sweeps float water levels over log2(count+1) cell values; level l in
+    [1, 2, ...] includes exactly the cells with ``cnt >= 2**l - 1``):
+
+    - optional 2x2 binary-opening smoothing of the cell mask
+      (:func:`smooth_open_2x2`; the reference applies it inside every
+      level search with identical results, so it is hoisted upfront —
+      the level-emission rule below then uses smoothed cells, a
+      documented divergence from the reference's use of the unsmoothed
+      value set).
+    - integer levels l = 1 .. while ``2**l <= max(cnt)`` (the arange
+      exclusive upper bound, leveltree.py:167); a level l > 1 is emitted
+      only if some cell count falls in ``[2**(l-1), 2**l - 1]`` (the
+      `inter_npts` skip rule, leveltree.py:176-179) — otherwise its
+      island set would duplicate the previous level's.
+    - per level, connected components of alive cells under 8-adjacency
+      (leveltree.py:110-121 neighbours are the full unit hypercube
+      product, diagonals included), labeled by min cell id; components
+      with <= ``min_hcubes`` cells are tiny blobs, dropped
+      (leveltree.py:190-213).
+    - parent linkage: alive sets are nested across levels, so each
+      island at level l lies inside exactly one island at the previous
+      emitted level — ``parent`` is that island's label (-1 at the
+      first level). This resolves the reference's max-overlap argmax
+      (leveltree.py:206-210) exactly.
+
+    Returns (level, bin_x, bin_y, cnt, node, parent): one row per alive
+    cell per emitted level. All joins run over the bounded
+    post-aggregation cell relation (at most bins_x x bins_y rows
+    regardless of input scale); the single min-label propagation loop
+    handles every level at once, converging in O(max island diameter)
+    rounds with two scalar actions per round.
+    """
+    cells = smooth_open_2x2(hist) if smooth else hist
+    cells = cells.select(
+        (F.col("bin_x") * 100000 + F.col("bin_y")).alias("cid"),
+        "bin_x",
+        "bin_y",
+        "cnt",
+    ).localCheckpoint()
+    spark = cells.sparkSession
+    max_cnt = cells.agg(F.max("cnt")).first()[0]
+    if max_cnt is None:
+        return spark.createDataFrame(
+            [], "level long, bin_x long, bin_y long, cnt long, node long, parent long"
+        )
+    pows = []
+    l = 1
+    while (1 << l) <= int(max_cnt):
+        pows.append((l, (1 << l) - 1, 1 << (l - 1)))
+        l += 1
+    if not pows:
+        # max water level is log2(max_cnt+1) <= 1: the reference's
+        # arange(min_level, max_level) sweep is empty -> empty tree.
+        return spark.createDataFrame(
+            [], "level long, bin_x long, bin_y long, cnt long, node long, parent long"
+        )
+    lv = spark.createDataFrame(pows, "l long, thresh long, half long")
+    # inter_npts emission rule: keep l==1, else some cnt in [2^(l-1), 2^l - 1]
+    kept = lv.filter(F.col("l") == 1).unionByName(
+        lv.filter(F.col("l") > 1).join(
+            cells,
+            (F.col("cnt") >= F.col("half")) & (F.col("cnt") <= F.col("thresh")),
+            "left_semi",
+        )
+    )
+    kept = kept.localCheckpoint()
+    alive = (
+        kept.join(cells, F.col("cnt") >= F.col("thresh"))
+        .select("l", "cid", "bin_x", "bin_y", "cnt")
+        .localCheckpoint()
+    )
+    edges = (
+        alive.alias("a")
+        .join(
+            alive.alias("b"),
+            (F.col("a.l") == F.col("b.l"))
+            & (F.abs(F.col("a.bin_x") - F.col("b.bin_x")) <= 1)
+            & (F.abs(F.col("a.bin_y") - F.col("b.bin_y")) <= 1)
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(F.col("a.l").alias("l"), F.col("a.cid").alias("u"), F.col("b.cid").alias("v"))
+        .localCheckpoint()
+    )
+    labels = alive.select("l", "cid", F.col("cid").alias("node"))
+    converged = False
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(
+                labels.select(F.col("l"), F.col("cid").alias("v"), "node"), ["l", "v"]
+            )
+            .groupBy(F.col("l"), F.col("u").alias("cid"))
+            .agg(F.min("node").alias("nbr_node"))
+        )
+        new_labels = (
+            labels.join(prop, ["l", "cid"], "left")
+            .select(
+                "l",
+                "cid",
+                F.least(F.col("node"), F.coalesce("nbr_node", "node")).alias("node"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("node", "new_node")
+            .join(labels, ["l", "cid"])
+            .filter(F.col("new_node") != F.col("node"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"water_level_tree did not converge in {max_rounds} rounds "
+            "(island diameter exceeds max_rounds); raise it"
+        )
+    big = (
+        labels.groupBy("l", "node")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") > min_hcubes)
+        .select("l", "node")
+    )
+    surviving = labels.join(big, ["l", "node"])
+    # previous emitted level per level (over kept levels only)
+    kl = kept.select("l").distinct()
+    prev = (
+        kl.alias("x")
+        .join(kl.alias("y"), F.col("y.l") < F.col("x.l"))
+        .groupBy(F.col("x.l").alias("l"))
+        .agg(F.max(F.col("y.l")).alias("pl"))
+    )
+    parents = labels.select(
+        F.col("l").alias("pl"), "cid", F.col("node").alias("parent")
+    )
+    out = (
+        surviving.join(prev, "l", "left")
+        .join(parents, ["pl", "cid"], "left")
+        .select(
+            F.col("l").alias("level"),
+            "cid",
+            "node",
+            F.coalesce("parent", F.lit(-1)).alias("parent"),
+        )
+    )
+    return out.join(cells, "cid").select(
+        "level", "bin_x", "bin_y", "cnt", "node", "parent"
     )

@@ -124,3 +124,54 @@ def test_normalize_constant_series_null(spark):
     )
     out = normalize_minmax(df, "key", ("value",)).collect()
     assert all(r.value is None for r in out)
+
+
+def test_smooth_open_2x2(spark):
+    # a solid 2x2 block survives opening; an isolated cell is erased
+    hist = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 5), (1, 0, 5), (1, 1, 5), (9, 9, 5)],
+        "bin_x long, bin_y long, cnt long",
+    )
+    out = sorted((r.bin_x, r.bin_y) for r in HG.smooth_open_2x2(hist).collect())
+    assert out == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_water_level_tree_two_peaks(spark):
+    # 7x7 plateau (cnt=2) carrying two 3x3 peaks: A cnt=10, B cnt=40.
+    # Hand-derived tree: level 1 = one 49-cell island (root, parent -1);
+    # level 2 (cnt>=3) = islands A and B, both children of the root;
+    # levels 3 and 5 are skipped by the inter_npts rule (no cell count in
+    # [4,7] / [16,31] -> island sets would duplicate); level 4 (cnt>=15)
+    # = B alone, child of B-at-level-2.
+    rows = []
+    for x in range(7):
+        for y in range(7):
+            cnt = 2
+            if x <= 2 and y <= 2:
+                cnt = 10
+            if x >= 4 and y >= 4:
+                cnt = 40
+            rows.append((x, y, cnt))
+    hist = spark.createDataFrame(rows, "bin_x long, bin_y long, cnt long")
+    out = HG.water_level_tree(hist).collect()
+    from collections import Counter
+
+    got = Counter((r.level, r.node, r.parent) for r in out)
+    b = 4 * 100000 + 4
+    assert got == Counter(
+        {(1, 0, -1): 49, (2, 0, 0): 9, (2, b, 0): 9, (4, b, b): 9}
+    )
+
+
+def test_water_level_tree_tiny_blobs_and_degenerate(spark):
+    # all-ones histogram: max water level log2(2) = 1 -> empty sweep
+    ones = spark.createDataFrame(
+        [(x, 0, 1) for x in range(6)], "bin_x long, bin_y long, cnt long"
+    )
+    assert HG.water_level_tree(ones, smooth=False).count() == 0
+    # a 4-cell island is a tiny blob (min_hcubes=4 means size must exceed 4)
+    four = spark.createDataFrame(
+        [(x, y, 9) for x in range(2) for y in range(2)],
+        "bin_x long, bin_y long, cnt long",
+    )
+    assert HG.water_level_tree(four, smooth=False).count() == 0
