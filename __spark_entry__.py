@@ -1796,12 +1796,95 @@ def _graph_summarize_sql(k_hashes: int = 4) -> str:
     )
     sup = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(k_hashes))
     return f"""
-    WITH sig AS (SELECT l_partkey AS node, {hmins} FROM lineitem GROUP BY 1),
+    WITH sig AS (SELECT user_id AS node, {hmins} FROM events GROUP BY 1),
     g AS (SELECT {sup} AS supernode, count(*) AS n_nodes FROM sig GROUP BY 1)
     SELECT supernode, n_nodes,
            round(CASE WHEN n_nodes > 1
                       THEN (n_nodes - 1) * log2(n_nodes::DOUBLE) ELSE 0.0 END, 6) AS gain_bits
     FROM g
+"""
+
+
+def _q_dpgs_merge_refine(spark, sf_dir):
+    """DPGS within-group MDL merge round (DPGS.py:143-226): every
+    within-LSH-group pair scored with the reference's local code-length
+    gain (xlogx degree terms + common-neighbour terms), quantized to
+    integers, best-partner matching, union-find collapse per group.
+    Portable poly-hash signatures -> the DuckDB twin replays the whole
+    round value-exactly (components via recursive CTE)."""
+    from spartan2_spark.operators.spectral import dpgs_merge_round
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("src"), F.col("event_type").alias("dst")
+    )
+    res = dpgs_merge_round(ev, k_hashes=4, hash_mode="poly", max_group=500)
+    return res["assign"]
+
+
+def _dpgs_merge_sql(k_hashes: int = 4) -> str:
+    base = _POLY_SQL_BASE.format(col="CAST(event_type AS VARCHAR)")
+    hmins = ", ".join(
+        f"min((({2 * i + 1} * {base} + {i * i + 7}) % 2147483647)) AS h{i}"
+        for i in range(k_hashes)
+    )
+    sup = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(k_hashes))
+
+    def xlogx(x):
+        return f"(CASE WHEN {x} > 0 THEN {x} * ln({x}) ELSE 0.0 END)"
+
+    def ln_univ(x):
+        # Rissanen universal code length (c_MDL.pyx LN), 5-level unroll;
+        # each log2^k only evaluates where log2^(k-1) > 0 (DuckDB throws
+        # on log of non-positives, so the CASEs nest as lazy guards).
+        import math as _m
+
+        c = repr(_m.log2(2.865064))
+        chain = "0.0"
+        for k in range(5, 0, -1):
+            lk = "log2(" * k + x + ")" * k
+            chain = f"(CASE WHEN {lk} > 0 THEN {lk} + {chain} ELSE 0.0 END)"
+        return f"(CASE WHEN {x} > 0 THEN {c} + {chain} ELSE 0.0 END)"
+
+    return f"""
+    WITH RECURSIVE
+    nw AS (SELECT user_id AS node, event_type AS nei, count(*) AS w
+           FROM events GROUP BY 1, 2),
+    deg AS (SELECT node, sum(w) AS d FROM nw GROUP BY 1),
+    sig AS (SELECT user_id AS node, {hmins} FROM events GROUP BY 1),
+    sg AS (SELECT node, {sup} AS g FROM sig),
+    ok AS (SELECT g FROM sg GROUP BY g HAVING count(*) BETWEEN 2 AND 500),
+    grp AS (SELECT sg.node, sg.g FROM sg JOIN ok USING (g)),
+    nd AS (SELECT grp.node, grp.g, deg.d FROM grp JOIN deg USING (node)),
+    pairs AS (SELECT a.g, a.node AS u, b.node AS v,
+                     2 * ({xlogx('a.d')} + {xlogx('b.d')} - {xlogx('(a.d + b.d)')}) AS degterm
+              FROM nd a JOIN nd b ON a.g = b.g AND a.node < b.node),
+    adjg AS (SELECT nw.node, nw.nei, nw.w, grp.g FROM nw JOIN grp USING (node)),
+    pn AS (SELECT a.node AS u, b.node AS v,
+                  2 * ({xlogx('(a.w + b.w)')} - {xlogx('a.w')} - {xlogx('b.w')})
+                  + {ln_univ('a.w')} + {ln_univ('b.w')} - {ln_univ('(a.w + b.w)')} AS term
+           FROM adjg a JOIN adjg b
+           ON a.g = b.g AND a.nei = b.nei AND a.node < b.node),
+    common AS (SELECT u, v, sum(term) AS commonterm FROM pn GROUP BY 1, 2),
+    gains AS (SELECT g, u, v,
+                     CAST(round((degterm + commonterm) * 1000, 0) AS BIGINT) AS gq
+              FROM pairs JOIN common USING (u, v)
+              WHERE CAST(round((degterm + commonterm) * 1000, 0) AS BIGINT) > 0),
+    cand AS (SELECT g, u AS node, v AS partner, gq FROM gains
+             UNION ALL SELECT g, v AS node, u AS partner, gq FROM gains),
+    best AS (SELECT DISTINCT least(node, partner) AS cu, greatest(node, partner) AS cv
+             FROM (SELECT *, row_number() OVER
+                       (PARTITION BY node ORDER BY gq DESC, partner ASC) AS rn
+                   FROM cand) t
+             WHERE rn = 1),
+    e2 AS (SELECT cu AS x, cv AS y FROM best UNION ALL SELECT cv AS x, cu AS y FROM best),
+    reach(n, lbl) AS (
+      SELECT x, x FROM e2
+      UNION
+      SELECT e2.y, r.lbl FROM reach r JOIN e2 ON e2.x = r.n),
+    comp AS (SELECT n AS node, min(lbl) AS supernode FROM reach GROUP BY n),
+    alln AS (SELECT DISTINCT user_id AS node FROM events)
+    SELECT a.node, coalesce(c.supernode, a.node) AS supernode
+    FROM alln a LEFT JOIN comp c USING (node)
 """
 
 
@@ -2475,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_peel": _q_kcore,
         "svd_power_spokes": _q_svd_spokes,
         "graph_summarize_lsh": _q_graph_summarize,
+        "dpgs_merge_refine": _q_dpgs_merge_refine,
         "holoscope_fusion": _q_holoscope_fusion,
         "canonical_text": _q_canonical_text,
         "flow_balance": _q_flow_balance,
@@ -2617,6 +2701,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "minhash_dedup_pairs": _minhash_sql(),
         "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
+        "dpgs_merge_refine": _dpgs_merge_sql(k_hashes=4),
         "kgrass_summary": _kgrass_sql(k=8),
         "simhash_dedup_pairs": _simhash_sql(max_hamming=10),
         "ann_topk": _ann_sql(k=5, n_planes=4),

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "gorilla_roundtrip",
     "flow_balance",
     "cosine_topk",
+    "ivf_topk",
+    "canonical_text",
 ]
 
 

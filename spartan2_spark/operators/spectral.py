@@ -39,6 +39,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 __all__ = [
     "power_iteration",
@@ -336,3 +337,192 @@ def kgrass_summarize(
     )
     err = superedges.agg(F.sum("err_term")).collect()[0][0]
     return {"assign": sig, "superedges": superedges, "error": float(err or 0.0)}
+
+
+def _xlogx(c):
+    """x*ln(x) with xlogx(0)=0 (model/DPGS/DPGS.py:43-47)."""
+    return F.when(c > 0, c.cast("double") * F.log(c.cast("double"))).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _ln_univ(c):
+    """Rissanen's universal integer code length in bits
+    (model/DPGS/c_MDL.pyx LN): log2(2.865064) + log2(n) + log2(log2(n))
+    + ... while positive. The iterated-log chain has at most 5 positive
+    terms for any int64, so it unrolls to a fixed expression both Spark
+    and the DuckDB oracle evaluate identically."""
+    n = c.cast("double")
+    i1 = F.log2(n)
+    i2 = F.log2(i1)
+    i3 = F.log2(i2)
+    i4 = F.log2(i3)
+    i5 = F.log2(i4)
+    term = lambda i: F.when(i > 0, i).otherwise(F.lit(0.0))  # noqa: E731
+    chain = term(i1) + F.when(
+        i1 > 0, term(i2) + F.when(
+            i2 > 0, term(i3) + F.when(
+                i3 > 0, term(i4) + F.when(i4 > 0, term(i5)).otherwise(F.lit(0.0))
+            ).otherwise(F.lit(0.0))
+        ).otherwise(F.lit(0.0))
+    ).otherwise(F.lit(0.0))
+    return F.when(c > 0, F.lit(math.log2(2.865064)) + chain).otherwise(F.lit(0.0))
+
+
+def dpgs_merge_round(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_hashes: int = 4,
+    hash_mode: str = "xxhash",
+    max_group: int = 500,
+    quant: float = 1000.0,
+) -> dict:
+    """One DPGS merge-refinement round: within-LSH-group agglomeration by
+    MDL code-length gain (model/DPGS/DPGS.py:143-186 `_merge_gain`,
+    187-226 `_merge_group`).
+
+    The reference samples random pairs inside each LSH group and merges
+    while the MDL gain is positive; a distributed engine needs a
+    deterministic rule, so this round computes the gain for EVERY
+    within-group pair with declarative joins, keeps pairs with positive
+    quantized gain, lets each node pick its best partner (max gain, then
+    min partner id), and collapses the chosen-partner graph per group
+    with a union-find kernel (grouped `applyInPandas` over the bounded
+    group relation). Gain keeps the reference's local terms —
+
+      2*(xlogx(du) + xlogx(dv) - xlogx(du+dv))
+      + sum over common neighbours n of
+        [ 2*(xlogx(w_un + w_vn) - xlogx(w_un) - xlogx(w_vn))
+          + LN(w_un) + LN(w_vn) - LN(w_un + w_vn) ]
+
+    (DPGS.py:154-164; LN is Rissanen's universal integer code,
+    c_MDL.pyx) — and drops the global model-size corrections (LN(cnt),
+    LnU terms, DPGS.py:149-153,182-185), which couple every merge to a global
+    sequential counter: a documented divergence that keeps rounds
+    embarrassingly parallel. Gains are quantized to integers
+    (round(gain*quant)) so the Spark plan and the DuckDB oracle make
+    bit-identical merge decisions; exact structural ties fall to the
+    partner-id tie-break.
+
+    Groups larger than ``max_group`` are skipped this round (the
+    reference hard-caps groups at C=500, DPGS.py:135-139; at scale you
+    re-band the LSH instead of exploding a head group's pair count).
+
+    Returns {'assign': (node, supernode) for every src node — supernode
+    is the min node id of its merged set; 'gains': the chosen pairs
+    (g, u, v, gq)}.
+    """
+    import pandas as pd
+
+    node_w = (
+        edges.groupBy(F.col(src).alias("node"), F.col(dst).alias("nei"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    deg = node_w.groupBy("node").agg(F.sum("w").alias("d"))
+    sig = summarize_graph_lsh(edges, src, dst, k_hashes, hash_mode)["assign"]
+    sig = sig.select("node", F.col("supernode").alias("g"))
+    ok = (
+        sig.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gsz"))
+        .filter((F.col("gsz") >= 2) & (F.col("gsz") <= max_group))
+        .select("g")
+    )
+    grp = sig.join(ok, "g").localCheckpoint()
+    nodes = grp.join(deg, "node")
+    pairs = (
+        nodes.alias("a")
+        .join(nodes.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.node") < F.col("b.node")))
+        .select(
+            F.col("a.g").alias("g"),
+            F.col("a.node").alias("u"),
+            F.col("b.node").alias("v"),
+            (
+                2.0
+                * (
+                    _xlogx(F.col("a.d"))
+                    + _xlogx(F.col("b.d"))
+                    - _xlogx(F.col("a.d") + F.col("b.d"))
+                )
+            ).alias("degterm"),
+        )
+    )
+    adjg = node_w.join(grp, "node")
+    pn = (
+        adjg.alias("a")
+        .join(
+            adjg.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.nei") == F.col("b.nei"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .select(
+            F.col("a.node").alias("u"),
+            F.col("b.node").alias("v"),
+            (
+                2.0
+                * (
+                    _xlogx(F.col("a.w") + F.col("b.w"))
+                    - _xlogx(F.col("a.w"))
+                    - _xlogx(F.col("b.w"))
+                )
+                + _ln_univ(F.col("a.w"))
+                + _ln_univ(F.col("b.w"))
+                - _ln_univ(F.col("a.w") + F.col("b.w"))
+            ).alias("term"),
+        )
+    )
+    common = pn.groupBy("u", "v").agg(F.sum("term").alias("commonterm"))
+    gains = (
+        pairs.join(common, ["u", "v"])
+        .withColumn(
+            "gq",
+            F.round((F.col("degterm") + F.col("commonterm")) * F.lit(quant), 0).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("gq") > 0)
+        .select("g", "u", "v", "gq")
+        .localCheckpoint()
+    )
+    cand = gains.select("g", F.col("u").alias("node"), F.col("v").alias("partner"), "gq").unionByName(
+        gains.select("g", F.col("v").alias("node"), F.col("u").alias("partner"), "gq")
+    )
+    win = W.partitionBy("node").orderBy(F.desc("gq"), F.asc("partner"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "g",
+            F.least("node", "partner").alias("cu"),
+            F.greatest("node", "partner").alias("cv"),
+        )
+        .distinct()
+    )
+
+    def _uf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for cu, cv in sorted(zip(pdf["cu"], pdf["cv"])):
+            ru, rv = find(int(cu)), find(int(cv))
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        members = set(pdf["cu"]) | set(pdf["cv"])
+        return pd.DataFrame(
+            {"node": sorted(members), "supernode": [find(int(n)) for n in sorted(members)]}
+        )
+
+    merged = best.groupBy("g").applyInPandas(_uf_kernel, "node long, supernode long")
+    all_nodes = edges.select(F.col(src).alias("node")).distinct()
+    assign = all_nodes.join(merged, "node", "left").select(
+        "node", F.coalesce("supernode", F.col("node")).alias("supernode")
+    )
+    return {"assign": assign, "gains": gains}

@@ -51,3 +51,35 @@ def test_graph_summarize_lsh_merges_twins(spark):
     assert gains[assign["u3"]] == (1, 0.0)
     se = {(r.supernode, r.dst): r.multiplicity for r in res["superedges"].collect()}
     assert se[(assign["u1"], "p")] == 2  # collapsed multiplicity
+
+
+def test_dpgs_merge_round_merges_twins_only(spark):
+    from spartan2_spark.operators.spectral import dpgs_merge_round
+
+    # nodes 1 and 2: identical neighbourhoods {10,11,12} with weight 2
+    # (positive MDL gain: the xlogx overlap terms + Rissanen LN savings
+    # beat the degree cost); node 3 points elsewhere -> singleton.
+    rows = []
+    for u in (1, 2):
+        for n in (10, 11, 12):
+            rows += [(u, n), (u, n)]
+    rows += [(3, 20), (3, 21)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = dpgs_merge_round(edges, k_hashes=4)
+    assign = {r.node: r.supernode for r in res["assign"].collect()}
+    assert assign[1] == assign[2] == 1
+    assert assign[3] == 3
+    gains = res["gains"].collect()
+    assert len(gains) == 1 and gains[0].u == 1 and gains[0].v == 2 and gains[0].gq > 0
+
+
+def test_dpgs_merge_round_skips_disjoint_and_big_groups(spark):
+    from spartan2_spark.operators.spectral import dpgs_merge_round
+
+    # same LSH group (identical neighbour sets) but max_group=1 forces a
+    # skip -> nobody merges
+    rows = [(u, n) for u in (1, 2) for n in (10, 11, 12) for _ in (0, 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = dpgs_merge_round(edges, k_hashes=4, max_group=1)
+    assign = {r.node: r.supernode for r in res["assign"].collect()}
+    assert assign == {1: 1, 2: 2}
