@@ -2313,7 +2313,7 @@ def _q_eaglemine_clusters(spark, sf_dir):
     return water_level_tree(hist, min_hcubes=4, smooth=True)
 
 
-_EAGLEMINE_SQL = """
+_EAGLEMINE_TREE_CTES = """
     WITH RECURSIVE cells0 AS (
       SELECT CAST(floor(log10(l_quantity) * 4) AS BIGINT) AS bin_x,
              CAST(floor(log10(l_extendedprice) * 4) AS BIGINT) AS bin_y,
@@ -2354,9 +2354,77 @@ _EAGLEMINE_SQL = """
       SELECT s.l AS level, s.cid, s.node, coalesce(p.node, -1) AS parent
       FROM lab s JOIN big ON big.l = s.l AND big.node = s.node
       LEFT JOIN prev ON prev.l = s.l
-      LEFT JOIN lab p ON p.l = prev.pl AND p.cid = s.cid)
+      LEFT JOIN lab p ON p.l = prev.pl AND p.cid = s.cid)"""
+
+_EAGLEMINE_SQL = _EAGLEMINE_TREE_CTES + """
     SELECT o.level, c.bin_x, c.bin_y, c.cnt, o.node, o.parent
     FROM surv o JOIN c ON c.cid = o.cid
+"""
+
+
+def _q_eaglemine_describe(spark, sf_dir):
+    """EagleMine describe stage (desc/gaussian_describe.py fit,
+    desc/discrete_gaussian.py:36-44): count-weighted Gaussian MLE per
+    water-level-tree island — weighted mean/covariance of cell centers
+    and the weighted log-likelihood loss. Raw-moment formulas match the
+    DuckDB twin exactly; round(6) discipline on the doubles."""
+    from spartan2_spark.operators.histogram import (
+        describe_islands,
+        hist2d_log,
+        water_level_tree,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    tree = water_level_tree(hist, min_hcubes=4, smooth=True)
+    d = describe_islands(tree)
+    return d.select(
+        "level",
+        "node",
+        "n_cells",
+        "mass",
+        F.round("mu_x", 6).alias("mu_x"),
+        F.round("mu_y", 6).alias("mu_y"),
+        F.round("cov_xx", 6).alias("cov_xx"),
+        F.round("cov_xy", 6).alias("cov_xy"),
+        F.round("cov_yy", 6).alias("cov_yy"),
+        F.round("loss", 6).alias("loss"),
+    )
+
+
+_EAGLEMINE_DESC_SQL = _EAGLEMINE_TREE_CTES + """
+    , tree AS (SELECT o.level, c.bin_x, c.bin_y, c.cnt, o.node
+               FROM surv o JOIN c ON c.cid = o.cid),
+    m AS (SELECT level, node, count(*) AS n_cells, sum(cnt) AS mass,
+                 sum(CAST(cnt AS DOUBLE)) AS W,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5)) AS sx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5)) AS sy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_x + 0.5)) AS sxx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_y + 0.5)) AS sxy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5) * (bin_y + 0.5)) AS syy
+          FROM tree GROUP BY 1, 2),
+    params AS (SELECT level, node, n_cells, mass, W,
+                      sx / W AS mu_x, sy / W AS mu_y,
+                      sxx / W - (sx / W) * (sx / W) AS cov_xx,
+                      sxy / W - (sx / W) * (sy / W) AS cov_xy,
+                      syy / W - (sy / W) * (sy / W) AS cov_yy
+               FROM m),
+    lo AS (SELECT t.level, t.node,
+                  sum(CASE WHEN p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy > 1e-12 THEN
+                        CAST(t.cnt AS DOUBLE) * (
+                          -ln(2 * pi())
+                          - 0.5 * ln(p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)
+                          - 0.5 * ((p.cov_yy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_x + 0.5 - p.mu_x)
+                                    - 2 * p.cov_xy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_y + 0.5 - p.mu_y)
+                                    + p.cov_xx * (t.bin_y + 0.5 - p.mu_y) * (t.bin_y + 0.5 - p.mu_y))
+                                   / (p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)))
+                      ELSE NULL END) AS loss
+           FROM tree t JOIN params p USING (level, node) GROUP BY 1, 2)
+    SELECT p.level, p.node, p.n_cells, p.mass,
+           round(p.mu_x, 6) AS mu_x, round(p.mu_y, 6) AS mu_y,
+           round(p.cov_xx, 6) AS cov_xx, round(p.cov_xy, 6) AS cov_xy,
+           round(p.cov_yy, 6) AS cov_yy, round(lo.loss, 6) AS loss
+    FROM params p JOIN lo ON lo.level = p.level AND lo.node = p.node
 """
 
 
@@ -2566,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpeak_segments": _q_rpeak_segments,
         "beatgan_recon": _q_beatgan_recon,
         "eaglemine_clusters": _q_eaglemine_clusters,
+        "eaglemine_describe": _q_eaglemine_describe,
         "specgreedy_block": _q_specgreedy,
         "kgrass_summary": _q_kgrass,
         "ivf_topk": _q_ivf_topk,
@@ -2690,6 +2759,7 @@ def oracle_sql() -> dict[str, str]:
         "rpeak_segments": _RPEAK_SQL,
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,
+        "eaglemine_describe": _EAGLEMINE_DESC_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,

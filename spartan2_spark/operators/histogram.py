@@ -24,6 +24,8 @@ tie-breaks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +38,7 @@ __all__ = [
     "cluster_histogram_cells",
     "smooth_open_2x2",
     "water_level_tree",
+    "describe_islands",
 ]
 
 
@@ -387,4 +390,83 @@ def water_level_tree(
     )
     return out.join(cells, "cid").select(
         "level", "bin_x", "bin_y", "cnt", "node", "parent"
+    )
+
+
+def describe_islands(tree: DataFrame) -> DataFrame:
+    """EagleMine's describe stage: a count-weighted Gaussian fit per
+    water-level-tree island (model/eaglemine/desc/gaussian_describe.py
+    fit/`fit_single`, desc/discrete_gaussian.py:36-44 — weighted MLE
+    mean + covariance of cell CENTERS (bin + 0.5), and the weighted
+    log-likelihood `loss = sum(cnt * logpdf(center))`).
+
+    ``tree`` is :func:`water_level_tree` output. Two hash aggregations
+    over the bounded island relation: raw weighted moments, then a
+    re-join for the per-cell log-pdf sum (identical raw-moment formulas
+    in the DuckDB twin keep the doubles bit-comparable under the
+    round(6) discipline). Singular covariances (det <= 1e-12, e.g.
+    collinear cells — scipy's allow_singular path) yield NULL loss.
+
+    Returns (level, node, n_cells, mass, mu_x, mu_y, cov_xx, cov_xy,
+    cov_yy, loss).
+    """
+    cx = F.col("bin_x").cast("double") + 0.5
+    cy = F.col("bin_y").cast("double") + 0.5
+    w = F.col("cnt").cast("double")
+    m = tree.groupBy("level", "node").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cnt").alias("mass"),
+        F.sum(w).alias("W"),
+        F.sum(w * cx).alias("sx"),
+        F.sum(w * cy).alias("sy"),
+        F.sum(w * cx * cx).alias("sxx"),
+        F.sum(w * cx * cy).alias("sxy"),
+        F.sum(w * cy * cy).alias("syy"),
+    )
+    params = m.select(
+        "level",
+        "node",
+        "n_cells",
+        "mass",
+        "W",
+        (F.col("sx") / F.col("W")).alias("mu_x"),
+        (F.col("sy") / F.col("W")).alias("mu_y"),
+        (F.col("sxx") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sx") / F.col("W"))).alias("cov_xx"),
+        (F.col("sxy") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_xy"),
+        (F.col("syy") / F.col("W") - (F.col("sy") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_yy"),
+    ).localCheckpoint()
+    det = F.col("cov_xx") * F.col("cov_yy") - F.col("cov_xy") * F.col("cov_xy")
+    dx = cx - F.col("mu_x")
+    dy = cy - F.col("mu_y")
+    quad = (
+        F.col("cov_yy") * dx * dx
+        - 2.0 * F.col("cov_xy") * dx * dy
+        + F.col("cov_xx") * dy * dy
+    ) / det
+    logpdf = (
+        -F.log(F.lit(2.0) * F.lit(math.pi))
+        - 0.5 * F.log(det)
+        - 0.5 * quad
+    )
+    loss = (
+        tree.join(params.select("level", "node", "mu_x", "mu_y", "cov_xx", "cov_xy", "cov_yy"), ["level", "node"])
+        .withColumn("__det", det)
+        .groupBy("level", "node")
+        .agg(
+            F.sum(
+                F.when(F.col("__det") > 1e-12, w * logpdf).otherwise(F.lit(None))
+            ).alias("loss")
+        )
+    )
+    return params.join(loss, ["level", "node"]).select(
+        "level",
+        "node",
+        "n_cells",
+        "mass",
+        "mu_x",
+        "mu_y",
+        "cov_xx",
+        "cov_xy",
+        "cov_yy",
+        "loss",
     )

@@ -120,6 +120,12 @@ def global_row_numbers(
     number locally per partition, add broadcast cumulative offsets.
     ``base`` 1 = SQL row_number, 0 = dense 0-based ids. The ids depend
     only on the global order, not on range boundary placement.
+
+    The offsets cumsum below runs an UNPARTITIONED window on purpose —
+    over the partition-count relation (one row per shuffle partition,
+    i.e. tens to thousands of rows at any data scale), not over the
+    data. WindowExec's "No Partition Defined" warning for it is
+    expected and harmless.
     """
     from pyspark.sql import Window as W
 

@@ -175,3 +175,44 @@ def test_water_level_tree_tiny_blobs_and_degenerate(spark):
         "bin_x long, bin_y long, cnt long",
     )
     assert HG.water_level_tree(four, smooth=False).count() == 0
+
+
+def test_describe_islands_matches_numpy(spark):
+    # weighted Gaussian MLE per island vs a direct numpy computation
+    rows = []
+    for x in range(7):
+        for y in range(7):
+            cnt = 2
+            if x <= 2 and y <= 2:
+                cnt = 10
+            if x >= 4 and y >= 4:
+                cnt = 40
+            rows.append((x, y, cnt))
+    hist = spark.createDataFrame(rows, "bin_x long, bin_y long, cnt long")
+    tree = HG.water_level_tree(hist)
+    out = {(r.level, r.node): r for r in HG.describe_islands(tree).collect()}
+
+    import numpy as np
+
+    cells = [(x, y, c) for x, y, c in rows]  # level 1 root: all cells
+    pts = np.array([(x + 0.5, y + 0.5) for x, y, _ in cells])
+    w = np.array([c for *_, c in cells], dtype=float)
+    mu = (pts * w[:, None]).sum(0) / w.sum()
+    d = pts - mu
+    cov = (w[:, None, None] * np.einsum("ni,nj->nij", d, d)).sum(0) / w.sum()
+    root = out[(1, 0)]
+    assert root.mass == int(w.sum()) and root.n_cells == 49
+    assert abs(root.mu_x - mu[0]) < 1e-9 and abs(root.mu_y - mu[1]) < 1e-9
+    assert abs(root.cov_xx - cov[0, 0]) < 1e-9
+    assert abs(root.cov_xy - cov[0, 1]) < 1e-9
+    det = cov[0, 0] * cov[1, 1] - cov[0, 1] ** 2
+    inv = np.array([[cov[1, 1], -cov[0, 1]], [-cov[0, 1], cov[0, 0]]]) / det
+    quad = np.einsum("ni,ij,nj->n", d, inv, d)
+    logpdf = -np.log(2 * np.pi) - 0.5 * np.log(det) - 0.5 * quad
+    loss = float((w * logpdf).sum())
+    assert abs(root.loss - loss) < 1e-6
+    # the level-4 island (3x3 block, uniform weight): centered moments
+    b = 4 * 100000 + 4
+    isl = out[(4, b)]
+    assert isl.mass == 9 * 40 and abs(isl.mu_x - 5.5) < 1e-9
+    assert abs(isl.cov_xx - 2.0 / 3.0) < 1e-9 and abs(isl.cov_xy) < 1e-12
