@@ -2502,6 +2502,65 @@ def _kgrass_sql(k: int = 8) -> str:
 """
 
 
+def _q_kgrass_merge_refine(spark, sf_dir):
+    """kGrass within-bucket merge round (kGS/kGrass.py:82-168): every
+    within-MinHash-bucket pair scored with the unit-supernode
+    reconstruction-error increase — which reduces to the PURE-INTEGER
+    neighbourhood symmetric difference |N(u)|+|N(v)|-2|N(u)&N(v)| —
+    min-loss partner matching, union-find collapse per bucket. The
+    DuckDB twin replays the round bit-identically (no floats
+    anywhere)."""
+    from spartan2_spark.operators.spectral import kgrass_merge_round
+
+    li = _lineitem(spark, sf_dir).select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    res = kgrass_merge_round(li, k=8, hash_mode="poly", max_group=500)
+    return res["assign"]
+
+
+def _kgrass_merge_sql(k: int = 8) -> str:
+    nbr = _POLY_SQL_BASE.format(col="CAST(d AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT l_partkey AS s, l_suppkey AS d FROM lineitem),
+    src_sig AS (SELECT s AS node, min((({nbr} + 7) % 2147483647)) AS h0
+                FROM e0 GROUP BY 1),
+    grp0 AS (SELECT node, ((h0 * 31 + 17) % 2147483647) % {k} AS g FROM src_sig),
+    ok AS (SELECT g FROM grp0 GROUP BY g HAVING count(*) BETWEEN 2 AND 500),
+    grp AS (SELECT grp0.node, grp0.g FROM grp0 JOIN ok USING (g)),
+    deg AS (SELECT s AS node, count(*) AS d FROM e0 GROUP BY 1),
+    nd AS (SELECT grp.node, grp.g, deg.d FROM grp JOIN deg USING (node)),
+    pairs AS (SELECT a.g, a.node AS u, b.node AS v, a.d + b.d AS dsum
+              FROM nd a JOIN nd b ON a.g = b.g AND a.node < b.node),
+    adjg AS (SELECT e0.s AS node, e0.d AS nei, grp.g
+             FROM e0 JOIN grp ON grp.node = e0.s),
+    dots AS (SELECT a.node AS u, b.node AS v, count(*) AS c
+             FROM adjg a JOIN adjg b
+             ON a.g = b.g AND a.nei = b.nei AND a.node < b.node
+             GROUP BY 1, 2),
+    gains AS (SELECT g, u, v, -(dsum - 2 * coalesce(c, 0)) AS gq
+              FROM pairs LEFT JOIN dots USING (u, v)),
+    cand AS (SELECT g, u AS node, v AS partner, gq FROM gains
+             UNION ALL SELECT g, v AS node, u AS partner, gq FROM gains),
+    best AS (SELECT DISTINCT least(node, partner) AS cu, greatest(node, partner) AS cv
+             FROM (SELECT *, row_number() OVER
+                       (PARTITION BY node ORDER BY gq DESC, partner ASC) AS rn
+                   FROM cand) t
+             WHERE rn = 1),
+    e2 AS (SELECT cu AS x, cv AS y FROM best UNION ALL SELECT cv AS x, cu AS y FROM best),
+    reach(n, lbl) AS (
+      SELECT x, x FROM e2
+      UNION
+      SELECT e2.y, r.lbl FROM reach r JOIN e2 ON e2.x = r.n),
+    comp AS (SELECT n AS node, min(lbl) AS supernode FROM reach GROUP BY n),
+    alln AS (SELECT DISTINCT l_partkey AS node FROM lineitem)
+    SELECT a.node, coalesce(c2.supernode, a.node) AS supernode
+    FROM alln a LEFT JOIN comp c2 USING (node)
+"""
+
+
 def _kcore_sql(k: int = 34, rounds: int = 24) -> str:
     """Unrolled k-core oracle: the peel converges to a fixpoint, after
     which every further round is a no-op — so a fixed unroll >= the
@@ -2627,6 +2686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "svd_power_spokes": _q_svd_spokes,
         "graph_summarize_lsh": _q_graph_summarize,
         "dpgs_merge_refine": _q_dpgs_merge_refine,
+        "kgrass_merge_refine": _q_kgrass_merge_refine,
         "holoscope_fusion": _q_holoscope_fusion,
         "canonical_text": _q_canonical_text,
         "flow_balance": _q_flow_balance,
@@ -2772,6 +2832,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_sql(),
         "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
         "dpgs_merge_refine": _dpgs_merge_sql(k_hashes=4),
+        "kgrass_merge_refine": _kgrass_merge_sql(k=8),
         "kgrass_summary": _kgrass_sql(k=8),
         "simhash_dedup_pairs": _simhash_sql(max_hamming=10),
         "ann_topk": _ann_sql(k=5, n_planes=4),

@@ -47,6 +47,8 @@ __all__ = [
     "summarize_graph_lsh",
     "specgreedy_subgraph",
     "kgrass_summarize",
+    "dpgs_merge_round",
+    "kgrass_merge_round",
 ]
 
 
@@ -486,6 +488,21 @@ def dpgs_merge_round(
         .select("g", "u", "v", "gq")
         .localCheckpoint()
     )
+    all_nodes = edges.select(F.col(src).alias("node")).distinct()
+    assign = _match_and_collapse(gains, all_nodes)
+    return {"assign": assign, "gains": gains}
+
+
+def _match_and_collapse(gains: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """Shared merge-round tail: each node picks its best partner
+    (max ``gq``, then min partner id) from the scored within-group pairs
+    ``gains`` (g, u, v, gq), the chosen-partner graph collapses to
+    components per group with a union-find kernel (grouped
+    ``applyInPandas`` over the bounded group relation), and every node
+    in ``all_nodes`` gets its component's min node id as supernode
+    (itself if unmatched)."""
+    import pandas as pd
+
     cand = gains.select("g", F.col("u").alias("node"), F.col("v").alias("partner"), "gq").unionByName(
         gains.select("g", F.col("v").alias("node"), F.col("u").alias("partner"), "gq")
     )
@@ -521,8 +538,99 @@ def dpgs_merge_round(
         )
 
     merged = best.groupBy("g").applyInPandas(_uf_kernel, "node long, supernode long")
-    all_nodes = edges.select(F.col(src).alias("node")).distinct()
-    assign = all_nodes.join(merged, "node", "left").select(
+    return all_nodes.join(merged, "node", "left").select(
         "node", F.coalesce("supernode", F.col("node")).alias("supernode")
     )
-    return {"assign": assign, "gains": gains}
+
+
+def kgrass_merge_round(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 8,
+    hash_mode: str = "xxhash",
+    max_group: int = 500,
+) -> dict:
+    """One kGrass merge-refinement round: within-bucket agglomeration by
+    reconstruction-error loss (kGS/kGrass.py:124-168 `_merge_loss`,
+    82-99 `_summarize` merge loop).
+
+    The reference repeatedly merges the sampled pair with the smallest
+    error increase until k supernodes remain. The deterministic
+    distributed analogue scores EVERY pair inside each MinHash bucket
+    (the same buckets :func:`kgrass_summarize` uses) with the unit-
+    supernode reconstruction-error increase, which under the simple-
+    graph semantics (0/1 cells) reduces EXACTLY to the neighbourhood
+    symmetric difference:
+
+      loss(u, v) = |N(u)| + |N(v)| - 2*|N(u) & N(v)|
+
+    (the algebraic form of sum_n (w_un - w_vn)^2 — the error a uniform
+    superedge density pays for every cell where u and v disagree; the
+    reference's `_merge_loss` encodes the same quantity through its
+    4*w^2/(s*s') bookkeeping). Pure integer arithmetic, so the DuckDB
+    twin replays merge decisions bit-identically. Each node matches its
+    min-loss partner (tie-break min partner id) and the chosen-partner
+    graph collapses per bucket via union-find — the round analogue of
+    "merge min-loss pairs until K", with the bucket count bounding the
+    final supernode count. Only source nodes merge (neighbourhoods are
+    out-neighbour sets; the reference's symmetric self-loop/uv-edge
+    corrections vanish on the bipartite projection).
+
+    Buckets above ``max_group`` are skipped this round. Returns
+    {'assign': (node, supernode), 'losses': (g, u, v, loss)}.
+    """
+    e0 = edges.select(src, dst).dropDuplicates([src, dst]).localCheckpoint()
+    sig = kgrass_summarize(e0, src, dst, k=k, hash_mode=hash_mode)["assign"]
+    srcs = e0.select(F.col(src).alias("node")).distinct()
+    grp = (
+        sig.withColumnRenamed("supernode", "g")
+        .join(srcs, "node")
+    )
+    ok = (
+        grp.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gsz"))
+        .filter((F.col("gsz") >= 2) & (F.col("gsz") <= max_group))
+        .select("g")
+    )
+    grp = grp.join(ok, "g").localCheckpoint()
+    deg = e0.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    nodes = grp.join(deg, "node")
+    pairs = (
+        nodes.alias("a")
+        .join(
+            nodes.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.node") < F.col("b.node")),
+        )
+        .select(
+            F.col("a.g").alias("g"),
+            F.col("a.node").alias("u"),
+            F.col("b.node").alias("v"),
+            (F.col("a.d") + F.col("b.d")).alias("dsum"),
+        )
+    )
+    adjg = e0.select(F.col(src).alias("node"), F.col(dst).alias("nei")).join(grp, "node")
+    dots = (
+        adjg.alias("a")
+        .join(
+            adjg.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.nei") == F.col("b.nei"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    losses = (
+        pairs.join(dots, ["u", "v"], "left")
+        .select(
+            "g",
+            "u",
+            "v",
+            (F.col("dsum") - 2 * F.coalesce("c", F.lit(0))).alias("loss"),
+        )
+        .localCheckpoint()
+    )
+    gains = losses.select("g", "u", "v", (-F.col("loss")).alias("gq"))
+    assign = _match_and_collapse(gains, srcs)
+    return {"assign": assign, "losses": losses}

@@ -83,3 +83,21 @@ def test_dpgs_merge_round_skips_disjoint_and_big_groups(spark):
     res = dpgs_merge_round(edges, k_hashes=4, max_group=1)
     assign = {r.node: r.supernode for r in res["assign"].collect()}
     assert assign == {1: 1, 2: 2}
+
+
+def test_kgrass_merge_round_prefers_identical_neighbourhoods(spark):
+    from spartan2_spark.operators.spectral import kgrass_merge_round
+
+    # 1 and 2 share {10,11,12} (loss 0); 3 shares only {10} with them
+    # (loss 4 vs either). With k=1 all land in one bucket: 1-2 pair off,
+    # 3 matches its min-loss partner and joins the component.
+    rows = [(u, n) for u in (1, 2) for n in (10, 11, 12)] + [(3, 10), (3, 99), (3, 98)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    res = kgrass_merge_round(edges, k=1)
+    losses = {(r.u, r.v): r.loss for r in res["losses"].collect()}
+    assert losses[(1, 2)] == 0 and losses[(1, 3)] == 4 and losses[(2, 3)] == 4
+    assign = {r.node: r.supernode for r in res["assign"].collect()}
+    assert assign[1] == assign[2] == 1
+    # 3's best partner is 1 (tie on loss 4 -> min partner id) so it
+    # collapses into the same component this round
+    assert assign[3] == 1
