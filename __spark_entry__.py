@@ -820,6 +820,66 @@ _COSINE_TOPK_SQL = """
 """
 
 
+def _q_embedding_neardup(spark, sf_dir):
+    """Embedding near-dup pairs via sign-LSH bucket join + exact cosine
+    (operators/dedup.embedding_lsh_pairs, portable plane + quantize
+    mode). The testdata embeddings have no natural near-dups (max
+    pairwise cosine 0.51), so the query plants them: the table unioned
+    with a +0.001-shifted copy of itself (ids offset by 100000) — the
+    LSH path must then recover the 500 twin pairs at cosine >= 0.99.
+    Integer plane weights + integer-quantized components make every
+    bucket bit and cosine an exact integer computation, replayed
+    verbatim by the DuckDB twin."""
+    from spartan2_spark.operators.dedup import embedding_lsh_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", emb_d.alias("embedding")).unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") + F.lit(0.001)).alias(
+                "embedding"
+            ),
+        )
+    )
+    return embedding_lsh_pairs(
+        base,
+        vec_col="embedding",
+        id_col="vec_id",
+        n_planes=16,
+        cosine_threshold=0.99,
+        dim=64,
+        plane_mode="portable",
+        quantize=1000,
+    )
+
+
+_EMBEDDING_NEARDUP_SQL = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.001)
+      FROM embeddings),
+    pl AS (SELECT p.p AS p,
+                  list(CAST(((2*p.p+3)*(i.i+1)*40503 + p.p*p.p*7) % 65536 - 32768 AS DOUBLE)
+                       ORDER BY i.i) AS w
+           FROM range(0, 16) p(p), range(0, 64) i(i) GROUP BY p.p),
+    v AS (SELECT vec_id, list_transform(emb, x -> CAST(round(x*1000) AS DOUBLE)) AS q
+          FROM base),
+    bk AS (SELECT v.vec_id,
+                  sum(CASE WHEN list_inner_product(v.q, pl.w) >= 0
+                      THEN (1::BIGINT << pl.p) ELSE 0 END) AS bucket
+           FROM v, pl GROUP BY 1),
+    n AS (SELECT v.vec_id, v.q, sqrt(list_inner_product(v.q, v.q)) AS nrm, bk.bucket
+          FROM v JOIN bk USING (vec_id)),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_inner_product(a.q, b.q) / (a.nrm * b.nrm) AS cos
+              FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, round(cos, 8) AS cosine FROM pairs WHERE cos >= 0.99
+"""
+
+
 def _q_minhash_dedup(spark, sf_dir):
     """MinHash+LSH near-dup pairs, portable-hash mode: the whole
     shingle -> k-minhash -> banded-bucket-join -> exact-Jaccard-verify
@@ -2687,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summarize_lsh": _q_graph_summarize,
         "dpgs_merge_refine": _q_dpgs_merge_refine,
         "kgrass_merge_refine": _q_kgrass_merge_refine,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "holoscope_fusion": _q_holoscope_fusion,
         "canonical_text": _q_canonical_text,
         "flow_balance": _q_flow_balance,
@@ -2833,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
         "dpgs_merge_refine": _dpgs_merge_sql(k_hashes=4),
         "kgrass_merge_refine": _kgrass_merge_sql(k=8),
+        "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
         "kgrass_summary": _kgrass_sql(k=8),
         "simhash_dedup_pairs": _simhash_sql(max_hamming=10),
         "ann_topk": _ann_sql(k=5, n_planes=4),

@@ -318,20 +318,42 @@ def embedding_lsh_pairs(
     cosine_threshold: float = 0.9,
     seed: int = 42,
     dim: int | None = None,
+    plane_mode: str = "gaussian",
+    quantize: int | None = None,
 ) -> DataFrame:
     """Near-dup embedding pairs: sign-LSH bucket join + exact cosine.
 
     Hyperplanes are deterministic pseudo-random unit directions derived
-    from xxhash64(seed, plane, component) — built as literal arrays, so
-    the projection is a JVM-side higher-order aggregate (no UDF)."""
+    from a seeded generator — built as literal arrays, so the
+    projection is a JVM-side higher-order aggregate (no UDF).
+
+    ``plane_mode='portable'`` draws INTEGER plane weights from a
+    congruential formula (((2p+3)(i+1)*40503 + p^2*7) mod 65536 −
+    32768) the DuckDB oracle reproduces verbatim, and
+    ``quantize=q`` rounds components to round(x*q) — integer-valued
+    doubles, so every dot product/norm is an exact integer sum
+    (order-independent) and bucket bits + cosines match bit-for-bit
+    across engines. Gaussian planes stay the production default."""
     import numpy as np
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    if plane_mode == "portable":
+        planes = [
+            [((2 * p + 3) * (i + 1) * 40503 + p * p * 7) % 65536 - 32768 for i in range(dim)]
+            for p in range(n_planes)
+        ]
+    else:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
 
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    if quantize:
+        v = F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(quantize)), 0),
+        )
+    else:
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     proj_bits = []
     for p in range(n_planes):

@@ -206,3 +206,31 @@ def test_multimodal_stub(spark):
 
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         MM.extract_features(pages.limit(2), decoder="none").collect()
+
+
+def test_embedding_lsh_portable_recovers_planted_twins(spark):
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.dedup import embedding_lsh_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = e.count()
+    base = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(
+        e.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") + F.lit(0.001)
+            ).alias("embedding"),
+        )
+    )
+    pairs = embedding_lsh_pairs(
+        base, id_col="vec_id", n_planes=16, cosine_threshold=0.99,
+        dim=64, plane_mode="portable", quantize=1000,
+    ).collect()
+    twins = {(r.id_a, r.id_b) for r in pairs if r.id_b == r.id_a + 100000}
+    # single-probe sign-LSH may drop a twin whose perturbation flips a
+    # near-zero projection bit; recall must still be >= 90%
+    assert len(twins) >= 0.9 * n
+    assert all(r.cosine >= 0.99 for r in pairs)
