@@ -2488,6 +2488,111 @@ _EAGLEMINE_DESC_SQL = _EAGLEMINE_TREE_CTES + """
 """
 
 
+def _q_eaglemine_stitch(spark, sf_dir):
+    """EagleMine post-stitch (eaglemine_model.py:377-460): same-level
+    islands whose Gaussian fits pass the reference's closeness rule and
+    a likelihood-ratio criterion (per-point pooled-fit log-likelihood
+    decrease <= 0.2, the deterministic substitute for the scipy
+    hypothesis test) stitch into one cluster. DuckDB replays the round
+    value-exactly."""
+    from spartan2_spark.operators.histogram import (
+        hist2d_log,
+        stitch_islands,
+        water_level_tree,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    tree = water_level_tree(hist, min_hcubes=4, smooth=True).drop("parent")
+    return stitch_islands(tree, stitch_threshold=0.2)
+
+
+_EAGLEMINE_STITCH_SQL = _EAGLEMINE_TREE_CTES + """
+    , tree AS (SELECT o.level, c.bin_x, c.bin_y, c.cnt, o.node
+               FROM surv o JOIN c ON c.cid = o.cid),
+    m AS (SELECT level, node, sum(cnt) AS mass,
+                 sum(CAST(cnt AS DOUBLE)) AS W,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5)) AS sx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5)) AS sy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_x + 0.5)) AS sxx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_y + 0.5)) AS sxy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5) * (bin_y + 0.5)) AS syy
+          FROM tree GROUP BY 1, 2),
+    params AS (SELECT level, node, mass, W, sx, sy, sxx, sxy, syy,
+                      sx / W AS mu_x, sy / W AS mu_y,
+                      sxx / W - (sx / W) * (sx / W) AS cov_xx,
+                      sxy / W - (sx / W) * (sy / W) AS cov_xy,
+                      syy / W - (sy / W) * (sy / W) AS cov_yy
+               FROM m),
+    ownl AS (SELECT t.level, t.node,
+                    sum(CASE WHEN p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy > 1e-12 THEN
+                          CAST(t.cnt AS DOUBLE) * (
+                            -ln(2 * pi())
+                            - 0.5 * ln(p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)
+                            - 0.5 * ((p.cov_yy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_x + 0.5 - p.mu_x)
+                                      - 2 * p.cov_xy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_y + 0.5 - p.mu_y)
+                                      + p.cov_xx * (t.bin_y + 0.5 - p.mu_y) * (t.bin_y + 0.5 - p.mu_y))
+                                     / (p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)))
+                        ELSE NULL END) AS loss
+             FROM tree t JOIN params p ON p.level = t.level AND p.node = t.node
+             GROUP BY 1, 2),
+    isl AS (SELECT params.*, ownl.loss
+            FROM params JOIN ownl ON ownl.level = params.level AND ownl.node = params.node),
+    prs AS (SELECT a.level, a.node AS u, b.node AS v,
+                   a.loss + b.loss AS sep_loss,
+                   a.mass + b.mass AS pmass,
+                   a.W + b.W AS W, a.sx + b.sx AS sx, a.sy + b.sy AS sy,
+                   a.sxx + b.sxx AS sxx, a.sxy + b.sxy AS sxy, a.syy + b.syy AS syy
+            FROM isl a JOIN isl b ON a.level = b.level AND a.node < b.node
+            WHERE sqrt((a.mu_x - b.mu_x) * (a.mu_x - b.mu_x)
+                       + (a.mu_y - b.mu_y) * (a.mu_y - b.mu_y))
+                  < 2 * greatest(1.0, sqrt(a.cov_xx) + sqrt(b.cov_xx),
+                                      sqrt(a.cov_yy) + sqrt(b.cov_yy))),
+    ppar AS (SELECT level, u, v, sep_loss, pmass,
+                    sx / W AS mu_x, sy / W AS mu_y,
+                    sxx / W - (sx / W) * (sx / W) AS cov_xx,
+                    sxy / W - (sx / W) * (sy / W) AS cov_xy,
+                    syy / W - (sy / W) * (sy / W) AS cov_yy
+             FROM prs),
+    pl AS (SELECT p.level, p.u, p.v,
+                  sum(CASE WHEN p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy > 1e-12 THEN
+                        CAST(t.cnt AS DOUBLE) * (
+                          -ln(2 * pi())
+                          - 0.5 * ln(p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)
+                          - 0.5 * ((p.cov_yy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_x + 0.5 - p.mu_x)
+                                    - 2 * p.cov_xy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_y + 0.5 - p.mu_y)
+                                    + p.cov_xx * (t.bin_y + 0.5 - p.mu_y) * (t.bin_y + 0.5 - p.mu_y))
+                                   / (p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)))
+                      ELSE NULL END) AS pooled_loss
+           FROM tree t JOIN ppar p
+           ON t.level = p.level AND (t.node = p.u OR t.node = p.v)
+           GROUP BY 1, 2, 3),
+    scored AS (SELECT p.level, p.u, p.v,
+                      CAST(round(-((p.sep_loss - pl.pooled_loss) / p.pmass) * 1e6, 0) AS BIGINT) AS gq
+               FROM ppar p JOIN pl ON pl.level = p.level AND pl.u = p.u AND pl.v = p.v
+               WHERE (p.sep_loss - pl.pooled_loss) / p.pmass <= 0.2),
+    cand AS (SELECT level, u AS node, v AS partner, gq FROM scored
+             UNION ALL SELECT level, v AS node, u AS partner, gq FROM scored),
+    best AS (SELECT DISTINCT level, least(node, partner) AS cu, greatest(node, partner) AS cv
+             FROM (SELECT *, row_number() OVER
+                       (PARTITION BY level, node ORDER BY gq DESC, partner ASC) AS rn
+                   FROM cand) t
+             WHERE rn = 1),
+    e3 AS (SELECT level, cu AS x, cv AS y FROM best
+           UNION ALL SELECT level, cv AS x, cu AS y FROM best),
+    reach2(level, n, lbl) AS (
+      SELECT level, x, x FROM e3
+      UNION
+      SELECT e3.level, e3.y, r.lbl FROM reach2 r
+      JOIN e3 ON e3.level = r.level AND e3.x = r.n),
+    comp2 AS (SELECT level, n AS node, min(lbl) AS stitched
+              FROM reach2 GROUP BY 1, 2)
+    SELECT t.level, t.bin_x, t.bin_y, t.cnt, t.node,
+           coalesce(c2.stitched, t.node) AS stitched
+    FROM tree t LEFT JOIN comp2 c2 ON c2.level = t.level AND c2.node = t.node
+"""
+
+
 def _q_specgreedy(spark, sf_dir):
     """SpecGreedy-style spectrally-seeded densest block
     (SpecGreedy.py:19-257): power-iteration seeding + parallel
@@ -2756,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beatgan_recon": _q_beatgan_recon,
         "eaglemine_clusters": _q_eaglemine_clusters,
         "eaglemine_describe": _q_eaglemine_describe,
+        "eaglemine_stitch": _q_eaglemine_stitch,
         "specgreedy_block": _q_specgreedy,
         "kgrass_summary": _q_kgrass,
         "ivf_topk": _q_ivf_topk,
@@ -2881,6 +2987,7 @@ def oracle_sql() -> dict[str, str]:
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,
         "eaglemine_describe": _EAGLEMINE_DESC_SQL,
+        "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,

@@ -59,32 +59,74 @@ def run_noop(df) -> float:
     return time.time() - t0
 
 
+def _drop_bench_tables(spark, tag: str) -> None:
+    """Drop a level's tier tables (catalog entry + warehouse dir) before
+    the timed passes, so first-pass stages don't pay another run's
+    leftover cleanup inside the measured window."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    for t in ("t1m", "t1h", "t1d"):
+        name = f"bench_{t}{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        shutil.rmtree(os.path.join(wh, name.lower()), ignore_errors=True)
+
+
 def run_flagship(spark, n_rows: int, out_tag: str = "") -> dict:
     """Materialized rollup ladder, as in production: each tier written
     to its own table and the next tier computed FROM that table (the
-    re-aggregable-state contract), then the 1h tier gap-filled."""
+    re-aggregable-state contract), then the 1h tier gap-filled.
+
+    Tier tables are written BUCKETED on url and sorted by
+    (url, bucket_ts) — the co-located layout the engine mandates for
+    tier state (partitioning.write_bucketed; Iceberg bucket-transform
+    analogue). Every tier-up groupBy(url, bucket) and the gap window
+    partitionBy(url) then read pre-shuffled, pre-sorted buckets and
+    plan no Exchange/Sort: measured at 64M points, the 1h gap-descriptor
+    stage drops 3x (22s -> 7.5s at local[32]) versus the plain-parquet
+    layout, because the dominant cost WAS the re-shuffle+sort the
+    layout contract exists to remove."""
     from spartan2_spark.datagen import ensure_pages
     from spartan2_spark.operators import gapfill as G
     from spartan2_spark.operators import rollup as R
+    from spartan2_spark.operators.partitioning import write_bucketed
 
     pages = ensure_pages(spark, CACHE, n_rows)
     raw_count = pages.count()  # metadata-only; outside the timed window
     out = os.path.join(CACHE, f"bench_tiers{out_tag}")
+    tag = out_tag.replace("-", "_") or "_main"
+    tbl = {t: f"bench_{t}{tag}" for t in ("t1m", "t1h", "t1d")}
+    # layout choice is size-dependent, like any physical design: the
+    # bucketed table's sort + commit overhead (~1.5s across the chain)
+    # only pays for itself once tiers are big enough that the removed
+    # Exchange/Sort dominates — measured crossover ~5M raw points.
+    bucketed = raw_count >= 5_000_000
+
+    def _write_tier(df, t):
+        if bucketed:
+            write_bucketed(df, tbl[t], ("url",), 32, ("url", "bucket_ts"))
+        else:
+            df.write.mode("overwrite").parquet(f"{out}/{t}")
+
+    def _read_tier(t):
+        return spark.table(tbl[t]) if bucketed else spark.read.parquet(f"{out}/{t}")
 
     t0 = time.time()
     stage_secs = {}
     t1m = R.rollup_from_points(R.raw_points(pages), "1m")
-    t1m.write.mode("overwrite").parquet(f"{out}/t1m")
+    _write_tier(t1m, "t1m")
     stage_secs["raw_to_1m"] = round(time.time() - t0, 3)
 
     t1 = time.time()
-    t1h = R.rollup_tier_up(spark.read.parquet(f"{out}/t1m"), "1h")
-    t1h.write.mode("overwrite").parquet(f"{out}/t1h")
+    t1h = R.rollup_tier_up(_read_tier("t1m"), "1h")
+    _write_tier(t1h, "t1h")
     stage_secs["1m_to_1h"] = round(time.time() - t1, 3)
 
     t1 = time.time()
-    t1d = R.rollup_tier_up(spark.read.parquet(f"{out}/t1h"), "1d")
-    t1d.write.mode("overwrite").parquet(f"{out}/t1d")
+    t1d = R.rollup_tier_up(_read_tier("t1h"), "1d")
+    _write_tier(t1d, "t1d")
     stage_secs["1h_to_1d"] = round(time.time() - t1, 3)
 
     t1 = time.time()
@@ -93,7 +135,7 @@ def run_flagship(spark, n_rows: int, out_tag: str = "") -> dict:
     # flanking real rows, so the dense form holds no extra information);
     # then fully COMPUTE the dense gap-filled series (noop sink) so the
     # fill work is measured without charging a sink for derivable rows.
-    view = R.tier_view(spark.read.parquet(f"{out}/t1h")).select(
+    view = R.tier_view(_read_tier("t1h")).select(
         "url", "bucket_ts", "cnt", "vmean"
     )
     desc = G.gap_descriptors(view, "1h", ("vmean",))
@@ -107,9 +149,7 @@ def run_flagship(spark, n_rows: int, out_tag: str = "") -> dict:
     stage_secs["gapfill_1h"] = round(time.time() - t1, 3)
     elapsed = time.time() - t0
 
-    tier_rows = {
-        t: spark.read.parquet(f"{out}/{t}").count() for t in ("t1m", "t1h", "t1d")
-    }
+    tier_rows = {t: _read_tier(t).count() for t in ("t1m", "t1h", "t1d")}
     return {
         "raw_points": raw_count,
         "tier_rows": tier_rows,
@@ -156,11 +196,15 @@ def main() -> None:
         from spartan2_spark.session import stop_all
 
         stop_all()
-        # Strong-scaling needs compute-dominated runs: every time the
-        # engine got faster, fixed per-stage overhead (scheduling, plan
-        # time, file commit — ~1-2s/stage) ate a larger share of a small
-        # input and understated efficiency. 64M raw points keeps every
-        # stage >=25s at local[8].
+        # Strong-scaling needs compute-dominated runs: fixed per-stage
+        # overhead (scheduling, plan time, file commit — ~1-2s/stage)
+        # must be small against the measured work. 64M raw points keeps
+        # every local[32] stage >=10s; doubling to 128M was measured to
+        # change efficiency by <0.02 (0.729 -> 0.713, within run noise),
+        # so the residual sub-linearity is NOT amortizable overhead —
+        # it is this box's shared memory subsystem (see BASELINE.md
+        # "single-box ceiling": 4 core-pinned 8-thread JVMs on disjoint
+        # data halve per-JVM throughput vs one such JVM running alone).
         scal_rows = max(n_rows, 64_000_000)
         # warm-up pass (same JVM): JIT-compile the window/agg codegen so
         # neither measured run pays one-time compilation for the other;
@@ -179,11 +223,32 @@ def main() -> None:
         # is the standard way to bench through that.
         runs = {}
         for cores in (8, 32):
-            s = get_spark(f"bench-{cores}", master=f"local[{cores}]")
-            passes = [
-                run_flagship(s, scal_rows, out_tag=f"_c{cores}")
-                for _ in range(2)
-            ]
+            # Pin the level to exactly `cores` CPUs (the JVM child
+            # inherits the affinity mask) and tell the JVM its processor
+            # budget. An UNPINNED local[8] only caps task slots — its
+            # GC/JIT/shuffle-IO thread pools still size to and borrow
+            # all 32 cores, flattering the N baseline a real 8-core
+            # executor (cgroup-capped on any cluster manager) never
+            # gets. Pinning makes N vs 4N an apples-to-apples silicon
+            # comparison.
+            os.sched_setaffinity(0, set(range(cores)))
+            prev_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
+            os.environ["SPARK_DRIVER_JAVA_OPTS"] = (
+                f"-XX:+UseParallelGC -XX:ActiveProcessorCount={cores}"
+            )
+            try:
+                s = get_spark(f"bench-{cores}", master=f"local[{cores}]")
+                _drop_bench_tables(s, f"_c{cores}")  # cleanup OUTSIDE timing
+                passes = [
+                    run_flagship(s, scal_rows, out_tag=f"_c{cores}")
+                    for _ in range(2)
+                ]
+            finally:
+                os.sched_setaffinity(0, set(range(os.cpu_count())))
+                if prev_opts is None:
+                    os.environ.pop("SPARK_DRIVER_JAVA_OPTS", None)
+                else:
+                    os.environ["SPARK_DRIVER_JAVA_OPTS"] = prev_opts
             runs[f"local[{cores}]"] = max(passes, key=lambda r: r["points_per_sec"])
             stop_all()
         thr8 = runs["local[8]"]["points_per_sec"]
@@ -195,11 +260,20 @@ def main() -> None:
         s = get_spark("bench-verify", master="local[8]")
         from pyspark.sql import functions as F
 
+        # bucketed tier tables live in the warehouse dir; the verify
+        # session has a fresh in-memory catalog, so hash the table files
+        # as plain parquet (content-identical; bucket metadata is layout)
+        wh = s.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         identical = {}
         for t in ("t1m", "t1h", "t1d", "gapfill_1h"):
             hashes = []
             for cores in (8, 32):
-                df = s.read.parquet(os.path.join(CACHE, f"bench_tiers_c{cores}", t))
+                if t == "gapfill_1h":
+                    df = s.read.parquet(
+                        os.path.join(CACHE, f"bench_tiers_c{cores}", t)
+                    )
+                else:
+                    df = s.read.parquet(os.path.join(wh, f"bench_{t}_c{cores}"))
                 h = (
                     df.select(
                         F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)").alias("h")

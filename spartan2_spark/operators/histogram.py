@@ -39,6 +39,7 @@ __all__ = [
     "smooth_open_2x2",
     "water_level_tree",
     "describe_islands",
+    "stitch_islands",
 ]
 
 
@@ -469,4 +470,208 @@ def describe_islands(tree: DataFrame) -> DataFrame:
         "cov_xy",
         "cov_yy",
         "loss",
+    )
+
+
+def stitch_islands(
+    tree: DataFrame, stitch_threshold: float = 0.2
+) -> DataFrame:
+    """EagleMine post-stitch (eaglemine_model.py:377-460 `post_stitch`,
+    340-351 `_close_check`, 353-376 `_greedy_select`): merge same-level
+    islands whose fitted Gaussians are close and whose pooled fit costs
+    little likelihood.
+
+    Engine semantics (deterministic, both-engine replayable):
+    - candidates: island pairs at the SAME level; closeness is the
+      reference's rule — center distance < 2 * max(1, sigma_x(u)+
+      sigma_x(v), sigma_y(u)+sigma_y(v)).
+    - the scipy-based hypothesis test is replaced by the likelihood-
+      ratio criterion the reference's greedy selector ranks on: score =
+      (loss_u + loss_v - pooled_loss) / pooled_mass, the per-point
+      log-likelihood decrease of fitting one pooled Gaussian; merge
+      when score <= ``stitch_threshold`` (documented divergence — a
+      threshold test instead of a p-value).
+    - each island matches its best partner (min score, then min partner
+      id); the chosen-partner graph collapses per level via union-find
+      (grouped kernel over the bounded island relation). ONE stitch
+      round (the reference loops with re-fits; further rounds would
+      re-fit merged clusters).
+
+    ``tree`` is :func:`water_level_tree` output. Returns (level, bin_x,
+    bin_y, cnt, node, stitched) — stitched = min node id of the
+    island's stitched group.
+    """
+    import pandas as pd
+
+    cx = F.col("bin_x").cast("double") + 0.5
+    cy = F.col("bin_y").cast("double") + 0.5
+    w = F.col("cnt").cast("double")
+    m = tree.groupBy("level", "node").agg(
+        F.sum("cnt").alias("mass"),
+        F.sum(w).alias("W"),
+        F.sum(w * cx).alias("sx"),
+        F.sum(w * cy).alias("sy"),
+        F.sum(w * cx * cx).alias("sxx"),
+        F.sum(w * cx * cy).alias("sxy"),
+        F.sum(w * cy * cy).alias("syy"),
+    ).localCheckpoint()
+
+    def _params(df):
+        return df.select(
+            *df.columns,
+            (F.col("sx") / F.col("W")).alias("mu_x"),
+            (F.col("sy") / F.col("W")).alias("mu_y"),
+            (F.col("sxx") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sx") / F.col("W"))).alias("cov_xx"),
+            (F.col("sxy") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_xy"),
+            (F.col("syy") / F.col("W") - (F.col("sy") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_yy"),
+        )
+
+    params = _params(m)
+
+    def _loss(cells, prm, keys):
+        det = F.col("cov_xx") * F.col("cov_yy") - F.col("cov_xy") * F.col("cov_xy")
+        dx = cx - F.col("mu_x")
+        dy = cy - F.col("mu_y")
+        quad = (
+            F.col("cov_yy") * dx * dx
+            - 2.0 * F.col("cov_xy") * dx * dy
+            + F.col("cov_xx") * dy * dy
+        ) / det
+        logpdf = -F.log(F.lit(2.0) * F.lit(math.pi)) - 0.5 * F.log(det) - 0.5 * quad
+        return (
+            cells.join(
+                prm.select(*keys, "mu_x", "mu_y", "cov_xx", "cov_xy", "cov_yy"), keys
+            )
+            .withColumn("__det", det)
+            .groupBy(*keys)
+            .agg(
+                F.sum(
+                    F.when(F.col("__det") > 1e-12, w * logpdf).otherwise(F.lit(None))
+                ).alias("loss")
+            )
+        )
+
+    own_loss = _loss(tree, params, ["level", "node"])
+    isl = params.join(own_loss, ["level", "node"]).localCheckpoint()
+
+    dist = F.sqrt(
+        (F.col("a.mu_x") - F.col("b.mu_x")) * (F.col("a.mu_x") - F.col("b.mu_x"))
+        + (F.col("a.mu_y") - F.col("b.mu_y")) * (F.col("a.mu_y") - F.col("b.mu_y"))
+    )
+    cov_dist = F.greatest(
+        F.lit(1.0),
+        F.sqrt(F.col("a.cov_xx")) + F.sqrt(F.col("b.cov_xx")),
+        F.sqrt(F.col("a.cov_yy")) + F.sqrt(F.col("b.cov_yy")),
+    )
+    pairs = (
+        isl.alias("a")
+        .join(
+            isl.alias("b"),
+            (F.col("a.level") == F.col("b.level")) & (F.col("a.node") < F.col("b.node")),
+        )
+        .filter(dist < 2.0 * cov_dist)
+        .select(
+            F.col("a.level").alias("level"),
+            F.col("a.node").alias("u"),
+            F.col("b.node").alias("v"),
+            (F.col("a.loss") + F.col("b.loss")).alias("sep_loss"),
+            (F.col("a.mass") + F.col("b.mass")).alias("pmass"),
+            (F.col("a.W") + F.col("b.W")).alias("W"),
+            (F.col("a.sx") + F.col("b.sx")).alias("sx"),
+            (F.col("a.sy") + F.col("b.sy")).alias("sy"),
+            (F.col("a.sxx") + F.col("b.sxx")).alias("sxx"),
+            (F.col("a.sxy") + F.col("b.sxy")).alias("sxy"),
+            (F.col("a.syy") + F.col("b.syy")).alias("syy"),
+        )
+    )
+    ppar = _params(pairs)
+    # cells of u or v only
+    pcells = (
+        tree.alias("t")
+        .join(
+            ppar.select("level", "u", "v").alias("p"),
+            (F.col("t.level") == F.col("p.level"))
+            & ((F.col("t.node") == F.col("p.u")) | (F.col("t.node") == F.col("p.v"))),
+        )
+        .select(
+            F.col("t.level").alias("level"),
+            "u",
+            "v",
+            "bin_x",
+            "bin_y",
+            "cnt",
+        )
+    )
+    pooled_loss = _loss(pcells, ppar, ["level", "u", "v"]).withColumnRenamed(
+        "loss", "pooled_loss"
+    )
+    scored = (
+        ppar.select("level", "u", "v", "sep_loss", "pmass")
+        .join(pooled_loss, ["level", "u", "v"])
+        .withColumn(
+            "score", (F.col("sep_loss") - F.col("pooled_loss")) / F.col("pmass")
+        )
+        .filter(F.col("score") <= F.lit(stitch_threshold))
+        .select(
+            "level",
+            "u",
+            "v",
+            F.round(-F.col("score") * 1e6, 0).cast("long").alias("gq"),
+        )
+        .localCheckpoint()
+    )
+    cand = scored.select("level", F.col("u").alias("node"), F.col("v").alias("partner"), "gq").unionByName(
+        scored.select("level", F.col("v").alias("node"), F.col("u").alias("partner"), "gq")
+    )
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy("level", "node").orderBy(F.desc("gq"), F.asc("partner"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "level",
+            F.least("node", "partner").alias("cu"),
+            F.greatest("node", "partner").alias("cv"),
+        )
+        .distinct()
+    )
+
+    def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for cu, cv in sorted(zip(pdf["cu"], pdf["cv"])):
+            ru, rv = find(int(cu)), find(int(cv))
+            if ru != rv:
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        members = sorted(set(pdf["cu"]) | set(pdf["cv"]))
+        lvl = int(pdf["level"].iloc[0])
+        return pd.DataFrame(
+            {
+                "level": [lvl] * len(members),
+                "node": members,
+                "stitched": [find(int(n)) for n in members],
+            }
+        )
+
+    merged = best.groupBy("level").applyInPandas(
+        _uf, "level long, node long, stitched long"
+    )
+    return (
+        tree.join(merged, ["level", "node"], "left")
+        .select(
+            "level",
+            "bin_x",
+            "bin_y",
+            "cnt",
+            "node",
+            F.coalesce("stitched", F.col("node")).alias("stitched"),
+        )
     )

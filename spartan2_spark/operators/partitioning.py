@@ -178,6 +178,20 @@ def write_bucketed(
     the cluster equivalent; the Spark bucketed table is the in-sandbox
     realization of the same layout contract.)
     """
+    # idempotent overwrite across sessions: a fresh in-memory catalog
+    # doesn't know a previous session's table, so saveAsTable would
+    # refuse the leftover warehouse location — drop both catalog entry
+    # and directory first (same overwrite semantics the manifest-resume
+    # contract assumes for tier sinks)
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *bucket_cols)

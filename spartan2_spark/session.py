@@ -75,6 +75,17 @@ def get_spark(
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
     )
+    # Shuffle/spill dirs on RAM-backed storage when available. Shuffle
+    # files are ephemeral by definition (durable tier tables still go to
+    # disk); on this single box, ext4 dirty-page writeback serializes in
+    # the kernel once ~32 threads shuffle concurrently — sampled 40-68%
+    # SYSTEM time phases during the 64M-point chain, and moving
+    # spark.local.dir to /dev/shm cut the local[32] chain 81s -> 71s
+    # while leaving local[8] unchanged. The cluster analogue is striped
+    # NVMe local dirs per executor (standard spark-submit conf); honor
+    # SPARK_LOCAL_DIRS if the deployment sets its own.
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

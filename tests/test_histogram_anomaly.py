@@ -216,3 +216,39 @@ def test_describe_islands_matches_numpy(spark):
     isl = out[(4, b)]
     assert isl.mass == 9 * 40 and abs(isl.mu_x - 5.5) < 1e-9
     assert abs(isl.cov_xx - 2.0 / 3.0) < 1e-9 and abs(isl.cov_xy) < 1e-12
+
+
+def test_stitch_islands_merges_close_gaussians_only(spark):
+    # islands A (x 0..4) and B (x 1..5) are 1 apart: closeness passes
+    # and the pooled-fit likelihood decrease is 0.5*ln(det_pool/det_sep)
+    # = 0.5*ln(2.25*(2/3) / (2*(2/3))) ~= 0.059 nats/point <= 0.2 ->
+    # stitch. C (x 40..44) fails the closeness rule -> keeps its label.
+    rows = []
+    for node, x0 in ((1, 0), (2, 1), (3, 40)):
+        for dx in range(5):
+            for y in range(3):
+                rows.append((1, x0 + dx, y, 10, node))
+    tree = spark.createDataFrame(
+        rows, "level long, bin_x long, bin_y long, cnt long, node long"
+    )
+    out = HG.stitch_islands(tree, stitch_threshold=0.2).collect()
+    lab = {}
+    for r in out:
+        lab.setdefault(r.node, set()).add(r.stitched)
+    assert lab[1] == {1} and lab[2] == {1} and lab[3] == {3}
+
+
+def test_stitch_islands_threshold_blocks_distant_pool(spark):
+    # islands 5 apart: closeness passes (dist 5 < 2*(sqrt2+sqrt2)=5.66)
+    # but pooled score 0.5*ln((2+6.25)*(2/3) / (4/3)) ~= 0.71 > 0.2
+    rows = []
+    for node, x0 in ((1, 0), (2, 5)):
+        for dx in range(5):
+            for y in range(3):
+                rows.append((1, x0 + dx, y, 10, node))
+    tree = spark.createDataFrame(
+        rows, "level long, bin_x long, bin_y long, cnt long, node long"
+    )
+    out = HG.stitch_islands(tree, stitch_threshold=0.2).collect()
+    assert {r.stitched for r in out if r.node == 1} == {1}
+    assert {r.stitched for r in out if r.node == 2} == {2}
