@@ -1856,7 +1856,7 @@ def _graph_summarize_sql(k_hashes: int = 4) -> str:
     )
     sup = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(k_hashes))
     return f"""
-    WITH sig AS (SELECT user_id AS node, {hmins} FROM events GROUP BY 1),
+    WITH sig AS (SELECT l_partkey AS node, {hmins} FROM lineitem GROUP BY 1),
     g AS (SELECT {sup} AS supernode, count(*) AS n_nodes FROM sig GROUP BY 1)
     SELECT supernode, n_nodes,
            round(CASE WHEN n_nodes > 1
@@ -2591,6 +2591,17 @@ _EAGLEMINE_STITCH_SQL = _EAGLEMINE_TREE_CTES + """
            coalesce(c2.stitched, t.node) AS stitched
     FROM tree t LEFT JOIN comp2 c2 ON c2.level = t.level AND c2.node = t.node
 """
+
+# DuckDB inlines non-MATERIALIZED CTEs at every reference; the stitch
+# twin references `tree` (and through it the recursive water-level
+# sweep) from several join sides, which re-evaluates the whole
+# recursion per reference — >15 min at sf0.01. Materializing the
+# shared relations makes it 0.1 s with identical results.
+for _cte in ("c AS (", "alive AS (", "e AS (", "lab AS (", "surv AS (",
+             "tree AS (", "isl AS (", "ppar AS ("):
+    _EAGLEMINE_STITCH_SQL = _EAGLEMINE_STITCH_SQL.replace(
+        _cte, _cte.replace("AS (", "AS MATERIALIZED (")
+    )
 
 
 def _q_specgreedy(spark, sf_dir):
