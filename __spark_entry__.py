@@ -14,6 +14,7 @@ on both sides. Timestamps are compared as UTC epoch BIGINTs.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2322,6 +2323,95 @@ _RPEAK_SQL = """
 """
 
 
+def _q_rpeak_hamilton(spark, sf_dir):
+    """RPeak fidelity path: the reference detects R-peaks with
+    biosppy's Hamilton segmenter (RPeak.py:24-36); here the actual
+    Hamilton algorithm (band-pass -> |diff| -> 80 ms envelope ->
+    adaptive dual-buffer thresholds + refractory/T-wave/search-back
+    rules, functions/hamilton.py, written numpy-only from the published
+    description) runs per series as a grouped pandas kernel. A
+    deterministic synthetic ECG is laid over the events table's row
+    grid (4 series keyed by user_id % 4; beat period 240+30*key
+    samples with 35%-amplitude T-waves and baseline wander; fs=360),
+    then the reference's in-bounds rule keeps segments
+    [r-120, r+136). Sequential float detector -> rows-only driver
+    check; exact planted-beat recovery is pytest-proven
+    (tests/test_hamilton_beatgan.py)."""
+    from spartan2_spark.operators.peaks import hamilton_rpeaks
+
+    i = F.row_number().over(
+        W.partitionBy("key").orderBy("ts", "event_id")
+    ) - F.lit(1)
+    per = F.lit(240) + F.lit(30) * F.col("key")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("key", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+        .withColumn("i", i)
+        .withColumn("j", F.pmod(F.col("i"), per).cast("double"))
+        .withColumn("c", (per / F.lit(2)).cast("double"))
+        .withColumn(
+            "sig",
+            F.exp(F.lit(-0.5) * F.pow((F.col("j") - F.col("c")) / F.lit(4.0), 2))
+            + F.lit(0.35)
+            * F.exp(
+                F.lit(-0.5)
+                * F.pow((F.col("j") - F.col("c") - F.lit(108.0)) / F.lit(18.0), 2)
+            )
+            + F.lit(0.1)
+            * F.sin(F.lit(2.0 * math.pi * 0.3 / 360.0) * F.col("i")),
+        )
+        .select(
+            "key",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("i")).alias("ts"),
+            F.col("sig").alias("value"),
+        )
+    )
+    res = hamilton_rpeaks(ev, fs=360.0, left=120, right=136)
+    return res.select(
+        "key",
+        "r_idx",
+        _usec("r_ts").alias("r_ts_us"),
+        F.round("r_value", 6).alias("r_value"),
+        "seg_start_idx",
+        "seg_end_idx",
+    ).orderBy("key", "r_idx")
+
+
+def _q_beatgan_subspace(spark, sf_dir):
+    """BeatGAN with a *learned* reconstructor (models/beatgan.py): per
+    user series, fixed windows (16 samples, stride 8) are scored by
+    reconstruction MSE against the rank-2 principal subspace of that
+    series' own windows — the closed-form optimum of a linear
+    autoencoder, the dependency-free stand-in for the reference's
+    torch AE-GAN (model/beatgan/BeatGAN_CNN.py scores |x - G(x)| per
+    window the same way). Float SVD -> rows-only driver check;
+    planted-anomaly recovery is pytest-proven."""
+    from spartan2_spark.models.beatgan import beatgan_subspace_scores
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).alias("v"),
+    )
+    res = beatgan_subspace_scores(
+        ev,
+        key="user_id",
+        ts="ts",
+        val="v",
+        window=16,
+        stride=8,
+        rank=2,
+        tie="event_id",
+    )
+    return res.select(
+        "user_id",
+        "win_start_idx",
+        _usec("win_start_ts").alias("win_start_us"),
+        F.round("err", 6).alias("err"),
+    ).orderBy("user_id", "win_start_idx")
+
+
 def _q_beatgan_recon(spark, sf_dir):
     """BeatGAN's scoring shape (model/beatgan/): per-point
     reconstruction error vs a context reconstruction, top anomalies by
@@ -2884,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "holoscope_shaving": _q_holoscope_shaving,
         "flow_peel_block": _q_flow_peel_block,
+        "rpeak_hamilton": _q_rpeak_hamilton,
+        "beatgan_subspace": _q_beatgan_subspace,
         # --- fixed this round (r01 FAIL / oracle ERROR) ---
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal_features,
@@ -3020,9 +3112,12 @@ def oracle_sql() -> dict[str, str]:
         "cumprod_daily": _CUMPROD_SQL,
         "rank_fusion_sum": _RANK_SUM_SQL,
         "holoscope_objective": _HOLOSCOPE_OBJ_SQL,
-        # specgreedy_block: iterative spectral seed -> rows-only
-        # kcore_peel / svd_power_spokes: iterative fixpoint -> rows-only
-        # graph_summarize_lsh: xxhash64 signature (no DuckDB twin) -> rows-only
+        # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
+        # rpeak_hamilton: sequential adaptive-threshold detector (FIR
+        # filter + 8-deep running buffers + search-back) — not
+        # SQL-expressible; exactness pytest-proven on planted beats
+        # beatgan_subspace: per-series SVD subspace -> rows-only;
+        # planted-anomaly recovery pytest-proven
         # resample_fourier / beatlex_summarize / eigenpulse_density /
         # whole-series FFT/DTW/SVD kernels;
         # minhash/simhash/ann/fingerprint/multimodal: xxhash64- or

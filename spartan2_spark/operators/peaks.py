@@ -20,18 +20,32 @@ Reference semantics being re-expressed (NOT ported):
   semantics* — "per series, reconstruct each point from its context and
   rank by reconstruction error" — are expressed with a centered
   moving-average reconstructor (the deterministic stand-in) so the
-  whole scoring path is window aggregates in whole-stage codegen. The
-  torch-backed generator can be slotted in behind ``reconstructor=``
-  as a grouped pandas UDF when available (see models/beatgan_stub).
+  whole scoring path is window aggregates in whole-stage codegen. A
+  learned (linear-autoencoder/PCA) reconstructor lives in
+  ``models/beatgan.py``; a torch generator slots in behind the same
+  ``reconstructor=`` contract as a grouped pandas UDF when available.
+
+- ``hamilton_rpeaks`` is the fidelity path for RPeak: the actual
+  Hamilton QRS detection algorithm (band-pass -> |diff| -> 80 ms
+  envelope -> adaptive dual-buffer thresholds with refractory, T-wave
+  and search-back rules) re-implemented numpy-only from the published
+  description in ``functions/hamilton.py``, run per series as a grouped
+  pandas kernel.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["detect_peaks", "peak_segments", "reconstruction_scores"]
+__all__ = [
+    "detect_peaks",
+    "peak_segments",
+    "reconstruction_scores",
+    "hamilton_rpeaks",
+]
 
 
 def detect_peaks(
@@ -134,3 +148,57 @@ def reconstruction_scores(
         .withColumn("err", F.abs(F.col(val) - F.col("recon")))
         .select(*cols)
     )
+
+
+def hamilton_rpeaks(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    val: str = "value",
+    fs: float = 360.0,
+    left: int = 120,
+    right: int = 136,
+    tie: str | None = None,
+) -> DataFrame:
+    """Hamilton R-peak detection per series + the reference's segment
+    bounds rule (RPeak.py:29-33 keeps a peak iff ``r - left >= 0`` and
+    ``r + right < n``).
+
+    One grouped-pandas kernel invocation per series — the same
+    whole-series-in-memory contract as the reference model (and as the
+    Fourier resample kernel); at 100x the parallel unit is the series,
+    so kernel parallelism scales with series cardinality while each
+    series must fit executor memory. Returns
+    (key, r_idx, r_ts, r_value, seg_start_idx, seg_end_idx) where
+    ``r_idx`` indexes the series' time-sorted samples.
+    """
+    from ..functions.hamilton import hamilton_detect
+
+    order = [ts] + ([tie] if tie else [])
+    key_t = dict(df.dtypes)[key]
+    ts_t = dict(df.dtypes)[ts]
+    schema = (
+        f"{key} {key_t}, r_idx long, r_ts {ts_t}, r_value double, "
+        "seg_start_idx long, seg_end_idx long"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        x = pdf[val].to_numpy(dtype="float64")
+        n = len(x)
+        r = hamilton_detect(x, fs)
+        r = r[(r - left >= 0) & (r + right < n)]
+        return pd.DataFrame(
+            {
+                key: pdf[key].iloc[:1].repeat(len(r)).reset_index(drop=True),
+                "r_idx": r.astype("int64"),
+                "r_ts": pdf[ts].iloc[r].reset_index(drop=True),
+                "r_value": x[r],
+                "seg_start_idx": (r - left).astype("int64"),
+                "seg_end_idx": (r + right).astype("int64"),
+            }
+        )
+
+    return df.select(key, ts, val, *([tie] if tie else [])).groupBy(
+        key
+    ).applyInPandas(kernel, schema)

@@ -1,0 +1,112 @@
+"""Hamilton QRS detector (RPeak fidelity path) and the linear-AE
+(PCA-subspace) BeatGAN reconstructor: numpy kernels + Spark wrappers."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from spartan2_spark.functions.hamilton import hamilton_detect
+from spartan2_spark.models.beatgan import (
+    beatgan_subspace_scores,
+    subspace_window_scores,
+)
+from spartan2_spark.operators.peaks import hamilton_rpeaks
+
+FS = 360.0
+
+
+def _ecg(dur=20.0, rr=1.0, amp=None, twave=0.35):
+    """Deterministic synthetic ECG: Gaussian QRS (10 ms sigma) + T-wave
+    bump at +300 ms + baseline wander + 50 Hz ripple."""
+    n = int(FS * dur)
+    i = np.arange(n)
+    t = i / FS
+    x = 0.1 * np.sin(2 * np.pi * 0.3 * t) + 0.02 * np.sin(2 * np.pi * 50 * t)
+    r = []
+    for k in range(1, int(dur / rr) - 1):
+        c = int(k * rr * FS)
+        r.append(c)
+        a = amp(k) if amp else 1.0
+        x = x + a * np.exp(-0.5 * ((i - c) / (0.01 * FS)) ** 2)
+        x = x + a * twave * np.exp(-0.5 * ((i - c - 0.30 * FS) / (0.05 * FS)) ** 2)
+    return x, np.asarray(r)
+
+
+def test_hamilton_exact_recovery_and_twave_rejection():
+    x, r = _ecg()
+    det = hamilton_detect(x, FS)
+    assert len(det) == len(r)
+    # every detection lands exactly on a planted R sample (T-waves at
+    # 35% amplitude 300 ms after each beat are all rejected)
+    assert np.abs(det[:, None] - r[None, :]).min(axis=1).max() <= 1
+
+
+def test_hamilton_searchback_recovers_attenuated_beat():
+    x, r = _ecg(amp=lambda k: 0.35 if k == 10 else 1.0)
+    det = hamilton_detect(x, FS)
+    assert len(det) == len(r)
+    assert np.abs(det - r[9]).min() <= 1
+
+
+def test_hamilton_degenerate_inputs():
+    assert len(hamilton_detect(np.array([]), FS)) == 0
+    assert len(hamilton_detect(np.zeros(10), FS)) == 0
+    assert len(hamilton_detect(np.zeros(int(5 * FS)), FS)) == 0  # flatline
+
+
+def test_hamilton_rpeaks_spark_wrapper(spark):
+    x, r = _ecg(dur=10.0)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + dt.timedelta(milliseconds=round(1000 * i / FS)), float(v))
+        for i, v in enumerate(x)
+    ]
+    # second key: same wave shifted in amplitude, same R positions
+    rows += [("b", t, 2.0 * v) for (_, t, v) in rows]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = hamilton_rpeaks(df, fs=FS, left=120, right=136).collect()
+    got = {k: sorted(o.r_idx for o in out if o.key == k) for k in ("a", "b")}
+    want = [int(i) for i in r if i - 120 >= 0 and i + 136 < len(x)]
+    assert got["a"] == want
+    assert got["b"] == want
+    by_idx = {(o.key, o.r_idx): o for o in out}
+    o = by_idx[("a", want[0])]
+    assert o.seg_start_idx == want[0] - 120
+    assert o.seg_end_idx == want[0] + 136
+    assert abs(o.r_value - x[want[0]]) < 1e-12
+
+
+def test_subspace_scores_planted_anomaly_and_full_rank():
+    n, w, s = 512, 64, 32
+    i = np.arange(n)
+    x = np.sin(2 * np.pi * i / 64) + 0.3 * np.sin(2 * np.pi * i / 16)
+    x[200:210] += 3.0
+    starts, errs = subspace_window_scores(x, w, s, rank=2)
+    # the two windows covering the planted corruption dominate
+    top2 = set(starts[np.argsort(-errs)[:2]].tolist())
+    assert top2 == {160, 192}
+    # full-rank linear AE reconstructs its training windows perfectly
+    _, e2 = subspace_window_scores(x, w, s, rank=len(starts))
+    assert float(e2.max()) < 1e-15
+
+
+def test_beatgan_subspace_spark_wrapper(spark):
+    n = 256
+    i = np.arange(n)
+    x = np.sin(2 * np.pi * i / 32)
+    x[100:106] += 2.0
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(seconds=int(j)), float(v))
+        for j, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = beatgan_subspace_scores(
+        df, window=32, stride=16, rank=1
+    ).collect()
+    assert len(out) == (n - 32) // 16 + 1
+    top = max(out, key=lambda o: o.err)
+    assert top.win_start_idx in (80, 96)
+    assert top.win_start_ts == base + dt.timedelta(seconds=int(top.win_start_idx))
