@@ -110,3 +110,36 @@ def test_beatgan_subspace_spark_wrapper(spark):
     top = max(out, key=lambda o: o.err)
     assert top.win_start_idx in (80, 96)
     assert top.win_start_ts == base + dt.timedelta(seconds=int(top.win_start_idx))
+
+
+def test_hamilton_deterministic_and_dtype_stable():
+    x, _ = _ecg(dur=8.0)
+    a = hamilton_detect(x, FS)
+    b = hamilton_detect(x.astype(np.float32).astype(np.float64), FS)
+    c = hamilton_detect(x, FS)
+    assert np.array_equal(a, c)
+    # float32 round-trip perturbs values by <1e-7 rel; detections stay put
+    assert np.array_equal(a, b)
+
+
+def test_hamilton_amplitude_invariance():
+    # threshold chain is ratio-based: scaling the signal must not
+    # change the detected sample set
+    x, _ = _ecg(dur=8.0)
+    a = hamilton_detect(x, FS)
+    b = hamilton_detect(1000.0 * x, FS)
+    assert np.array_equal(a, b)
+
+
+def test_subspace_rank_monotone_and_nonnegative():
+    i = np.arange(300)
+    x = np.sin(2 * np.pi * i / 50) + 0.1 * np.cos(2 * np.pi * i / 7)
+    prev = None
+    for r in (0, 1, 2, 4, 8):
+        _, errs = subspace_window_scores(x, 32, 16, r)
+        assert (errs >= -1e-15).all()
+        tot = float(errs.sum())
+        if prev is not None:
+            # larger subspace reconstructs at least as well in total
+            assert tot <= prev + 1e-12
+        prev = tot
