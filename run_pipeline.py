@@ -25,6 +25,20 @@ def main() -> None:
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--target-rows-per-salt", type=int, default=1_000_000)
+    ap.add_argument(
+        "--retain",
+        action="append",
+        default=[],
+        metavar="STAGE=KEEP_DAYS",
+        help="retention policy, repeatable (e.g. --retain t1m=30 --retain "
+        "t1h=365); applied after the ladder, coverage-gated partition "
+        "drops with tombstoned manifests + audit log",
+    )
+    ap.add_argument(
+        "--retain-dry-run",
+        action="store_true",
+        help="plan retention without deleting anything",
+    )
     args = ap.parse_args()
 
     from spartan2_spark.session import get_spark
@@ -49,7 +63,20 @@ def main() -> None:
         resume=not args.no_resume,
         target_rows_per_salt=args.target_rows_per_salt,
     )
-    print(json.dumps({"elapsed_sec": round(time.time() - t0, 2), "stages": reports}))
+    out = {"elapsed_sec": round(time.time() - t0, 2), "stages": reports}
+
+    if args.retain:
+        import datetime as dt
+
+        from spartan2_spark.operators.retention import apply_retention
+
+        policies = dict(
+            (k, int(v)) for k, v in (s.split("=", 1) for s in args.retain)
+        )
+        out["retention"] = apply_retention(
+            args.out, policies, dt.date.today(), dry_run=args.retain_dry_run
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -106,6 +106,12 @@ def completed_partitions(
     re-aggregation, edgepropertyAnalysis.py:184-213)."""
     out = set()
     for e in read_manifest(root, stage):
+        if e.get("expired_at") is not None:
+            # retired by a retention policy (operators/retention.py):
+            # treat as durably complete so a resumed run never
+            # resurrects data the policy dropped
+            out.add(e["dt"])
+            continue
         if input_snapshot is not None and e.get("input_snapshot") != input_snapshot:
             continue
         if upstream is not None and e.get("input_crc") != upstream.get(e["dt"]):

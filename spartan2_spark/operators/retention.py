@@ -1,0 +1,136 @@
+"""Retention-tier expiry for the rollup ladder (the "retention" in
+rollup + downsample + retention).
+
+The north-rule pipeline keeps raw/fine tiers only for a TTL once the
+coarser continuous aggregates cover them (TimescaleDB-style retention
+policies on hypertables with continuous aggregates — re-expressed for
+dt-partitioned parquet/Iceberg tables). Expiry is:
+
+- **partition drops, not row deletes** — a tier is partitioned by
+  ``dt`` and a day never spans partitions, so retention is a metadata
+  operation per day at any scale (the Iceberg analogue is
+  ``expire_snapshots`` + partition-predicate deletes);
+- **safety-gated on chained lineage**: a dt of tier X may be dropped
+  only if the covering tier's manifest entry for that dt records
+  ``input_crc == X[dt].value_crc`` — i.e. the coarser aggregate was
+  provably computed FROM the exact bytes being deleted (the same
+  per-partition crc chain the resume layer uses);
+- **tombstoned, not forgotten**: the stage manifest entry is kept with
+  an ``expired_at`` stamp (rows + value_crc preserved for audit), so a
+  resumed ``run_pipeline`` treats the dt as complete instead of
+  resurrecting data the policy retired, and downstream crc validation
+  keeps working;
+- **logged**: every drop appends to ``_manifests/retention.json`` with
+  the policy cutoff and the coverage evidence.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import shutil
+import time
+
+from . import manifest as M
+
+__all__ = ["COVERERS", "apply_retention", "read_retention_log"]
+
+# which coarser stage must cover a dt before the finer stage may drop it
+COVERERS = {"t1m": "t1h", "t1h": "t1d"}
+
+
+def _retention_log_path(root: str) -> str:
+    return os.path.join(root, "_manifests", "retention.json")
+
+
+def read_retention_log(root: str) -> list[dict]:
+    p = _retention_log_path(root)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return json.load(f)
+
+
+def _parse_dt(s: str):
+    try:
+        return _dt.date.fromisoformat(s)
+    except ValueError:
+        return None  # non-date partitions (e.g. canonical's "ALL") never expire
+
+
+def apply_retention(
+    out_root: str,
+    policies: dict[str, int],
+    now_date: _dt.date,
+    coverers: dict[str, str] | None = None,
+    dry_run: bool = False,
+) -> list[dict]:
+    """Apply ``policies`` (stage -> keep_days) to the tier tables under
+    ``out_root``. Returns the per-partition action plan; with
+    ``dry_run=True`` nothing is deleted or written.
+
+    A dt expires when ``dt < now_date - keep_days`` AND (if the stage
+    has a coverer) the coverer's manifest proves coverage via the crc
+    chain. Re-running is idempotent: tombstoned entries are skipped.
+    """
+    coverers = COVERERS if coverers is None else coverers
+    plan: list[dict] = []
+    now = time.time()
+
+    for stage, keep_days in sorted(policies.items()):
+        cutoff = now_date - _dt.timedelta(days=keep_days)
+        entries = M.read_manifest(out_root, stage)
+        cov_stage = coverers.get(stage)
+        cov_by_dt = (
+            {e["dt"]: e for e in M.read_manifest(out_root, cov_stage)}
+            if cov_stage
+            else {}
+        )
+        changed = False
+        for e in entries:
+            d = _parse_dt(e["dt"])
+            if d is None or d >= cutoff or e.get("expired_at") is not None:
+                continue
+            action = {
+                "stage": stage,
+                "dt": e["dt"],
+                "rows": e.get("rows"),
+                "value_crc": e.get("value_crc"),
+                "cutoff": str(cutoff),
+                "coverer": cov_stage,
+            }
+            if cov_stage:
+                cov = cov_by_dt.get(e["dt"])
+                covered = (
+                    cov is not None
+                    and cov.get("input_crc") == e.get("value_crc")
+                )
+                if not covered:
+                    # refuse: the coarser tier does not (provably) hold
+                    # an aggregate of these exact bytes
+                    plan.append({**action, "action": "refused_uncovered"})
+                    continue
+                action["coverer_value_crc"] = cov.get("value_crc")
+            plan.append({**action, "action": "expire"})
+            if dry_run:
+                continue
+            part_dir = os.path.join(out_root, stage, f"dt={e['dt']}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+            e["expired_at"] = now
+            changed = True
+        if changed and not dry_run:
+            M._atomic_write(
+                M.stage_manifest_path(out_root, stage),
+                json.dumps(sorted(entries, key=lambda x: x["dt"]), indent=0),
+            )
+            M.bump_table_version(os.path.join(out_root, stage))
+
+    if not dry_run:
+        done = [dict(a, expired_at=now) for a in plan if a["action"] == "expire"]
+        if done:
+            log = read_retention_log(out_root) + done
+            os.makedirs(os.path.join(out_root, "_manifests"), exist_ok=True)
+            M._atomic_write(_retention_log_path(out_root), json.dumps(log, indent=0))
+    return plan
