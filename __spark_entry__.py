@@ -1949,6 +1949,29 @@ def _dpgs_merge_sql(k_hashes: int = 4) -> str:
 """
 
 
+def _q_dpgs_summarize_fixpoint(spark, sf_dir):
+    """Iterated DPGS summarization to a fixpoint (DPGS.py:49-141 outer
+    merge loop): repeated within-LSH-group MDL merge rounds over the
+    successively collapsed multigraph until no positive-gain pair
+    remains. The single round is value-exact oracle-checked as
+    dpgs_merge_refine; the fixpoint iteration is rows-only (a
+    multi-round SQL unroll would have to thread the collapsed weighted
+    multigraph through each recursive-CTE replay) with the 2-round
+    convergence behaviour pytest-proven
+    (tests/test_spectral.py::test_dpgs_summarize_needs_two_rounds)."""
+    from spartan2_spark.operators.spectral import dpgs_summarize
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("src"), F.col("event_type").alias("dst")
+    )
+    res = dpgs_summarize(ev, k_hashes=4, hash_mode="poly", max_rounds=6)
+    return (
+        res["assign"]
+        .withColumn("rounds", F.lit(len(res["history"])))
+        .orderBy("node")
+    )
+
+
 def _q_holoscope_fusion(spark, sf_dir):
     """HoloScope-style suspiciousness fusion: reciprocal-rank fusion of
     the KL-divergence and burst-involvement property scores per sink
@@ -2976,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_peel_block": _q_flow_peel_block,
         "rpeak_hamilton": _q_rpeak_hamilton,
         "beatgan_subspace": _q_beatgan_subspace,
+        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
         # --- fixed this round (r01 FAIL / oracle ERROR) ---
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal_features,

@@ -48,6 +48,7 @@ __all__ = [
     "specgreedy_subgraph",
     "kgrass_summarize",
     "dpgs_merge_round",
+    "dpgs_summarize",
     "kgrass_merge_round",
 ]
 
@@ -634,3 +635,65 @@ def kgrass_merge_round(
     gains = losses.select("g", "u", "v", (-F.col("loss")).alias("gq"))
     assign = _match_and_collapse(gains, srcs)
     return {"assign": assign, "losses": losses}
+
+
+def dpgs_summarize(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_hashes: int = 4,
+    hash_mode: str = "xxhash",
+    max_group: int = 500,
+    quant: float = 1000.0,
+    max_rounds: int = 8,
+) -> dict:
+    """Iterated DPGS summarization: merge rounds to a fixpoint.
+
+    The reference's outer loop (model/DPGS/DPGS.py:49-141 `summarize`)
+    keeps merging positive-MDL-gain pairs until none remain; one
+    distributed `dpgs_merge_round` only collapses each node's
+    best-partner component, so pairs whose gain materializes only
+    AFTER earlier merges (e.g. two merged supernodes whose combined
+    neighbour weights now favour merging) need further rounds. This
+    driver re-applies the round on the collapsed multigraph — edge
+    multiplicities add, so merged weights are exact — until a round
+    scores no positive pair or ``max_rounds``.
+
+    Only scalars cross to the driver per round (positive-pair count);
+    per-round relations are ``localCheckpoint``-ed to truncate lineage.
+    Returns {'assign': (node, supernode) in ORIGINAL node ids,
+    'history': [{'round', 'positive_pairs'} ...]}.
+    """
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    total: DataFrame | None = None
+    history: list[dict] = []
+    for r in range(max_rounds):
+        res = dpgs_merge_round(
+            cur, "src", "dst", k_hashes, hash_mode, max_group, quant
+        )
+        n_pos = res["gains"].count()
+        history.append({"round": r, "positive_pairs": n_pos})
+        if n_pos == 0:
+            break
+        assign = res["assign"].localCheckpoint()
+        total = (
+            assign
+            if total is None
+            else total.alias("t")
+            .join(
+                assign.alias("a"),
+                F.col("t.supernode") == F.col("a.node"),
+            )
+            .select(F.col("t.node"), F.col("a.supernode"))
+            .localCheckpoint()
+        )
+        cur = (
+            cur.join(assign, cur["src"] == assign["node"])
+            .select(F.col("supernode").alias("src"), "dst")
+            .localCheckpoint()
+        )
+    if total is None:
+        total = edges.select(F.col(src).alias("node")).distinct().select(
+            "node", F.col("node").alias("supernode")
+        )
+    return {"assign": total, "history": history}

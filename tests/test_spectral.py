@@ -101,3 +101,49 @@ def test_kgrass_merge_round_prefers_identical_neighbourhoods(spark):
     # 3's best partner is 1 (tie on loss 4 -> min partner id) so it
     # collapses into the same component this round
     assert assign[3] == 1
+
+
+def test_dpgs_summarize_needs_two_rounds(spark):
+    from spartan2_spark.operators.spectral import dpgs_summarize
+
+    # heavy twins 1,2 (weight 2 on {10,11}) and light twins 3,4
+    # (weight 1): intra-pair gains (~1.037) beat cross gains (~0.538),
+    # so round 1's best-partner matching merges {1,2} and {3,4}
+    # separately; the merged supernodes then have gain ~2.218 > 0 and
+    # need ROUND 2 to collapse into one — verified against the
+    # reference gain formula evaluated by hand.
+    rows = []
+    for u in (1, 2):
+        for n in (10, 11):
+            rows += [(u, n), (u, n)]
+    for u in (3, 4):
+        for n in (10, 11):
+            rows += [(u, n)]
+    rows += [(9, 20)]  # spectator singleton
+    edges = spark.createDataFrame(rows, "src long, dst long")
+
+    one = dpgs_summarize(edges, max_rounds=1)
+    a1 = {r.node: r.supernode for r in one["assign"].collect()}
+    assert a1[1] == a1[2] == 1
+    assert a1[3] == a1[4] == 3
+    assert a1[1] != a1[3] and a1[9] == 9
+
+    full = dpgs_summarize(edges, max_rounds=8)
+    a = {r.node: r.supernode for r in full["assign"].collect()}
+    assert a[1] == a[2] == a[3] == a[4] == 1
+    assert a[9] == 9
+    # round 0: two positive pairs chosen-partner sets; round 1: one
+    # (the supernode merge); round 2: fixpoint
+    pos = [h["positive_pairs"] for h in full["history"]]
+    assert len(pos) == 3 and pos[-1] == 0 and all(p > 0 for p in pos[:-1])
+
+
+def test_dpgs_summarize_fixpoint_is_stable(spark):
+    from spartan2_spark.operators.spectral import dpgs_summarize
+
+    rows = [(u, n) for u in (1, 2) for n in (10, 11, 12) for _ in (0, 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    full = dpgs_summarize(edges, max_rounds=8)
+    a = {r.node: r.supernode for r in full["assign"].collect()}
+    assert a == {1: 1, 2: 1}
+    assert full["history"][-1]["positive_pairs"] == 0
