@@ -2959,6 +2959,40 @@ _GORILLA_SQL = """
 """
 
 
+def _q_gorilla_read_range(spark, sf_dir):
+    """Serving read path over Gorilla blocks with block-level pruning
+    (operators/gorilla.py read_points): only blocks whose
+    [start_ts, end_ts] overlaps the requested window reach the Python
+    decode kernel, then decoded points are trimmed to the window. The
+    oracle is the plain SQL rollup WHERE-filtered to the same window,
+    so the check proves prune + decode + trim returns exactly the
+    stored points of the range — the query a tier consumer runs."""
+    from spartan2_spark.operators.gorilla import encode_tier_blocks, read_points
+
+    t0, t1 = 1704844800, 1705708799  # 2024-01-10 .. 2024-01-20 (excl) UTC
+    pts = _event_points(spark, sf_dir)
+    t1m = R.rollup_from_points(pts, "1m", bin_mode="int")
+    view = R.tier_view(t1m, bin_mode="int").withColumn(
+        "chunk", F.floor(F.unix_timestamp("bucket_ts") / (60 * 4096))
+    )
+    blocks = encode_tier_blocks(
+        view, "1m", value_col="vmean", extra_group_cols=("chunk",)
+    )
+    return read_points(blocks, t0=t0, t1=t1).select(
+        "url", F.col("ts").alias("ts_s"), "value"
+    )
+
+
+_GORILLA_READ_RANGE_SQL = """
+    SELECT * FROM (
+        SELECT event_type AS url,
+               CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS ts_s,
+               sum(round(value * 100)) / count(*) AS value
+        FROM events GROUP BY 1, 2
+    ) WHERE ts_s BETWEEN 1704844800 AND 1705708799
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so queries WITHOUT a green CORRECTNESS_r01 row come first:
     # if the driver gate checks a prefix, the formally-unverified surface
@@ -3000,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpeak_hamilton": _q_rpeak_hamilton,
         "beatgan_subspace": _q_beatgan_subspace,
         "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
+        "gorilla_read_range": _q_gorilla_read_range,
         # --- fixed this round (r01 FAIL / oracle ERROR) ---
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal_features,
@@ -3116,6 +3151,7 @@ def oracle_sql() -> dict[str, str]:
         "eaglemine_describe": _EAGLEMINE_DESC_SQL,
         "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
+        "gorilla_read_range": _GORILLA_READ_RANGE_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the

@@ -119,3 +119,50 @@ def test_vals_roundtrip_pathological_bit_patterns():
     ).view(np.float64)
     out = C.decode_vals(C.encode_vals(pats), len(pats))
     np.testing.assert_array_equal(out.view(np.uint64), pats.view(np.uint64))
+
+
+def test_read_points_prunes_blocks_and_trims_exactly(spark):
+    from spartan2_spark.datagen import synth_pages
+    from spartan2_spark.operators import gorilla as GO
+    from spartan2_spark.operators import rollup as R
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 4000, n_urls=30, days=4)
+    view = R.tier_view(R.rollup_from_points(R.raw_points(pages), "1h"))
+    # small blocks so the time range splits across several per url
+    blocks = GO.encode_tier_blocks(view, "1h", max_points=8)
+
+    lo = view.agg(F.min(F.col("bucket_ts").cast("long"))).first()[0]
+    hi = view.agg(F.max(F.col("bucket_ts").cast("long"))).first()[0]
+    t0, t1 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+
+    got = GO.read_points(blocks, t0=t0, t1=t1).toPandas()
+    want = (
+        view.select(
+            "url",
+            F.col("bucket_ts").cast("long").alias("ts"),
+            F.col("vmean").alias("value"),
+        )
+        .filter((F.col("ts") >= t0) & (F.col("ts") <= t1))
+        .toPandas()
+    )
+    a = got[["url", "ts", "value"]].sort_values(["url", "ts"], ignore_index=True)
+    b = want.sort_values(["url", "ts"], ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # pruning must actually drop non-overlapping blocks before decode
+    total = blocks.count()
+    survived = blocks.filter(
+        (F.col("end_ts") >= t0) & (F.col("start_ts") <= t1)
+    ).count()
+    assert 0 < survived < total
+
+    # url filter: list form and semi-join form agree
+    urls = [r.url for r in blocks.select("url").distinct().limit(3).collect()]
+    by_list = GO.read_points(blocks, t0=t0, t1=t1, urls=urls)
+    url_df = spark.createDataFrame([(u,) for u in urls], "url string")
+    by_join = GO.read_points(blocks, t0=t0, t1=t1, urls=url_df)
+    assert sorted(map(tuple, by_list.collect())) == sorted(
+        map(tuple, by_join.collect())
+    )
+    assert by_list.select("url").distinct().count() == len(urls)
