@@ -39,6 +39,14 @@ def main() -> None:
         action="store_true",
         help="plan retention without deleting anything",
     )
+    ap.add_argument(
+        "--assume-frozen-input",
+        action="store_true",
+        help="skip the per-dt raw-input crc scan that detects late-"
+        "arriving rows in already-completed dates; resume then trusts "
+        "the manifest alone (use when the input table is append-free, "
+        "or when an Iceberg snapshot diff supplies the changed dates)",
+    )
     args = ap.parse_args()
 
     from spartan2_spark.session import get_spark
@@ -62,6 +70,7 @@ def main() -> None:
         args.out,
         resume=not args.no_resume,
         target_rows_per_salt=args.target_rows_per_salt,
+        detect_late_data=not args.assume_frozen_input,
     )
     out = {"elapsed_sec": round(time.time() - t0, 2), "stages": reports}
 

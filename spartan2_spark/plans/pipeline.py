@@ -114,11 +114,47 @@ def run_pipeline(
     resume: bool = True,
     bin_mode: str = "int",
     target_rows_per_salt: int = 1_000_000,
+    detect_late_data: bool = True,
 ) -> list[dict]:
-    """Full ladder. Returns per-stage stats (for PROGRESS/BENCH logs)."""
+    """Full ladder. Returns per-stage stats (for PROGRESS/BENCH logs).
+
+    ``detect_late_data``: late crawls are the norm for a growing pages
+    table — rows for a warc_ts date whose tier partitions were already
+    finalized. With True (default) the run computes per-dt content crcs
+    of the raw input (one hash aggregation over pages) and chains them
+    as the canonical/t1m stages' upstream lineage, so a changed raw
+    date invalidates and recomputes exactly the affected downstream
+    partitions — the same incremental-view-maintenance rule the tier
+    hops already use, extended to the external boundary. With False the
+    raw input is assumed frozen (append-free) and resume trusts the
+    manifest alone, skipping the input scan; on a real Iceberg catalog
+    the changed-date set would come from the snapshot's incremental
+    file manifest instead of a content scan, so production pays
+    metadata cost, not a re-hash.
+    """
     os.makedirs(out_root, exist_ok=True)
     reports = []
     pages_version = 1  # external input table: pinned snapshot
+
+    if detect_late_data and resume:
+        pages_crcs = {
+            e["dt"]: e["value_crc"]
+            for e in M.partition_lineage(
+                pages.withColumn("dt", F.to_date("warc_ts"))
+            )
+        }
+        # canonical is a single global latest-wins table (dt="ALL"):
+        # any changed raw date invalidates it as a whole
+        canon_crcs = {
+            "ALL": zlib.crc32(
+                ";".join(
+                    f"{d}={c}" for d, c in sorted(pages_crcs.items())
+                ).encode()
+            )
+        }
+    else:
+        pages_crcs = None
+        canon_crcs = None
 
     # -- canonical text per url (byte-identical invariant; crc in manifest)
     reports.append(
@@ -127,6 +163,7 @@ def run_pipeline(
             pages, F.lit("ALL"),
             lambda df: R.canonical_text(df).withColumn("dt", F.lit("ALL")),
             pages_version, resume,
+            upstream=canon_crcs,
         )
     )
 
@@ -142,6 +179,7 @@ def run_pipeline(
             spark, out_root, "t1m",
             pages, F.to_date("warc_ts"),
             build_t1m, pages_version, resume,
+            upstream=pages_crcs,
         )
     )
 

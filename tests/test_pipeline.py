@@ -85,3 +85,51 @@ def test_canonical_invariant(spark, out_root, pages):
         F.sha2(F.col("canonical_text"), 256) != F.col("text_sha256")
     ).count()
     assert bad == 0
+
+
+def test_late_arrival_recomputes_exactly_changed_dt(spark, tmp_path):
+    """Late crawls land in an already-finalized warc_ts date: the per-dt
+    raw-input crc chain must invalidate exactly that date down the
+    ladder, and the refreshed tiers must equal a from-scratch run."""
+    root_a = str(tmp_path / "a")
+    root_b = str(tmp_path / "b")
+    base = synth_pages(spark, 3000, n_urls=40, days=4)
+    late = synth_pages(
+        spark, 300, n_urls=40, start="2024-01-02 00:00:00", days=1
+    )
+    everything = base.unionByName(late)
+
+    run_pipeline(spark, base, root_a, resume=True)
+
+    # frozen-input mode documents the contract: without the input scan,
+    # resume trusts the manifest and the late rows are NOT picked up
+    r_frozen = {
+        r["stage"]: r
+        for r in run_pipeline(
+            spark, everything, root_a, resume=True, detect_late_data=False
+        )
+    }
+    assert r_frozen["t1m"]["new_partitions"] == 0
+
+    r_late = {
+        r["stage"]: r for r in run_pipeline(spark, everything, root_a, resume=True)
+    }
+    assert r_late["canonical"]["new_partitions"] == 1
+    assert r_late["t1m"]["new_partitions"] == 1  # only 2024-01-02
+    assert r_late["t1m"]["skipped_partitions"] == 3
+    assert r_late["t1h"]["new_partitions"] == 1
+    assert r_late["t1d"]["new_partitions"] == 1
+    assert r_late["blocks_1h"]["new_partitions"] >= 1
+
+    # refreshed incrementally == computed from scratch, per-dt bit-equal
+    run_pipeline(spark, everything, root_b, resume=True)
+    for stage in ("t1m", "t1h", "t1d", "canonical"):
+        a = {e["dt"]: (e["rows"], e["value_crc"]) for e in M.read_manifest(root_a, stage)}
+        b = {e["dt"]: (e["rows"], e["value_crc"]) for e in M.read_manifest(root_b, stage)}
+        assert a == b, stage
+
+    # idempotence: a third run over the same input is a full no-op
+    r3 = {r["stage"]: r for r in run_pipeline(spark, everything, root_a, resume=True)}
+    assert all(
+        r3[s]["new_partitions"] == 0 for s in ("canonical", "t1m", "t1h", "t1d", "blocks_1h")
+    )
