@@ -137,7 +137,14 @@ def tdigest_quantiles(
         row.update({"shard": [pdf["shard"].iloc[0]], "means": [m], "weights": [w]})
         return pd.DataFrame(row)
 
-    partials = src.groupBy(*key_cols, "shard").applyInPandas(partial, part_schema)
+    # key x shard explodes group count by n_shards with a few hundred
+    # rows each — the partition-batched apply (operators/grouped.py)
+    # pays Arrow cost per batch, not per (key, shard)
+    from spartan2_spark.operators.grouped import batched_group_apply
+
+    partials = batched_group_apply(
+        src, [*key_cols, "shard"], partial, part_schema
+    )
 
     final_schema = T.StructType(
         [df.schema[k] for k in key_cols]
@@ -154,4 +161,6 @@ def tdigest_quantiles(
             row[f"q{int(q * 100)}"] = [acc.quantile(q)]
         return pd.DataFrame(row)
 
-    return partials.groupBy(*key_cols).applyInPandas(final, final_schema)
+    return batched_group_apply(
+        partials, [*key_cols], final, final_schema, order=("shard",)
+    )

@@ -81,7 +81,11 @@ def resample(
             out[c] = fourier_resample(pdf[c].to_numpy(np.float64), num)
         return pd.DataFrame(out)
 
-    return df.groupBy(key_col).applyInPandas(kernel, schema)
+    # many short per-key series: partition-batched grouped apply
+    # (operators/grouped.py) amortizes per-group Arrow/apply overhead
+    from spartan2_spark.operators.grouped import batched_group_apply
+
+    return batched_group_apply(df, [key_col], kernel, schema, order=(time_col,))
 
 
 def normalize_minmax(

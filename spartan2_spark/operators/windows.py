@@ -203,4 +203,11 @@ def zero_out_replay(
             }
         )
 
-    return df.groupBy(key_col).applyInPandas(kernel, _ZEROOUT_SCHEMA)
+    # one short series per account key at 100TB-scale cardinality:
+    # partition-batched grouped apply (operators/grouped.py) amortizes
+    # the per-group Arrow/apply cost
+    from spartan2_spark.operators.grouped import batched_group_apply
+
+    return batched_group_apply(
+        df, [key_col], kernel, _ZEROOUT_SCHEMA, order=(time_col,)
+    )
