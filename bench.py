@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "normalize_minmax",
     "sessionize",
     "gorilla_roundtrip",
+    "gorilla_read_range",
     "flow_balance",
     "cosine_topk",
     "ivf_topk",
