@@ -121,10 +121,14 @@ def load_tensor_stream(
     fmt: str = "csv",
     sep: str = ",",
     header: bool = False,
+    options: dict | None = None,
 ) -> DataFrame:
     """Streaming file source (the loadTensorStream analogue); schemas
-    are mandatory for streams."""
+    are mandatory for streams. ``options`` passes source options
+    through (e.g. maxFilesPerTrigger to bound micro-batch size)."""
     r = spark.readStream.schema(schema)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
     if fmt == "parquet":
         return r.parquet(path)
     return r.option("header", header).option("sep", sep).csv(path)

@@ -199,3 +199,49 @@ def test_load_histogram(spark, tmp_path):
     assert h["ticks"] == [[0.0, 1.0], [0.0, 0.5, 1.0]]
     cells = {tuple(r.coords): r.cnt for r in h["cells"].collect()}
     assert cells == {(0, 1): 7, (1, 2): 9}
+
+
+def test_stream_rollup_matches_batch_tier(spark, tmp_path):
+    """Streaming tier state == batch tier state on the same raw points.
+
+    The stream is forced through multiple micro-batches
+    (maxFilesPerTrigger=1 over 6 files), so the windowed aggregation
+    must merge partial state across batches; values are integer-valued
+    doubles (length(text)), so sums are order-exact and the comparison
+    is bit-for-bit."""
+    from spartan2_spark.datagen import synth_pages
+    from spartan2_spark.operators import rollup as R
+
+    pages = synth_pages(spark, 3000, n_urls=30, days=1)
+    pts = R.raw_points(pages)
+    d = str(tmp_path / "pts")
+    pts.repartition(6).write.parquet(d)
+
+    stored = spark.read.parquet(d)
+    stream = IO.load_tensor_stream(
+        spark, d, stored.schema, fmt="parquet",
+        options={"maxFilesPerTrigger": 1},
+    )
+    agg = stream_rollup(stream, window="1 minute", watermark="0 seconds")
+    run_stream_to_memory(agg, "stream_tier_parity", "complete")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "select url, bucket_ts, cnt, vsum, vmin, vmax from stream_tier_parity"
+        ).collect()
+    )
+
+    want = sorted(
+        tuple(r)
+        for r in stored.groupBy(
+            "url", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 100
