@@ -14,9 +14,16 @@ that with Structured Streaming:
   ZeroOutCore.py:35-44): carries (n, max, min, sum) across micro-batches.
 
 Late data: rows older than the watermark are dropped by Spark; the
-batch pipeline's manifest-driven re-run of affected dt partitions is
-the repair path for anything later than that (north-rule note,
+batch pipeline's late-data detection (plans/pipeline.py
+``detect_late_data`` — per-dt raw-input crcs chained into tier lineage)
+is the repair path for anything later than that: the next batch run
+recomputes exactly the affected dt partitions (north-rule note,
 SURVEY.md 2.9).
+
+``stream_rollup_to_tier`` closes the loop to storage: finalized
+(watermark-expired) windows append to the dt-partitioned tier table
+with a durable checkpoint, so a restarted stream resumes exactly where
+it stopped and never re-emits a bucket.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "stream_rollup",
+    "stream_rollup_to_tier",
     "stream_running_extremes",
     "stream_zero_out",
     "run_stream_to_memory",
@@ -198,6 +206,56 @@ def stream_zero_out(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_rollup_to_tier(
+    stream: DataFrame,
+    tier_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "10 minutes",
+    key_col: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Continuous aggregate maintenance: finalized windows -> tier table.
+
+    Append output mode emits a (bucket, key) row exactly once, when the
+    watermark passes the window end — the streaming analogue of a
+    finalized tier partition — and the parquet sink appends it under
+    its dt partition (same layout the batch ladder writes, so batch
+    readers, gap-fill, and Gorilla encode work unchanged on a
+    stream-maintained tier). The checkpoint pins source offsets +
+    aggregation state: a restarted job resumes from the last committed
+    micro-batch and can never double-emit a bucket. Windows still open
+    at shutdown are emitted by a later run once the watermark passes
+    them; rows later than the watermark are dropped here and repaired
+    by the batch pipeline's late-data detection.
+
+    Runs with trigger(availableNow) and blocks until the currently
+    available input is drained (call again as new files land, or swap
+    the trigger for a continuous deployment).
+    """
+    agg = stream_rollup(
+        stream,
+        window=window,
+        watermark=watermark,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+    q = (
+        agg.withColumn("dt", F.to_date("bucket_ts"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("dt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
 
 
 def run_stream_to_memory(streaming_df: DataFrame, name: str, output_mode: str):

@@ -245,3 +245,82 @@ def test_stream_rollup_matches_batch_tier(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 100
+
+
+def test_stream_rollup_to_tier_appends_finalized_and_resumes(spark, tmp_path):
+    """Continuous aggregates to storage: finalized windows append to the
+    dt-partitioned tier table; a second run over the same checkpoint
+    emits only NEW buckets (no double-emission), and every emitted row
+    equals the batch aggregation of the full input."""
+    from spartan2_spark.streaming.rollup_stream import stream_rollup_to_tier
+
+    src = str(tmp_path / "in")
+    tier = str(tmp_path / "tier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "url": [r[0] for r in rows],
+                "ts": pd.to_datetime([r[1] for r in rows]),
+                "value": [float(r[2]) for r in rows],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, name)
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run():
+        stream = IO.load_tensor_stream(
+            spark, src + "/*", schema, fmt="parquet",
+            options={"maxFilesPerTrigger": 1},
+        )
+        stream_rollup_to_tier(
+            stream, tier, ckpt, window="1 minute", watermark="1 minute"
+        )
+        return (
+            spark.read.parquet(tier)
+            .select("url", "bucket_ts", "cnt", "vsum", "vmin", "vmax")
+            .collect()
+        )
+
+    # phase 1: two files; the second advances the watermark past the
+    # first file's windows, finalizing them
+    write_batch("f0", [("a", "2024-01-01 00:00:10", 2), ("a", "2024-01-01 00:00:30", 4)])
+    write_batch("f1", [("a", "2024-01-01 00:05:00", 6), ("b", "2024-01-01 00:05:30", 8)])
+    got1 = sorted(map(tuple, run()))
+    assert len(got1) >= 1  # 00:00 window finalized
+    assert ("a", pd.Timestamp("2024-01-01 00:00:00").to_pydatetime(), 2, 6.0, 2.0, 4.0) in got1
+
+    # phase 2: later file arrives; resume from checkpoint finalizes the
+    # 00:05 windows without re-emitting 00:00
+    write_batch("f2", [("b", "2024-01-01 00:10:00", 1)])
+    got2 = sorted(map(tuple, run()))
+    assert len(got2) > len(got1)
+    # no duplicates: (url, bucket) unique
+    keys = [(u, b) for (u, b, *_rest) in got2]
+    assert len(keys) == len(set(keys))
+    # every emitted bucket equals the batch aggregation of the full input
+    batch = {
+        (r["url"], r["bucket_ts"]): (r["cnt"], r["vsum"], r["vmin"], r["vmax"])
+        for r in spark.read.parquet(src + "/*")
+        .groupBy("url", F.date_trunc("minute", F.col("ts")).alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    for u, b, cnt, vsum, vmin, vmax in got2:
+        assert batch[(u, b)] == (cnt, vsum, vmin, vmax)
