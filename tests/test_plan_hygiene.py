@@ -57,6 +57,9 @@ AUDIT_QUERIES = [
     "score_level_users",
     "monlad_zeroout",
     "gorilla_roundtrip",
+    "gorilla_read_range",
+    "beatgan_subspace",
+    "rpeak_hamilton",
     "simhash_dedup_pairs",
     "doc_fingerprint",
     "holoscope_objective",
@@ -111,3 +114,26 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(E.queries()["semi_join_suppliers"](spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def test_read_points_prunes_blocks_at_the_scan(spark, tmp_path):
+    """The serving read's range predicate must reach the parquet scan of
+    the block table (PushedFilters on start_ts/end_ts), so row-group
+    stats prune storage BEFORE any block reaches the decode kernel."""
+    from spartan2_spark.datagen import synth_pages
+    from spartan2_spark.operators import gorilla as GO
+    from spartan2_spark.operators import rollup as R
+
+    pages = synth_pages(spark, 1500, n_urls=20, days=2)
+    view = R.tier_view(R.rollup_from_points(R.raw_points(pages), "1h"))
+    d = str(tmp_path / "blocks")
+    GO.encode_tier_blocks(view, "1h").write.parquet(d)
+
+    blocks = spark.read.parquet(d)
+    out = GO.read_points(blocks, t0=1704100000, t1=1704150000)
+    plan = plan_of(out)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and any(
+        "end_ts" in l and "start_ts" in l and "GreaterThanOrEqual" in l
+        for l in pushed
+    ), plan
