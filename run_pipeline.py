@@ -40,6 +40,16 @@ def main() -> None:
         help="plan retention without deleting anything",
     )
     ap.add_argument(
+        "--compact",
+        action="append",
+        default=[],
+        metavar="STAGE=TARGET_ROWS_PER_FILE",
+        help="compact a tier stage's dt partitions after the ladder, "
+        "repeatable (e.g. --compact t1m=1000000); content-preserving "
+        "(per-dt lineage crcs verified identical) so resume and "
+        "downstream lineage are untouched",
+    )
+    ap.add_argument(
         "--assume-frozen-input",
         action="store_true",
         help="skip the per-dt raw-input crc scan that detects late-"
@@ -73,6 +83,14 @@ def main() -> None:
         detect_late_data=not args.assume_frozen_input,
     )
     out = {"elapsed_sec": round(time.time() - t0, 2), "stages": reports}
+
+    if args.compact:
+        from spartan2_spark.operators.compaction import compact_tier
+
+        out["compaction"] = [
+            compact_tier(spark, args.out, stage, int(target))
+            for stage, target in (s.split("=", 1) for s in args.compact)
+        ]
 
     if args.retain:
         import datetime as dt

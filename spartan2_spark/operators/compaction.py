@@ -1,0 +1,105 @@
+"""Tier-table compaction: the Iceberg rewrite_data_files analogue.
+
+Every pipeline run appends/overwrites dt partitions with however many
+files its task layout produced; a long-lived tier accumulates small
+files and scan-planning cost grows with file count, not data size. The
+maintenance job rewrites chosen dt partitions into a target file count
+with rows range-laid-out on (dt, url, bucket_ts) — the serving scan
+order — WITHOUT changing content.
+
+Content preservation is not assumed, it is enforced: the job recomputes
+the per-dt order-independent value crcs (the same
+``manifest.partition_lineage`` checksum the resume contract uses) after
+the rewrite and raises if any dt's crc moved — the signal that the
+rewritten table must be repaired by re-running the pipeline stage from
+its (manifest-pinned) upstream. Because lineage is content-addressed
+(crc, not file list), the stage manifest needs NO update: downstream
+stages see
+unchanged upstream crcs and a resumed pipeline run reports zero new
+partitions — compaction is invisible to the dataflow, exactly like an
+Iceberg data-file rewrite under an unchanged snapshot schema.
+
+Crash safety: the rewrite itself uses Spark's dynamic partition
+overwrite (per-dt staged directory swap). A rerun after a crash simply
+compacts again — content is idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spartan2_spark.operators import manifest as M
+
+__all__ = ["compact_tier"]
+
+
+def _dt_file_counts(table_dir: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for entry in os.listdir(table_dir):
+        if not entry.startswith("dt="):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(table_dir, entry))
+            if f.endswith(".parquet")
+        )
+        out[entry[len("dt=") :]] = n
+    return out
+
+
+def compact_tier(
+    spark: SparkSession,
+    out_root: str,
+    stage: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: tuple[str, ...] = ("url", "bucket_ts"),
+) -> dict:
+    """Rewrite ``<out_root>/<stage>``'s dt partitions into ~``rows/
+    target_rows_per_file`` files each, sorted by ``sort_cols`` within
+    files. Returns {'files_before', 'files_after', 'dts', 'verified'}.
+
+    Raises ``ValueError`` if the rewritten content's per-dt crcs differ
+    from the pre-rewrite crcs (never expected: the rewrite is a pure
+    repartition+sort of the same rows).
+    """
+    table_dir = os.path.join(out_root, stage)
+    df = spark.read.parquet(table_dir)
+    sort_cols = tuple(c for c in sort_cols if c in df.columns)
+
+    before_files = _dt_file_counts(table_dir)
+    before = {e["dt"]: (e["rows"], e["value_crc"]) for e in M.partition_lineage(df)}
+    total_rows = sum(r for r, _ in before.values())
+    n_parts = max(1, -(-total_rows // target_rows_per_file))
+
+    compacted = df.repartitionByRange(
+        n_parts, F.col("dt"), *[F.col(c) for c in sort_cols]
+    ).sortWithinPartitions("dt", *sort_cols)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compacted.write.mode("overwrite").partitionBy("dt").parquet(table_dir)
+
+    after_df = spark.read.parquet(table_dir)
+    after = {
+        e["dt"]: (e["rows"], e["value_crc"]) for e in M.partition_lineage(after_df)
+    }
+    if after != before:
+        moved = sorted(
+            d for d in set(before) | set(after) if before.get(d) != after.get(d)
+        )
+        raise ValueError(
+            f"compaction of {stage} changed content for dts {moved}; "
+            "lineage crcs no longer match the stage manifest"
+        )
+    M.bump_table_version(table_dir)
+    return {
+        "stage": stage,
+        "files_before": sum(before_files.values()),
+        "files_after": sum(_dt_file_counts(table_dir).values()),
+        "dts": len(after),
+        "verified": True,
+    }

@@ -133,3 +133,40 @@ def test_late_arrival_recomputes_exactly_changed_dt(spark, tmp_path):
     assert all(
         r3[s]["new_partitions"] == 0 for s in ("canonical", "t1m", "t1h", "t1d", "blocks_1h")
     )
+
+
+def test_compaction_preserves_content_and_is_invisible_to_resume(spark, tmp_path):
+    """Small-file compaction (Iceberg rewrite_data_files analogue):
+    fewer files, identical per-dt crcs, and a resumed pipeline run sees
+    nothing to do."""
+    from spartan2_spark.operators.compaction import compact_tier
+
+    root = str(tmp_path / "tiers")
+    # many input partitions -> many small files per dt
+    pages = synth_pages(spark, 4000, n_urls=40, days=3, num_partitions=24)
+    run_pipeline(spark, pages, root, resume=True)
+
+    man_before = {
+        e["dt"]: (e["rows"], e["value_crc"]) for e in M.read_manifest(root, "t1m")
+    }
+
+    # fragment the tier the way many incremental runs would: rewrite the
+    # same content round-robin across 12 tasks -> 12 files per dt
+    t1m_dir = os.path.join(root, "t1m")
+    frag = spark.read.parquet(t1m_dir).repartition(12)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    frag.write.mode("overwrite").partitionBy("dt").parquet(t1m_dir)
+
+    rep = compact_tier(spark, root, "t1m", target_rows_per_file=100_000)
+    assert rep["verified"] and rep["files_after"] < rep["files_before"]
+    assert rep["files_after"] == rep["dts"]  # all rows fit one target file/dt
+
+    # stored content still matches the (untouched) manifest lineage
+    t1m = spark.read.parquet(os.path.join(root, "t1m"))
+    live = {e["dt"]: (e["rows"], e["value_crc"]) for e in M.partition_lineage(t1m)}
+    assert live == man_before
+
+    # resume over the compacted table: nothing recomputes anywhere
+    r = {x["stage"]: x for x in run_pipeline(spark, pages, root, resume=True)}
+    for s in ("canonical", "t1m", "t1h", "t1d", "blocks_1h"):
+        assert r[s]["new_partitions"] == 0, s
