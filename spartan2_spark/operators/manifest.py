@@ -145,6 +145,25 @@ def write_partition_entries(
     )
 
 
+def partition_sizes(table_dir: str) -> dict[str, dict]:
+    """Physical per-dt metrics of a partitioned table dir: bytes +
+    parquet file count (what an Iceberg commit records as
+    added-files-size / added-data-files per partition)."""
+    out: dict[str, dict] = {}
+    if not os.path.isdir(table_dir):
+        return out
+    for entry in os.listdir(table_dir):
+        if not entry.startswith("dt="):
+            continue
+        p = os.path.join(table_dir, entry)
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        out[entry[len("dt=") :]] = {
+            "bytes": sum(os.path.getsize(os.path.join(p, f)) for f in files),
+            "files": len(files),
+        }
+    return out
+
+
 def partition_lineage(df: DataFrame, dt_col="dt") -> list[dict]:
     """Compute per-dt lineage rows (row count + order-independent value
     checksum) for a stage output — one aggregation, no collect of data."""

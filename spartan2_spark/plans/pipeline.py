@@ -61,7 +61,15 @@ def _run_stage(
     upstream: dict[str, int] | None = None,
 ) -> dict:
     """Stage protocol: resume-prune input -> build -> dynamic-overwrite
-    write -> per-partition lineage -> manifest merge -> version bump."""
+    write -> per-partition lineage -> manifest merge -> version bump.
+
+    Metrics: each manifest entry additionally records the partition's
+    physical bytes + file count at write time, and the stage report
+    carries wall seconds — the per-commit operational metrics the north
+    rule pairs with lineage."""
+    import time as _time
+
+    t_start = _time.time()
     out_dir = os.path.join(out_root, stage)
     # with crc lineage chaining the snapshot pin is redundant (and would
     # over-invalidate: an upstream rewrite that reproduced identical
@@ -88,6 +96,9 @@ def _run_stage(
         else written
     )
     entries = M.partition_lineage(new)
+    sizes = M.partition_sizes(out_dir)
+    for e in entries:
+        e.update(sizes.get(e["dt"], {}))
     M.write_partition_entries(out_root, stage, entries, input_snapshot, upstream)
     # snapshot semantics: a run that added no partitions is not a new
     # snapshot (otherwise downstream version pins would churn on no-ops)
@@ -96,8 +107,10 @@ def _run_stage(
         "stage": stage,
         "new_partitions": len(entries),
         "rows_written": sum(e["rows"] for e in entries),
+        "bytes_written": sum(e.get("bytes", 0) for e in entries),
         "skipped_partitions": len(done),
         "version": version,
+        "wall_sec": round(_time.time() - t_start, 3),
     }
 
 

@@ -170,3 +170,11 @@ def test_compaction_preserves_content_and_is_invisible_to_resume(spark, tmp_path
     r = {x["stage"]: x for x in run_pipeline(spark, pages, root, resume=True)}
     for s in ("canonical", "t1m", "t1h", "t1d", "blocks_1h"):
         assert r[s]["new_partitions"] == 0, s
+
+
+def test_manifest_entries_carry_physical_metrics(spark, first_run, out_root):
+    for r in first_run:
+        assert r["wall_sec"] > 0
+    for st in ("t1m", "t1h", "t1d"):
+        for e in M.read_manifest(out_root, st):
+            assert e["bytes"] > 0 and e["files"] >= 1, (st, e)
