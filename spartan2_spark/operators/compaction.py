@@ -36,20 +36,8 @@ from spartan2_spark.operators import manifest as M
 __all__ = ["compact_tier"]
 
 
-def _dt_file_counts(table_dir: str) -> dict[str, int]:
-    out: dict[str, int] = {}
-    if not os.path.isdir(table_dir):
-        return out
-    for entry in os.listdir(table_dir):
-        if not entry.startswith("dt="):
-            continue
-        n = sum(
-            1
-            for f in os.listdir(os.path.join(table_dir, entry))
-            if f.endswith(".parquet")
-        )
-        out[entry[len("dt=") :]] = n
-    return out
+def _total_files(table_dir: str) -> int:
+    return sum(m["files"] for m in M.partition_sizes(table_dir).values())
 
 
 def compact_tier(
@@ -71,7 +59,7 @@ def compact_tier(
     df = spark.read.parquet(table_dir)
     sort_cols = tuple(c for c in sort_cols if c in df.columns)
 
-    before_files = _dt_file_counts(table_dir)
+    files_before = _total_files(table_dir)
     before = {e["dt"]: (e["rows"], e["value_crc"]) for e in M.partition_lineage(df)}
     total_rows = sum(r for r, _ in before.values())
     n_parts = max(1, -(-total_rows // target_rows_per_file))
@@ -98,8 +86,8 @@ def compact_tier(
     M.bump_table_version(table_dir)
     return {
         "stage": stage,
-        "files_before": sum(before_files.values()),
-        "files_after": sum(_dt_file_counts(table_dir).values()),
+        "files_before": files_before,
+        "files_after": _total_files(table_dir),
         "dts": len(after),
         "verified": True,
     }
