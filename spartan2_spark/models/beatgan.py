@@ -43,8 +43,17 @@ def subspace_window_scores(
     Xc = X - mu
     # economy SVD; V V^T is sign-invariant, so the scores are
     # deterministic even though singular-vector signs are not
-    _, _, vt = np.linalg.svd(Xc, full_matrices=False)
-    v = vt[: max(rank, 0)]
+    _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+    # a subspace spanning the centered matrix's FULL numerical rank
+    # reconstructs every window exactly and all errors degenerate to 0
+    # — short series (few windows, or few distinct window shapes) could
+    # then never score an anomaly. Cap the fitted rank strictly below
+    # the numerical rank so the weakest observed direction always stays
+    # in the residual; with the usual n_windows >> rank regime the cap
+    # is inactive and scores are unchanged.
+    num_rank = int((s > max(s[0], 0.0) * 1e-10).sum()) if len(s) else 0
+    eff_rank = min(max(rank, 0), max(num_rank - 1, 0))
+    v = vt[:eff_rank]
     resid = Xc - Xc @ v.T @ v
     errs = (resid**2).mean(axis=1)
     return starts, errs

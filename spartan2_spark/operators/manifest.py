@@ -114,7 +114,14 @@ def completed_partitions(
             continue
         if input_snapshot is not None and e.get("input_snapshot") != input_snapshot:
             continue
-        if upstream is not None and e.get("input_crc") != upstream.get(e["dt"]):
+        if upstream is not None and (
+            e.get("input_crc") is None
+            or e["input_crc"] != upstream.get(e["dt"])
+        ):
+            # a missing input_crc means the entry predates crc chaining
+            # or its upstream dt no longer exists — either way it cannot
+            # be proven current, so it is NOT valid (None == None must
+            # not launder a stale partition into the lineage)
             continue
         out.add(e["dt"])
     return out

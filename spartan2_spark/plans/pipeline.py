@@ -80,21 +80,24 @@ def _run_stage(
         if resume
         else set()
     )
-    pend_in = (
-        input_df.filter(~input_dt_col.cast("string").isin(sorted(done)))
-        if done
-        else input_df
-    )
-    out_df = build(pend_in)
+
+    def not_done(df: DataFrame, col) -> DataFrame:
+        return df.filter(~col.cast("string").isin(sorted(done))) if done else df
+
+    out_df = build(not_done(input_df, input_dt_col))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     out_df.write.mode("overwrite").partitionBy("dt").parquet(out_dir)
 
     written = spark.read.parquet(out_dir)
-    new = (
-        written.filter(~F.col("dt").cast("string").isin(sorted(done)))
-        if done
-        else written
-    )
+    new = not_done(written, F.col("dt"))
+    if upstream:
+        # a dt on disk but absent from the upstream lineage was NOT
+        # rewritten by this run (dynamic overwrite only touches dts the
+        # build produced) — it is stale, and stamping it with the new
+        # input lineage would launder it into the manifest as current.
+        # Leave it unstamped (and invalid) until a retention policy or
+        # upstream repair deals with it.
+        new = new.filter(F.col("dt").cast("string").isin(sorted(upstream)))
     entries = M.partition_lineage(new)
     sizes = M.partition_sizes(out_dir)
     for e in entries:
@@ -234,8 +237,10 @@ def run_pipeline(
                 "stage": "gapfill_1h",
                 "new_partitions": 0,
                 "rows_written": 0,
+                "bytes_written": 0,
                 "skipped_partitions": len(gap_man),
                 "version": M.table_version(os.path.join(out_root, "gapfill_1h")),
+                "wall_sec": 0.0,
             }
         )
     else:
@@ -247,11 +252,13 @@ def run_pipeline(
                 upstream={},  # placeholder; entries pinned below
             )
         )
-        # pin every entry to the global fingerprint
+        # pin every entry to the global fingerprint (entries pass through
+        # whole — bytes/files metrics survive; write_partition_entries
+        # re-stamps the lineage keys itself)
         man = M.read_manifest(out_root, "gapfill_1h")
         M.write_partition_entries(
             out_root, "gapfill_1h",
-            [{k: e[k] for k in ("dt", "rows", "value_crc")} for e in man],
+            man,
             M.table_version(t1h_dir),
             {e["dt"]: fp for e in man},
         )

@@ -217,32 +217,48 @@ def stream_rollup_to_tier(
     key_col: str = "url",
     ts_col: str = "ts",
     value_col: str = "value",
+    bin_mode: str = "int",
 ):
     """Continuous aggregate maintenance: finalized windows -> tier table.
 
-    Append output mode emits a (bucket, key) row exactly once, when the
+    Append output mode emits a state row exactly once, when the
     watermark passes the window end — the streaming analogue of a
     finalized tier partition — and the parquet sink appends it under
-    its dt partition (same layout the batch ladder writes, so batch
-    readers, gap-fill, and Gorilla encode work unchanged on a
-    stream-maintained tier). The checkpoint pins source offsets +
-    aggregation state: a restarted job resumes from the last committed
-    micro-batch and can never double-emit a bucket. Windows still open
-    at shutdown are emitted by a later run once the watermark passes
-    them; rows later than the watermark are dropped here and repaired
-    by the batch pipeline's late-data detection.
+    its dt partition. The state is the batch ladder's LONG-FORMAT
+    per-(url, bucket, bin) schema (operators/rollup.py
+    ``rollup_from_points``), not a scalar roll, so batch readers —
+    ``tier_view``'s p95 histogram, ``rollup_tier_up``'s per-bin merge,
+    gap-fill, Gorilla encode — work unchanged on a stream-maintained
+    tier. The checkpoint pins source offsets + aggregation state: a
+    restarted job resumes from the last committed micro-batch and can
+    never double-emit a bucket. Windows still open at shutdown are
+    emitted by a later run once the watermark passes them; rows later
+    than the watermark are dropped here and repaired by the batch
+    pipeline's late-data detection.
 
     Runs with trigger(availableNow) and blocks until the currently
     available input is drained (call again as new files land, or swap
     the trigger for a continuous deployment).
     """
-    agg = stream_rollup(
-        stream,
-        window=window,
-        watermark=watermark,
-        key_col=key_col,
-        ts_col=ts_col,
-        value_col=value_col,
+    from spartan2_spark.operators.rollup import bin_col
+
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(key_col).alias("url"),
+            bin_col(F.col(value_col), bin_mode).alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(value_col).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_ts"),
+            "url", "bin", "cnt", "vsum", "vmin", "vmax",
+        )
     )
     q = (
         agg.withColumn("dt", F.to_date("bucket_ts"))

@@ -87,9 +87,12 @@ def test_subspace_scores_planted_anomaly_and_full_rank():
     # the two windows covering the planted corruption dominate
     top2 = set(starts[np.argsort(-errs)[:2]].tolist())
     assert top2 == {160, 192}
-    # full-rank linear AE reconstructs its training windows perfectly
+    # an over-parameterized rank request is capped strictly below the
+    # numerical rank, so memorizing the training windows (all-zero
+    # errors) is impossible and the anomaly stays visible
     _, e2 = subspace_window_scores(x, w, s, rank=len(starts))
-    assert float(e2.max()) < 1e-15
+    assert float(e2.max()) > 0
+    assert int(np.argmax(e2)) in (5, 6)  # windows covering the spike
 
 
 def test_beatgan_subspace_spark_wrapper(spark):
@@ -143,3 +146,36 @@ def test_subspace_rank_monotone_and_nonnegative():
             # larger subspace reconstructs at least as well in total
             assert tot <= prev + 1e-12
         prev = tot
+
+
+def test_subspace_short_series_can_still_score_anomalies():
+    """A short series must not collapse every error to zero: the fitted
+    rank is capped strictly below the window matrix's numerical rank,
+    so a window off the retained directions scores > 0."""
+    import numpy as np
+
+    from spartan2_spark.models.beatgan import subspace_window_scores
+
+    # windows [A, B, A, C]: numerical rank 2; requested rank 4 would
+    # span everything (all-zero errors). Capped to 1, the dominant A-B
+    # direction is kept and C's off-subspace spike must score highest.
+    t = np.linspace(0, 2 * np.pi, 16)
+    A = 10.0 * np.sin(t)
+    B = -10.0 * np.sin(t)
+    C = A.copy()
+    C[8] += 5.0
+    x = np.concatenate([A, B, A, C])
+    starts, errs = subspace_window_scores(x, window=16, stride=16, rank=4)
+    assert len(errs) == 4
+    assert errs.max() > 0
+    assert int(np.argmax(errs)) == 3
+
+    # identical windows stay all-zero (nothing is anomalous)
+    x0 = np.tile(A, 4)
+    _, errs0 = subspace_window_scores(x0, window=16, stride=16, rank=4)
+    assert np.allclose(errs0, 0.0)
+
+    # normal regime (n_windows >> rank): cap inactive, scores unchanged
+    rng_x = np.sin(np.linspace(0, 40 * np.pi, 16 * 40)) * np.linspace(1, 3, 640)
+    s_full, e_full = subspace_window_scores(rng_x, 16, 8, 2)
+    assert (e_full > 0).any()

@@ -175,6 +175,37 @@ def test_compaction_preserves_content_and_is_invisible_to_resume(spark, tmp_path
 def test_manifest_entries_carry_physical_metrics(spark, first_run, out_root):
     for r in first_run:
         assert r["wall_sec"] > 0
-    for st in ("t1m", "t1h", "t1d"):
+    for st in ("t1m", "t1h", "t1d", "gapfill_1h", "blocks_1h"):
         for e in M.read_manifest(out_root, st):
             assert e["bytes"] > 0 and e["files"] >= 1, (st, e)
+
+
+def test_vanished_upstream_dt_is_not_laundered_into_lineage(spark, tmp_path):
+    """If an upstream date disappears (all its raw rows deleted), the
+    downstream partition it produced must stay INVALID — not get
+    re-stamped as current under the new input lineage."""
+    root = str(tmp_path / "t")
+    base = synth_pages(spark, 2000, n_urls=30, days=3)
+    run_pipeline(spark, base, root, resume=True)
+    dts = sorted(e["dt"] for e in M.read_manifest(root, "t1m"))
+    victim = dts[0]
+
+    shrunk = base.filter(F.to_date("warc_ts").cast("string") != victim)
+    r = {x["stage"]: x for x in run_pipeline(spark, shrunk, root, resume=True)}
+    # the surviving dates are untouched; the vanished date is neither
+    # recomputed (no input) nor re-validated
+    assert r["t1m"]["new_partitions"] == 0
+    man = {e["dt"]: e for e in M.read_manifest(root, "t1m")}
+    # stale entry still present but pinned to the OLD input crc -> a
+    # further resume keeps treating it as invalid (never "done")
+    from spartan2_spark.operators.manifest import completed_partitions, partition_lineage
+
+    crcs = {
+        e["dt"]: e["value_crc"]
+        for e in partition_lineage(
+            shrunk.withColumn("dt", F.to_date("warc_ts"))
+        )
+    }
+    done = completed_partitions(root, "t1m", None, crcs)
+    assert victim not in done
+    assert set(done) == set(dts) - {victim}

@@ -249,9 +249,13 @@ def test_stream_rollup_matches_batch_tier(spark, tmp_path):
 
 def test_stream_rollup_to_tier_appends_finalized_and_resumes(spark, tmp_path):
     """Continuous aggregates to storage: finalized windows append to the
-    dt-partitioned tier table; a second run over the same checkpoint
-    emits only NEW buckets (no double-emission), and every emitted row
-    equals the batch aggregation of the full input."""
+    dt-partitioned tier table in the batch ladder's LONG-FORMAT
+    per-(url, bucket, bin) state schema; a second run over the same
+    checkpoint emits only NEW buckets (no double-emission); every
+    emitted state row equals the batch rollup of the full input; and
+    the batch readers (tier_view) work unchanged on the
+    stream-maintained tier."""
+    from spartan2_spark.operators import rollup as R
     from spartan2_spark.streaming.rollup_stream import stream_rollup_to_tier
 
     src = str(tmp_path / "in")
@@ -289,38 +293,41 @@ def test_stream_rollup_to_tier_appends_finalized_and_resumes(spark, tmp_path):
         )
         return (
             spark.read.parquet(tier)
-            .select("url", "bucket_ts", "cnt", "vsum", "vmin", "vmax")
+            .select("url", "bucket_ts", "bin", "cnt", "vsum", "vmin", "vmax")
             .collect()
         )
 
     # phase 1: two files; the second advances the watermark past the
-    # first file's windows, finalizing them
+    # first file's windows, finalizing them (values 2 and 4 in the same
+    # minute exercise the per-bin split: two state rows, one bucket)
     write_batch("f0", [("a", "2024-01-01 00:00:10", 2), ("a", "2024-01-01 00:00:30", 4)])
     write_batch("f1", [("a", "2024-01-01 00:05:00", 6), ("b", "2024-01-01 00:05:30", 8)])
     got1 = sorted(map(tuple, run()))
-    assert len(got1) >= 1  # 00:00 window finalized
-    assert ("a", pd.Timestamp("2024-01-01 00:00:00").to_pydatetime(), 2, 6.0, 2.0, 4.0) in got1
+    b0 = pd.Timestamp("2024-01-01 00:00:00").to_pydatetime()
+    assert ("a", b0, 2, 1, 2.0, 2.0, 2.0) in got1
+    assert ("a", b0, 4, 1, 4.0, 4.0, 4.0) in got1
 
     # phase 2: later file arrives; resume from checkpoint finalizes the
     # 00:05 windows without re-emitting 00:00
     write_batch("f2", [("b", "2024-01-01 00:10:00", 1)])
     got2 = sorted(map(tuple, run()))
     assert len(got2) > len(got1)
-    # no duplicates: (url, bucket) unique
-    keys = [(u, b) for (u, b, *_rest) in got2]
+    keys = [(u, b, bn) for (u, b, bn, *_rest) in got2]
     assert len(keys) == len(set(keys))
-    # every emitted bucket equals the batch aggregation of the full input
+
+    # every emitted state row equals the batch long-format rollup
+    pts = spark.read.parquet(src + "/*")
     batch = {
-        (r["url"], r["bucket_ts"]): (r["cnt"], r["vsum"], r["vmin"], r["vmax"])
-        for r in spark.read.parquet(src + "/*")
-        .groupBy("url", F.date_trunc("minute", F.col("ts")).alias("bucket_ts"))
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("vsum"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
+        (r["url"], r["bucket_ts"], r["bin"]): (
+            r["cnt"], r["vsum"], r["vmin"], r["vmax"]
         )
-        .collect()
+        for r in R.rollup_from_points(pts, "1m").collect()
     }
-    for u, b, cnt, vsum, vmin, vmax in got2:
-        assert batch[(u, b)] == (cnt, vsum, vmin, vmax)
+    for u, b, bn, cnt, vsum, vmin, vmax in got2:
+        assert batch[(u, b, bn)] == (cnt, vsum, vmin, vmax)
+
+    # batch readers work unchanged on the stream-maintained tier
+    view = R.tier_view(spark.read.parquet(tier)).collect()
+    per = {(r["url"], r["bucket_ts"]): r for r in view}
+    assert per[("a", b0)]["cnt"] == 2 and per[("a", b0)]["vmean"] == 3.0
+    assert per[("a", b0)]["p95"] == 4.0
