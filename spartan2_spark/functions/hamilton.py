@@ -155,7 +155,17 @@ def hamilton_detect(x: np.ndarray, fs: float = 360.0) -> np.ndarray:
                     ]
                     if cand:
                         best = int(max(cand, key=lambda c: m[c]))
-                        nbuf[:] = [v for v in nbuf if v != float(m[best])]
+                        # the recovered peak's envelope value was logged
+                        # as noise when it was first rejected: remove
+                        # that ONE entry (first occurrence — removing
+                        # every equal value would strip coincidentally-
+                        # equal noise samples on quantized signals and
+                        # could empty the buffer, NaN-ing the threshold)
+                        if len(nbuf) > 1:
+                            try:
+                                nbuf.remove(float(m[best]))
+                            except ValueError:
+                                pass
                         accept(best)
 
     if not det:

@@ -254,6 +254,8 @@ def holoscope_greedy_shave(
         if obj > best_obj:
             best_df, best_obj, best_round = cur, obj, r
         cur = cur.filter(F.col("c") * F.lit(n) > F.lit(sc)).localCheckpoint()
+    if best_df is None:  # empty input: no round ever scored
+        best_df = cur.limit(0)
     return {
         "nodes": best_df.select(F.col("k").alias(key), F.col("c").alias(credit)),
         "objective": best_obj,

@@ -122,6 +122,8 @@ def flow_greedy_peel(
         if nxt.count() == n:  # fixpoint: nothing peeled
             break
         cur = nxt
+    if best_df is None:  # empty input: no round ever scored
+        best_df = cur.limit(0)
     return {
         "nodes": best_df.select(F.col("k").alias(mid), F.col("s").alias(score)),
         "objective": best_obj,

@@ -394,6 +394,76 @@ def water_level_tree(
     )
 
 
+# --- shared weighted-Gaussian cell math (describe + stitch stages) ---
+# One definition of the MLE formulas and the det<=1e-12 singularity
+# guard: describe_islands fits per island, stitch_islands re-fits the
+# pooled pair from SUMMED raw moments — both must stay bit-identical to
+# the DuckDB oracle twins, so the expressions live here exactly once.
+
+def _cx():
+    return F.col("bin_x").cast("double") + 0.5
+
+
+def _cy():
+    return F.col("bin_y").cast("double") + 0.5
+
+
+def _w():
+    return F.col("cnt").cast("double")
+
+
+def _gauss_moment_aggs() -> list:
+    cx, cy, w = _cx(), _cy(), _w()
+    return [
+        F.sum("cnt").alias("mass"),
+        F.sum(w).alias("W"),
+        F.sum(w * cx).alias("sx"),
+        F.sum(w * cy).alias("sy"),
+        F.sum(w * cx * cx).alias("sxx"),
+        F.sum(w * cx * cy).alias("sxy"),
+        F.sum(w * cy * cy).alias("syy"),
+    ]
+
+
+def _gauss_params(df: DataFrame) -> DataFrame:
+    """Append (mu_x, mu_y, cov_xx, cov_xy, cov_yy) derived from the raw
+    weighted moments (sx..syy, W) already on ``df``."""
+    return df.select(
+        *df.columns,
+        (F.col("sx") / F.col("W")).alias("mu_x"),
+        (F.col("sy") / F.col("W")).alias("mu_y"),
+        (F.col("sxx") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sx") / F.col("W"))).alias("cov_xx"),
+        (F.col("sxy") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_xy"),
+        (F.col("syy") / F.col("W") - (F.col("sy") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_yy"),
+    )
+
+
+def _gauss_loss(cells: DataFrame, prm: DataFrame, keys: list) -> DataFrame:
+    """Weighted log-likelihood sum(cnt * logpdf(center)) per ``keys``
+    group; singular covariance (det <= 1e-12) yields NULL loss."""
+    det = F.col("cov_xx") * F.col("cov_yy") - F.col("cov_xy") * F.col("cov_xy")
+    dx = _cx() - F.col("mu_x")
+    dy = _cy() - F.col("mu_y")
+    quad = (
+        F.col("cov_yy") * dx * dx
+        - 2.0 * F.col("cov_xy") * dx * dy
+        + F.col("cov_xx") * dy * dy
+    ) / det
+    logpdf = -F.log(F.lit(2.0) * F.lit(math.pi)) - 0.5 * F.log(det) - 0.5 * quad
+    return (
+        cells.join(
+            prm.select(*keys, "mu_x", "mu_y", "cov_xx", "cov_xy", "cov_yy"), keys
+        )
+        .withColumn("__det", det)
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.when(F.col("__det") > 1e-12, _w() * logpdf).otherwise(F.lit(None))
+            ).alias("loss")
+        )
+    )
+
+
 def describe_islands(tree: DataFrame) -> DataFrame:
     """EagleMine's describe stage: a count-weighted Gaussian fit per
     water-level-tree island (model/eaglemine/desc/gaussian_describe.py
@@ -411,54 +481,11 @@ def describe_islands(tree: DataFrame) -> DataFrame:
     Returns (level, node, n_cells, mass, mu_x, mu_y, cov_xx, cov_xy,
     cov_yy, loss).
     """
-    cx = F.col("bin_x").cast("double") + 0.5
-    cy = F.col("bin_y").cast("double") + 0.5
-    w = F.col("cnt").cast("double")
     m = tree.groupBy("level", "node").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        F.sum("cnt").alias("mass"),
-        F.sum(w).alias("W"),
-        F.sum(w * cx).alias("sx"),
-        F.sum(w * cy).alias("sy"),
-        F.sum(w * cx * cx).alias("sxx"),
-        F.sum(w * cx * cy).alias("sxy"),
-        F.sum(w * cy * cy).alias("syy"),
+        F.count(F.lit(1)).alias("n_cells"), *_gauss_moment_aggs()
     )
-    params = m.select(
-        "level",
-        "node",
-        "n_cells",
-        "mass",
-        "W",
-        (F.col("sx") / F.col("W")).alias("mu_x"),
-        (F.col("sy") / F.col("W")).alias("mu_y"),
-        (F.col("sxx") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sx") / F.col("W"))).alias("cov_xx"),
-        (F.col("sxy") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_xy"),
-        (F.col("syy") / F.col("W") - (F.col("sy") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_yy"),
-    ).localCheckpoint()
-    det = F.col("cov_xx") * F.col("cov_yy") - F.col("cov_xy") * F.col("cov_xy")
-    dx = cx - F.col("mu_x")
-    dy = cy - F.col("mu_y")
-    quad = (
-        F.col("cov_yy") * dx * dx
-        - 2.0 * F.col("cov_xy") * dx * dy
-        + F.col("cov_xx") * dy * dy
-    ) / det
-    logpdf = (
-        -F.log(F.lit(2.0) * F.lit(math.pi))
-        - 0.5 * F.log(det)
-        - 0.5 * quad
-    )
-    loss = (
-        tree.join(params.select("level", "node", "mu_x", "mu_y", "cov_xx", "cov_xy", "cov_yy"), ["level", "node"])
-        .withColumn("__det", det)
-        .groupBy("level", "node")
-        .agg(
-            F.sum(
-                F.when(F.col("__det") > 1e-12, w * logpdf).otherwise(F.lit(None))
-            ).alias("loss")
-        )
-    )
+    params = _gauss_params(m).localCheckpoint()
+    loss = _gauss_loss(tree, params, ["level", "node"])
     return params.join(loss, ["level", "node"]).select(
         "level",
         "node",
@@ -503,55 +530,10 @@ def stitch_islands(
     """
     import pandas as pd
 
-    cx = F.col("bin_x").cast("double") + 0.5
-    cy = F.col("bin_y").cast("double") + 0.5
-    w = F.col("cnt").cast("double")
-    m = tree.groupBy("level", "node").agg(
-        F.sum("cnt").alias("mass"),
-        F.sum(w).alias("W"),
-        F.sum(w * cx).alias("sx"),
-        F.sum(w * cy).alias("sy"),
-        F.sum(w * cx * cx).alias("sxx"),
-        F.sum(w * cx * cy).alias("sxy"),
-        F.sum(w * cy * cy).alias("syy"),
-    ).localCheckpoint()
+    m = tree.groupBy("level", "node").agg(*_gauss_moment_aggs()).localCheckpoint()
+    params = _gauss_params(m)
 
-    def _params(df):
-        return df.select(
-            *df.columns,
-            (F.col("sx") / F.col("W")).alias("mu_x"),
-            (F.col("sy") / F.col("W")).alias("mu_y"),
-            (F.col("sxx") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sx") / F.col("W"))).alias("cov_xx"),
-            (F.col("sxy") / F.col("W") - (F.col("sx") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_xy"),
-            (F.col("syy") / F.col("W") - (F.col("sy") / F.col("W")) * (F.col("sy") / F.col("W"))).alias("cov_yy"),
-        )
-
-    params = _params(m)
-
-    def _loss(cells, prm, keys):
-        det = F.col("cov_xx") * F.col("cov_yy") - F.col("cov_xy") * F.col("cov_xy")
-        dx = cx - F.col("mu_x")
-        dy = cy - F.col("mu_y")
-        quad = (
-            F.col("cov_yy") * dx * dx
-            - 2.0 * F.col("cov_xy") * dx * dy
-            + F.col("cov_xx") * dy * dy
-        ) / det
-        logpdf = -F.log(F.lit(2.0) * F.lit(math.pi)) - 0.5 * F.log(det) - 0.5 * quad
-        return (
-            cells.join(
-                prm.select(*keys, "mu_x", "mu_y", "cov_xx", "cov_xy", "cov_yy"), keys
-            )
-            .withColumn("__det", det)
-            .groupBy(*keys)
-            .agg(
-                F.sum(
-                    F.when(F.col("__det") > 1e-12, w * logpdf).otherwise(F.lit(None))
-                ).alias("loss")
-            )
-        )
-
-    own_loss = _loss(tree, params, ["level", "node"])
+    own_loss = _gauss_loss(tree, params, ["level", "node"])
     isl = params.join(own_loss, ["level", "node"]).localCheckpoint()
 
     dist = F.sqrt(
@@ -584,7 +566,7 @@ def stitch_islands(
             (F.col("a.syy") + F.col("b.syy")).alias("syy"),
         )
     )
-    ppar = _params(pairs)
+    ppar = _gauss_params(pairs)
     # cells of u or v only
     pcells = (
         tree.alias("t")
@@ -602,7 +584,7 @@ def stitch_islands(
             "cnt",
         )
     )
-    pooled_loss = _loss(pcells, ppar, ["level", "u", "v"]).withColumnRenamed(
+    pooled_loss = _gauss_loss(pcells, ppar, ["level", "u", "v"]).withColumnRenamed(
         "loss", "pooled_loss"
     )
     scored = (
@@ -637,6 +619,11 @@ def stitch_islands(
         .distinct()
     )
 
+    # Level-scoped union-find over stitch pairs. Intentionally NOT
+    # spectral._match_and_collapse: that kernel emits a full node->
+    # supernode map over an all-nodes closure per group, while stitch
+    # labels only pair members per level — keep the tie-break rules in
+    # sync with spectral.py if either changes.
     def _uf(pdf: pd.DataFrame) -> pd.DataFrame:
         parent: dict = {}
 

@@ -78,6 +78,9 @@ def power_iteration(
     ).localCheckpoint()
     # normalize start
     n_dst = v.count()
+    if n_dst == 0:  # empty graph: sums below would collect as NULL
+        empty = v.limit(0)
+        return {"sigma1": 0.0, "u": empty, "v": empty}
     v = v.withColumn("score", F.col("score") / F.lit(math.sqrt(float(n_dst))))
 
     sigma = 0.0
@@ -416,7 +419,6 @@ def dpgs_merge_round(
     is the min node id of its merged set; 'gains': the chosen pairs
     (g, u, v, gq)}.
     """
-    import pandas as pd
 
     node_w = (
         edges.groupBy(F.col(src).alias("node"), F.col(dst).alias("nei"))

@@ -125,3 +125,22 @@ def test_detect_peaks_rising_plateau_not_peak(spark):
     )
     pk = detect_peaks(df, k_sigma=0.0).collect()
     assert [r.value for r in pk] == [9.0]
+
+
+def test_peel_loops_empty_input_returns_empty_not_crash(spark):
+    from spartan2_spark.operators.anomaly import holoscope_greedy_shave
+    from spartan2_spark.operators.flow import flow_greedy_peel
+    from spartan2_spark.operators.spectral import power_iteration
+
+    none = spark.createDataFrame([], "k string, s long").filter("s > 0")
+    r = flow_greedy_peel(none.selectExpr("k as mid", "s as iscore"))
+    assert r["nodes"].count() == 0 and r["round"] == -1
+
+    none_c = spark.createDataFrame([], "k string, c long").filter("c > 0")
+    r2 = holoscope_greedy_shave(none_c.selectExpr("k as user_id", "c as credit"))
+    assert r2["nodes"].count() == 0 and r2["round"] == -1
+
+    no_edges = spark.createDataFrame([], "src long, dst long").filter("src > 0")
+    tri = power_iteration(no_edges)
+    assert tri["sigma1"] == 0.0
+    assert tri["u"].count() == 0 and tri["v"].count() == 0
