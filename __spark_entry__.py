@@ -960,9 +960,12 @@ def _simhash_sql(max_hamming: int = 10) -> str:
         f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(63)
     )
     fp = f"{fp_terms} + (CASE WHEN s63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
+    from spartan2_spark.operators.dedup import simhash_band_layout
+
     bands = " UNION ALL ".join(
-        f"SELECT id, simhash, {i} AS band, (simhash >> {i * 16}) & 65535 AS key FROM fp"
-        for i in range(4)
+        f"SELECT id, simhash, {i} AS band, "
+        f"(simhash >> {start}) & {(1 << w) - 1} AS key FROM fp"
+        for i, (start, w) in enumerate(simhash_band_layout(max_hamming))
     )
     return f"""
     WITH tok AS MATERIALIZED (

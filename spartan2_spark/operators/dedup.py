@@ -6,8 +6,9 @@ generation is always a bucket equi-join — never an all-pairs cross):
 - exact:     content-hash groupBy (one shuffle on the digest)
 - minhash:   char-shingles -> k minhashes -> banded LSH buckets ->
              candidate pairs -> exact shingle-Jaccard verify
-- simhash:   64-bit sign fingerprint of token hashes -> 16-bit band
-             blocking -> Hamming verify via bit_count(xor)
+- simhash:   64-bit sign fingerprint of token hashes -> (max_hamming+1)-
+             band blocking (pigeonhole-lossless at any radius) ->
+             Hamming verify via bit_count(xor)
 - ngram:     exact word-n-gram Jaccard on LSH candidates
 - embedding: sign-LSH (random hyperplanes) buckets -> exact cosine
 
@@ -15,7 +16,9 @@ Everything is built-in column expressions + higher-order array
 functions (shingling, hashing, banding all JVM-side); no Python UDFs
 anywhere. Verification joins are self-joins on bucket keys; at scale
 the bucket key is the shuffle key and skewed mega-buckets are bounded
-by ``max_bucket`` (drop pathological buckets, standard LSH practice).
+by ``max_bucket`` (drop pathological buckets, standard LSH practice) —
+default-on for minhash, opt-in for simhash/embedding where dropping a
+bucket would break the lossless-recall guarantee.
 """
 
 from __future__ import annotations
@@ -116,6 +119,12 @@ def minhash_lsh_pairs(
     minhash_signature); the band bucket key is then the plain joined
     signature string instead of its xxhash.
     """
+    if k % bands:
+        raise ValueError(
+            f"bands={bands} must divide k={k}: trailing signature slots "
+            "would be silently ignored and the documented "
+            "P(candidate)=1-(1-J^r)^bands would not hold"
+        )
     r = k // bands
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -276,13 +285,36 @@ def simhash64(
     return per_doc.select("id", sim.alias("simhash"))
 
 
-def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by 16-bit band blocking + Hamming verify.
+def simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(start_bit, width) per band: ``max_hamming + 1`` contiguous
+    chunks covering all 64 bits. Pigeonhole: a pair within Hamming
+    distance ``max_hamming`` has at most ``max_hamming`` differing
+    bits, so at least one of the ``max_hamming + 1`` bands matches
+    exactly — blocking is lossless for ANY radius. The SQL oracle twin
+    (``__spark_entry__._simhash_sql``) derives the same layout."""
+    n_bands = min(max(max_hamming, 0) + 1, 64)
+    base, rem = divmod(64, n_bands)
+    layout, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        layout.append((start, w))
+        start += w
+    return layout
 
-    Any pair within Hamming distance <= 3 shares at least one of the
-    four 16-bit bands exactly (pigeonhole), so blocking is lossless."""
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """Near-dup pairs by band blocking + Hamming verify.
+
+    ``max_hamming + 1`` bands make the blocking pigeonhole-lossless at
+    any radius (see :func:`simhash_band_layout`) — but a wider radius
+    means narrower band keys and bigger buckets, so at corpus scale
+    pass ``max_bucket`` to drop degenerate buckets (e.g. boilerplate
+    pages collapsing to one fingerprint): candidate generation then
+    trades the lossless guarantee for a bounded join, the same
+    ``max_bucket`` contract as :func:`minhash_lsh_pairs`."""
+    layout = simhash_band_layout(max_hamming)
     banded = sims.select(
         "id",
         "simhash",
@@ -291,13 +323,20 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("simhash", start)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for i, (start, w) in enumerate(layout)
                 ]
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.key")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").count().filter(
+            F.col("count") <= max_bucket
+        )
+        banded = banded.join(sizes.select("band", "key"), ["band", "key"])
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "key")
     return (
@@ -320,8 +359,14 @@ def embedding_lsh_pairs(
     dim: int | None = None,
     plane_mode: str = "gaussian",
     quantize: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup embedding pairs: sign-LSH bucket join + exact cosine.
+
+    ``max_bucket`` bounds degenerate buckets (e.g. many zero or
+    boilerplate embeddings collapsing to one sign pattern) before the
+    self-join — the O(bucket^2) cap minhash_lsh_pairs applies; None
+    keeps every bucket (exact within-bucket recall).
 
     Hyperplanes are deterministic pseudo-random unit directions derived
     from a seeded generator — built as literal arrays, so the
@@ -367,6 +412,9 @@ def embedding_lsh_pairs(
     base = df.select(
         F.col(id_col).alias("id"), v.alias("v"), norm.alias("nrm"), bucket.alias("bucket")
     )
+    if max_bucket is not None:
+        ok = base.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+        base = base.join(ok.select("bucket"), "bucket")
     a = base.select(
         F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"), "bucket"
     )

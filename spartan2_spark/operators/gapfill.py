@@ -59,8 +59,14 @@ def densify(
             )
         ).alias(bucket),
     )
-    return axis.join(tier, [key, bucket], "left").withColumn(
-        "is_gap", F.col("cnt").isNull()
+    # gap = axis bucket with no tier row; detect via an explicit join
+    # marker rather than null-ness of one measure column, so tiers
+    # without a "cnt" column (or with nullable measures) work too
+    marked = tier.withColumn("__real", F.lit(True))
+    return (
+        axis.join(marked, [key, bucket], "left")
+        .withColumn("is_gap", F.col("__real").isNull())
+        .drop("__real")
     )
 
 

@@ -87,10 +87,18 @@ def apply_retention(
             if cov_stage
             else {}
         )
-        changed = False
+        to_expire: list[dict] = []
         for e in entries:
             d = _parse_dt(e["dt"])
-            if d is None or d >= cutoff or e.get("expired_at") is not None:
+            if d is None or d >= cutoff:
+                continue
+            part_dir = os.path.join(out_root, stage, f"dt={e['dt']}")
+            if e.get("expired_at") is not None:
+                # already tombstoned; finish a possibly-crashed delete
+                # (tombstone-then-delete ordering below can leave the
+                # directory behind if the process dies in between)
+                if not dry_run and os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
                 continue
             action = {
                 "stage": stage,
@@ -104,29 +112,35 @@ def apply_retention(
                 cov = cov_by_dt.get(e["dt"])
                 covered = (
                     cov is not None
+                    and cov.get("input_crc") is not None
                     and cov.get("input_crc") == e.get("value_crc")
                 )
                 if not covered:
                     # refuse: the coarser tier does not (provably) hold
-                    # an aggregate of these exact bytes
+                    # an aggregate of these exact bytes. input_crc None
+                    # never proves coverage (None == None must not
+                    # launder an unproven partition into deletion).
                     plan.append({**action, "action": "refused_uncovered"})
                     continue
                 action["coverer_value_crc"] = cov.get("value_crc")
             plan.append({**action, "action": "expire"})
-            if dry_run:
-                continue
-            part_dir = os.path.join(out_root, stage, f"dt={e['dt']}")
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
-            e["expired_at"] = now
-            changed = True
-        if changed and not dry_run:
+            to_expire.append(e)
+        if to_expire and not dry_run:
+            # tombstone FIRST, then delete: a crash between the two
+            # leaves tombstoned-but-present data (cleaned up by the next
+            # run above), never deleted-but-live manifest entries that a
+            # resumed pipeline would trust
+            for e in to_expire:
+                e["expired_at"] = now
             M._atomic_write(
                 M.stage_manifest_path(out_root, stage),
                 json.dumps(sorted(entries, key=lambda x: x["dt"]), indent=0),
             )
             M.bump_table_version(os.path.join(out_root, stage))
-
+            for e in to_expire:
+                part_dir = os.path.join(out_root, stage, f"dt={e['dt']}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
     if not dry_run:
         done = [dict(a, expired_at=now) for a in plan if a["action"] == "expire"]
         if done:
