@@ -94,7 +94,6 @@ class _BitReader:
 def _clz64(x: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (binary search, exact)."""
     x = x.astype(np.uint64)
-    n = np.full(x.shape, 64, dtype=np.int64)
     res = np.zeros(x.shape, dtype=np.int64)
     cur = x.copy()
     for s in (32, 16, 8, 4, 2, 1):
@@ -102,8 +101,7 @@ def _clz64(x: np.ndarray) -> np.ndarray:
         has = hi != 0
         res = np.where(has, res, res + s)
         cur = np.where(has, hi, cur)
-        n = n  # noqa: PLW0127  (clarity)
-    return np.where(x == 0, 64, res - 0)
+    return np.where(x == 0, 64, res)
 
 
 def _ctz64(x: np.ndarray) -> np.ndarray:

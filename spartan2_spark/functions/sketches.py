@@ -148,7 +148,7 @@ def tdigest_quantiles(
 
     final_schema = T.StructType(
         [df.schema[k] for k in key_cols]
-        + [T.StructField(f"q{int(q * 100)}", T.DoubleType()) for q in qs]
+        + [T.StructField(f"q{int(round(q * 100))}", T.DoubleType()) for q in qs]
     )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -158,7 +158,7 @@ def tdigest_quantiles(
             acc = acc.merge(TDigest(np.array(m), np.array(w), delta))
         row = {k: [pdf[k].iloc[0]] for k in key_cols}
         for q in qs:
-            row[f"q{int(q * 100)}"] = [acc.quantile(q)]
+            row[f"q{int(round(q * 100))}"] = [acc.quantile(q)]
         return pd.DataFrame(row)
 
     return batched_group_apply(

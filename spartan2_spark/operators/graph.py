@@ -98,6 +98,7 @@ def kcore(
     iterative lineage (same discipline as densest_subgraph_peel).
     """
     cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    prev_n = cur.count()
     converged = False
     for _ in range(max_rounds):
         deg = (
@@ -113,11 +114,12 @@ def kcore(
             .join(keep.withColumnRenamed("n", "d"), "d", "left_semi")
             .localCheckpoint()
         )
-        if nxt.count() == cur.count():
+        n = nxt.count()
+        if n == prev_n:
             cur = nxt
             converged = True
             break
-        cur = nxt
+        cur, prev_n = nxt, n
     if not converged:
         # a silent partial peel would report a k-core for graphs whose
         # true k-core is empty (e.g. long paths peel two nodes/round)

@@ -112,18 +112,19 @@ def canonical_text(pages: DataFrame) -> DataFrame:
     One shuffle (window by url); at scale the window runs on the same
     hash partitioning the rollup uses, so AQE reuses the exchange.
     """
+    # hash once before the window: text is often hundreds of KB per
+    # page, and the Window and final Project don't share CSE — a second
+    # sha2 in the projection would double the stage's dominant CPU cost
     w = W.partitionBy("url").orderBy(
-        F.col("warc_ts").desc(), F.sha2(F.col("text"), 256).desc()
+        F.col("warc_ts").desc(), F.col("text_sha256").desc()
     )
     return (
-        pages.select("url", "warc_ts", "text")
+        pages.select(
+            "url", "warc_ts", "text", F.sha2(F.col("text"), 256).alias("text_sha256")
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(
-            "url",
-            F.col("text").alias("canonical_text"),
-            F.sha2(F.col("text"), 256).alias("text_sha256"),
-        )
+        .select("url", F.col("text").alias("canonical_text"), "text_sha256")
     )
 
 
@@ -153,8 +154,14 @@ def rollup_from_points(
         F.col("value"),
         bin_col(F.col("value"), bin_mode).alias("bin"),
     )
+    # drop null metrics (e.g. a crawl row with NULL text under the
+    # default length(text) metric) before aggregating: counting them
+    # would inflate cnt while the null-skipping vsum/vmin/vmax exclude
+    # them — deflating vmean and poisoning the p95 histogram with a
+    # NULL bin. count("value") keeps cnt null-consistent regardless.
+    b = b.filter(F.col("value").isNotNull())
     return b.groupBy("url", "bucket_ts", "bin").agg(
-        F.count(F.lit(1)).alias("cnt"),
+        F.count("value").alias("cnt"),
         F.sum("value").alias("vsum"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),

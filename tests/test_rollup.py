@@ -115,3 +115,33 @@ def test_log_bin_roundtrip_error(spark):
     ).toPandas()
     rel = np.abs(out["d"] - out["v"]) / np.abs(out["v"])
     assert (rel < 0.0016).all()
+
+
+def test_rollup_null_metric_rows_do_not_poison_state(spark):
+    """A crawl row with NULL text (null metric value) must not inflate
+    cnt / deflate vmean / enter the p95 histogram."""
+    import pandas as pd
+
+    from spartan2_spark.operators import rollup as R
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["u"] * 3,
+            "ts": pd.to_datetime(["2024-01-01 00:00:01"] * 3),
+            "value": [10.0, 20.0, None],
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    state = R.rollup_from_points(pts, "1m").collect()
+    assert sum(r["cnt"] for r in state) == 2
+    assert all(r["bin"] is not None for r in state)
+    view = R.tier_view(R.rollup_from_points(pts, "1m")).collect()[0]
+    assert view["cnt"] == 2 and view["vmean"] == 15.0 and view["p95"] == 20.0
+
+
+def test_tdigest_quantile_column_names_round_correctly(spark):
+    from spartan2_spark.functions.sketches import tdigest_quantiles
+
+    df = spark.range(100).selectExpr("'k' as k", "cast(id as double) as v")
+    out = tdigest_quantiles(df, ["k"], "v", qs=(0.56, 0.57))
+    assert set(out.columns) == {"k", "q56", "q57"}
