@@ -2962,6 +2962,58 @@ _GORILLA_SQL = """
 """
 
 
+_HTML_PREFIX = (
+    "<html><head><style>p{c:1}</style>"
+    "<script>var x='<b>no</b>';</script></head>"
+    "<!-- c --><body><p>A &amp; B </p>"
+)
+
+
+def _q_html_extract(spark, sf_dir):
+    """html -> text extraction (operators/text.py extract_text): wrap
+    each document's text in a deterministic html shell (tags + script/
+    style/comment blocks + entities), extract with the JVM-side
+    regexp/replace chain, and hash the result. The DuckDB twin runs the
+    IDENTICAL RE2-compatible pipeline, so the md5s match value-exact —
+    proving the extraction is engine-portable and deterministic (the
+    north rule's byte-identical-extracted-text invariant at the
+    operator level; the synthetic-pages byte-roundtrip is
+    tests/test_text_extract.py)."""
+    from spartan2_spark.operators.text import extract_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.encode(
+        F.concat(F.lit(_HTML_PREFIX), F.col("text"), F.lit("</body></html>")),
+        "UTF-8",
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return (
+        extract_text(pages)
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.col("extracted_text"), "UTF-8")).alias("extract_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HTML_EXTRACT_SQL = f"""
+    SELECT doc_id,
+           md5(
+             replace(replace(replace(replace(replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 '{_HTML_PREFIX.replace("'", "''")}' || text || '</body></html>',
+                 '(?s)<script[^>]*>.*?</script>', '', 'g'),
+                 '(?s)<style[^>]*>.*?</style>', '', 'g'),
+                 '(?s)<!--.*?-->', '', 'g'),
+                 '<[^>]*>', '', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&amp;', '&')
+           ) AS extract_md5
+    FROM documents ORDER BY doc_id
+"""
+
+
 def _q_gorilla_read_range(spark, sf_dir):
     """Serving read path over Gorilla blocks with block-level pruning
     (operators/gorilla.py read_points): only blocks whose
@@ -3038,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beatgan_subspace": _q_beatgan_subspace,
         "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
         "gorilla_read_range": _q_gorilla_read_range,
+        "html_extract_text": _q_html_extract,
         # --- fixed this round (r01 FAIL / oracle ERROR) ---
         "sessionize": _q_sessionize,
         "multimodal_features": _q_multimodal_features,
@@ -3155,6 +3208,7 @@ def oracle_sql() -> dict[str, str]:
         "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "gorilla_read_range": _GORILLA_READ_RANGE_SQL,
+        "html_extract_text": _HTML_EXTRACT_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the

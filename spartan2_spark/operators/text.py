@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "extract_text",
     "tokens_expr",
     "token_count",
     "quality_score",
@@ -150,3 +151,39 @@ def fingerprint_bottom_k(
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     bottom_k = F.slice(F.sort_array(hashes), 1, k)
     return df.withColumn("fingerprint", bottom_k).withColumn("fp_hash", fp_hash)
+
+
+def extract_text(
+    pages: DataFrame, html_col: str = "html", out_col: str = "extracted_text"
+) -> DataFrame:
+    """Derive page text from raw ``html`` bytes, entirely JVM-side.
+
+    The crawl input carries both html and (pre-extracted) text; this is
+    the extraction step a pipeline runs when only the html bytes exist:
+    decode UTF-8 -> drop <script>/<style>/comment blocks -> strip tags
+    -> decode the common entities. Pure regexp_replace/replace chains
+    (whole-stage codegen, no UDF), restricted to RE2-compatible
+    patterns (non-greedy, no backreferences) so the DuckDB oracle twin
+    evaluates the identical pipeline — the html_extract_text driver
+    query cross-checks the two engines value-exact.
+
+    Deliberately byte-conservative: no whitespace collapsing, so
+    extraction of ``<body>TEXT</body>`` returns TEXT byte-identically
+    (the north-rule invariant, proven on the synthetic pages in
+    tests/test_text_extract.py).
+    """
+    s = F.decode(F.col(html_col), "UTF-8")
+    s = F.regexp_replace(s, r"(?s)<script[^>]*>.*?</script>", "")
+    s = F.regexp_replace(s, r"(?s)<style[^>]*>.*?</style>", "")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
+    s = F.regexp_replace(s, r"<[^>]*>", "")
+    # &amp; LAST so "&amp;lt;" decodes to the literal "&lt;", not "<"
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),
+    ):
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return pages.withColumn(out_col, s)

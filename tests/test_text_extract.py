@@ -1,0 +1,35 @@
+"""html -> text extraction: the byte-identical invariant at the source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spartan2_spark.datagen import synth_pages
+from spartan2_spark.operators.text import extract_text
+
+
+def test_extract_text_roundtrips_synth_pages_byte_identically(spark):
+    pages = synth_pages(spark, 2000, n_urls=40, days=2)
+    out = extract_text(pages)
+    bad = out.filter(
+        F.sha2(F.col("extracted_text"), 256) != F.sha2(F.col("text"), 256)
+    ).count()
+    assert bad == 0
+
+
+def test_extract_text_strips_blocks_tags_and_entities(spark):
+    html = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var a = '<p>not text</p>';</script></head>"
+        "<!-- a comment with <tags> inside -->"
+        "<body><p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;</p>"
+        "<div>second</div></body></html>"
+    )
+    df = spark.createDataFrame([("u", html.encode())], "url string, html binary")
+    got = extract_text(df).select("extracted_text").first()[0]
+    assert got == "A & B <ok> \"q\" 's'second"
+    # double-escaped entity decodes one level only (&amp; applied last)
+    df2 = spark.createDataFrame(
+        [("u", b"<p>&amp;lt;</p>")], "url string, html binary"
+    )
+    assert extract_text(df2).first()["extracted_text"] == "&lt;"
