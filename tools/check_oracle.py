@@ -81,6 +81,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"UNKNOWN query name(s): {unknown} — not in queries()")
+        return 2
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
