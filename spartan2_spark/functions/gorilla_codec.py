@@ -36,45 +36,88 @@ import zlib
 
 import numpy as np
 
-__all__ = ["encode_ts", "decode_ts", "encode_vals", "decode_vals", "block_crc"]
+__all__ = [
+    "encode_ts",
+    "decode_ts",
+    "encode_vals",
+    "decode_vals",
+    "encode_ts_multi",
+    "encode_vals_multi",
+    "block_crc",
+]
 
 
-def _pack_codes(vals: np.ndarray, lens: np.ndarray) -> bytes:
-    """Concatenate variable-length big-endian codes into packed bytes.
+def _scatter_or(out: np.ndarray, word: np.ndarray, chunk: np.ndarray) -> None:
+    """out[word] |= chunk with duplicate word indices, vectorized.
 
-    vals: uint64 code words (right-aligned), lens: bit lengths (<=64).
-    Fully vectorized, O(n) elements (NOT O(total bits)): each code
-    straddles at most two 64-bit output words, so two masked
-    ``bitwise_or.at`` scatters place everything; words serialize
-    big-endian so the stream stays MSB-first.
+    ``word`` is non-decreasing by construction (bit offsets grow within
+    a segment; segment word regions grow across segments), so duplicate
+    runs are contiguous: OR-reduce each run with ``bitwise_or.reduceat``
+    and assign once per distinct word — orders of magnitude faster than
+    ``np.bitwise_or.at`` (a per-element C loop) on multi-million-code
+    batches.
     """
-    vals = vals.astype(np.uint64)
-    lens = lens.astype(np.int64)
-    keep = lens > 0
-    vals, lens = vals[keep], lens[keep]
-    total = int(lens.sum())
-    if total == 0:
-        return b""
+    if not len(word):
+        return
+    first = np.concatenate(([0], np.flatnonzero(np.diff(word) > 0) + 1))
+    out[word[first]] |= np.bitwise_or.reduceat(chunk, first)
+
+
+def _pack_codes_multi(
+    vals: np.ndarray,
+    lens: np.ndarray,
+    seg_counts: np.ndarray,
+    headers: np.ndarray,
+) -> list[bytes]:
+    """Pack G independent variable-length big-endian code streams.
+
+    ``vals``: uint64 code words (right-aligned), ``lens``: bit lengths
+    (1..64), ``seg_counts``: codes per segment (concatenated in order;
+    ``sum == len(vals)``), ``headers``: one raw uint64 word per segment
+    stored verbatim ahead of its code bits (the Gorilla first-value
+    header). Every segment packs into its own word-aligned region of
+    ONE output buffer, so the whole call is a handful of vectorized ops
+    over ALL segments at once — the only per-segment Python is the
+    final buffer slicing. Each code straddles at most two 64-bit words,
+    so two monotone OR-scatters place everything; words serialize
+    big-endian so each stream stays MSB-first. Per-segment bytes are
+    identical to packing each stream alone.
+    """
+    seg_counts = np.asarray(seg_counts, dtype=np.int64)
+    n_seg = len(seg_counts)
+    if n_seg == 0:
+        return []
+    seg_id = np.repeat(np.arange(n_seg), seg_counts)
+    # exact: per-segment bit totals are < 2^53 so float64 bincount is safe
+    seg_bits = np.bincount(seg_id, weights=lens, minlength=n_seg).astype(np.int64)
+    seg_bit_base = np.concatenate(([0], np.cumsum(seg_bits)[:-1]))
     ends = np.cumsum(lens)
-    offs = ends - lens
-    out = np.zeros((total + 63) // 64 + 1, dtype=np.uint64)  # +1 spill word
-    word = offs >> 6
-    bit = (offs & 63).astype(np.int64)
+    offs = (ends - lens) - seg_bit_base[seg_id]  # bit offset inside segment
+    # region: header word + code words + 1 spill word
+    seg_words = (seg_bits + 63) // 64 + 2
+    seg_word_base = np.concatenate(([0], np.cumsum(seg_words)[:-1]))
+    out = np.zeros(int(seg_words.sum()), dtype=np.uint64)
+    out[seg_word_base] = headers
+    word = seg_word_base[seg_id] + 1 + (offs >> 6)
+    bit = offs & 63
     fit = 64 - bit  # bits available in the first word
     left_len = np.minimum(lens, fit)
     right_len = lens - left_len
     left_chunk = (vals >> right_len.astype(np.uint64)) << (
         (fit - left_len).astype(np.uint64)
     )
-    np.bitwise_or.at(out, word, left_chunk)
+    _scatter_or(out, word, left_chunk)
     has_r = right_len > 0
     if has_r.any():
         rl = right_len[has_r].astype(np.uint64)
         right_chunk = (
             vals[has_r] & ((np.uint64(1) << rl) - np.uint64(1))
         ) << (np.uint64(64) - rl)
-        np.bitwise_or.at(out, word[has_r] + 1, right_chunk)
-    return out.astype(">u8").tobytes()[: (total + 7) // 8]
+        _scatter_or(out, word[has_r] + 1, right_chunk)
+    buf = out.astype(">u8").tobytes()
+    starts = seg_word_base * 8
+    nbytes = 8 + (seg_bits + 7) // 8  # header + packed code bytes
+    return [buf[s : s + ln] for s, ln in zip(starts.tolist(), nbytes.tolist())]
 
 
 class _BitReader:
@@ -117,18 +160,46 @@ def _ctz64(x: np.ndarray) -> np.ndarray:
     return np.where(x == 0, 64, res)
 
 
-def encode_ts(ts: np.ndarray) -> bytes:
-    """ts: sorted int64 array -> packed delta-of-delta block."""
-    ts = np.asarray(ts, dtype=np.int64)
-    n = len(ts)
-    header = ts[0:1].astype(">i8").tobytes() if n else b""
-    if n <= 1:
-        return header
-    deltas = np.diff(ts)
-    dod = np.diff(np.concatenate(([0], deltas)))  # first delta vs implicit 0
+def encode_ts_multi(ts: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode MANY sorted int64 series in one vectorized pass.
 
-    vals = np.zeros(n - 1, dtype=np.uint64)
-    lens = np.zeros(n - 1, dtype=np.int64)
+    ``ts`` holds G series concatenated; ``starts`` are their start
+    indices (``starts[0] == 0``, strictly increasing). Returns one
+    packed delta-of-delta block per series, byte-identical to calling
+    the single-series encoder per slice — per-point arithmetic,
+    classification, c4 two-code expansion, and bit packing all run once
+    over the concatenation, so millions of tiny series cost zero
+    per-series Python (the many-tiny-groups write path of
+    operators/gorilla.encode_tier_blocks).
+    """
+    ts = np.asarray(ts, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    n, n_seg = len(ts), len(starts)
+    if n_seg == 0:
+        return []
+    headers = ts[starts].view(np.uint64)
+    sizes = np.diff(np.append(starts, n))
+    if n == n_seg:  # every series is a single point: headers only
+        return _pack_codes_multi(
+            np.empty(0, np.uint64), np.empty(0, np.int64),
+            np.zeros(n_seg, np.int64), headers,
+        )
+
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts] = True
+    d = np.empty(n, dtype=np.int64)
+    d[0] = 0
+    d[1:] = ts[1:] - ts[:-1]  # garbage across boundaries; masked below
+    prev_d = np.concatenate(([0], d[:-1]))
+    # second point of a series: dod vs implicit prior delta 0
+    second = np.concatenate(([False], is_start[:-1])) & ~is_start
+    dod_full = np.where(second, d, d - prev_d)
+    code_mask = ~is_start
+    dod = dod_full[code_mask]
+    m = len(dod)
+
+    vals = np.zeros(m, dtype=np.uint64)
+    lens = np.zeros(m, dtype=np.int64)
 
     c0 = dod == 0
     c1 = ~c0 & (dod >= -63) & (dod <= 64)
@@ -147,8 +218,8 @@ def encode_ts(ts: np.ndarray) -> bytes:
     # c4 elements contribute two codes; scatter into a single code stream
     # at positions offset by the running count of preceding extras.
     ext_payload = dod[c4].astype(np.int64).view(np.uint64)
-    order = np.arange(n - 1)
-    n_codes = (n - 1) + int(c4.sum())
+    order = np.arange(m)
+    n_codes = m + int(c4.sum())
     all_vals = np.zeros(n_codes, dtype=np.uint64)
     all_lens = np.zeros(n_codes, dtype=np.int64)
     extra = np.cumsum(np.concatenate(([0], c4[:-1].astype(np.int64))))
@@ -158,7 +229,20 @@ def encode_ts(ts: np.ndarray) -> bytes:
     sec_pos = first_pos[c4] + 1
     all_vals[sec_pos] = ext_payload
     all_lens[sec_pos] = 64
-    return header + _pack_codes(all_vals, all_lens)
+
+    # codes stay series-contiguous: per-series count = (size-1) + extras
+    code_seg = np.repeat(np.arange(n_seg), sizes - 1)
+    extras_per_seg = np.bincount(code_seg[c4], minlength=n_seg)
+    seg_counts = (sizes - 1) + extras_per_seg
+    return _pack_codes_multi(all_vals, all_lens, seg_counts, headers)
+
+
+def encode_ts(ts: np.ndarray) -> bytes:
+    """ts: sorted int64 array -> packed delta-of-delta block."""
+    ts = np.asarray(ts, dtype=np.int64)
+    if len(ts) == 0:
+        return b""
+    return encode_ts_multi(ts, np.zeros(1, dtype=np.int64))[0]
 
 
 def decode_ts(buf: bytes, n: int) -> np.ndarray:
@@ -186,23 +270,43 @@ def decode_ts(buf: bytes, n: int) -> np.ndarray:
     return out
 
 
-def encode_vals(values: np.ndarray) -> bytes:
-    """values: float64 array -> packed XOR block."""
+def encode_vals_multi(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Encode MANY float64 series in one vectorized pass.
+
+    Same multi-series contract as :func:`encode_ts_multi`; returns one
+    packed XOR block per series, byte-identical to per-slice encoding.
+    """
     v = np.ascontiguousarray(np.asarray(values, dtype=np.float64)).view(np.uint64)
-    n = len(v)
-    header = v[0:1].astype(">u8").tobytes() if n else b""
-    if n <= 1:
-        return header
-    xor = v[1:] ^ v[:-1]
+    starts = np.asarray(starts, dtype=np.int64)
+    n, n_seg = len(v), len(starts)
+    if n_seg == 0:
+        return []
+    headers = v[starts]
+    sizes = np.diff(np.append(starts, n))
+    if n == n_seg:  # every series is a single point: headers only
+        return _pack_codes_multi(
+            np.empty(0, np.uint64), np.empty(0, np.int64),
+            np.zeros(n_seg, np.int64), headers,
+        )
+
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts] = True
+    xor_full = np.empty(n, dtype=np.uint64)
+    xor_full[0] = 0
+    xor_full[1:] = v[1:] ^ v[:-1]  # garbage across boundaries; masked below
+    code_mask = ~is_start
+    xor = xor_full[code_mask]
+    m = len(xor)
+
     zero = xor == 0
     lz = np.minimum(_clz64(xor), 31)
     tz = _ctz64(xor)
     mlen = np.where(zero, 0, 64 - lz - tz)  # meaningful bits
 
-    n_codes = (n - 1) + int((~zero).sum())
+    n_codes = m + int((~zero).sum())
     all_vals = np.zeros(n_codes, dtype=np.uint64)
     all_lens = np.zeros(n_codes, dtype=np.int64)
-    order = np.arange(n - 1)
+    order = np.arange(m)
     extra = np.cumsum(np.concatenate(([0], (~zero)[:-1].astype(np.int64))))
     first_pos = order + extra
 
@@ -220,7 +324,18 @@ def encode_vals(values: np.ndarray) -> bytes:
     )
     all_vals[first_pos[nz] + 1] = payload
     all_lens[first_pos[nz] + 1] = mlen[nz]
-    return header + _pack_codes(all_vals, all_lens)
+
+    code_seg = np.repeat(np.arange(n_seg), sizes - 1)
+    extras_per_seg = np.bincount(code_seg[nz], minlength=n_seg)
+    seg_counts = (sizes - 1) + extras_per_seg
+    return _pack_codes_multi(all_vals, all_lens, seg_counts, headers)
+
+
+def encode_vals(values: np.ndarray) -> bytes:
+    """values: float64 array -> packed XOR block."""
+    if len(values) == 0:
+        return b""
+    return encode_vals_multi(values, np.zeros(1, dtype=np.int64))[0]
 
 
 def decode_vals(buf: bytes, n: int) -> np.ndarray:

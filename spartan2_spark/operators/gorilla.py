@@ -49,36 +49,67 @@ def encode_tier_blocks(
         + [T.StructField(c, view.schema[c].dataType) for c in extra_group_cols]
     )
 
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("bucket_ts", kind="mergesort")
+    out_cols = [f.name for f in out_schema.fields]
+
+    def encode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        # whole-batch contract: pdf holds MANY complete groups, already
+        # sorted by (url, *extras, bucket_ts) — cut group boundaries and
+        # encode EVERY block of the batch in one vectorized codec pass
+        # (encode_*_multi); the only remaining per-block Python is the
+        # crc loop over the finished byte blobs.
+        if not len(pdf):
+            return pd.DataFrame(columns=out_cols)
         ts = (pdf["bucket_ts"].astype("int64") // 1_000_000_000).to_numpy(np.int64)
         vals = pdf[value_col].to_numpy(np.float64)
-        url = pdf["url"].iloc[0]
-        extras = [pdf[c].iloc[0] for c in extra_group_cols]
-        rows = []
-        for s in range(0, len(ts), max_points):
-            t, v = ts[s : s + max_points], vals[s : s + max_points]
-            tb, vb = C.encode_ts(t), C.encode_vals(v)
-            rows.append(
-                (url, tier, int(t[0]), int(t[-1]), len(t), tb, vb,
-                 C.block_crc(tb, vb), *extras)
-            )
-        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        urls = pdf["url"].to_numpy()
+        extras = {c: pdf[c].to_numpy() for c in extra_group_cols}
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = urls[1:] != urls[:-1]
+        for a in extras.values():
+            change[1:] |= a[1:] != a[:-1]
+        gstarts = np.flatnonzero(change)
+        gends = np.append(gstarts[1:], len(pdf))
+        gsizes = gends - gstarts
+        # chunk each group into blocks of <= max_points (still contiguous)
+        nblk = (gsizes + max_points - 1) // max_points
+        blk_first = np.concatenate(([0], np.cumsum(nblk)[:-1]))
+        within = np.arange(int(nblk.sum())) - np.repeat(blk_first, nblk)
+        bstarts = np.repeat(gstarts, nblk) + within * max_points
+        bends = np.minimum(bstarts + max_points, np.repeat(gends, nblk))
+        tb = C.encode_ts_multi(ts, bstarts)
+        vb = C.encode_vals_multi(vals, bstarts)
+        out = {
+            "url": urls[bstarts],
+            "tier": tier,
+            "start_ts": ts[bstarts],
+            "end_ts": ts[bends - 1],
+            "n_points": bends - bstarts,
+            "ts_block": tb,
+            "val_block": vb,
+            "crc32": [C.block_crc(t, v) for t, v in zip(tb, vb)],
+        }
+        for c, a in extras.items():
+            out[c] = a[bstarts]
+        return pd.DataFrame(out, columns=out_cols)
 
     pts = view.select("url", "bucket_ts", value_col, *extra_group_cols)
     # one group per url is the many-tiny-groups shape (a url's tier
     # points are typically a few dozen rows): partition-batched grouped
     # apply (operators/grouped.py) pays Arrow/apply cost per ~10k-row
-    # batch instead of per url; blocks stay bit-identical because the
-    # kernel sorts each complete group by bucket_ts itself
+    # batch instead of per url, and the whole-batch kernel above removes
+    # the remaining per-group pandas cost (profiled ~0.5 ms/group: one
+    # sort_values + one DataFrame construction per url) — blocks stay
+    # bit-identical (asserted in tests/test_gorilla.py)
     from spartan2_spark.operators.grouped import batched_group_apply
 
     return batched_group_apply(
         pts,
         ["url", *extra_group_cols],
-        encode_group,
+        encode_batch,
         out_schema,
         order=("bucket_ts",),
+        whole_batch=True,
     )
 
 

@@ -166,3 +166,50 @@ def test_read_points_prunes_blocks_and_trims_exactly(spark):
         map(tuple, by_join.collect())
     )
     assert by_list.select("url").distinct().count() == len(urls)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=40
+    ),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=40, deadline=None)
+def test_multi_encoder_matches_per_slice(sizes, rnd):
+    """encode_*_multi over concatenated series == per-slice single-series
+    encoding, byte for byte — the whole-batch block-encode contract.
+    Mixes size-1 series, dod==0 runs, every dod class (incl. the 64-bit
+    c4 escape) and zero/nonzero XOR values across segment boundaries."""
+    delta_pool = [0, 1, 60, 64, 65, 256, 257, 2048, 2049, 10**7]
+    val_pool = [1.5, 1.5, 0.0, 2.25, -3.7, 1e300, float(np.pi)]
+    segs_ts, segs_v = [], []
+    for n in sizes:
+        base = rnd.randrange(0, 2**40)
+        ds = [rnd.choice(delta_pool) for _ in range(n - 1)]
+        segs_ts.append(
+            np.cumsum(np.array([base] + ds, dtype=np.int64))
+        )
+        segs_v.append(
+            np.array([rnd.choice(val_pool) for _ in range(n)], dtype=np.float64)
+        )
+    cat_ts = np.concatenate(segs_ts)
+    cat_v = np.concatenate(segs_v)
+    starts = np.cumsum([0] + [len(s) for s in segs_ts[:-1]])
+    multi_t = C.encode_ts_multi(cat_ts, starts)
+    multi_v = C.encode_vals_multi(cat_v, starts)
+    for i, (t, v) in enumerate(zip(segs_ts, segs_v)):
+        assert multi_t[i] == C.encode_ts(t)
+        assert multi_v[i] == C.encode_vals(v)
+        assert np.array_equal(C.decode_ts(multi_t[i], len(t)), t)
+        assert np.array_equal(
+            C.decode_vals(multi_v[i], len(v)).view(np.uint64),
+            v.view(np.uint64),
+        )
+
+
+def test_multi_encoder_empty_and_single():
+    assert C.encode_ts_multi(np.empty(0, np.int64), np.empty(0, np.int64)) == []
+    assert C.encode_ts(np.empty(0, np.int64)) == b""
+    assert C.encode_vals(np.empty(0, np.float64)) == b""
+    one = C.encode_ts_multi(np.array([7], dtype=np.int64), np.array([0]))
+    assert one == [np.array([7], dtype=np.int64).astype(">i8").tobytes()]
