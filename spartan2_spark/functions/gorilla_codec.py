@@ -24,10 +24,13 @@ code word is a pure function of (x[i-1], x[i]). The decoder still
 accepts only what we emit. Cost: a few % block size; gain: zero
 per-point Python on the write path.)
 
-ENCODING IS FULLY VECTORIZED: classify all points, compute all code
-words and lengths, then scatter bits with the cumsum/repeat expansion
-trick and ``np.packbits``. Decoding is a sequential bit reader (reads
-are off the hot write path).
+BOTH DIRECTIONS ARE VECTORIZED, multi-block: the encoder classifies
+all points of all blocks at once and scatters bits into per-block word
+regions of one buffer (encode_*_multi); the decoder runs LANE-PARALLEL
+across blocks — each iteration decodes one code in every still-active
+block, so variable-length sequential streams still decode at numpy
+speed when a batch holds many blocks (decode_*_multi). Sequential
+single-block decoders are kept as the differential-test reference.
 """
 
 from __future__ import annotations
@@ -43,6 +46,8 @@ __all__ = [
     "decode_vals",
     "encode_ts_multi",
     "encode_vals_multi",
+    "decode_ts_multi",
+    "decode_vals_multi",
     "block_crc",
 ]
 
@@ -245,7 +250,9 @@ def encode_ts(ts: np.ndarray) -> bytes:
     return encode_ts_multi(ts, np.zeros(1, dtype=np.int64))[0]
 
 
-def decode_ts(buf: bytes, n: int) -> np.ndarray:
+def _decode_ts_seq(buf: bytes, n: int) -> np.ndarray:
+    """Sequential reference decoder (kept as the differential-test twin
+    of the vectorized :func:`decode_ts_multi`)."""
     if n == 0:
         return np.empty(0, dtype=np.int64)
     t0 = int(np.frombuffer(buf[:8], dtype=">i8")[0])
@@ -268,6 +275,103 @@ def decode_ts(buf: bytes, n: int) -> np.ndarray:
         delta += dod
         out[i] = out[i - 1] + delta
     return out
+
+
+def _lane_prep(bufs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate block buffers for lane-parallel decoding.
+
+    Returns ``(U, B8, boff)``: ``U[k]`` is the big-endian uint64 read at
+    byte offset k of the concatenation (zero-padded past the end),
+    ``B8[k]`` is byte k+8 as uint64 (the spill byte a mid-byte 64-bit
+    peek needs), ``boff`` each block's byte offset. Windows near a
+    block's tail read into the NEXT block's bytes — harmless, because
+    every field extraction masks to exactly the bits its code owns.
+    """
+    cat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    lens = np.fromiter((len(b) for b in bufs), np.int64, count=len(bufs))
+    boff = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pad = np.concatenate([cat, np.zeros(16, dtype=np.uint8)])
+    # +4 bytes of window margin: the decoders peek unconditionally at
+    # pos+13 (vals payload) / pos+4 (ts c4 payload) even on a block's
+    # final short code, reaching up to 2 bytes past the data end
+    sw = np.lib.stride_tricks.sliding_window_view(pad, 8)[: len(cat) + 4]
+    U = np.zeros(len(sw), dtype=np.uint64)
+    for j in range(8):
+        U |= sw[:, j].astype(np.uint64) << np.uint64(56 - 8 * j)
+    B8 = pad[8 : len(cat) + 12].astype(np.uint64)
+    return U, B8, boff
+
+
+def _peek64(U: np.ndarray, B8: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Exact 64-bit big-endian window starting at BIT position pos."""
+    k = pos >> 3
+    s = (pos & 7).astype(np.uint64)
+    return (U[k] << s) | (B8[k] >> (np.uint64(8) - s))
+
+
+def decode_ts_multi(bufs, ns: np.ndarray) -> np.ndarray:
+    """Decode MANY delta-of-delta blocks lane-parallel; returns the
+    concatenated int64 timestamps (block g occupies ``ns[:g].sum()``
+    onward).
+
+    One iteration decodes ONE point in EVERY still-active block — all
+    field extraction is vectorized across blocks, so total work is
+    proportional to total points with numpy-op (not per-point Python)
+    constants. Lanes drop out as their blocks finish. This is the
+    read-path dual of encode_*_multi: a serving read decodes thousands
+    of pruned blocks per Arrow batch, not one.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    out = np.zeros(total, dtype=np.int64)
+    if total == 0:
+        return out
+    U, B8, boff = _lane_prep(bufs)
+    oof = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    ne = ns > 0
+    out[oof[ne]] = U[boff[ne]].view(np.int64)  # raw 64-bit headers
+
+    act = ns > 1
+    pos = (boff[act] << 3) + 64
+    cur = U[boff[act]].view(np.int64).copy()
+    delta = np.zeros(act.sum(), dtype=np.int64)
+    rem = ns[act] - 1
+    opos = oof[act] + 1
+    c64 = np.uint64(64)
+    while len(pos):
+        W = _peek64(U, B8, pos)
+        t4 = W >> np.uint64(60)
+        c0 = t4 < np.uint64(0b1000)
+        c1 = (t4 >> np.uint64(2)) == np.uint64(0b10)
+        c2 = (t4 >> np.uint64(1)) == np.uint64(0b110)
+        c3 = t4 == np.uint64(0b1110)
+        c4 = t4 == np.uint64(0b1111)
+        d1 = ((W >> (c64 - np.uint64(9))) & np.uint64(127)).astype(np.int64) - 63
+        d2 = ((W >> (c64 - np.uint64(12))) & np.uint64(511)).astype(np.int64) - 255
+        d3 = ((W >> (c64 - np.uint64(16))) & np.uint64(4095)).astype(np.int64) - 2047
+        d4 = _peek64(U, B8, pos + 4).view(np.int64)
+        dod = np.where(
+            c0, 0, np.where(c1, d1, np.where(c2, d2, np.where(c3, d3, d4)))
+        )
+        step = np.where(
+            c0, 1, np.where(c1, 9, np.where(c2, 12, np.where(c3, 16, 68)))
+        )
+        delta += dod
+        cur += delta
+        out[opos] = cur
+        pos += step
+        opos += 1
+        rem -= 1
+        done = rem == 0
+        if done.any():
+            keep = ~done
+            pos, cur, delta = pos[keep], cur[keep], delta[keep]
+            rem, opos = rem[keep], opos[keep]
+    return out
+
+
+def decode_ts(buf: bytes, n: int) -> np.ndarray:
+    return decode_ts_multi([buf], np.array([n], dtype=np.int64))
 
 
 def encode_vals_multi(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
@@ -338,7 +442,9 @@ def encode_vals(values: np.ndarray) -> bytes:
     return encode_vals_multi(values, np.zeros(1, dtype=np.int64))[0]
 
 
-def decode_vals(buf: bytes, n: int) -> np.ndarray:
+def _decode_vals_seq(buf: bytes, n: int) -> np.ndarray:
+    """Sequential reference decoder (differential-test twin of the
+    vectorized :func:`decode_vals_multi`)."""
     if n == 0:
         return np.empty(0, dtype=np.float64)
     out = np.empty(n, dtype=np.uint64)
@@ -357,6 +463,50 @@ def decode_vals(buf: bytes, n: int) -> np.ndarray:
         xor = np.uint64(payload) << np.uint64(tz)
         out[i] = out[i - 1] ^ xor
     return out.view(np.float64)
+
+
+def decode_vals_multi(bufs, ns: np.ndarray) -> np.ndarray:
+    """Decode MANY XOR blocks lane-parallel; returns the concatenated
+    float64 values. Same lane discipline as :func:`decode_ts_multi`."""
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if total == 0:
+        return out.view(np.float64)
+    U, B8, boff = _lane_prep(bufs)
+    oof = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    ne = ns > 0
+    out[oof[ne]] = U[boff[ne]]  # raw 64-bit headers
+
+    act = ns > 1
+    pos = (boff[act] << 3) + 64
+    cur = U[boff[act]].copy()
+    rem = ns[act] - 1
+    opos = oof[act] + 1
+    c64 = np.uint64(64)
+    while len(pos):
+        W = _peek64(U, B8, pos)
+        zero = (W >> np.uint64(63)) == 0
+        lz = (W >> np.uint64(57)) & np.uint64(31)
+        ml = ((W >> np.uint64(51)) & np.uint64(63)) + np.uint64(1)
+        payload = _peek64(U, B8, pos + 13) >> (c64 - ml)
+        # on zero lanes lz/ml are other codes' bits and 64-lz-ml can
+        # wrap; clamp the shift into range — the lane is masked anyway
+        tz = np.minimum(c64 - lz - ml, np.uint64(63))
+        cur = np.where(zero, cur, cur ^ (payload << tz))
+        out[opos] = cur
+        pos += np.where(zero, 1, 13 + ml.astype(np.int64))
+        opos += 1
+        rem -= 1
+        done = rem == 0
+        if done.any():
+            keep = ~done
+            pos, cur, rem, opos = pos[keep], cur[keep], rem[keep], opos[keep]
+    return out.view(np.float64)
+
+
+def decode_vals(buf: bytes, n: int) -> np.ndarray:
+    return decode_vals_multi([buf], np.array([n], dtype=np.int64))
 
 
 def block_crc(ts_block: bytes, val_block: bytes) -> int:

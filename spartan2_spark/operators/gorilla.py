@@ -120,19 +120,25 @@ def decode_blocks(blocks: DataFrame, value_col: str = "value") -> DataFrame:
 
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = []
-            for r in pdf.itertuples(index=False):
-                if C.block_crc(r.ts_block, r.val_block) != r.crc32:
-                    raise ValueError(f"CRC mismatch for url={r.url} tier={r.tier}")
-                ts = C.decode_ts(bytes(r.ts_block), r.n_points)
-                vals = C.decode_vals(bytes(r.val_block), r.n_points)
-                frames.append(
-                    pd.DataFrame(
-                        {"url": r.url, "tier": r.tier, "ts": ts, value_col: vals}
-                    )
-                )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                columns=["url", "tier", "ts", value_col]
+            if not len(pdf):
+                continue
+            tbufs = [bytes(b) for b in pdf["ts_block"]]
+            vbufs = [bytes(b) for b in pdf["val_block"]]
+            for t, v, crc, url in zip(
+                tbufs, vbufs, pdf["crc32"].to_numpy(), pdf["url"]
+            ):
+                if C.block_crc(t, v) != crc:
+                    raise ValueError(f"CRC mismatch for url={url}")
+            ns = pdf["n_points"].to_numpy(np.int64)
+            # every block of the Arrow batch decodes in ONE lane-parallel
+            # numpy pass (decode_*_multi) — no per-block Python
+            yield pd.DataFrame(
+                {
+                    "url": np.repeat(pdf["url"].to_numpy(), ns),
+                    "tier": np.repeat(pdf["tier"].to_numpy(), ns),
+                    "ts": C.decode_ts_multi(tbufs, ns),
+                    value_col: C.decode_vals_multi(vbufs, ns),
+                }
             )
 
     return blocks.mapInPandas(decode_batch, out_schema)

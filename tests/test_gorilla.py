@@ -213,3 +213,38 @@ def test_multi_encoder_empty_and_single():
     assert C.encode_vals(np.empty(0, np.float64)) == b""
     one = C.encode_ts_multi(np.array([7], dtype=np.int64), np.array([0]))
     assert one == [np.array([7], dtype=np.int64).astype(">i8").tobytes()]
+
+
+def test_vectorized_decoder_matches_sequential():
+    """decode_*_multi (lane-parallel) == the sequential bit readers on
+    mixed-size blocks covering every dod class and XOR shape."""
+    rnd = np.random.default_rng(11)
+    bufs_t, bufs_v, ns, ref_t, ref_v = [], [], [], [], []
+    for _ in range(120):
+        n = int(rnd.choice([1, 2, 3, 24, 257]))
+        base = int(rnd.integers(0, 2**40))
+        ds = rnd.choice(
+            [0, 1, 60, 64, 65, 256, 257, 2048, 2049, 10**7], size=max(n - 1, 0)
+        )
+        ts = np.cumsum(np.concatenate(([base], ds))).astype(np.int64)[:n]
+        v = rnd.choice([1.5, 1.5, 0.0, 2.25, -3.7, 1e300, np.pi], size=n)
+        bufs_t.append(C.encode_ts(ts))
+        bufs_v.append(C.encode_vals(v))
+        ns.append(n)
+        ref_t.append(ts)
+        ref_v.append(v.astype(np.float64))
+    ns = np.array(ns)
+    dt = C.decode_ts_multi(bufs_t, ns)
+    dv = C.decode_vals_multi(bufs_v, ns)
+    o = 0
+    for i, n in enumerate(ns):
+        assert np.array_equal(dt[o : o + n], ref_t[i])
+        assert np.array_equal(
+            dv[o : o + n].view(np.uint64), ref_v[i].view(np.uint64)
+        )
+        assert np.array_equal(C._decode_ts_seq(bufs_t[i], n), ref_t[i])
+        assert np.array_equal(
+            C._decode_vals_seq(bufs_v[i], n).view(np.uint64),
+            ref_v[i].view(np.uint64),
+        )
+        o += n
