@@ -221,7 +221,14 @@ def run_pipeline(
     fp = _global_fingerprint(out_root, "t1h")
 
     def build_gap(df):
-        view = R.tier_view(df.drop("dt"), bin_mode=bin_mode)
+        # cluster the scan by url ONCE: HashPartitioning(url) satisfies
+        # both the tier_view groupBy(url, bucket_ts) clustering AND the
+        # gap-descriptor window partitionBy(url), so the whole
+        # view -> lead-window -> explode chain plans a single Exchange
+        # instead of two full shuffles of the tier (at N executors the
+        # removed shuffle is cross-JVM serde, the dominant marginal
+        # cost of the stage; output bit-identical — commutative aggs)
+        view = R.tier_view(df.drop("dt").repartition(F.col("url")), bin_mode=bin_mode)
         return G.densify_fill(
             view.select("url", "bucket_ts", "cnt", "vmean"),
             "1h",

@@ -1,0 +1,328 @@
+"""N vs 4N EXECUTORS scaling evidence on a real standalone cluster.
+
+The north rule's two-cluster-size criterion names *executors*, not task
+slots. This harness measures it literally: it boots a Spark standalone
+master plus separate WORKER JVMs on this box, each worker CPU-pinned to
+a disjoint core pair, and runs the production ladder via
+``spark-submit --py-files`` (the deployment recipe) at
+
+  N  = 1 executor  x 2 cores   (cores {0,1})
+  4N = 4 executors x 2 cores   (cores {0..7})
+
+Separate executor JVMs mean separate heaps/GC and real netty
+block-transfer shuffle between executors — the parts thread-count
+scaling (local[k]) cannot exercise. Both levels stay inside this box's
+low-contention regime (<= 8 busy cores; sequential-read bandwidth here
+scales 23 -> 710 GB/s up to 32 readers), so the pair isolates the
+ENGINE's executor scaling from the single-box 32-core memory ceiling
+quantified in BASELINE.md.
+
+Usage:
+    python tools/cluster_scaling.py [--rows 16000000] [--passes 2]
+
+Prints ONE JSON line: throughput at both levels, speedup, efficiency,
+and an order-insensitive content-hash identity check of every output
+table (t1m/t1h/t1d/gapfill_1h/blocks_1h) across the two cluster sizes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
+SPARK_SUBMIT = os.path.join(SPARK_HOME, "bin", "spark-submit")
+CACHE = os.path.join(REPO, ".cache")
+MASTER_PORT = 7201
+MASTER_UI_PORT = 8201
+CORES_PER_EXECUTOR = 2
+
+
+def build_zip(dest: str) -> str:
+    pkg_zip = os.path.join(dest, "spartan2_spark.zip")
+    with zipfile.ZipFile(pkg_zip, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg_root = os.path.join(REPO, "spartan2_spark")
+        for root, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return pkg_zip
+
+
+def wait_port(port: int, timeout: float = 30.0) -> None:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        with socket.socket() as s:
+            if s.connect_ex(("127.0.0.1", port)) == 0:
+                return
+        time.sleep(0.5)
+    raise TimeoutError(f"port {port} not listening after {timeout}s")
+
+
+def wait_workers(n: int, timeout: float = 60.0) -> None:
+    """Poll the master's JSON endpoint until n ALIVE workers register."""
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{MASTER_UI_PORT}/json/", timeout=5
+            ) as r:
+                st = json.load(r)
+            alive = [w for w in st.get("workers", []) if w["state"] == "ALIVE"]
+            if len(alive) >= n:
+                return
+        except Exception:
+            pass
+        time.sleep(1.0)
+    raise TimeoutError(f"{n} workers not ALIVE after {timeout}s")
+
+
+def _daemon_env(extra: dict | None = None) -> dict:
+    env = dict(os.environ)
+    env["SPARK_HOME"] = SPARK_HOME
+    env.setdefault("SPARK_LOG_DIR", "/tmp/spark-cluster-logs")
+    env.update(extra or {})
+    return env
+
+
+class Cluster:
+    """A standalone master + n_workers pinned worker JVMs (context mgr)."""
+
+    def __init__(self, n_workers: int, work_root: str):
+        self.n_workers = n_workers
+        self.work_root = work_root
+        self.procs: list[subprocess.Popen] = []
+
+    @property
+    def master_url(self) -> str:
+        return f"spark://127.0.0.1:{MASTER_PORT}"
+
+    def __enter__(self):
+        os.makedirs(self.work_root, exist_ok=True)
+        log = open(os.path.join(self.work_root, "daemons.log"), "ab")
+        self._log = log
+        self.procs.append(
+            subprocess.Popen(
+                [
+                    SPARK_CLASS, "org.apache.spark.deploy.master.Master",
+                    "--host", "127.0.0.1",
+                    "--port", str(MASTER_PORT),
+                    "--webui-port", str(MASTER_UI_PORT),
+                ],
+                env=_daemon_env(), stdout=log, stderr=log,
+            )
+        )
+        wait_port(MASTER_PORT)
+        for i in range(self.n_workers):
+            cores = {CORES_PER_EXECUTOR * i, CORES_PER_EXECUTOR * i + 1}
+            wdir = os.path.join(self.work_root, f"worker{i}")
+            shm = f"/dev/shm/spark_graft_w{i}"
+            os.makedirs(wdir, exist_ok=True)
+            # preexec pins the worker process; the executor JVM and its
+            # python workers are forked children and inherit the mask —
+            # the cgroup-style core budget a real cluster manager gives.
+            self.procs.append(
+                subprocess.Popen(
+                    [
+                        SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
+                        self.master_url,
+                        "--host", "127.0.0.1",
+                        "--cores", str(CORES_PER_EXECUTOR),
+                        "--memory", "8g",
+                        "--webui-port", "0",
+                        "--work-dir", wdir,
+                    ],
+                    env=_daemon_env({"SPARK_LOCAL_DIRS": shm}),
+                    stdout=log, stderr=log,
+                    preexec_fn=(lambda c=cores: os.sched_setaffinity(0, c)),
+                )
+            )
+        wait_workers(self.n_workers)
+        return self
+
+    def __exit__(self, *exc):
+        for p in reversed(self.procs):
+            p.terminate()
+        for p in self.procs:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        self._log.close()
+        for i in range(self.n_workers):
+            shutil.rmtree(f"/dev/shm/spark_graft_w{i}", ignore_errors=True)
+
+
+def submit_flagship(
+    cluster: Cluster, pkg_zip: str, pages: str, warmup_pages: str,
+    out: str, passes: int,
+) -> dict:
+    total_cores = CORES_PER_EXECUTOR * cluster.n_workers
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env.pop("PYTHONPATH", None)  # the zip must carry the whole package
+    cmd = [
+        SPARK_SUBMIT,
+        "--master", cluster.master_url,
+        "--deploy-mode", "client",
+        "--driver-memory", "12g",
+        "--py-files", pkg_zip,
+        "--conf", f"spark.executor.cores={CORES_PER_EXECUTOR}",
+        "--conf", "spark.executor.memory=6g",
+        "--conf", f"spark.cores.max={total_cores}",
+        # same GC + processor budget the pinned local-mode levels use
+        "--conf", (
+            "spark.executor.extraJavaOptions=-XX:+UseParallelGC "
+            f"-XX:ActiveProcessorCount={CORES_PER_EXECUTOR}"
+        ),
+        "--conf", "spark.ui.enabled=false",
+        os.path.join(REPO, "tools", "cluster_flagship_driver.py"),
+        "--master", cluster.master_url,
+        "--pages", pages,
+        "--warmup-pages", warmup_pages,
+        "--out", out,
+        "--passes", str(passes),
+        # 4x task slots (standard practice): AQE coalesces tiny ones,
+        # and per-partition hash-agg state stays memory-resident at the
+        # 1-executor level instead of spilling
+        "--shuffle-partitions", str(4 * total_cores),
+    ]
+    proc = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=7200
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-6000:])
+        raise RuntimeError(f"spark-submit failed (exit {proc.returncode})")
+    for line in proc.stdout.splitlines():
+        if line.startswith("CLUSTER_FLAGSHIP_RESULT "):
+            return json.loads(line.split(" ", 1)[1])
+    sys.stderr.write(proc.stdout[-4000:])
+    raise RuntimeError("driver printed no CLUSTER_FLAGSHIP_RESULT line")
+
+
+def content_hash(spark, path: str):
+    """Order-insensitive table fingerprint: sum of row xxhash64 + count."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    row = (
+        df.select(
+            F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)").alias("h")
+        )
+        .agg(F.sum("h").alias("hs"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    return str(row.hs), row.n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=16_000_000)
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--executors", default="1,4", help="comma list, e.g. 1,4")
+    ap.add_argument(
+        "--points-per-url", type=int, default=100,
+        help="crawl density of the synthetic input. The production "
+        "ladder MATERIALIZES the dense gap-filled 1h tier (~720 rows "
+        "per url for the 30-day window), so the dense blow-up is "
+        "~720/points_per_url x the input; the default keeps the "
+        "measured work dominated by the ladder's aggregations rather "
+        "than by writing dense fill for ultra-sparse urls.",
+    )
+    args = ap.parse_args()
+    levels = [int(x) for x in args.executors.split(",")]
+
+    from spartan2_spark.datagen import synth_pages
+    from spartan2_spark.session import get_spark, stop_all
+    from pyspark.sql import functions as F
+
+    def ensure_cluster_pages(spark, n_rows: int) -> str:
+        path = os.path.join(
+            CACHE, f"pages_cluster_{n_rows}_ppu{args.points_per_url}"
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                synth_pages(
+                    spark, n_rows,
+                    n_urls=max(n_rows // args.points_per_url, 16),
+                )
+                .withColumn("dt", F.to_date("warc_ts"))
+                .write.mode("overwrite").partitionBy("dt").parquet(path)
+            )
+        return path
+
+    # materialize inputs at full parallelism; generation is never timed
+    warm_rows = max(args.rows // 10, 200_000)
+    s = get_spark("cluster-scaling-prep", master="local[32]")
+    pages_dir = ensure_cluster_pages(s, args.rows)
+    warm_dir = ensure_cluster_pages(s, warm_rows)
+    stop_all()
+
+    scratch = os.path.join(CACHE, "cluster_scaling")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    pkg_zip = build_zip(scratch)
+
+    results = {}
+    for n_exec in levels:
+        out = os.path.join(scratch, f"exec{n_exec}")
+        with Cluster(n_exec, os.path.join(scratch, f"daemons{n_exec}")) as cl:
+            results[n_exec] = submit_flagship(
+                cl, pkg_zip, pages_dir, warm_dir, out, args.passes,
+            )
+
+    lo, hi = levels[0], levels[-1]
+    thr_lo = results[lo]["best"]["points_per_sec"]
+    thr_hi = results[hi]["best"]["points_per_sec"]
+    factor = hi / lo
+
+    # determinism gate: every output table content-identical across
+    # cluster sizes (blocks_1h included — blocks are built per url x dt
+    # group, not per partition, so bytes must match too)
+    s = get_spark("cluster-scaling-verify", master="local[8]")
+    identical = {}
+    for t in ("t1m", "t1h", "t1d", "gapfill_1h", "blocks_1h"):
+        h = [
+            content_hash(s, os.path.join(scratch, f"exec{n}", "pass0", t))
+            for n in (lo, hi)
+        ]
+        identical[t] = h[0] == h[1]
+    stop_all()
+
+    print(
+        json.dumps(
+            {
+                "mode": "standalone-cluster, separate pinned executor JVMs",
+                "raw_points": results[lo]["raw_points"],
+                "cores_per_executor": CORES_PER_EXECUTOR,
+                "executors": [lo, hi],
+                f"exec{lo}_pps": thr_lo,
+                f"exec{hi}_pps": thr_hi,
+                "speedup": round(thr_hi / thr_lo, 3),
+                "efficiency_n_to_4n": round(thr_hi / (factor * thr_lo), 3),
+                "stage_secs": {
+                    f"exec{n}": results[n]["best"]["stage_secs"] for n in (lo, hi)
+                },
+                "tables_bit_identical_across_cluster_sizes": identical,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
