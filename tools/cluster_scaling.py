@@ -74,13 +74,13 @@ def wait_port(port: int, timeout: float = 30.0) -> None:
     raise TimeoutError(f"port {port} not listening after {timeout}s")
 
 
-def wait_workers(n: int, timeout: float = 60.0) -> None:
+def wait_workers(n: int, timeout: float = 60.0, ui_port: int = MASTER_UI_PORT) -> None:
     """Poll the master's JSON endpoint until n ALIVE workers register."""
     t0 = time.time()
     while time.time() - t0 < timeout:
         try:
             with urllib.request.urlopen(
-                f"http://127.0.0.1:{MASTER_UI_PORT}/json/", timeout=5
+                f"http://127.0.0.1:{ui_port}/json/", timeout=5
             ) as r:
                 st = json.load(r)
             alive = [w for w in st.get("workers", []) if w["state"] == "ALIVE"]
@@ -103,14 +103,26 @@ def _daemon_env(extra: dict | None = None) -> dict:
 class Cluster:
     """A standalone master + n_workers pinned worker JVMs (context mgr)."""
 
-    def __init__(self, n_workers: int, work_root: str):
+    def __init__(
+        self,
+        n_workers: int,
+        work_root: str,
+        master_port: int = MASTER_PORT,
+        ui_port: int = MASTER_UI_PORT,
+        cores_per_worker: int = CORES_PER_EXECUTOR,
+        pin: bool = True,
+    ):
         self.n_workers = n_workers
         self.work_root = work_root
+        self.master_port = master_port
+        self.ui_port = ui_port
+        self.cores_per_worker = cores_per_worker
+        self.pin = pin
         self.procs: list[subprocess.Popen] = []
 
     @property
     def master_url(self) -> str:
-        return f"spark://127.0.0.1:{MASTER_PORT}"
+        return f"spark://127.0.0.1:{self.master_port}"
 
     def __enter__(self):
         os.makedirs(self.work_root, exist_ok=True)
@@ -121,17 +133,18 @@ class Cluster:
                 [
                     SPARK_CLASS, "org.apache.spark.deploy.master.Master",
                     "--host", "127.0.0.1",
-                    "--port", str(MASTER_PORT),
-                    "--webui-port", str(MASTER_UI_PORT),
+                    "--port", str(self.master_port),
+                    "--webui-port", str(self.ui_port),
                 ],
                 env=_daemon_env(), stdout=log, stderr=log,
             )
         )
-        wait_port(MASTER_PORT)
+        wait_port(self.master_port)
         for i in range(self.n_workers):
-            cores = {CORES_PER_EXECUTOR * i, CORES_PER_EXECUTOR * i + 1}
+            cpw = self.cores_per_worker
+            cores = set(range(cpw * i, cpw * (i + 1)))
             wdir = os.path.join(self.work_root, f"worker{i}")
-            shm = f"/dev/shm/spark_graft_w{i}"
+            shm = f"/dev/shm/spark_graft_w{self.master_port}_{i}"
             os.makedirs(wdir, exist_ok=True)
             # preexec pins the worker process; the executor JVM and its
             # python workers are forked children and inherit the mask —
@@ -142,17 +155,21 @@ class Cluster:
                         SPARK_CLASS, "org.apache.spark.deploy.worker.Worker",
                         self.master_url,
                         "--host", "127.0.0.1",
-                        "--cores", str(CORES_PER_EXECUTOR),
+                        "--cores", str(cpw),
                         "--memory", "8g",
                         "--webui-port", "0",
                         "--work-dir", wdir,
                     ],
                     env=_daemon_env({"SPARK_LOCAL_DIRS": shm}),
                     stdout=log, stderr=log,
-                    preexec_fn=(lambda c=cores: os.sched_setaffinity(0, c)),
+                    preexec_fn=(
+                        (lambda c=cores: os.sched_setaffinity(0, c))
+                        if self.pin
+                        else None
+                    ),
                 )
             )
-        wait_workers(self.n_workers)
+        wait_workers(self.n_workers, ui_port=self.ui_port)
         return self
 
     def __exit__(self, *exc):
@@ -165,7 +182,10 @@ class Cluster:
                 p.kill()
         self._log.close()
         for i in range(self.n_workers):
-            shutil.rmtree(f"/dev/shm/spark_graft_w{i}", ignore_errors=True)
+            shutil.rmtree(
+                f"/dev/shm/spark_graft_w{self.master_port}_{i}",
+                ignore_errors=True,
+            )
 
 
 def submit_flagship(
