@@ -298,7 +298,9 @@ def _lane_prep(bufs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     U = np.zeros(len(sw), dtype=np.uint64)
     for j in range(8):
         U |= sw[:, j].astype(np.uint64) << np.uint64(56 - 8 * j)
-    B8 = pad[8 : len(cat) + 12].astype(np.uint64)
+    # B8 stays uint8 (8x less memory than widening the whole array);
+    # _peek64 widens only the gathered per-lane elements
+    B8 = pad[8 : len(cat) + 12]
     return U, B8, boff
 
 
@@ -306,7 +308,7 @@ def _peek64(U: np.ndarray, B8: np.ndarray, pos: np.ndarray) -> np.ndarray:
     """Exact 64-bit big-endian window starting at BIT position pos."""
     k = pos >> 3
     s = (pos & 7).astype(np.uint64)
-    return (U[k] << s) | (B8[k] >> (np.uint64(8) - s))
+    return (U[k] << s) | (B8[k].astype(np.uint64) >> (np.uint64(8) - s))
 
 
 def decode_ts_multi(bufs, ns: np.ndarray) -> np.ndarray:

@@ -124,11 +124,11 @@ def decode_blocks(blocks: DataFrame, value_col: str = "value") -> DataFrame:
                 continue
             tbufs = [bytes(b) for b in pdf["ts_block"]]
             vbufs = [bytes(b) for b in pdf["val_block"]]
-            for t, v, crc, url in zip(
-                tbufs, vbufs, pdf["crc32"].to_numpy(), pdf["url"]
+            for t, v, crc, url, tr in zip(
+                tbufs, vbufs, pdf["crc32"].to_numpy(), pdf["url"], pdf["tier"]
             ):
                 if C.block_crc(t, v) != crc:
-                    raise ValueError(f"CRC mismatch for url={url}")
+                    raise ValueError(f"CRC mismatch for url={url} tier={tr}")
             ns = pdf["n_points"].to_numpy(np.int64)
             # every block of the Arrow batch decodes in ONE lane-parallel
             # numpy pass (decode_*_multi) — no per-block Python

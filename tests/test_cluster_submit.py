@@ -30,19 +30,12 @@ _spec = importlib.util.spec_from_file_location(
     "cluster_scaling", os.path.join(REPO, "tools", "cluster_scaling.py")
 )
 cluster_scaling = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_spec and cluster_scaling)
+_spec.loader.exec_module(cluster_scaling)
 
 STAGES = ("t1m", "t1h", "t1d", "gapfill_1h", "blocks_1h")
 
-
-def _content_hash(spark, path):
-    df = spark.read.parquet(path)
-    row = (
-        df.select(F.xxhash64(*sorted(df.columns)).cast("decimal(38,0)").alias("h"))
-        .agg(F.sum("h").alias("hs"), F.count(F.lit(1)).alias("n"))
-        .collect()[0]
-    )
-    return str(row.hs), row.n
+# the SAME fingerprint the evidence harness uses — one implementation
+_content_hash = cluster_scaling.content_hash
 
 
 @pytest.mark.skipif(

@@ -128,6 +128,16 @@ class Cluster:
         os.makedirs(self.work_root, exist_ok=True)
         log = open(os.path.join(self.work_root, "daemons.log"), "ab")
         self._log = log
+        try:
+            self._start(log)
+        except BaseException:
+            # __exit__ never runs when __enter__ raises: reap whatever
+            # daemons already spawned so ports/tmpfs aren't leaked
+            self.__exit__()
+            raise
+        return self
+
+    def _start(self, log) -> None:
         self.procs.append(
             subprocess.Popen(
                 [
@@ -170,7 +180,6 @@ class Cluster:
                 )
             )
         wait_workers(self.n_workers, ui_port=self.ui_port)
-        return self
 
     def __exit__(self, *exc):
         for p in reversed(self.procs):
@@ -190,9 +199,9 @@ class Cluster:
 
 def submit_flagship(
     cluster: Cluster, pkg_zip: str, pages: str, warmup_pages: str,
-    out: str, passes: int,
+    out: str, passes: int, cores_per_executor: int = CORES_PER_EXECUTOR,
 ) -> dict:
-    total_cores = CORES_PER_EXECUTOR * cluster.n_workers
+    total_cores = cores_per_executor * cluster.n_workers
     env = dict(os.environ)
     env["PYSPARK_PYTHON"] = sys.executable
     env.pop("PYTHONPATH", None)  # the zip must carry the whole package
@@ -202,13 +211,13 @@ def submit_flagship(
         "--deploy-mode", "client",
         "--driver-memory", "12g",
         "--py-files", pkg_zip,
-        "--conf", f"spark.executor.cores={CORES_PER_EXECUTOR}",
+        "--conf", f"spark.executor.cores={cores_per_executor}",
         "--conf", "spark.executor.memory=6g",
         "--conf", f"spark.cores.max={total_cores}",
         # same GC + processor budget the pinned local-mode levels use
         "--conf", (
             "spark.executor.extraJavaOptions=-XX:+UseParallelGC "
-            f"-XX:ActiveProcessorCount={CORES_PER_EXECUTOR}"
+            f"-XX:ActiveProcessorCount={cores_per_executor}"
         ),
         "--conf", "spark.ui.enabled=false",
         os.path.join(REPO, "tools", "cluster_flagship_driver.py"),
@@ -256,6 +265,17 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--executors", default="1,4", help="comma list, e.g. 1,4")
     ap.add_argument(
+        "--cores-per-executor", type=int, default=CORES_PER_EXECUTOR
+    )
+    ap.add_argument(
+        "--scratch", default=None,
+        help="where measured tier outputs go (default .cache/cluster_scaling). "
+        "Pass a /dev/shm path to take this box's SINGLE shared disk out of "
+        "the measurement: all executors of the 4N level write through one "
+        "spindle here, a contention real clusters don't have (per-executor "
+        "disks / object store); durability is not the property under test.",
+    )
+    ap.add_argument(
         "--points-per-url", type=int, default=100,
         help="crawl density of the synthetic input. The production "
         "ladder MATERIALIZES the dense gap-filled 1h tier (~720 rows "
@@ -293,17 +313,26 @@ def main() -> None:
     warm_dir = ensure_cluster_pages(s, warm_rows)
     stop_all()
 
-    scratch = os.path.join(CACHE, "cluster_scaling")
+    scratch = args.scratch or os.path.join(CACHE, "cluster_scaling")
+    if os.path.ismount(scratch):
+        # never rmtree a mountpoint the user handed us (e.g. bare
+        # /dev/shm, which also hosts other sessions' worker dirs)
+        scratch = os.path.join(scratch, "cluster_scaling")
     shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(scratch)
+    os.makedirs(scratch, exist_ok=True)
     pkg_zip = build_zip(scratch)
 
+    cpe = args.cores_per_executor
     results = {}
     for n_exec in levels:
         out = os.path.join(scratch, f"exec{n_exec}")
-        with Cluster(n_exec, os.path.join(scratch, f"daemons{n_exec}")) as cl:
+        with Cluster(
+            n_exec, os.path.join(scratch, f"daemons{n_exec}"),
+            cores_per_worker=cpe,
+        ) as cl:
             results[n_exec] = submit_flagship(
                 cl, pkg_zip, pages_dir, warm_dir, out, args.passes,
+                cores_per_executor=cpe,
             )
 
     lo, hi = levels[0], levels[-1]
@@ -329,7 +358,8 @@ def main() -> None:
             {
                 "mode": "standalone-cluster, separate pinned executor JVMs",
                 "raw_points": results[lo]["raw_points"],
-                "cores_per_executor": CORES_PER_EXECUTOR,
+                "cores_per_executor": cpe,
+                "scratch": scratch,
                 "executors": [lo, hi],
                 f"exec{lo}_pps": thr_lo,
                 f"exec{hi}_pps": thr_hi,
