@@ -118,6 +118,11 @@ def decode_blocks(blocks: DataFrame, value_col: str = "value") -> DataFrame:
     mapInPandas (decode is the read path; CRC verified per block)."""
     out_schema = f"url string, tier string, ts long, {value_col} double"
 
+    # decode_*_multi's window arrays cost ~9 bytes per block byte; cap
+    # the bytes handed to one lane-parallel pass so a fat Arrow batch of
+    # max-size blocks can't balloon the kernel past a few hundred MB
+    max_pass_bytes = 64 << 20
+
     def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -130,16 +135,30 @@ def decode_blocks(blocks: DataFrame, value_col: str = "value") -> DataFrame:
                 if C.block_crc(t, v) != crc:
                     raise ValueError(f"CRC mismatch for url={url} tier={tr}")
             ns = pdf["n_points"].to_numpy(np.int64)
-            # every block of the Arrow batch decodes in ONE lane-parallel
-            # numpy pass (decode_*_multi) — no per-block Python
-            yield pd.DataFrame(
-                {
-                    "url": np.repeat(pdf["url"].to_numpy(), ns),
-                    "tier": np.repeat(pdf["tier"].to_numpy(), ns),
-                    "ts": C.decode_ts_multi(tbufs, ns),
-                    value_col: C.decode_vals_multi(vbufs, ns),
-                }
+            sizes = np.fromiter(
+                (len(t) + len(v) for t, v in zip(tbufs, vbufs)),
+                np.int64,
+                count=len(tbufs),
             )
+            cuts = [0]
+            acc = 0
+            for i, sz in enumerate(sizes.tolist()):
+                if acc + sz > max_pass_bytes and i > cuts[-1]:
+                    cuts.append(i)
+                    acc = 0
+                acc += sz
+            cuts.append(len(tbufs))
+            # every block of the slice decodes in ONE lane-parallel
+            # numpy pass (decode_*_multi) — no per-block Python
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                yield pd.DataFrame(
+                    {
+                        "url": np.repeat(pdf["url"].to_numpy()[a:b], ns[a:b]),
+                        "tier": np.repeat(pdf["tier"].to_numpy()[a:b], ns[a:b]),
+                        "ts": C.decode_ts_multi(tbufs[a:b], ns[a:b]),
+                        value_col: C.decode_vals_multi(vbufs[a:b], ns[a:b]),
+                    }
+                )
 
     return blocks.mapInPandas(decode_batch, out_schema)
 
