@@ -26,9 +26,9 @@ once (parity with groupBy().applyInPandas is asserted in
 tests/test_grouped.py with maxRecordsPerBatch forced tiny so groups
 straddle batch boundaries).
 
-Keys must be non-null (all engine group keys are); rows with null keys
-would each flush as singleton groups because NaN != NaN under the
-carry comparison.
+Null keys group together (parity with groupBy().applyInPandas, which
+emits a null-key group): the carry comparison treats NaN == NaN and
+the in-batch groupby runs with dropna=False.
 """
 
 from __future__ import annotations
@@ -97,7 +97,12 @@ def batched_group_apply(
             tail = np.ones(len(pdf), dtype=bool)
             for k in keys:
                 col = pdf[k].to_numpy()
-                tail &= col == col[-1]
+                eq = col == col[-1]
+                if pd.isna(col[-1]):
+                    # NaN != NaN; a null batch-final key must still
+                    # match the null rows of its own group suffix.
+                    eq = pd.isna(pdf[k]).to_numpy()
+                tail &= eq
             not_tail = np.flatnonzero(~tail)
             split = int(not_tail[-1]) + 1 if len(not_tail) else 0
             head = pdf.iloc[:split]
@@ -110,7 +115,7 @@ def batched_group_apply(
                 else:
                     outs = [
                         out
-                        for _, g in head.groupby(keys, sort=False)
+                        for _, g in head.groupby(keys, sort=False, dropna=False)
                         for out in (kernel(g.reset_index(drop=True)),)
                         if len(out)
                     ]

@@ -78,6 +78,27 @@ def apply_retention(
     plan: list[dict] = []
     now = time.time()
 
+    # Finish crashed deletes FIRST, across every manifested stage — not
+    # just stages still in `policies` and dts still past the *current*
+    # cutoff. A tombstone (expired_at set) alone authorizes the delete:
+    # the manifest already marks the partition retired, and raising
+    # keep_days or dropping the stage from policies later must not leave
+    # readers serving bytes the manifest says are gone.
+    if not dry_run:
+        mdir = os.path.join(out_root, "_manifests")
+        stages = (
+            [f[:-5] for f in os.listdir(mdir) if f.endswith(".json")]
+            if os.path.isdir(mdir)
+            else []
+        )
+        for stage in sorted(stages):
+            for e in M.read_manifest(out_root, stage):
+                if e.get("expired_at") is None:
+                    continue
+                part_dir = os.path.join(out_root, stage, f"dt={e['dt']}")
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+
     for stage, keep_days in sorted(policies.items()):
         cutoff = now_date - _dt.timedelta(days=keep_days)
         entries = M.read_manifest(out_root, stage)
@@ -94,11 +115,8 @@ def apply_retention(
                 continue
             part_dir = os.path.join(out_root, stage, f"dt={e['dt']}")
             if e.get("expired_at") is not None:
-                # already tombstoned; finish a possibly-crashed delete
-                # (tombstone-then-delete ordering below can leave the
-                # directory behind if the process dies in between)
-                if not dry_run and os.path.isdir(part_dir):
-                    shutil.rmtree(part_dir)
+                # already tombstoned; the pre-pass above swept the
+                # directory (idempotent re-run skips the entry here)
                 continue
             action = {
                 "stage": stage,

@@ -84,7 +84,25 @@ def get_spark(
     # while leaving local[8] unchanged. The cluster analogue is striped
     # NVMe local dirs per executor (standard spark-submit conf); honor
     # SPARK_LOCAL_DIRS if the deployment sets its own.
+    #
+    # tmpfs consumes physical RAM and /dev/shm is commonly capped at 50%
+    # of it, so spilling a shuffle bigger than RAM to tmpfs defeats the
+    # point of spilling. Guard rails: SPARK_GRAFT_TMPFS_LOCAL=1/0 forces
+    # the choice; otherwise tmpfs is used only when /dev/shm has at
+    # least 32 GiB free (a bench-class box), else disk stays default.
+    tmpfs_flag = os.environ.get("SPARK_GRAFT_TMPFS_LOCAL")
+    use_tmpfs = False
     if "SPARK_LOCAL_DIRS" not in os.environ and os.access("/dev/shm", os.W_OK):
+        if tmpfs_flag is not None:
+            use_tmpfs = tmpfs_flag not in ("0", "false", "")
+        else:
+            try:
+                import shutil
+
+                use_tmpfs = shutil.disk_usage("/dev/shm").free >= 32 << 30
+            except OSError:
+                use_tmpfs = False
+    if use_tmpfs:
         builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

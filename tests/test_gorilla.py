@@ -248,3 +248,49 @@ def test_vectorized_decoder_matches_sequential():
             ref_v[i].view(np.uint64),
         )
         o += n
+
+
+def test_decode_pass_budget_scales_to_slots():
+    """Budget = 15% of per-slot memory / 9B-per-block-byte, clamped to
+    [8 MiB, 64 MiB] — wide executors can't multiply the decode-window
+    footprint past the heap (ADVICE r2, operators/gorilla.py cap)."""
+    from spartan2_spark.operators.gorilla import _decode_pass_budget, _parse_mem
+
+    assert _parse_mem("48g") == 48 << 30
+    assert _parse_mem("512m") == 512 << 20
+    assert _parse_mem("1024") == 1024
+
+    class FakeConf:
+        def __init__(self, d):
+            self.d = d
+
+        def get(self, k, default=None):
+            return self.d.get(k, default)
+
+    class FakeSpark:
+        def __init__(self, d):
+            self.conf = FakeConf(d)
+
+    # executor 8g x 4 cores -> 2g/slot -> 0.15*2g/9 ~ 35.8 MiB
+    b = _decode_pass_budget(FakeSpark({"spark.executor.memory": "8g",
+                                       "spark.executor.cores": "4"}))
+    assert 30 << 20 < b < 40 << 20
+    # skinny executor: clamps to the 8 MiB floor
+    b = _decode_pass_budget(FakeSpark({"spark.executor.memory": "1g",
+                                       "spark.executor.cores": "8"}))
+    assert b == 8 << 20
+    # fat per-slot memory: clamps to the 64 MiB ceiling
+    b = _decode_pass_budget(FakeSpark({"spark.executor.memory": "64g",
+                                       "spark.executor.cores": "2"}))
+    assert b == 64 << 20
+    # local mode: driver heap shared across local[N] slots
+    b = _decode_pass_budget(FakeSpark({"spark.driver.memory": "48g",
+                                       "spark.master": "local[32]"}))
+    assert 20 << 20 < b <= 30 << 20
+    # unreadable conf -> safe default
+    class Boom:
+        @property
+        def conf(self):
+            raise RuntimeError
+
+    assert _decode_pass_budget(Boom()) == 64 << 20

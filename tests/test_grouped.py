@@ -156,3 +156,33 @@ def test_assume_partitioned_skips_exchange(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange") == 1
+
+
+def test_null_key_group_parity(tiny_batches):
+    """Null keys form ONE group, matching groupBy().applyInPandas —
+    not silently dropped (pandas dropna) nor singleton-flushed."""
+    spark = tiny_batches
+    rows = [(None if i % 3 == 0 else f"k{i % 4}", i) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, i long").repartition(3)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf["g"].iloc[0]
+        return pd.DataFrame(
+            {
+                "g": [None if pd.isna(key) else key],
+                "n": [len(pdf)],
+                "isum": [int(pdf["i"].sum())],
+            }
+        )
+
+    schema = "g string, n long, isum long"
+
+    def rowset(res):
+        return sorted((tuple(r) for r in res.collect()),
+                      key=lambda t: (t[0] is None, t))
+
+    want = rowset(df.groupBy("g").applyInPandas(kernel, schema))
+    got = rowset(batched_group_apply(df, ["g"], kernel, schema, order=("i",)))
+    assert got == want
+    # the null-key group exists and is a single row
+    assert sum(1 for r in got if r[0] is None) == 1

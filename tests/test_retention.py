@@ -122,3 +122,23 @@ def test_uncovered_stage_policy(spark, built, out_root):
     plan = apply_retention(out_root, {"blocks_1h": 3}, NOW, dry_run=True)
     assert {a["dt"] for a in plan if a["action"] == "expire"} == {"2024-01-01"}
     assert all(a["coverer"] is None for a in plan)
+
+
+def test_tombstone_sweep_ignores_current_cutoff(spark, built, out_root):
+    """A tombstoned-but-undeleted partition is swept even when the
+    stage's keep_days was raised (or the stage dropped from policies):
+    expired_at alone authorizes the delete."""
+    man_path = M.stage_manifest_path(out_root, "t1h")
+    entries = M.read_manifest(out_root, "t1h")
+    victim = min(entries, key=lambda e: e["dt"])
+    part_dir = os.path.join(out_root, "t1h", f"dt={victim['dt']}")
+    assert os.path.isdir(part_dir)
+    # simulate a crash between tombstone write and directory delete
+    victim["expired_at"] = 1.0
+    with open(man_path, "w") as f:
+        json.dump(entries, f)
+    # keep_days so large nothing is past the cutoff; different stage in
+    # policies entirely — the sweep must still finish the delete
+    plan = apply_retention(out_root, {"t1d": 9999}, NOW)
+    assert plan == []
+    assert not os.path.isdir(part_dir)
