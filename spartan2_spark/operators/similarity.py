@@ -125,18 +125,21 @@ def ivf_topk(
         seed_h = _poly_hash(F.col("corpus_id").cast("string"))
     else:
         seed_h = F.xxhash64(F.col("corpus_id"))
-    cents = (
+    # Seed = the nlist vectors with smallest hash. The frame is bounded
+    # by limit(nlist), so enumerate it driver-side: numbering ≤nlist
+    # collected rows beats row_number() over an unpartitioned window
+    # (single-partition WindowExec, WARN noise in every bench log).
+    seed_rows = (
         c.withColumn("__h", seed_h)
         .orderBy("__h", "corpus_id")
         .limit(nlist)
-        .select(
-            F.row_number()
-            .over(W.orderBy("__h", "corpus_id"))
-            .alias("centroid_id"),
-            F.col("cv").alias("centroid"),
-        )
-        .localCheckpoint()
+        .select("cv")
+        .collect()
     )
+    cents = corpus.sparkSession.createDataFrame(
+        [(i + 1, r["cv"]) for i, r in enumerate(seed_rows)],
+        schema="centroid_id int, centroid array<double>",
+    ).localCheckpoint()
     for _ in range(lloyd_rounds):
         assigned = _assign_nearest(c, cents, "cv", "cell")
         cents = (
