@@ -2720,6 +2720,102 @@ for _cte in ("c AS (", "alive AS (", "e AS (", "lab AS (", "surv AS (",
     )
 
 
+def _q_eaglemine_gof(spark, sf_dir):
+    """EagleMine island GOF acceptance (eaglemine_model.py:280-336
+    accept-or-descend BFS; desc/truncate_norm_gof.py AD statistics):
+    per-island normality statistic + the BFS that selects the accepted
+    frontier of the water-level tree. The engine's statistic is the
+    log2-value-weighted two-axis Jarque-Bera sum (raw-moment arithmetic, so
+    the DuckDB twin is value-exact) in place of the reference's
+    Monte-Carlo AD test — documented divergence in
+    operators/histogram.py:gof_islands."""
+    from spartan2_spark.operators.histogram import (
+        gof_accept_tree,
+        hist2d_log,
+        water_level_tree,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    tree = water_level_tree(hist, min_hcubes=4, smooth=True)
+    g = gof_accept_tree(tree)
+    return g.select(
+        "level",
+        "node",
+        "mass",
+        F.round("gof_stat", 6).alias("gof_stat"),
+        "accepted",
+        "visited",
+        "selected",
+    )
+
+
+_EAGLEMINE_GOF_SQL = _EAGLEMINE_TREE_CTES + """
+    , tree AS (SELECT o.level, o.node, o.parent, c.bin_x, c.bin_y, c.cnt,
+                      round(log2(CAST(c.cnt AS DOUBLE) + 1.0) * 100.0, 0) AS wv
+               FROM surv o JOIN c ON c.cid = o.cid),
+    mom AS (SELECT level, node, min(parent) AS parent,
+                   CAST(sum(cnt) AS BIGINT) AS mass,
+                   sum(wv) AS W,
+                   sum(wv * (bin_x + 0.5)) AS sx,
+                   sum(wv * (bin_x + 0.5) * (bin_x + 0.5)) AS sxx,
+                   sum(wv * (bin_x + 0.5) * (bin_x + 0.5) * (bin_x + 0.5)) AS sxxx,
+                   sum(wv * (bin_x + 0.5) * (bin_x + 0.5) * (bin_x + 0.5) * (bin_x + 0.5)) AS sx4,
+                   sum(wv * (bin_y + 0.5)) AS sy,
+                   sum(wv * (bin_y + 0.5) * (bin_y + 0.5)) AS syy,
+                   sum(wv * (bin_y + 0.5) * (bin_y + 0.5) * (bin_y + 0.5)) AS syyy,
+                   sum(wv * (bin_y + 0.5) * (bin_y + 0.5) * (bin_y + 0.5) * (bin_y + 0.5)) AS sy4
+            FROM tree GROUP BY 1, 2),
+    mu AS (SELECT *, sx / W AS mu_x, sy / W AS mu_y FROM mom),
+    cmo AS (SELECT level, node, parent, mass, W,
+                   sxx / W - mu_x * mu_x AS m2x,
+                   sxxx / W - 3.0 * mu_x * (sxx / W) + 2.0 * mu_x * mu_x * mu_x AS m3x,
+                   sx4 / W - 4.0 * mu_x * (sxxx / W) + 6.0 * mu_x * mu_x * (sxx / W)
+                     - 3.0 * mu_x * mu_x * mu_x * mu_x AS m4x,
+                   syy / W - mu_y * mu_y AS m2y,
+                   syyy / W - 3.0 * mu_y * (syy / W) + 2.0 * mu_y * mu_y * mu_y AS m3y,
+                   sy4 / W - 4.0 * mu_y * (syyy / W) + 6.0 * mu_y * mu_y * (syy / W)
+                     - 3.0 * mu_y * mu_y * mu_y * mu_y AS m4y
+            FROM mu),
+    jb AS (SELECT level, node, parent, mass,
+                  CASE WHEN m2x > 1e-12 AND m2y > 1e-12 THEN
+                    W / 100.0 / 6.0 * ((m3x * m3x) / (m2x * m2x * m2x)
+                               + (m4x / (m2x * m2x) - 3.0) * (m4x / (m2x * m2x) - 3.0) / 4.0)
+                    + W / 100.0 / 6.0 * ((m3y * m3y) / (m2y * m2y * m2y)
+                                 + (m4y / (m2y * m2y) - 3.0) * (m4y / (m2y * m2y) - 3.0) / 4.0)
+                  END AS gof_stat
+           FROM cmo),
+    st AS (SELECT *, (gof_stat IS NULL OR gof_stat <= 9.4877) AS accepted FROM jb),
+    lvls AS (SELECT DISTINCT level FROM st),
+    nx AS (SELECT x.level, min(y.level) AS nl
+           FROM lvls x JOIN lvls y ON y.level > x.level GROUP BY 1),
+    sth AS (SELECT s.*,
+                   EXISTS (SELECT 1 FROM st ch, nx
+                           WHERE nx.level = s.level AND ch.level = nx.nl
+                             AND ch.parent = s.node) AS has_child
+            FROM st s),
+    walk(level, node, is_open) AS (
+      SELECT level, node, (NOT accepted AND has_child) FROM sth
+      WHERE level = (SELECT min(level) FROM sth)
+      UNION ALL
+      SELECT s.level, s.node, (NOT s.accepted AND s.has_child)
+      FROM sth s
+      JOIN walk w ON s.parent = w.node AND w.is_open
+      JOIN nx ON nx.level = w.level AND s.level = nx.nl)
+    SELECT s.level, s.node, s.mass, round(s.gof_stat, 6) AS gof_stat,
+           s.accepted,
+           (w.node IS NOT NULL) AS visited,
+           (w.node IS NOT NULL AND (s.accepted OR NOT s.has_child)) AS selected
+    FROM sth s LEFT JOIN walk w ON w.level = s.level AND w.node = s.node
+"""
+
+for _cte in ("c AS (", "alive AS (", "e AS (", "lab AS (", "surv AS (",
+             "tree AS (", "st AS (", "sth AS ("):
+    _EAGLEMINE_GOF_SQL = _EAGLEMINE_GOF_SQL.replace(
+        _cte, _cte.replace("AS (", "AS MATERIALIZED ("), 1
+    )
+
+
 def _q_specgreedy(spark, sf_dir):
     """SpecGreedy-style spectrally-seeded densest block
     (SpecGreedy.py:19-257): power-iteration seeding + parallel
@@ -3096,7 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_difference": _q_graph_difference,
         "subgraph_reindex": _q_subgraph_reindex,
         # --- new this round (r03) ---
-        # (inserted here as they land)
+        "eaglemine_gof": _q_eaglemine_gof,
         # --- green in r02, padding the 50-query prefix ---
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
@@ -3208,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "eaglemine_clusters": _EAGLEMINE_SQL,
         "eaglemine_describe": _EAGLEMINE_DESC_SQL,
         "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
+        "eaglemine_gof": _EAGLEMINE_GOF_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "gorilla_read_range": _GORILLA_READ_RANGE_SQL,
         "html_extract_text": _HTML_EXTRACT_SQL,

@@ -40,7 +40,14 @@ __all__ = [
     "water_level_tree",
     "describe_islands",
     "stitch_islands",
+    "gof_islands",
+    "gof_accept_tree",
+    "JB_CHI2_4DOF_5PCT",
 ]
+
+# chi-square critical value, 4 dof at alpha=0.05 — the acceptance bar
+# for the summed two-axis Jarque-Bera statistic (each axis ~ chi2(2))
+JB_CHI2_4DOF_5PCT = 9.4877
 
 
 def hist1d(
@@ -501,7 +508,9 @@ def describe_islands(tree: DataFrame) -> DataFrame:
 
 
 def stitch_islands(
-    tree: DataFrame, stitch_threshold: float = 0.2
+    tree: DataFrame,
+    stitch_threshold: float = 0.2,
+    gof_threshold: float | None = None,
 ) -> DataFrame:
     """EagleMine post-stitch (eaglemine_model.py:377-460 `post_stitch`,
     340-351 `_close_check`, 353-376 `_greedy_select`): merge same-level
@@ -523,6 +532,13 @@ def stitch_islands(
       (grouped kernel over the bounded island relation). ONE stitch
       round (the reference loops with re-fits; further rounds would
       re-fit merged clusters).
+    - ``gof_threshold``: when set, a candidate pair must ALSO have its
+      POOLED moments pass the Jarque-Bera normality gate (<= threshold,
+      two-axis sum; NULL = degenerate axis accepts) — the reference's
+      post_stitch accepts a merge only when the pooled fit passes its
+      hypothesis test (eaglemine_model.py:446-457 stat_tester.apply on
+      the merged cells). Default None keeps the likelihood-ratio-only
+      behavior.
 
     ``tree`` is :func:`water_level_tree` output. Returns (level, bin_x,
     bin_y, cnt, node, stitched) — stitched = min node id of the
@@ -530,7 +546,11 @@ def stitch_islands(
     """
     import pandas as pd
 
-    m = tree.groupBy("level", "node").agg(*_gauss_moment_aggs()).localCheckpoint()
+    m = (
+        tree.groupBy("level", "node")
+        .agg(*_gauss_moment_aggs(), *_axis_moment_aggs())
+        .localCheckpoint()
+    )
     params = _gauss_params(m)
 
     own_loss = _gauss_loss(tree, params, ["level", "node"])
@@ -564,9 +584,27 @@ def stitch_islands(
             (F.col("a.sxx") + F.col("b.sxx")).alias("sxx"),
             (F.col("a.sxy") + F.col("b.sxy")).alias("sxy"),
             (F.col("a.syy") + F.col("b.syy")).alias("syy"),
+            (F.col("a.sxxx") + F.col("b.sxxx")).alias("sxxx"),
+            (F.col("a.sx4") + F.col("b.sx4")).alias("sx4"),
+            (F.col("a.syyy") + F.col("b.syyy")).alias("syyy"),
+            (F.col("a.sy4") + F.col("b.sy4")).alias("sy4"),
         )
     )
     ppar = _gauss_params(pairs)
+    if gof_threshold is not None:
+        # pooled-fit normality gate (reference post_stitch's hypothesis
+        # test on merged cells): reject the candidate pair outright when
+        # the pooled Jarque-Bera statistic exceeds the threshold
+        jb_x, m2x = _jb_axis(
+            F.col("mu_x"), F.col("sxx"), F.col("sxxx"), F.col("sx4"), F.col("W")
+        )
+        jb_y, m2y = _jb_axis(
+            F.col("mu_y"), F.col("syy"), F.col("syyy"), F.col("sy4"), F.col("W")
+        )
+        pooled_stat = F.when((m2x > 1e-12) & (m2y > 1e-12), jb_x + jb_y)
+        ppar = ppar.filter(
+            pooled_stat.isNull() | (pooled_stat <= F.lit(gof_threshold))
+        )
     # cells of u or v only
     pcells = (
         tree.alias("t")
@@ -661,4 +699,183 @@ def stitch_islands(
             "node",
             F.coalesce("stitched", F.col("node")).alias("stitched"),
         )
+    )
+
+
+def _axis_moment_aggs(w=None) -> list:
+    """1st-4th-order raw weighted axis moments (GOF statistics).
+
+    ``w`` defaults to the cnt weight; :func:`gof_islands` passes the
+    centi-quantized log2 value weight instead.
+    """
+    cx, cy = _cx(), _cy()
+    w = _w() if w is None else w
+    return [
+        F.sum(w * cx * cx * cx).alias("sxxx"),
+        F.sum(w * cx * cx * cx * cx).alias("sx4"),
+        F.sum(w * cy * cy * cy).alias("syyy"),
+        F.sum(w * cy * cy * cy * cy).alias("sy4"),
+    ]
+
+
+def _wlog():
+    """EagleMine's value weight, centi-quantized: the reference weighs
+    GOF samples by the log-transformed cell value
+    (eaglemine_model.py:296-318 ``values = log(count+1)/log(base)``,
+    ``weights = values``; power_base 2 to match the water levels).
+    round(.*100) makes the weight an integer-valued double, so
+    distributed moment sums stay order-independent (exact in IEEE
+    doubles) and the DuckDB twin is value-exact; the JB prefactor
+    divides the 100 back out.
+    """
+    return F.round(F.log2(F.col("cnt").cast("double") + 1.0) * 100.0, 0)
+
+
+def _jb_axis(mu, s2, s3, s4, w, w_scale: float = 1.0):
+    """Weighted Jarque-Bera statistic for one axis from raw moments
+    (mu = s1/W precomputed). ``w_scale`` divides the weight sum back to
+    effective-sample units (100.0 for centi-log2 weights). NULL-safe
+    via the caller's m2 guard."""
+    m2 = s2 / w - mu * mu
+    m3 = s3 / w - 3.0 * mu * (s2 / w) + 2.0 * mu * mu * mu
+    m4 = (
+        s4 / w
+        - 4.0 * mu * (s3 / w)
+        + 6.0 * mu * mu * (s2 / w)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew2 = (m3 * m3) / (m2 * m2 * m2)
+    exk = m4 / (m2 * m2) - 3.0
+    return w / w_scale / 6.0 * (skew2 + exk * exk / 4.0), m2
+
+
+def gof_islands(tree: DataFrame, threshold: float = JB_CHI2_4DOF_5PCT) -> DataFrame:
+    """Per-island goodness-of-fit statistic for the Gaussian describe.
+
+    The reference gates island acceptance on a truncated-normal
+    Anderson-Darling test with Monte-Carlo p-values
+    (model/eaglemine/desc/truncate_norm_gof.py:42-134 AD statistics,
+    eaglemine_model.py:296-336 accept/descend BFS). Monte-Carlo
+    simulation per island is driver-hostile and non-deterministic, so
+    the engine re-expresses the acceptance rule with the moment-based
+    Jarque-Bera normality statistic per axis (log2-value-weighted, over
+    cell centers): JB = W/6 * (skew^2 + excess_kurtosis^2 / 4), summed
+    over the two axes, accepted when <= chi-square(4 dof) critical
+    value — raw-moment arithmetic only, value-exact against a DuckDB
+    twin (documented divergence: JB replaces AD + simulation; the
+    decision structure — accept or descend — is the reference's).
+
+    Degenerate axes (variance ~ 0, e.g. a single row/column of cells)
+    yield NULL gof_stat and accept by convention (a point mass has
+    nothing to refine into).
+
+    Weights are the reference's log-transformed cell values
+    (:func:`_wlog`), NOT raw counts — the reference passes
+    ``weights = values`` into its island hypothesis test
+    (eaglemine_model.py:316-318), which keeps the effective sample
+    size at log scale so the test discriminates shape rather than
+    rejecting every massive island.
+
+    Returns (level, node, parent, n_cells, mass, gof_stat, accepted).
+    """
+    w = _wlog()
+    cx, cy = _cx(), _cy()
+    m = tree.groupBy("level", "node").agg(
+        F.min("parent").alias("parent"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("cnt").alias("mass"),
+        F.sum(w).alias("W"),
+        F.sum(w * cx).alias("sx"),
+        F.sum(w * cx * cx).alias("sxx"),
+        F.sum(w * cy).alias("sy"),
+        F.sum(w * cy * cy).alias("syy"),
+        *_axis_moment_aggs(w),
+    )
+    mu = m.select(
+        "level",
+        "node",
+        "parent",
+        "n_cells",
+        "mass",
+        "W",
+        "sxx",
+        "sxxx",
+        "sx4",
+        "syy",
+        "syyy",
+        "sy4",
+        (F.col("sx") / F.col("W")).alias("mu_x"),
+        (F.col("sy") / F.col("W")).alias("mu_y"),
+    )
+    jb_x, m2x = _jb_axis(
+        F.col("mu_x"), F.col("sxx"), F.col("sxxx"), F.col("sx4"), F.col("W"), 100.0
+    )
+    jb_y, m2y = _jb_axis(
+        F.col("mu_y"), F.col("syy"), F.col("syyy"), F.col("sy4"), F.col("W"), 100.0
+    )
+    stat = F.when((m2x > 1e-12) & (m2y > 1e-12), jb_x + jb_y)
+    return mu.select(
+        "level",
+        "node",
+        "parent",
+        "n_cells",
+        "mass",
+        stat.alias("gof_stat"),
+        F.when(stat.isNull(), F.lit(True))
+        .otherwise(stat <= F.lit(threshold))
+        .alias("accepted"),
+    )
+
+
+def gof_accept_tree(
+    tree: DataFrame, threshold: float = JB_CHI2_4DOF_5PCT
+) -> DataFrame:
+    """EagleMine's accept-or-descend BFS over the water-level tree
+    (eaglemine_model.py:280-336): visit roots; an island whose fit
+    passes the GOF test is SELECTED and its subtree pruned; a rejected
+    island descends to its children; a rejected leaf is pseudo-accepted
+    (selected). Islands never visited (an ancestor was accepted) are
+    reported with visited = selected = false.
+
+    The per-island statistics aggregate distributed
+    (:func:`gof_islands`); the BFS itself runs driver-side over the
+    bounded island relation (one row per island — metadata scale, the
+    same split as the reference's Python BFS over tree nodes).
+
+    Returns (level, node, mass, gof_stat, accepted, visited, selected).
+    """
+    st = gof_islands(tree, threshold).localCheckpoint()
+    rows = st.select("level", "node", "parent", "accepted").collect()
+    levels = sorted({r["level"] for r in rows})
+    prev_of = {levels[i + 1]: l for i, l in enumerate(levels[:-1])}
+    children: dict = {}
+    for r in rows:
+        prev = prev_of.get(r["level"])
+        if prev is not None:
+            # parent linkage points at the PREVIOUS emitted level
+            children.setdefault((prev, r["parent"]), []).append(
+                (r["level"], r["node"])
+            )
+    acc = {(r["level"], r["node"]): bool(r["accepted"]) for r in rows}
+    roots = [(levels[0], r["node"]) for r in rows if r["level"] == levels[0]]
+    visited, selected = set(), set()
+    queue = list(roots)
+    while queue:
+        key = queue.pop(0)
+        visited.add(key)
+        kids = children.get(key, [])
+        if acc[key] or not kids:
+            selected.add(key)  # accept, or pseudo-accept a leaf
+        else:
+            queue.extend(kids)
+    spark = tree.sparkSession
+    flags = spark.createDataFrame(
+        [
+            (lv, nd, (lv, nd) in visited, (lv, nd) in selected)
+            for (lv, nd) in ((r["level"], r["node"]) for r in rows)
+        ],
+        "level long, node long, visited boolean, selected boolean",
+    )
+    return st.join(flags, ["level", "node"]).select(
+        "level", "node", "mass", "gof_stat", "accepted", "visited", "selected"
     )

@@ -252,3 +252,145 @@ def test_stitch_islands_threshold_blocks_distant_pool(spark):
     out = HG.stitch_islands(tree, stitch_threshold=0.2).collect()
     assert {r.stitched for r in out if r.node == 1} == {1}
     assert {r.stitched for r in out if r.node == 2} == {2}
+
+
+def _np_jb(cells):
+    """Numpy replica of the engine's island GOF statistic: centi-log2
+    weighted two-axis Jarque-Bera sum over cell centers."""
+    import numpy as np
+
+    pts = np.array([(x + 0.5, y + 0.5) for x, y, _ in cells], dtype=float)
+    w = np.round(np.log2(np.array([c for *_, c in cells], dtype=float) + 1.0) * 100.0)
+    W = w.sum()
+    stat = 0.0
+    for ax in (0, 1):
+        v = pts[:, ax]
+        mu = (w * v).sum() / W
+        m2 = (w * v * v).sum() / W - mu * mu
+        if m2 <= 1e-12:
+            return None
+        m3 = (w * v**3).sum() / W - 3 * mu * ((w * v * v).sum() / W) + 2 * mu**3
+        m4 = (
+            (w * v**4).sum() / W
+            - 4 * mu * ((w * v**3).sum() / W)
+            + 6 * mu * mu * ((w * v * v).sum() / W)
+            - 3 * mu**4
+        )
+        stat += W / 100.0 / 6.0 * (m3 * m3 / m2**3 + (m4 / m2**2 - 3.0) ** 2 / 4.0)
+    return stat
+
+
+def test_gof_accepts_planted_gaussian_root(spark):
+    # log2(cnt+1) surface is a Gaussian bell (sigma=2 cells, peak 8):
+    # the weighted cell distribution IS normal, so the root island must
+    # pass the JB gate and the BFS must prune its whole subtree.
+    import numpy as np
+
+    rows = []
+    for x in range(-7, 8):
+        for y in range(-7, 8):
+            w0 = 8.0 * np.exp(-(x * x + y * y) / 8.0)
+            cnt = int(round(2.0**w0)) - 1
+            if cnt >= 1:
+                rows.append((x + 7, y + 7, cnt))
+    hist = spark.createDataFrame(rows, "bin_x long, bin_y long, cnt long")
+    tree = HG.water_level_tree(hist)
+    out = HG.gof_accept_tree(tree).collect()
+    roots = [r for r in out if r.level == min(r2.level for r2 in out)]
+    assert len(roots) == 1
+    root = roots[0]
+    # engine stat == independent numpy replica of the root island
+    root_cells = [
+        (r.bin_x, r.bin_y, r.cnt)
+        for r in tree.collect()
+        if r.level == root.level and r.node == root.node
+    ]
+    want = _np_jb(root_cells)
+    assert abs(root.gof_stat - want) < 1e-9
+    assert want < HG.JB_CHI2_4DOF_5PCT  # fixture sanity
+    assert root.accepted and root.visited and root.selected
+    # subtree pruned: nothing below the root is visited or selected
+    for r in out:
+        if (r.level, r.node) != (root.level, root.node):
+            assert not r.visited and not r.selected
+
+
+def test_gof_rejects_mixture_and_descends(spark):
+    # 7x7 plateau with two embedded peaks (the water-level-tree fixture):
+    # the root mixes two modes -> rejected; the BFS descends. Full
+    # differential check against a numpy replica of statistic + BFS.
+    rows = []
+    for x in range(7):
+        for y in range(7):
+            cnt = 2
+            if x <= 2 and y <= 2:
+                cnt = 10
+            if x >= 4 and y >= 4:
+                cnt = 40
+            rows.append((x, y, cnt))
+    hist = spark.createDataFrame(rows, "bin_x long, bin_y long, cnt long")
+    tree = HG.water_level_tree(hist)
+    trows = tree.collect()
+    out = {(r.level, r.node): r for r in HG.gof_accept_tree(tree).collect()}
+
+    # numpy replica of statistic and accept-or-descend BFS
+    islands = {}
+    for r in trows:
+        islands.setdefault((r.level, r.node, r.parent), []).append(
+            (r.bin_x, r.bin_y, r.cnt)
+        )
+    levels = sorted({l for l, *_ in islands})
+    prev_of = {levels[i + 1]: l for i, l in enumerate(levels[:-1])}
+    stat = {}
+    kids = {}
+    for (l, n, p), cells in islands.items():
+        stat[(l, n)] = _np_jb(cells)
+        if l in prev_of:
+            kids.setdefault((prev_of[l], p), []).append((l, n))
+    acc = {
+        k: (s is None or s <= HG.JB_CHI2_4DOF_5PCT) for k, s in stat.items()
+    }
+    queue = [k for k in stat if k[0] == levels[0]]
+    visited, selected = set(), set()
+    while queue:
+        k = queue.pop(0)
+        visited.add(k)
+        ch = kids.get(k, [])
+        if acc[k] or not ch:
+            selected.add(k)
+        else:
+            queue.extend(ch)
+    assert set(out) == set(stat)
+    for k, r in out.items():
+        if stat[k] is None:
+            assert r.gof_stat is None
+        else:
+            assert abs(r.gof_stat - stat[k]) < 1e-9
+        assert r.accepted == acc[k]
+        assert r.visited == (k in visited)
+        assert r.selected == (k in selected)
+    # and the root really is a rejected mixture that descends
+    root = (levels[0], min(n for l, n in stat if l == levels[0]))
+    assert not acc[root] and root in visited and root not in selected
+    assert any(k in selected for k in stat if k != root)
+
+
+def test_stitch_gof_gate(spark):
+    # same fixture as the merge test: default merges 1+2; an impossible
+    # pooled-GOF bar (-1.0) blocks every merge; a huge bar reproduces
+    # the default exactly (gate wiring, eaglemine_model.py:446-457)
+    rows = []
+    for node, x0 in ((1, 0), (2, 1), (3, 40)):
+        for dx in range(5):
+            for y in range(3):
+                rows.append((1, x0 + dx, y, 10, node))
+    tree = spark.createDataFrame(
+        rows, "level long, bin_x long, bin_y long, cnt long, node long"
+    )
+    base = sorted(tuple(r) for r in HG.stitch_islands(tree, 0.2).collect())
+    blocked = HG.stitch_islands(tree, 0.2, gof_threshold=-1.0).collect()
+    assert all(r.stitched == r.node for r in blocked)
+    same = sorted(
+        tuple(r) for r in HG.stitch_islands(tree, 0.2, gof_threshold=1e9).collect()
+    )
+    assert same == base
