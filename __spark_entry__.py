@@ -2299,6 +2299,123 @@ def _flow_peel_sql(rounds: int = 12) -> str:
     )
 
 
+def _q_flowscope_peel(spark, sf_dir):
+    """FlowScope coupled A->M->C chain peel (flowscopeFraudDect.py:
+    100-148/256-283/324-384): per-middle min(in,out) flow and
+    imbalance residue couple BOTH transfer matrices; batch ratio peel
+    with the reference's (1+alpha)/-alpha priorities over all three
+    node layers, best-objective round returned. Integer arithmetic
+    throughout (alpha=4, centi values) -> twin replays bit-for-bit."""
+    from spartan2_spark.operators.flow import flowscope_peel
+
+    li = _lineitem(spark, sf_dir)
+    base = li.select(
+        F.col("l_suppkey").alias("a"),
+        F.col("l_partkey").alias("mid"),
+        (F.col("l_orderkey") % 997).alias("c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("value"),
+        (F.col("l_linenumber") % 2).alias("par"),
+    )
+    am = base.filter(F.col("par") == 1).select("a", "mid", "value")
+    mc = base.filter(F.col("par") == 0).select("mid", "c", "value")
+    res = flowscope_peel(am, mc, alpha=4, max_rounds=6)
+    return (
+        res["nodes"]
+        .select("side", "node", F.col("p").alias("priority"))
+        .withColumn("rnd", F.lit(res["round"]))
+        .withColumn("objective", F.round(F.lit(res["objective"]), 8))
+    )
+
+
+def _flowscope_peel_sql(rounds: int = 6) -> str:
+    """Fixed-unroll twin of the FlowScope chain peel: each round
+    recomputes the coupled per-middle min/max priorities and the
+    A/C row/col-sum priorities, peels every node with p*s <= num, and
+    the best-objective (earliest-tie) round's node sets are emitted.
+    A no-peel round repeats the same sets (the Spark side's fixpoint
+    break); rounds with an empty layer emit no objective (the Spark
+    side's loop exit)."""
+    parts = [
+        """base AS MATERIALIZED (
+           SELECT l_suppkey AS na, l_partkey AS m, l_orderkey % 997 AS nc,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  l_linenumber % 2 AS par
+           FROM lineitem)""",
+        "eam0 AS MATERIALIZED (SELECT na, m, v FROM base WHERE par = 1)",
+        "emc0 AS MATERIALIZED (SELECT m, nc, v FROM base WHERE par = 0)",
+        "sa0 AS MATERIALIZED (SELECT DISTINCT na FROM eam0)",
+        "sm0 AS MATERIALIZED (SELECT DISTINCT m FROM "
+        "(SELECT m FROM eam0 UNION SELECT m FROM emc0))",
+        "sc0 AS MATERIALIZED (SELECT DISTINCT nc FROM emc0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""pm{i} AS MATERIALIZED (
+            SELECT s.m, 5 * least(coalesce(i.w_in, 0), coalesce(o.w_out, 0))
+                      - 4 * greatest(coalesce(i.w_in, 0), coalesce(o.w_out, 0)) AS p
+            FROM sm{i} s
+            LEFT JOIN (SELECT m, sum(v) AS w_in FROM eam{i} GROUP BY 1) i ON i.m = s.m
+            LEFT JOIN (SELECT m, sum(v) AS w_out FROM emc{i} GROUP BY 1) o ON o.m = s.m)"""
+        )
+        parts.append(
+            f"""pa{i} AS MATERIALIZED (
+            SELECT s.na, 5 * coalesce(w.w, 0) AS p FROM sa{i} s
+            LEFT JOIN (SELECT na, sum(v) AS w FROM eam{i} GROUP BY 1) w ON w.na = s.na)"""
+        )
+        parts.append(
+            f"""pc{i} AS MATERIALIZED (
+            SELECT s.nc, 5 * coalesce(w.w, 0) AS p FROM sc{i} s
+            LEFT JOIN (SELECT nc, sum(v) AS w FROM emc{i} GROUP BY 1) w ON w.nc = s.nc)"""
+        )
+        parts.append(
+            f"""m{i} AS (SELECT (SELECT count(*) FROM pa{i}) AS n_a,
+                       (SELECT count(*) FROM pm{i}) AS n_m,
+                       (SELECT count(*) FROM pc{i}) AS n_c,
+                       (SELECT CAST(coalesce(sum(p), 0) AS BIGINT) FROM pm{i}) AS num)"""
+        )
+        parts.append(
+            f"o{i} AS (SELECT {i} AS rnd, CAST(num AS DOUBLE) / (n_a + n_m + n_c) AS obj "
+            f"FROM m{i} WHERE n_a > 0 AND n_m > 0 AND n_c > 0)"
+        )
+        parts.append(
+            f"sa{i + 1} AS MATERIALIZED (SELECT na FROM pa{i}, m{i} "
+            f"WHERE p * (n_a + n_m + n_c) > num)"
+        )
+        parts.append(
+            f"sm{i + 1} AS MATERIALIZED (SELECT m FROM pm{i}, m{i} "
+            f"WHERE p * (n_a + n_m + n_c) > num)"
+        )
+        parts.append(
+            f"sc{i + 1} AS MATERIALIZED (SELECT nc FROM pc{i}, m{i} "
+            f"WHERE p * (n_a + n_m + n_c) > num)"
+        )
+        parts.append(
+            f"eam{i + 1} AS MATERIALIZED (SELECT e.* FROM eam{i} e "
+            f"JOIN sa{i + 1} a ON a.na = e.na JOIN sm{i + 1} s ON s.m = e.m)"
+        )
+        parts.append(
+            f"emc{i + 1} AS MATERIALIZED (SELECT e.* FROM emc{i} e "
+            f"JOIN sm{i + 1} s ON s.m = e.m JOIN sc{i + 1} c ON c.nc = e.nc)"
+        )
+    objs = " UNION ALL ".join(f"SELECT * FROM o{i}" for i in range(rounds))
+    tagged = " UNION ALL ".join(
+        f"SELECT {i} AS rnd, 'A' AS side, na AS node, p FROM pa{i} "
+        f"UNION ALL SELECT {i}, 'M', m, p FROM pm{i} "
+        f"UNION ALL SELECT {i}, 'C', nc, p FROM pc{i}"
+        for i in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f",\n    objs AS ({objs}),"
+        + "\n    best AS (SELECT rnd, obj FROM objs ORDER BY obj DESC, rnd ASC LIMIT 1),"
+        + f"\n    tagged AS ({tagged})"
+        + "\n    SELECT t.side, t.node, t.p AS priority, best.rnd AS rnd,"
+        + " round(best.obj, 8) AS objective"
+        + "\n    FROM tagged t JOIN best ON t.rnd = best.rnd"
+    )
+
+
 def _q_rpeak_segments(spark, sf_dir):
     """RPeak-style peak detection + fixed segment windows
     (RPeak.py:24-36): strict local maxima over each user's value series
@@ -3193,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subgraph_reindex": _q_subgraph_reindex,
         # --- new this round (r03) ---
         "eaglemine_gof": _q_eaglemine_gof,
+        "flowscope_peel": _q_flowscope_peel,
         # --- green in r02, padding the 50-query prefix ---
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
@@ -3299,6 +3417,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_balance": _FLOW_BALANCE_SQL,
         "flow_top_mids": _FLOW_TOP_SQL,
         "flow_peel_block": _flow_peel_sql(rounds=12),
+        "flowscope_peel": _flowscope_peel_sql(rounds=6),
         "rpeak_segments": _RPEAK_SQL,
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,

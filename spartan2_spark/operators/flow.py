@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["flow_balance", "flow_suspicious_mids", "flow_greedy_peel"]
+__all__ = [
+    "flow_balance",
+    "flow_suspicious_mids",
+    "flow_greedy_peel",
+    "flowscope_peel",
+]
 
 
 def flow_balance(
@@ -129,3 +134,125 @@ def flow_greedy_peel(
         "objective": best_obj,
         "round": best_round,
     }
+
+
+def flowscope_peel(
+    am: DataFrame,
+    mc: DataFrame,
+    a: str = "a",
+    mid: str = "mid",
+    c: str = "c",
+    val: str = "value",
+    alpha: int = 4,
+    max_rounds: int = 8,
+) -> dict:
+    """FlowScope's coupled two-matrix chain peel
+    (/root/reference/spartan/model/flowscope/flowscopeFraudDect.py:
+    100-148 ``initGreedy`` priorities, 256-283 ``findmin``, 324-384
+    ``fastGreedyDecreasing``): the A->M and M->C transfer matrices are
+    peeled JOINTLY — per middle m the flow f_m = min(in_m, out_m) and
+    residue q_m = max(in_m, out_m) couple both hops, and the objective
+    g(S) = [sum_m f_m - alpha * sum_m |in_m - out_m|] / (|A|+|M|+|C|)
+    is maximized over the node sets of all three layers.
+
+    Reference priorities, kept verbatim: A node (1+alpha)*rowsum,
+    middle (1+alpha)*f_m - alpha*q_m, C node (1+alpha)*colsum. The
+    reference deletes ONE min-priority node per step off a MinTree;
+    the distributed analogue batch-peels every node whose priority p
+    satisfies p * s <= num (num = current numerator, s = |S|) — the
+    Dinkelbach-style threshold under which the reference's single
+    deletion raises the average too — and returns the best-objective
+    round (ties -> earliest). All arithmetic is INTEGER (alpha integer,
+    values integer), so the rounds replay bit-for-bit in any SQL
+    engine; the objective alone is a final double division.
+
+    Per round: two hash aggs (in/out per mid), three bounded node-set
+    joins, one scalar collect; edges are semi-join filtered and
+    localCheckpoint'ed so lineage stays flat. No per-row Python.
+
+    Returns {"nodes": DataFrame(side, node, priority), "objective",
+    "round"} for the best round.
+    """
+    eam = am.select(
+        F.col(a).alias("na"), F.col(mid).alias("m"), F.col(val).cast("long").alias("v")
+    ).localCheckpoint()
+    emc = mc.select(
+        F.col(mid).alias("m"), F.col(c).alias("nc"), F.col(val).cast("long").alias("v")
+    ).localCheckpoint()
+    set_a = eam.select("na").distinct().localCheckpoint()
+    set_m = (
+        eam.select("m").unionByName(emc.select("m")).distinct().localCheckpoint()
+    )
+    set_c = emc.select("nc").distinct().localCheckpoint()
+
+    one_p_a = 1 + alpha
+    best_nodes, best_obj, best_round = None, float("-inf"), -1
+    prev_sizes = None
+    for r in range(max_rounds):
+        ins = eam.groupBy("m").agg(F.sum("v").alias("w_in"))
+        outs = emc.groupBy("m").agg(F.sum("v").alias("w_out"))
+        pm = (
+            set_m.join(ins, "m", "left")
+            .join(outs, "m", "left")
+            .fillna(0, subset=["w_in", "w_out"])
+            .select(
+                "m",
+                (
+                    F.lit(one_p_a) * F.least("w_in", "w_out")
+                    - F.lit(alpha) * F.greatest("w_in", "w_out")
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+        pa = (
+            set_a.join(eam.groupBy("na").agg(F.sum("v").alias("w")), "na", "left")
+            .fillna(0, subset=["w"])
+            .select("na", (F.lit(one_p_a) * F.col("w")).alias("p"))
+            .localCheckpoint()
+        )
+        pc = (
+            set_c.join(emc.groupBy("nc").agg(F.sum("v").alias("w")), "nc", "left")
+            .fillna(0, subset=["w"])
+            .select("nc", (F.lit(one_p_a) * F.col("w")).alias("p"))
+            .localCheckpoint()
+        )
+        n_a, n_m, n_c = pa.count(), pm.count(), pc.count()
+        if not (n_a and n_m and n_c):
+            break
+        num = pm.agg(F.sum("p")).first()[0]
+        s = n_a + n_m + n_c
+        obj = num / s
+        if obj > best_obj:
+            best_nodes = (
+                pa.select(F.lit("A").alias("side"), F.col("na").alias("node"), "p")
+                .unionByName(
+                    pm.select(F.lit("M").alias("side"), F.col("m").alias("node"), "p")
+                )
+                .unionByName(
+                    pc.select(
+                        F.lit("C").alias("side"), F.col("nc").alias("node"), "p"
+                    )
+                )
+            )
+            best_obj, best_round = obj, r
+        if prev_sizes == (n_a, n_m, n_c) and r > 0:
+            break  # fixpoint: the threshold peeled nothing
+        prev_sizes = (n_a, n_m, n_c)
+        thr = F.col("p") * F.lit(s) > F.lit(num)
+        set_a = pa.filter(thr).select("na").localCheckpoint()
+        set_m = pm.filter(thr).select("m").localCheckpoint()
+        set_c = pc.filter(thr).select("nc").localCheckpoint()
+        eam = (
+            eam.join(set_a, "na", "left_semi")
+            .join(set_m, "m", "left_semi")
+            .localCheckpoint()
+        )
+        emc = (
+            emc.join(set_m, "m", "left_semi")
+            .join(set_c, "nc", "left_semi")
+            .localCheckpoint()
+        )
+    if best_nodes is None:
+        spark = am.sparkSession
+        best_nodes = spark.createDataFrame([], "side string, node long, p long")
+    return {"nodes": best_nodes, "objective": best_obj, "round": best_round}

@@ -144,3 +144,41 @@ def test_peel_loops_empty_input_returns_empty_not_crash(spark):
     tri = power_iteration(no_edges)
     assert tri["sigma1"] == 0.0
     assert tri["u"].count() == 0 and tri["v"].count() == 0
+
+
+def test_flowscope_peel_recovers_planted_chain_block(spark):
+    """FlowScope chain peel: a planted balanced A*->M*->C* block (high
+    per-middle flow, zero imbalance) must survive the joint peel while
+    imbalanced background mids are shaved (flowscopeFraudDect.py
+    fastGreedyDecreasing recovers the densest balanced chain)."""
+    from spartan2_spark.operators.flow import flowscope_peel
+
+    am_rows, mc_rows = [], []
+    # background: 60 mids, each receives from one A but sends NOTHING
+    # on (pure imbalance -> heavily negative priority)
+    for m in range(60):
+        am_rows.append((1000 + (m % 7), m, 50 + m))
+    # a second background family: mids that only send
+    for m in range(60, 100):
+        mc_rows.append((m, 2000 + (m % 5), 40 + m))
+    # planted block: A* = {1..3}, M* = {500..504}, C* = {9000, 9001};
+    # every planted mid moves 3000 in and exactly 3000 out
+    for m in range(500, 505):
+        for a in (1, 2, 3):
+            am_rows.append((a, m, 1000))
+        mc_rows.append((m, 9000, 1500))
+        mc_rows.append((m, 9001, 1500))
+    am = spark.createDataFrame(am_rows, "a long, mid long, value long")
+    mc = spark.createDataFrame(mc_rows, "mid long, c long, value long")
+
+    res = flowscope_peel(am, mc, alpha=4, max_rounds=8)
+    nodes = {(r.side, r.node) for r in res["nodes"].collect()}
+    # every planted node survives in the best block
+    for m in range(500, 505):
+        assert ("M", m) in nodes
+    for a in (1, 2, 3):
+        assert ("A", a) in nodes
+    assert ("C", 9000) in nodes and ("C", 9001) in nodes
+    # no imbalanced background mid survives
+    assert not any(s == "M" and n < 500 for s, n in nodes)
+    assert res["objective"] > 0
