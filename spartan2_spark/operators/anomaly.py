@@ -32,6 +32,8 @@ __all__ = [
     "burst_involvement",
     "densest_subgraph_peel",
     "holoscope_greedy_shave",
+    "holoscope_spectral_seed",
+    "holoscope_shave_spectral",
 ]
 
 
@@ -312,3 +314,65 @@ def densest_subgraph_peel(
             break
         cur = nxt
     return {"density": best_density, "rounds": rounds, "nodes": best_nodes}
+
+
+def holoscope_spectral_seed(
+    edges: DataFrame,
+    src: str = "user_id",
+    dst: str = "event_type",
+    weight: str | None = None,
+    n_iter: int = 8,
+) -> DataFrame:
+    """HoloScope's SVD fast init (holoscopeFraudDect.py:395-626
+    ``initfastgreedy``/``initfastgreedy2D``): the reference scans the
+    top singular vectors of the (user x sink) graph, sign-fixes each so
+    the dominant direction is positive, and cuts at the 'avg' bound
+    1/sqrt(nU) — the resulting level-set is the initial suspect
+    candidate set its greedy shaving starts from.
+
+    Engine: the leading vector only (the dominant block) via
+    distributed power iteration (spectral.power_iteration — scipy svds
+    has no distributed analogue), same sign fix, same 1/sqrt(nU) cut.
+    Returns a one-column DataFrame of seed ``src`` nodes.
+    """
+    import math
+
+    from spartan2_spark.operators.spectral import power_iteration
+
+    res = power_iteration(edges, src=src, dst=dst, weight=weight, n_iter=n_iter)
+    u = res["u"]
+    n_u = u.count()
+    if n_u == 0:
+        return u.select(F.col("node").alias(src))
+    mm = u.agg(F.max("score").alias("mx"), F.min("score").alias("mn")).first()
+    if abs(mm["mx"] or 0.0) < abs(mm["mn"] or 0.0):
+        u = u.withColumn("score", -F.col("score"))
+    bound = 1.0 / math.sqrt(float(n_u))
+    return u.filter(F.col("score") > F.lit(bound)).select(F.col("node").alias(src))
+
+
+def holoscope_shave_spectral(
+    edges: DataFrame,
+    credits: DataFrame,
+    src: str = "user_id",
+    dst: str = "event_type",
+    weight: str | None = None,
+    key: str = "user_id",
+    credit: str = "credit",
+    max_rounds: int = 12,
+) -> dict:
+    """Greedy shaving seeded from the spectral level-set: restrict the
+    credit table to :func:`holoscope_spectral_seed`'s candidates (the
+    reference starts fastgreedy from the singular-vector cut, NOT from
+    all users) and shave. Empty seed falls back to the full credit
+    table (the count/IQR-style seed the engine used before the
+    spectral init existed).
+    """
+    seed = holoscope_spectral_seed(edges, src=src, dst=dst, weight=weight)
+    seed = seed.withColumnRenamed(src, key).localCheckpoint()
+    seeded = credits.join(seed, key, "left_semi")
+    if seeded.limit(1).count() == 0:
+        seeded = credits
+    return holoscope_greedy_shave(
+        seeded, key=key, credit=credit, max_rounds=max_rounds
+    )

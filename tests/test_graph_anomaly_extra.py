@@ -75,3 +75,54 @@ def test_holoscope_greedy_shave_uniform_credits(spark):
     cred = spark.createDataFrame([(f"u{i}", 7) for i in range(10)], ["user_id", "credit"])
     res = holoscope_greedy_shave(cred, max_rounds=5)
     assert res["round"] == 0 and res["nodes"].count() == 10
+
+
+def test_holoscope_spectral_seed_recovers_camouflaged_block(spark):
+    """The spectral level-set init (holoscopeFraudDect.py:395-626)
+    finds a dense camouflaged block whose per-user activity counts sit
+    in the MIDDLE of the count distribution — the count/IQR seed flags
+    none of the fraud users, the singular-vector cut flags all of
+    them."""
+    from spartan2_spark.operators.anomaly import (
+        holoscope_shave_spectral,
+        holoscope_spectral_seed,
+        suspicious_keys,
+    )
+
+    edges = []
+    # 100 honest users, heavy-tailed counts 5..60, spread over 40 sinks
+    for i in range(100):
+        total = 5 + (i * 37) % 56
+        w = max(1, total // 6)
+        for j in range(6):
+            edges.append((i, 1000 + (i + j * 13) % 40, w))
+    # 20 fraud users x 3 fraud sinks, weight 15 each (total 45 per user
+    # -> well inside the honest count distribution, NOT an IQR outlier;
+    # block sigma ~ sqrt(60)*15 = 116 dominates the honest ~67)
+    fraud_users = list(range(500, 520))
+    for u in fraud_users:
+        for sk in (2000, 2001, 2002):
+            edges.append((u, sk, 15))
+    df = spark.createDataFrame(edges, "user_id long, event_type long, w long")
+
+    # count seed: IQR outliers on total activity — misses every fraud user
+    counts = df.groupBy("user_id").agg(F.sum("w").alias("cnt"))
+    iqr_flagged = {r.user_id for r in suspicious_keys(counts, "cnt").collect()}
+    assert iqr_flagged.isdisjoint(fraud_users)
+
+    seed = {
+        r.user_id
+        for r in holoscope_spectral_seed(
+            df, src="user_id", dst="event_type", weight="w"
+        ).collect()
+    }
+    assert set(fraud_users) <= seed
+    # and the seed is the block, not the whole graph
+    assert len(seed) < 60
+
+    res = holoscope_shave_spectral(
+        df, counts.withColumnRenamed("cnt", "credit"),
+        src="user_id", dst="event_type", weight="w",
+    )
+    shaved = {r.user_id for r in res["nodes"].collect()}
+    assert set(fraud_users) <= shaved and shaved <= seed
