@@ -1442,13 +1442,121 @@ def _densest_sql(rounds: int = 10) -> str:
 
 
 def _q_tdigest_quantiles(spark, sf_dir):
-    """Parallelism-invariant two-phase t-digest quantiles — sketch
-    kernel, rows-only check (accuracy asserted in pytest)."""
+    """Parallelism-invariant two-phase t-digest quantiles (Dunning &
+    Ertl centroid sketch). Portable poly-hash sharding + deterministic
+    greedy compression make the whole digest replayable: the DuckDB
+    twin re-runs both sequential compression walks (phase-1 per-shard,
+    phase-2 merge-all) via recursive CTEs and lands on identical
+    centroids, hence identical interpolated quantiles — value-exact
+    for a genuinely sequential sketch kernel."""
     from spartan2_spark.functions.sketches import tdigest_quantiles
 
     return tdigest_quantiles(
-        _events(spark, sf_dir), ["event_type"], "value", qs=(0.5, 0.95)
+        _events(spark, sf_dir),
+        ["event_type"],
+        "value",
+        qs=(0.5, 0.95),
+        hash_mode="poly",
     )
+
+
+_TDIGEST_SQL = """
+    WITH RECURSIVE tdsrc AS MATERIALIZED (
+      SELECT event_type AS k, CAST(value AS DOUBLE) AS v,
+             list_reduce(list_prepend(0::BIGINT, list_transform(
+               string_split(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), ''),
+               c -> ascii(c)::BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)
+               % 32 AS shard
+      FROM events),
+    r1 AS MATERIALIZED (
+      SELECT k, shard, v,
+             row_number() OVER (PARTITION BY k, shard ORDER BY v) AS rn,
+             CAST(count(*) OVER (PARTITION BY k, shard) AS DOUBLE) AS tot
+      FROM tdsrc),
+    w1(k, shard, rn, tot, seen, cur_m, cur_w, emit_m, emit_w, eidx) AS (
+      SELECT k, shard, rn, tot, 0.0::DOUBLE, v, 1.0::DOUBLE,
+             NULL::DOUBLE, NULL::DOUBLE, 0::BIGINT
+      FROM r1 WHERE rn = 1
+      UNION ALL
+      SELECT r.k, r.shard, r.rn, r.tot,
+             CASE WHEN ((w.seen + w.cur_w + 1.0) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN w.seen ELSE w.seen + w.cur_w END,
+             CASE WHEN ((w.seen + w.cur_w + 1.0) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN (w.cur_m * w.cur_w + r.v) / (w.cur_w + 1.0) ELSE r.v END,
+             CASE WHEN ((w.seen + w.cur_w + 1.0) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN w.cur_w + 1.0 ELSE 1.0 END,
+             CASE WHEN ((w.seen + w.cur_w + 1.0) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN NULL ELSE w.cur_m END,
+             CASE WHEN ((w.seen + w.cur_w + 1.0) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN NULL ELSE w.cur_w END,
+             CASE WHEN ((w.seen + w.cur_w + 1.0) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN w.eidx ELSE w.eidx + 1 END
+      FROM w1 w JOIN r1 r ON r.k = w.k AND r.shard = w.shard AND r.rn = w.rn + 1),
+    c1 AS MATERIALIZED (
+      SELECT k, shard, emit_m AS m, emit_w AS w, eidx FROM w1 WHERE emit_m IS NOT NULL
+      UNION ALL
+      SELECT k, shard, cur_m, cur_w, eidx + 1 FROM w1 WHERE rn = tot),
+    r2 AS MATERIALIZED (
+      SELECT k, m, w,
+             row_number() OVER (PARTITION BY k ORDER BY m, shard, eidx) AS rn,
+             count(*) OVER (PARTITION BY k) AS nc,
+             sum(w) OVER (PARTITION BY k) AS tot
+      FROM c1),
+    w2(k, rn, nc, tot, seen, cur_m, cur_w, emit_m, emit_w, eidx) AS (
+      SELECT k, rn, nc, tot, 0.0::DOUBLE, m, w, NULL::DOUBLE, NULL::DOUBLE, 0::BIGINT
+      FROM r2 WHERE rn = 1
+      UNION ALL
+      SELECT r.k, r.rn, r.nc, r.tot,
+             CASE WHEN ((w.seen + w.cur_w + r.w) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN w.seen ELSE w.seen + w.cur_w END,
+             CASE WHEN ((w.seen + w.cur_w + r.w) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN (w.cur_m * w.cur_w + r.m * r.w) / (w.cur_w + r.w) ELSE r.m END,
+             CASE WHEN ((w.seen + w.cur_w + r.w) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN w.cur_w + r.w ELSE r.w END,
+             CASE WHEN ((w.seen + w.cur_w + r.w) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN NULL ELSE w.cur_m END,
+             CASE WHEN ((w.seen + w.cur_w + r.w) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN NULL ELSE w.cur_w END,
+             CASE WHEN ((w.seen + w.cur_w + r.w) / w.tot - w.seen / w.tot) * 100.0 <= 1.0
+                  THEN w.eidx ELSE w.eidx + 1 END
+      FROM w2 w JOIN r2 r ON r.k = w.k AND r.rn = w.rn + 1),
+    c2 AS MATERIALIZED (
+      SELECT k, emit_m AS m, emit_w AS w, eidx FROM w2 WHERE emit_m IS NOT NULL
+      UNION ALL
+      SELECT k, cur_m, cur_w, eidx + 1 FROM w2 WHERE rn = nc),
+    qc AS MATERIALIZED (
+      SELECT k, m, w,
+             sum(w) OVER (PARTITION BY k ORDER BY eidx
+                          ROWS UNBOUNDED PRECEDING) - w / 2.0 AS cum,
+             row_number() OVER (PARTITION BY k ORDER BY eidx) AS j
+      FROM c2),
+    stats AS (SELECT k, count(*) AS nc2, sum(w) AS tot,
+                     min(cum) AS cmin, max(cum) AS cmax,
+                     arg_min(m, j) AS mfirst, arg_max(m, j) AS mlast
+              FROM qc GROUP BY 1),
+    pairs AS MATERIALIZED (
+      SELECT x.k, x.cum AS c0, y.cum AS c1, x.m AS m0, y.m AS m1
+      FROM qc x JOIN qc y ON y.k = x.k AND y.j = x.j + 1),
+    targets AS (SELECT k, q FROM stats,
+                (VALUES (0.5::DOUBLE), (0.95::DOUBLE)) t(q)),
+    resolved AS (
+      SELECT t.k, t.q,
+             CASE WHEN s.nc2 = 1 THEN s.mfirst
+                  WHEN t.q * s.tot <= s.cmin THEN s.mfirst
+                  WHEN t.q * s.tot >= s.cmax THEN s.mlast
+                  ELSE (SELECT p.m0 + ((t.q * s.tot - p.c0) / (p.c1 - p.c0))
+                                      * (p.m1 - p.m0)
+                        FROM pairs p
+                        WHERE p.k = t.k AND p.c0 < t.q * s.tot
+                          AND p.c1 >= t.q * s.tot
+                        LIMIT 1)
+             END AS val
+      FROM targets t JOIN stats s ON s.k = t.k)
+    SELECT k AS event_type,
+           max(CASE WHEN q = 0.5 THEN val END) AS q50,
+           max(CASE WHEN q = 0.95 THEN val END) AS q95
+    FROM resolved GROUP BY 1
+"""
 
 
 def _q_agg_ts_list(spark, sf_dir):
@@ -2354,18 +2462,18 @@ def _flowscope_peel_sql(rounds: int = 6) -> str:
             SELECT s.m, 5 * least(coalesce(i.w_in, 0), coalesce(o.w_out, 0))
                       - 4 * greatest(coalesce(i.w_in, 0), coalesce(o.w_out, 0)) AS p
             FROM sm{i} s
-            LEFT JOIN (SELECT m, sum(v) AS w_in FROM eam{i} GROUP BY 1) i ON i.m = s.m
-            LEFT JOIN (SELECT m, sum(v) AS w_out FROM emc{i} GROUP BY 1) o ON o.m = s.m)"""
+            LEFT JOIN (SELECT m, CAST(sum(v) AS BIGINT) AS w_in FROM eam{i} GROUP BY 1) i ON i.m = s.m
+            LEFT JOIN (SELECT m, CAST(sum(v) AS BIGINT) AS w_out FROM emc{i} GROUP BY 1) o ON o.m = s.m)"""
         )
         parts.append(
             f"""pa{i} AS MATERIALIZED (
             SELECT s.na, 5 * coalesce(w.w, 0) AS p FROM sa{i} s
-            LEFT JOIN (SELECT na, sum(v) AS w FROM eam{i} GROUP BY 1) w ON w.na = s.na)"""
+            LEFT JOIN (SELECT na, CAST(sum(v) AS BIGINT) AS w FROM eam{i} GROUP BY 1) w ON w.na = s.na)"""
         )
         parts.append(
             f"""pc{i} AS MATERIALIZED (
             SELECT s.nc, 5 * coalesce(w.w, 0) AS p FROM sc{i} s
-            LEFT JOIN (SELECT nc, sum(v) AS w FROM emc{i} GROUP BY 1) w ON w.nc = s.nc)"""
+            LEFT JOIN (SELECT nc, CAST(sum(v) AS BIGINT) AS w FROM emc{i} GROUP BY 1) w ON w.nc = s.nc)"""
         )
         parts.append(
             f"""m{i} AS (SELECT (SELECT count(*) FROM pa{i}) AS n_a,
@@ -3398,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
         "kl_divergence": _KL_SQL,
         "rank_fusion_rrf": _RRF_SQL,
         "burst_peak": _BURST_SQL,
+        "tdigest_quantiles": _TDIGEST_SQL,
         "agg_ts_list": _AGG_TS_SQL,
         "cumsum_daily": _CUMSUM_SQL,
         "pivot_rollup": _PIVOT_SQL,

@@ -110,16 +110,30 @@ def tdigest_quantiles(
     qs: tuple[float, ...] = (0.5, 0.95, 0.99),
     delta: int = 100,
     n_shards: int = 32,
+    hash_mode: str = "xxhash",
 ) -> DataFrame:
     """Per-key quantiles via parallelism-invariant two-phase t-digest.
 
     Phase 1: partial digest per (key, deterministic value-hash shard)
     — grouped pandas UDF over sorted values.
-    Phase 2: per key, merge shard digests in shard order.
+    Phase 2: per key, one merge-all compression over the shard
+    centroids in (shard, emission) order.
+
+    ``hash_mode='poly'`` shards on the portable polynomial hash of the
+    centi-quantized value (identical in any SQL engine — the DuckDB
+    twin replays the whole digest); default xxhash64 is the faster JVM
+    intrinsic.
     """
-    src = df.select(*key_cols, F.col(value_col).cast("double").alias("v")).withColumn(
-        "shard", F.pmod(F.xxhash64(F.col("v").cast("string")), F.lit(n_shards))
-    )
+    src = df.select(*key_cols, F.col(value_col).cast("double").alias("v"))
+    if hash_mode == "poly":
+        from spartan2_spark.operators.text import _poly_hash
+
+        shard_h = _poly_hash(
+            F.round(F.col("v") * 100).cast("long").cast("string")
+        )
+    else:
+        shard_h = F.xxhash64(F.col("v").cast("string"))
+    src = src.withColumn("shard", F.pmod(shard_h, F.lit(n_shards)))
 
     part_schema = T.StructType(
         [df.schema[k] for k in key_cols]
@@ -153,9 +167,22 @@ def tdigest_quantiles(
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("shard", kind="mergesort")
-        acc = TDigest(delta=delta)
-        for m, w in zip(pdf["means"], pdf["weights"]):
-            acc = acc.merge(TDigest(np.array(m), np.array(w), delta))
+        # merge-all-then-compress (Dunning's merging-digest fold): ONE
+        # deterministic compression over the concatenated shard
+        # centroids in shard order — better accuracy than 32 chained
+        # incremental compressions, and the single sequential walk is
+        # replayable by the DuckDB oracle twin
+        acc = TDigest(
+            np.concatenate([np.asarray(m, dtype=np.float64) for m in pdf["means"]])
+            if len(pdf)
+            else np.array([]),
+            np.concatenate(
+                [np.asarray(w, dtype=np.float64) for w in pdf["weights"]]
+            )
+            if len(pdf)
+            else np.array([]),
+            delta,
+        ).compress()
         row = {k: [pdf[k].iloc[0]] for k in key_cols}
         for q in qs:
             row[f"q{int(round(q * 100))}"] = [acc.quantile(q)]
