@@ -59,17 +59,26 @@ def extract_features(
     bin_col: str = "html",
     id_col: str = "url",
     n_features: int = 16,
-    decoder: str = "fake",
+    decoder="fake",
 ) -> DataFrame:
-    """binary -> float feature vector, Arrow-batched."""
+    """binary -> float feature vector, Arrow-batched.
+
+    ``decoder`` is the swap seam for real codecs: pass a CALLABLE
+    ``(buf: bytes, n_features: int) -> np.ndarray`` (a PIL/ffmpeg
+    wrapper on a real cluster — it is closure-shipped to executors and
+    runs inside the Arrow batch loop), or ``'fake'`` (deterministic
+    bytes-derived stand-in), or ``'none'`` (raise at execution).
+    """
     schema = f"{id_col} string, n_bytes long, features array<double>"
 
-    if decoder not in ("fake", "none"):
+    if not callable(decoder) and decoder not in ("fake", "none"):
         raise ValueError(
-            f"unknown decoder {decoder!r}: only 'fake' (deterministic "
-            "stand-in) and 'none' (raise at execution) exist in this "
-            "container — a typo must not silently produce fake features"
+            f"unknown decoder {decoder!r}: pass a callable "
+            "(buf, n_features) -> ndarray, or 'fake' (deterministic "
+            "stand-in), or 'none' (raise at execution) — a typo must "
+            "not silently produce fake features"
         )
+    decode_fn = decoder if callable(decoder) else _decode_fake
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,7 +88,8 @@ def extract_features(
                     "this container; use decoder='fake' for plumbing tests"
                 )
             feats = [
-                _decode_fake(bytes(b), n_features).tolist() for b in pdf[bin_col]
+                np.asarray(decode_fn(bytes(b), n_features), dtype=np.float64).tolist()
+                for b in pdf[bin_col]
             ]
             yield pd.DataFrame(
                 {

@@ -234,3 +234,47 @@ def test_embedding_lsh_portable_recovers_planted_twins(spark):
     # near-zero projection bit; recall must still be >= 90%
     assert len(twins) >= 0.9 * n
     assert all(r.cosine >= 0.99 for r in pairs)
+
+
+def test_multimodal_decoder_seam_accepts_injected_codec(spark):
+    """The decoder seam (operators/multimodal.py extract_features)
+    takes a callable (buf, n_features) -> ndarray — the exact interface
+    a real PIL/ffmpeg wrapper plugs into. Inject a toy pure-python
+    'codec' that parses a P9-style header and assert the features come
+    out of the distributed Arrow path verbatim."""
+    import numpy as np
+
+    from spartan2_spark.operators.multimodal import extract_features
+
+    def toy_codec(buf: bytes, n_features: int) -> np.ndarray:
+        # "P9 <w> <h>\n<w*h ascii digit pixels>" -> per-column means
+        head, pixels = buf.split(b"\n", 1)
+        _, w, h = head.split()
+        arr = np.frombuffer(pixels, dtype=np.uint8)[: int(w) * int(h)] - ord("0")
+        arr = arr.reshape(int(h), int(w)).astype(np.float64)
+        out = np.zeros(n_features)
+        out[: int(w)] = arr.mean(axis=0)
+        return out
+
+    imgs = [
+        ("u1", b"P9 3 2\n012345"),
+        ("u2", b"P9 2 2\n9876"),
+    ]
+    df = spark.createDataFrame(imgs, "url string, html binary")
+    rows = {
+        r.url: r
+        for r in extract_features(
+            df, "html", "url", n_features=4, decoder=toy_codec
+        ).collect()
+    }
+    # u1: columns mean over rows [[0,1,2],[3,4,5]] -> [1.5, 2.5, 3.5]
+    assert rows["u1"].features == [1.5, 2.5, 3.5, 0.0]
+    # u2: [[9,8],[7,6]] -> [8.0, 7.0]
+    assert rows["u2"].features == [8.0, 7.0, 0.0, 0.0]
+    assert rows["u1"].n_bytes == len(b"P9 3 2\n012345")
+
+    # string modes still guarded: a typo raises at plan time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        extract_features(df, "html", "url", decoder="pil")
