@@ -340,6 +340,26 @@ def main() -> None:
     thr_hi = results[hi]["best"]["points_per_sec"]
     factor = hi / lo
 
+    # dedup stage: best pass per level by dedup throughput
+    dd = {
+        n: max(results[n]["passes"], key=lambda p: p["dedup_docs_per_sec"])
+        for n in (lo, hi)
+    }
+    dedup = {
+        "n_docs": results[lo].get("n_docs"),
+        f"exec{lo}_docs_per_sec": dd[lo]["dedup_docs_per_sec"],
+        f"exec{hi}_docs_per_sec": dd[hi]["dedup_docs_per_sec"],
+        "efficiency_n_to_4n": round(
+            dd[hi]["dedup_docs_per_sec"] / (factor * dd[lo]["dedup_docs_per_sec"]),
+            3,
+        ),
+        "pairs": dd[lo]["dedup_pairs"],
+        "pairs_identical_across_cluster_sizes": (
+            dd[lo]["dedup_pairs"] == dd[hi]["dedup_pairs"]
+            and dd[lo]["dedup_checksum"] == dd[hi]["dedup_checksum"]
+        ),
+    }
+
     # determinism gate: every output table content-identical across
     # cluster sizes (blocks_1h included — blocks are built per url x dt
     # group, not per partition, so bytes must match too)
@@ -369,6 +389,7 @@ def main() -> None:
                     f"exec{n}": results[n]["best"]["stage_secs"] for n in (lo, hi)
                 },
                 "tables_bit_identical_across_cluster_sizes": identical,
+                "dedup": dedup,
             }
         )
     )
