@@ -2064,12 +2064,10 @@ def _q_dpgs_summarize_fixpoint(spark, sf_dir):
     """Iterated DPGS summarization to a fixpoint (DPGS.py:49-141 outer
     merge loop): repeated within-LSH-group MDL merge rounds over the
     successively collapsed multigraph until no positive-gain pair
-    remains. The single round is value-exact oracle-checked as
-    dpgs_merge_refine; the fixpoint iteration is rows-only (a
-    multi-round SQL unroll would have to thread the collapsed weighted
-    multigraph through each recursive-CTE replay) with the 2-round
-    convergence behaviour pytest-proven
-    (tests/test_spectral.py::test_dpgs_summarize_needs_two_rounds)."""
+    remains. Value-exact (r3): the DuckDB twin threads the collapsed
+    weighted multigraph through a fixed unroll of merge-round replays
+    — a no-merge round collapses to identity, so the unroll's tail is
+    stable and `rounds` = the first zero-gain round index + 1."""
     from spartan2_spark.operators.spectral import dpgs_summarize
 
     ev = _events(spark, sf_dir).select(
@@ -2080,6 +2078,105 @@ def _q_dpgs_summarize_fixpoint(spark, sf_dir):
         res["assign"]
         .withColumn("rounds", F.lit(len(res["history"])))
         .orderBy("node")
+    )
+
+
+def _dpgs_fixpoint_sql(rounds: int = 6, k_hashes: int = 4) -> str:
+    """Fixed-unroll twin of the DPGS fixpoint: each round replays the
+    within-LSH-group MDL merge on the previous round's collapsed
+    multigraph g{i} (edge rows keep original multiplicity; collapse
+    re-keys src through the round's assignment). A zero-gain round
+    assigns identity, so later unrolled rounds repeat it — matching
+    the Spark loop's early break; `rounds` is the first zero-gain
+    round + 1 (capped at the unroll depth, the Spark max_rounds)."""
+    base = _POLY_SQL_BASE.format(col="CAST(dst AS VARCHAR)")
+    hmins = ", ".join(
+        f"min((({2 * i + 1} * {base} + {i * i + 7}) % 2147483647)) AS h{i}"
+        for i in range(k_hashes)
+    )
+    sup = " || '_' || ".join(f"h{i}::VARCHAR" for i in range(k_hashes))
+
+    def xlogx(x):
+        return f"(CASE WHEN {x} > 0 THEN {x} * ln({x}) ELSE 0.0 END)"
+
+    def ln_univ(x):
+        import math as _m
+
+        c = repr(_m.log2(2.865064))
+        chain = "0.0"
+        for k in range(5, 0, -1):
+            lk = "log2(" * k + x + ")" * k
+            chain = f"(CASE WHEN {lk} > 0 THEN {lk} + {chain} ELSE 0.0 END)"
+        return f"(CASE WHEN {x} > 0 THEN {c} + {chain} ELSE 0.0 END)"
+
+    parts = [
+        "g0 AS MATERIALIZED (SELECT user_id AS src, event_type AS dst FROM events)"
+    ]
+    for i in range(rounds):
+        parts += [
+            f"nw{i} AS MATERIALIZED (SELECT src AS node, dst AS nei, count(*) AS w "
+            f"FROM g{i} GROUP BY 1, 2)",
+            f"deg{i} AS (SELECT node, CAST(sum(w) AS BIGINT) AS d FROM nw{i} GROUP BY 1)",
+            f"sig{i} AS (SELECT src AS node, {hmins} FROM g{i} GROUP BY 1)",
+            f"sg{i} AS (SELECT node, {sup} AS g FROM sig{i})",
+            f"ok{i} AS (SELECT g FROM sg{i} GROUP BY g HAVING count(*) BETWEEN 2 AND 500)",
+            f"grp{i} AS (SELECT sg{i}.node, sg{i}.g FROM sg{i} JOIN ok{i} USING (g))",
+            f"nd{i} AS (SELECT grp{i}.node, grp{i}.g, deg{i}.d "
+            f"FROM grp{i} JOIN deg{i} USING (node))",
+            f"""prs{i} AS (SELECT a.g, a.node AS u, b.node AS v,
+                 2 * ({xlogx('a.d')} + {xlogx('b.d')} - {xlogx('(a.d + b.d)')}) AS degterm
+               FROM nd{i} a JOIN nd{i} b ON a.g = b.g AND a.node < b.node)""",
+            f"adjg{i} AS MATERIALIZED (SELECT nw{i}.node, nw{i}.nei, nw{i}.w, grp{i}.g "
+            f"FROM nw{i} JOIN grp{i} USING (node))",
+            f"""pn{i} AS (SELECT a.node AS u, b.node AS v,
+                 2 * ({xlogx('(a.w + b.w)')} - {xlogx('a.w')} - {xlogx('b.w')})
+                 + {ln_univ('a.w')} + {ln_univ('b.w')} - {ln_univ('(a.w + b.w)')} AS term
+               FROM adjg{i} a JOIN adjg{i} b
+               ON a.g = b.g AND a.nei = b.nei AND a.node < b.node)""",
+            f"common{i} AS (SELECT u, v, sum(term) AS commonterm FROM pn{i} GROUP BY 1, 2)",
+            f"""gains{i} AS MATERIALIZED (SELECT g, u, v,
+                 CAST(round((degterm + commonterm) * 1000, 0) AS BIGINT) AS gq
+               FROM prs{i} JOIN common{i} USING (u, v)
+               WHERE CAST(round((degterm + commonterm) * 1000, 0) AS BIGINT) > 0)""",
+            f"pos{i} AS (SELECT count(*) AS c FROM gains{i})",
+            f"cand{i} AS (SELECT g, u AS node, v AS partner, gq FROM gains{i} "
+            f"UNION ALL SELECT g, v AS node, u AS partner, gq FROM gains{i})",
+            f"""best{i} AS (SELECT DISTINCT least(node, partner) AS cu,
+                 greatest(node, partner) AS cv
+               FROM (SELECT *, row_number() OVER
+                       (PARTITION BY node ORDER BY gq DESC, partner ASC) AS rn
+                     FROM cand{i}) t
+               WHERE rn = 1)""",
+            f"e2_{i} AS (SELECT cu AS x, cv AS y FROM best{i} "
+            f"UNION ALL SELECT cv AS x, cu AS y FROM best{i})",
+            f"""reach{i}(n, lbl) AS (
+               SELECT x, x FROM e2_{i}
+               UNION
+               SELECT e2_{i}.y, r.lbl FROM reach{i} r JOIN e2_{i} ON e2_{i}.x = r.n)""",
+            f"comp{i} AS (SELECT n AS node, min(lbl) AS supernode FROM reach{i} GROUP BY n)",
+            f"alln{i} AS (SELECT DISTINCT src AS node FROM g{i})",
+            f"asg{i} AS MATERIALIZED (SELECT a.node, coalesce(c.supernode, a.node) AS supernode "
+            f"FROM alln{i} a LEFT JOIN comp{i} c USING (node))",
+            f"g{i + 1} AS MATERIALIZED (SELECT a.supernode AS src, e.dst "
+            f"FROM g{i} e JOIN asg{i} a ON a.node = e.src)",
+        ]
+        if i == 0:
+            parts.append("tot0 AS (SELECT node, supernode FROM asg0)")
+        else:
+            parts.append(
+                f"tot{i} AS (SELECT t.node, a.supernode FROM tot{i - 1} t "
+                f"JOIN asg{i} a ON a.node = t.supernode)"
+            )
+    zeros = " UNION ALL ".join(
+        f"SELECT {i + 1} AS r FROM pos{i} WHERE c = 0" for i in range(rounds)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f",\n    zr AS ({zeros}),"
+        + f"\n    rc AS (SELECT coalesce(min(r), {rounds}) AS rounds FROM zr)"
+        + f"\n    SELECT t.node, t.supernode, CAST(rc.rounds AS INTEGER) AS rounds"
+        + f"\n    FROM tot{rounds - 1} t, rc"
     )
 
 
@@ -3547,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_sql(),
         "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
         "dpgs_merge_refine": _dpgs_merge_sql(k_hashes=4),
+        "dpgs_summarize_fixpoint": _dpgs_fixpoint_sql(rounds=6, k_hashes=4),
         "kgrass_merge_refine": _kgrass_merge_sql(k=8),
         "embedding_neardup_pairs": _EMBEDDING_NEARDUP_SQL,
         "kgrass_summary": _kgrass_sql(k=8),
