@@ -894,8 +894,12 @@ def _q_minhash_dedup(spark, sf_dir):
     )
 
 
-def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
-                 threshold: float = 0.2, max_bucket: int = 1000) -> str:
+def _minhash_prelude(k: int = 32, bands: int = 8, shingle_n: int = 5,
+                     max_bucket: int = 1000) -> str:
+    """Shared CTE chain (shingles -> poly minhash -> banded buckets ->
+    verified-Jaccard candidate pairs in `j`) used by the minhash-pairs
+    twin AND the dedup-clusters twin; caller prepends WITH/WITH
+    RECURSIVE and appends its own final stage."""
     r = k // bands
     p = 2147483647
     minexprs = ",\n             ".join(
@@ -909,8 +913,7 @@ def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
         )
         for b in range(bands)
     )
-    return f"""
-    WITH sh AS MATERIALIZED (
+    return f"""sh AS MATERIALIZED (
       SELECT doc_id AS id,
              list_distinct(list_transform(range(1, greatest(length(text) - {shingle_n - 1}, 1) + 1),
                i -> substring(text, i, {shingle_n}))) AS sh
@@ -932,9 +935,58 @@ def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
     j AS (SELECT c.id_a, c.id_b,
                  len(list_intersect(x.sh, y.sh))::DOUBLE
                    / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
-          FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b)
+          FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b)"""
+
+
+def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
+                 threshold: float = 0.2, max_bucket: int = 1000) -> str:
+    prelude = _minhash_prelude(k, bands, shingle_n, max_bucket)
+    return f"""
+    WITH {prelude}
     SELECT id_a, id_b, round(jac, 8) AS jaccard FROM j WHERE jac >= {threshold}
 """
+
+
+def _dedup_clusters_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
+                        threshold: float = 0.2, max_bucket: int = 1000) -> str:
+    """Keep-one-per-cluster twin: the minhash pair prelude feeds a
+    recursive reachability CTE; min reachable id per node = the same
+    min-label components the Spark loop converges to (both are
+    partition-order independent by construction)."""
+    prelude = _minhash_prelude(k, bands, shingle_n, max_bucket)
+    return f"""
+    WITH RECURSIVE {prelude},
+    p AS MATERIALIZED (SELECT id_a, id_b FROM j WHERE jac >= {threshold}),
+    e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+                       UNION SELECT id_b, id_a FROM p),
+    cc(node, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, cc.lbl FROM e JOIN cc ON cc.node = e.v),
+    comp AS (SELECT node, min(lbl) AS component FROM cc GROUP BY node)
+    SELECT d.doc_id AS id,
+           coalesce(comp.component, d.doc_id) AS cluster,
+           CAST(d.doc_id = coalesce(comp.component, d.doc_id) AS BIGINT) AS keep
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN comp ON comp.node = d.doc_id
+"""
+
+
+_DEDUP_CLUSTERS_SQL = _dedup_clusters_sql()
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Transitive keep-one-per-cluster dedup: poly-hash MinHash pairs
+    (the value-exact-proven pipeline) -> min-label connected
+    components -> canonical per cluster. The twin replays the closure
+    with a recursive CTE, so labels match value-exact."""
+    from spartan2_spark.operators.dedup import dedup_clusters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_clusters(
+        d, k=32, bands=8, jaccard_threshold=0.2, hash_mode="poly"
+    )
+    return out.select("id", "cluster", F.col("keep").cast("long").alias("keep"))
 
 
 def _q_simhash_dedup(spark, sf_dir):
@@ -3516,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (r03) ---
         "eaglemine_gof": _q_eaglemine_gof,
         "flowscope_peel": _q_flowscope_peel,
+        "dedup_clusters": _q_dedup_clusters,
         # --- green in r02, padding the 50-query prefix ---
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
@@ -3642,6 +3695,7 @@ def oracle_sql() -> dict[str, str]:
         "densest_subgraph": _densest_sql(rounds=10),
         "doc_fingerprint": _FINGERPRINT_SQL,
         "minhash_dedup_pairs": _minhash_sql(),
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "graph_summarize_lsh": _graph_summarize_sql(k_hashes=4),
         "dpgs_merge_refine": _dpgs_merge_sql(k_hashes=4),
         "dpgs_summarize_fixpoint": _dpgs_fixpoint_sql(rounds=6, k_hashes=4),

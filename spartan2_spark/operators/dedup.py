@@ -32,6 +32,7 @@ __all__ = [
     "word_ngrams_expr",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "ngram_jaccard_join",
     "simhash64",
     "simhash_pairs",
@@ -430,4 +431,57 @@ def embedding_lsh_pairs(
         .withColumn("cosine", dot_ab / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_a", "id_b", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """Keep-one-per-cluster deduplication: the step a training-data
+    pipeline actually runs AFTER pair finding. Near-dup pairs
+    (:func:`minhash_lsh_pairs`) become an undirected graph; connected
+    components group transitive duplicates; each cluster keeps its
+    canonical document.
+
+    Canonical = MIN doc id in the cluster — deterministic and
+    engine-replayable (a production pipeline may prefer longest doc or
+    highest quality score; swap the pick by joining the component
+    table against that score and taking arg_max).
+
+    Returns one row per input document: (id, cluster, keep) with
+    keep = (id == cluster). At 100 TB the component loop runs on the
+    PAIR graph only (near-dup clusters are tiny and shallow), never on
+    the corpus; the final join is one left join of docs against the
+    bounded component table.
+    """
+    from spartan2_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+        hash_mode=hash_mode,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    docs = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        docs.join(comp.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("cluster"),
+        )
+        .withColumn("keep", F.col("id") == F.col("cluster"))
     )

@@ -26,6 +26,7 @@ __all__ = [
     "graph_minus",
     "encode_ids",
     "kcore",
+    "connected_components",
 ]
 
 
@@ -164,3 +165,60 @@ def encode_ids(
         .withColumnRenamed("node_id", col)
     )
     return enc, dim
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 64
+) -> DataFrame:
+    """Connected components of an undirected graph, labeled by the
+    minimum node id in the component — min-label propagation over the
+    symmetrized edge set, converging in O(component diameter) rounds
+    (two scalar actions + one localCheckpoint per round, the same
+    iterative-plan discipline as :func:`kcore`).
+
+    Deterministic: labels are min ids, independent of partitioning and
+    join order — any SQL engine's transitive closure lands on the same
+    labels, which is what makes downstream canonical-document picks
+    twin-checkable. Returns (node, component).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        prop = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("nbr"))
+        )
+        nxt = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.withColumnRenamed("component", "c2")
+            .join(labels, "node")
+            .filter(F.col("c2") != F.col("component"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        "(component diameter exceeds max_rounds); raise it"
+    )

@@ -278,3 +278,42 @@ def test_multimodal_decoder_seam_accepts_injected_codec(spark):
 
     with _pytest.raises(ValueError):
         extract_features(df, "html", "url", decoder="pil")
+
+
+def test_connected_components_labels():
+    from spartan2_spark.operators.graph import connected_components
+    from spartan2_spark.session import get_spark
+
+    spark = get_spark()
+    # two chains + a triangle + an isolated edge; labels must be the min id
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (10, 11), (20, 21), (21, 22), (22, 20), (7, 9)],
+        "src long, dst long",
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {3: 3, 5: 3, 9: 3, 7: 3, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_keeps_one_canonical(spark, docs):
+    out = DD.dedup_clusters(
+        docs, k=32, bands=8, jaccard_threshold=0.5
+    ).toPandas()
+    # every input doc labelled exactly once
+    assert len(out) == docs.count()
+    assert out["id"].is_unique
+    # the 5 planted exact-dup and 5 near-dup docs collapse onto their
+    # originals: cluster label == the original (minimum) doc_id
+    for i in range(5):
+        orig = out.loc[out["id"] == i, "cluster"].iloc[0]
+        assert out.loc[out["id"] == i + 100000, "cluster"].iloc[0] == orig
+        assert out.loc[out["id"] == i + 200000, "cluster"].iloc[0] == orig
+        assert not out.loc[out["id"] == i + 100000, "keep"].iloc[0]
+    # exactly one keeper per cluster, and it is the min id
+    keepers = out[out["keep"]]
+    assert keepers.groupby("cluster").size().max() == 1
+    assert (keepers["id"] == keepers["cluster"]).all()
+    # every cluster label IS a member of its own cluster (min-id label),
+    # so the keeper always exists; non-keepers never carry their own id
+    assert (out.groupby("cluster")["id"].min() == out.groupby("cluster")["id"].min().index).all()
+    nonkeep = out[~out["keep"]]
+    assert (nonkeep["id"] != nonkeep["cluster"]).all()
