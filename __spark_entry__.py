@@ -765,6 +765,81 @@ _QUALITY_SQL = """
 """
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher repetition filters: dup-line / dup-3-gram / top-2-gram
+    fractions — integer counts + single divisions, value-exact."""
+    from spartan2_spark.operators.text import repetition_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(d)
+
+
+_REPETITION_SQL = """
+    WITH t AS MATERIALIZED (
+      SELECT doc_id AS id,
+             string_split_regex(trim(lower(text)), ' +') AS tok,
+             string_split(text, chr(10)) AS lines
+      FROM documents),
+    g AS MATERIALIZED (
+      SELECT id, tok, lines,
+             list_transform(range(1, greatest(len(tok), 1)),
+                            i -> tok[i] || ' ' || tok[i+1]) AS g2,
+             list_transform(range(1, greatest(len(tok) - 1, 1)),
+                            i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]) AS g3
+      FROM t),
+    top2 AS (
+      SELECT id, max(cnt) AS top2_cnt FROM (
+        SELECT id, gram, count(*) AS cnt
+        FROM (SELECT id, unnest(g2) AS gram FROM g)
+        GROUP BY id, gram)
+      GROUP BY id)
+    SELECT g.id,
+           len(tok)::BIGINT AS n_tokens,
+           len(lines)::BIGINT AS n_lines,
+           round((len(lines) - len(list_distinct(lines)))
+                 / greatest(len(lines), 1), 8) AS dup_line_frac,
+           round((len(g3) - len(list_distinct(g3)))
+                 / greatest(len(g3), 1), 8) AS dup_3gram_frac,
+           round(coalesce(top2_cnt, 0) / greatest(len(g2), 1), 8) AS top_2gram_frac
+    FROM g LEFT JOIN top2 ON top2.id = g.id
+"""
+
+
+def _q_c4_filters(spark, sf_dir):
+    """C4 line-level heuristics + keep/drop verdict (codegen-only)."""
+    from spartan2_spark.operators.text import c4_line_filters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return c4_line_filters(d)
+
+
+_C4_FILTERS_SQL = """
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split(text, chr(10)) AS lines,
+             len(string_split_regex(trim(lower(text)), ' +')) AS n_tok,
+             lower(text) AS low
+      FROM documents),
+    f AS (
+      SELECT id, n_tok,
+             len(lines) AS n_lines,
+             round(len(list_filter(lines,
+                   l -> right(rtrim(l), 1) IN ('.', '!', '?', '"')))
+                   / greatest(len(lines), 1), 8) AS end_punct_frac,
+             round(len(list_filter(lines, l -> length(trim(l)) < 30))
+                   / greatest(len(lines), 1), 8) AS short_line_frac,
+             CAST(contains(low, '{') AS BIGINT) AS has_curly,
+             CAST(contains(low, 'javascript') AS BIGINT) AS has_javascript,
+             CAST(contains(low, 'lorem ipsum') AS BIGINT) AS has_lorem
+      FROM t)
+    SELECT id, n_lines::BIGINT AS n_lines, end_punct_frac, short_line_frac,
+           has_curly, has_javascript, has_lorem,
+           CAST(end_punct_frac >= 0.2 AND n_tok >= 5
+                AND has_curly + has_lorem = 0 AS BIGINT) AS keep
+    FROM f
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -3569,6 +3644,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eaglemine_gof": _q_eaglemine_gof,
         "flowscope_peel": _q_flowscope_peel,
         "dedup_clusters": _q_dedup_clusters,
+        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
+        # --- code changed this round (spectral seed / centroid seeding) ---
+        "holoscope_shaving": _q_holoscope_shaving,
+        "ivf_topk": _q_ivf_topk,
+        "repetition_stats": _q_repetition_stats,
+        "c4_filters": _q_c4_filters,
         # --- green in r02, padding the 50-query prefix ---
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
@@ -3607,15 +3688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eaglemine_stitch": _q_eaglemine_stitch,
         "specgreedy_block": _q_specgreedy,
         "kgrass_summary": _q_kgrass,
-        "ivf_topk": _q_ivf_topk,
         "score_level_users": _q_score_level_users,
         "cumprod_daily": _q_cumprod_daily,
         "rank_fusion_sum": _q_rank_fusion_sum,
-        "holoscope_shaving": _q_holoscope_shaving,
         "flow_peel_block": _q_flow_peel_block,
         "rpeak_hamilton": _q_rpeak_hamilton,
         "beatgan_subspace": _q_beatgan_subspace,
-        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
         "html_extract_text": _q_html_extract,
     }
 
@@ -3648,6 +3726,8 @@ def oracle_sql() -> dict[str, str]:
         "dict_encode": _DICT_ENCODE_SQL,
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "quality_score": _QUALITY_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "c4_filters": _C4_FILTERS_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

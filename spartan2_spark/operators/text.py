@@ -18,6 +18,9 @@ __all__ = [
     "quality_score",
     "lang_id",
     "fingerprint_bottom_k",
+    "word_ngrams",
+    "repetition_stats",
+    "c4_line_filters",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -151,6 +154,114 @@ def fingerprint_bottom_k(
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     bottom_k = F.slice(F.sort_array(hashes), 1, k)
     return df.withColumn("fingerprint", bottom_k).withColumn("fp_hash", fp_hash)
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, built from array ops only
+    (no explode): element i pairs with the following n-1 tokens via the
+    (element, index) two-arg lambda form."""
+    if n < 2:
+        return toks
+    head = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # two-arg lambda: i is the 0-based index, so head[i] == toks[i+1]
+    # (1-based) and the gram spans toks[i+1 .. i+n]
+    return F.transform(
+        head,
+        lambda t, i: F.concat_ws(
+            " ", t, *[F.element_at(toks, i + j + 1) for j in range(1, n)]
+        ),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1):
+    duplicate-line fraction, duplicate word-3-gram fraction, and the
+    fraction of the doc covered by its single most frequent word
+    2-gram. High values flag boilerplate / spam / scraped nav bars.
+
+    dup fractions are per-doc array arithmetic (codegen projection);
+    the top-2-gram mode needs a per-(doc, gram) count -> explode +
+    two hash aggregations, map-side combinable, scale-safe. All
+    outputs are single divisions of exact integers -> value-exact
+    across engines.
+    """
+    toks = tokens_expr(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_tok = F.size(toks)
+    g3 = word_ngrams(toks, 3)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_lines.cast("long").alias("n_lines"),
+        ((n_lines - F.size(F.array_distinct(lines)))
+         / F.greatest(n_lines, F.lit(1))).alias("dup_line_frac"),
+        ((F.size(g3) - F.size(F.array_distinct(g3)))
+         / F.greatest(F.size(g3), F.lit(1))).alias("dup_3gram_frac"),
+        word_ngrams(toks, 2).alias("g2"),
+    )
+    top2 = (
+        base.select("id", F.explode("g2").alias("gram"))
+        .groupBy("id", "gram")
+        .count()
+        .groupBy("id")
+        .agg(F.max("count").alias("top2_cnt"))
+    )
+    return (
+        base.join(top2, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            "n_lines",
+            F.round("dup_line_frac", 8).alias("dup_line_frac"),
+            F.round("dup_3gram_frac", 8).alias("dup_3gram_frac"),
+            F.round(
+                F.coalesce(F.col("top2_cnt"), F.lit(0))
+                / F.greatest(F.size("g2"), F.lit(1)),
+                8,
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+def c4_line_filters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line/document heuristics (Raffel et al. 2020 §2.2):
+    fraction of lines ending in terminal punctuation, short-line
+    fraction, curly-brace / 'javascript' / 'lorem ipsum' flags, and a
+    keep/drop verdict. One codegen projection per doc — no shuffle.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    def _frac(pred):
+        return F.size(F.filter(lines, pred)) / n_lines
+    end_punct = _frac(
+        lambda l: F.substring(F.rtrim(l), -1, 1).isin(".", "!", "?", '"')
+    )
+    short_lines = _frac(lambda l: F.length(F.trim(l)) < 30)
+    low = F.lower(F.col(text_col))
+    has_curly = F.contains(low, F.lit("{")).cast("long")
+    has_js = F.contains(low, F.lit("javascript")).cast("long")
+    has_lorem = F.contains(low, F.lit("lorem ipsum")).cast("long")
+    n_tok = F.size(tokens_expr(text_col))
+    keep = (
+        (F.round(end_punct, 8) >= 0.2)
+        & (n_tok >= 5)
+        & (has_curly + has_lorem == 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.round(end_punct, 8).alias("end_punct_frac"),
+        F.round(short_lines, 8).alias("short_line_frac"),
+        has_curly.alias("has_curly"),
+        has_js.alias("has_javascript"),
+        has_lorem.alias("has_lorem"),
+        keep.alias("keep"),
+    )
 
 
 def extract_text(

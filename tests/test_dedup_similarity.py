@@ -317,3 +317,33 @@ def test_dedup_clusters_keeps_one_canonical(spark, docs):
     assert (out.groupby("cluster")["id"].min() == out.groupby("cluster")["id"].min().index).all()
     nonkeep = out[~out["keep"]]
     assert (nonkeep["id"] != nonkeep["cluster"]).all()
+
+
+def test_repetition_stats_planted(spark):
+    rows = [
+        # 4 lines, 2 dup; "a b" appears 3x of 5 2-grams; 3-grams: "a b a","b a b","a b c","b c d" of 4 -> 0 dup
+        (1, "a b a b c d\nx\nx\ny"),
+        (2, "unique words only here"),
+        (3, "t t t t t t"),  # all 2-grams identical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in TX.repetition_stats(df).collect()}
+    assert out[1].n_lines == 4 and abs(out[1].dup_line_frac - 0.25) < 1e-9
+    assert out[2].dup_3gram_frac == 0.0
+    assert abs(out[2].top_2gram_frac - 1 / 3) < 1e-7
+    assert out[3].top_2gram_frac == 1.0 and abs(out[3].dup_3gram_frac - 0.75) < 1e-9
+
+
+def test_c4_line_filters_planted(spark):
+    rows = [
+        (1, "This is a proper sentence.\nAnd another good one follows it here!"),
+        (2, "function f() { return 1; }"),
+        (3, "Lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+        (4, "no punct line\nalso none"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in TX.c4_line_filters(df).collect()}
+    assert out[1].end_punct_frac == 1.0 and out[1].keep == 1
+    assert out[2].has_curly == 1 and out[2].keep == 0
+    assert out[3].has_lorem == 1 and out[3].keep == 0
+    assert out[4].end_punct_frac == 0.0 and out[4].keep == 0
