@@ -840,6 +840,94 @@ _C4_FILTERS_SQL = """
 """
 
 
+def _events_series(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            F.col("user_id").alias("key"), "ts", "value", "event_id"
+        )
+    )
+
+
+def _q_paa_segments(spark, sf_dir):
+    """Piecewise Aggregate Approximation over each user's event-value
+    series: 8 equal-count segments, centi-quantized means (exact)."""
+    from spartan2_spark.operators.timeseries import paa
+
+    return paa(_events_series(spark, sf_dir), 8, order_cols=("event_id",))
+
+
+_PAA_SQL = """
+    WITH pos AS (
+      SELECT user_id AS key,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    seg AS (SELECT key, CAST(floor(p * 8 / n) AS BIGINT) AS segment, v FROM pos)
+    SELECT key, segment,
+           CAST(sum(v) AS BIGINT) / count(*) / 100.0 AS paa_mean,
+           count(*)::BIGINT AS n_points
+    FROM seg GROUP BY key, segment
+"""
+
+
+def _q_sax_words(spark, sf_dir):
+    """SAX symbolization of the PAA means: alphabet 'abcd' on fixed
+    raw-value breakpoints (20, 45, 80) — one word per user."""
+    from spartan2_spark.operators.timeseries import paa, sax_symbols
+
+    p = paa(_events_series(spark, sf_dir), 8, order_cols=("event_id",))
+    return sax_symbols(p, breakpoints=(20.0, 45.0, 80.0))
+
+
+_SAX_SQL = """
+    WITH pos AS (
+      SELECT user_id AS key,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    seg AS (SELECT key, CAST(floor(p * 8 / n) AS BIGINT) AS segment, v FROM pos),
+    m AS (SELECT key, segment,
+                 CAST(sum(v) AS BIGINT) / count(*) / 100.0 AS paa_mean
+          FROM seg GROUP BY key, segment),
+    lett AS (SELECT key, segment,
+                    substring('abcd',
+                      1 + (CASE WHEN paa_mean >= 20.0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN paa_mean >= 45.0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN paa_mean >= 80.0 THEN 1 ELSE 0 END), 1) AS symbol
+             FROM m)
+    SELECT key, string_agg(symbol, '' ORDER BY segment) AS sax_word,
+           count(*)::BIGINT AS n_segments
+    FROM lett GROUP BY key
+"""
+
+
+def _q_autocorr_lag(spark, sf_dir):
+    """Per-user lag-1 raw autocovariance moment on centi-quantized
+    values — exact integer product sums."""
+    from spartan2_spark.operators.timeseries import autocorr_lag
+
+    return autocorr_lag(
+        _events_series(spark, sf_dir), lag=1, order_cols=("event_id",)
+    )
+
+
+_AUTOCORR_SQL = """
+    WITH q AS (
+      SELECT user_id AS key,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             lag(CAST(round(value * 100) AS BIGINT), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x_lag
+      FROM events)
+    SELECT key, count(*)::BIGINT AS n_pairs,
+           CAST(sum(x * x_lag) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x_lag) AS BIGINT) / count(*) / 10000.0 AS lag_moment
+    FROM q WHERE x_lag IS NOT NULL GROUP BY key
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -3650,6 +3738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "repetition_stats": _q_repetition_stats,
         "c4_filters": _q_c4_filters,
+        "paa_segments": _q_paa_segments,
+        "sax_words": _q_sax_words,
+        "autocorr_lag": _q_autocorr_lag,
         # --- green in r02, padding the 50-query prefix ---
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
@@ -3728,6 +3819,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "repetition_stats": _REPETITION_SQL,
         "c4_filters": _C4_FILTERS_SQL,
+        "paa_segments": _PAA_SQL,
+        "sax_words": _SAX_SQL,
+        "autocorr_lag": _AUTOCORR_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

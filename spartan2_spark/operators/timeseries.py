@@ -45,6 +45,9 @@ __all__ = [
     "iat_diffs",
     "iat_count",
     "iat_pair_count",
+    "paa",
+    "sax_symbols",
+    "autocorr_lag",
 ]
 
 
@@ -212,4 +215,125 @@ def iat_pair_count(df: DataFrame, key_col="key", time_col="ts") -> DataFrame:
         d.filter(F.col("iat_next").isNotNull())
         .groupBy("iat", "iat_next")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def paa(
+    df: DataFrame,
+    n_segments: int = 8,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+    quantize: bool = True,
+) -> DataFrame:
+    """Piecewise Aggregate Approximation (Keogh et al. 2001): split each
+    key's time-ordered series into ``n_segments`` equal-count segments
+    and emit the segment means — the standard series-compression step
+    before SAX symbolization.
+
+    Segment of position p in an n-point series = floor(p*S/n) (pure
+    integer arithmetic -> identical in any engine). With
+    ``quantize=True`` values are centi-quantized so each segment mean is
+    ONE division of exact integers — value-exact cross-engine; raw
+    doubles (quantize=False) are the production path.
+
+    Plan: one shuffle for the per-key position numbering, then a
+    map-side-combinable hash aggregate; at 100 TB both key on
+    (key, segment) and never hold a series in one task.
+    """
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    v = F.round(F.col(value_col) * 100).cast("long") if quantize \
+        else F.col(value_col)
+    pos = df.select(
+        F.col(key_col).alias("key"),
+        (F.row_number().over(w) - 1).alias("p"),
+        F.count("*").over(W.partitionBy(key_col)).alias("n"),
+        v.alias("v"),
+    )
+    seg = pos.withColumn(
+        "segment", (F.col("p") * n_segments / F.col("n")).cast("long")
+    )
+    mean = (F.sum("v") / F.count("*") / 100.0) if quantize \
+        else (F.sum("v") / F.count("*"))
+    return (
+        seg.groupBy("key", "segment")
+        .agg(
+            mean.alias("paa_mean"),
+            F.count("*").cast("long").alias("n_points"),
+        )
+    )
+
+
+def sax_symbols(
+    paa_df: DataFrame,
+    breakpoints: tuple[float, ...] = (-0.6745, 0.0, 0.6745),
+    alphabet: str = "abcdefghijklmnopqrstuvwxyz",
+) -> DataFrame:
+    """SAX symbolization (Lin et al. 2003): map each PAA mean to the
+    alphabet letter indexed by how many breakpoints lie at/below it,
+    then assemble the per-key symbol word in segment order.
+
+    Breakpoints are caller-supplied constants (the classic choice is
+    N(0,1) quantiles over a z-normalized series; any monotone cut set
+    works on raw values). Comparisons and the ordered string assembly
+    are exact, so the word is engine-portable.
+    """
+    if len(breakpoints) + 1 > len(alphabet):
+        raise ValueError("alphabet too small for breakpoint count")
+    idx = sum(
+        (F.col("paa_mean") >= F.lit(float(b))).cast("int") for b in breakpoints
+    )
+    sym = F.substring(F.lit(alphabet), 1, len(breakpoints) + 1)
+    lettered = paa_df.withColumn("symbol", F.substr(sym, idx + 1, F.lit(1)))
+    return (
+        lettered.groupBy("key")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("segment", "symbol"))
+                    ),
+                    lambda s: s["symbol"],
+                ),
+            ).alias("sax_word"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+    )
+
+
+def autocorr_lag(
+    df: DataFrame,
+    lag: int = 1,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+    quantize: bool = True,
+) -> DataFrame:
+    """Per-key lag-k sample autocovariance, unnormalized raw-moment
+    form: n_pairs, sum(x_t * x_{t+k}) and their mean. With
+    ``quantize=True`` the products are exact centi-scaled integers
+    (sum order-independent while < 2^63) -> value-exact cross-engine;
+    the classic normalized ACF divides by the lag-0 row downstream.
+
+    One shuffle (the per-key sort window), then a hash aggregate.
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    v = F.round(F.col(value_col) * 100).cast("long") if quantize \
+        else F.col(value_col)
+    lagged = df.select(
+        F.col(key_col).alias("key"),
+        v.alias("x"),
+        F.lag(v, lag).over(w).alias("x_lag"),
+    ).filter(F.col("x_lag").isNotNull())
+    prod_mean = (F.sum(F.col("x") * F.col("x_lag")) / F.count("*") / 10000.0) \
+        if quantize else (F.sum(F.col("x") * F.col("x_lag")) / F.count("*"))
+    return lagged.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("x") * F.col("x_lag")).cast("long").alias("sum_xy"),
+        prod_mean.alias("lag_moment"),
     )

@@ -124,3 +124,23 @@ def test_iat(spark):
         (r["iat"], r["iat_next"]): r["cnt"] for r in TS.iat_pair_count(df).collect()
     }
     assert pairs == {(1.0, 2.0): 2, (2.0, 3.0): 1}
+
+
+def test_paa_sax_planted(spark):
+    # 8 points, 4 segments of 2: means 1.5, 3.5, 10.5, 0.5
+    rows = [(1, float(t), float(v)) for t, v in enumerate([1, 2, 3, 4, 10, 11, 0, 1])]
+    df = spark.createDataFrame(rows, "key long, ts double, value double")
+    from spartan2_spark.operators.timeseries import paa, sax_symbols, autocorr_lag
+
+    p = paa(df, 4).toPandas().sort_values("segment")
+    assert p["paa_mean"].tolist() == [1.5, 3.5, 10.5, 0.5]
+    assert p["n_points"].tolist() == [2, 2, 2, 2]
+    w = sax_symbols(paa(df, 4), breakpoints=(1.0, 4.0, 10.0)).collect()[0]
+    # 1.5 -> b, 3.5 -> b, 10.5 -> d, 0.5 -> a
+    assert w.sax_word == "bbda" and w.n_segments == 4
+
+    ac = autocorr_lag(df, lag=1).collect()[0]
+    xs = [1, 2, 3, 4, 10, 11, 0, 1]
+    want = sum(a * b for a, b in zip(xs, xs[1:]))
+    assert ac.n_pairs == 7 and ac.sum_xy == want * 10000
+    assert abs(ac.lag_moment - want / 7) < 1e-9
