@@ -2132,6 +2132,53 @@ def _q_kcore(spark, sf_dir):
     return GR.kcore(li, k=34)
 
 
+def _q_spokes_fixedpoint(spark, sf_dir):
+    """Unnormalized BIGINT power iteration (adaptive right-shift
+    rescaling) on the user x event_type adjacency — the value-exact
+    driver evidence for the distributed matvec chain behind
+    EigenSpokes/HoloScope fast init (spectral.py:power_iteration)."""
+    from spartan2_spark.operators.spectral import power_iteration_fixedpoint
+
+    edges = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return power_iteration_fixedpoint(
+        edges, weight="w", half_steps=5, target_bits=28
+    ).select(F.col("node").cast("long").alias("node"), "score")
+
+
+def _power_fixedpoint_sql(half_steps: int = 5, target_bits: int = 28) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT user_id AS s, event_type AS d, "
+        "count(*)::BIGINT AS w FROM events GROUP BY 1, 2)",
+        "x0 AS (SELECT DISTINCT d AS node, 1::BIGINT AS score FROM e)",
+    ]
+    dst_side = True
+    for k in range(1, half_steps + 1):
+        jk, gk = ("d", "s") if dst_side else ("s", "d")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT e.{gk} AS node, "
+            f"CAST(sum(e.w * x.score) AS BIGINT) AS score "
+            f"FROM e JOIN x{k-1} x ON x.node = e.{jk} GROUP BY e.{gk})"
+        )
+        parts.append(
+            f"s{k} AS (SELECT greatest(length(bin(max(score))) - {target_bits}, 0)"
+            f" AS sh FROM r{k})"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT node, "
+            f"score >> (SELECT sh FROM s{k}) AS score FROM r{k})"
+        )
+        dst_side = not dst_side
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(node AS BIGINT) AS node, score FROM x{half_steps}"
+    )
+
+
 def _q_svd_spokes(spark, sf_dir):
     """Leading singular vector by distributed power iteration + the
     EigenSpokes node pick |u_i| >= 1/sqrt(m)
@@ -3741,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paa_segments": _q_paa_segments,
         "sax_words": _q_sax_words,
         "autocorr_lag": _q_autocorr_lag,
+        "spokes_fixedpoint": _q_spokes_fixedpoint,
         # --- green in r02, padding the 50-query prefix ---
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
@@ -3822,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
         "paa_segments": _PAA_SQL,
         "sax_words": _SAX_SQL,
         "autocorr_lag": _AUTOCORR_SQL,
+        "spokes_fixedpoint": _power_fixedpoint_sql(),
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -43,6 +43,7 @@ from pyspark.sql.window import Window as W
 
 __all__ = [
     "power_iteration",
+    "power_iteration_fixedpoint",
     "eigen_spokes_nodes",
     "summarize_graph_lsh",
     "specgreedy_subgraph",
@@ -699,3 +700,63 @@ def dpgs_summarize(
             "node", F.col("node").alias("supernode")
         )
     return {"assign": total, "history": history}
+
+
+def power_iteration_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    half_steps: int = 5,
+    target_bits: int = 28,
+) -> DataFrame:
+    """Leading-singular-direction scores by UNNORMALIZED power
+    iteration in pure BIGINT arithmetic — the engine-portable twin of
+    :func:`power_iteration` (same A v / A^T u alternation,
+    holoscopeFraudDect.py:395-626 fast-init family), trading the float
+    2-norm for adaptive right-shift rescaling.
+
+    Each half-step is one matvec x <- M y (equi-join + hash agg)
+    followed by x >>= max(bit_width(max x) - target_bits, 0), which
+    pins magnitudes below 2^target_bits; the next matvec then stays
+    under nnz * max_w * 2^target_bits << 2^63, so BIGINT never
+    overflows under ANSI mode and any SQL engine reproduces the scores
+    bit-exactly (integer bit-width and >> are portable, unlike float
+    log2/norms). Rankings converge to the leading direction: a uniform
+    2^-k scale commutes with the linear map; floor() perturbs entries
+    at <= 2^-target_bits relative resolution per step. Size
+    ``target_bits <= 62 - log2(nnz * max_w)`` for the corpus —
+    28 covers ~2^33 weighted edges; at a 100 TB edge count drop it
+    accordingly (resolution degrades gracefully).
+
+    Returns the src-side score vector (node, score) after an odd
+    number of half-steps, starting from v0 = all-ones over dst. One
+    scalar collect per half-step (the max), same iterative-plan
+    discipline as the peels.
+    """
+    w = (F.col(weight).cast("long") if weight else F.lit(1).cast("long"))
+    e = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w")
+    ).localCheckpoint()
+    x = (
+        e.select(F.col("d").alias("node")).distinct()
+        .withColumn("score", F.lit(1).cast("long"))
+        .localCheckpoint()
+    )
+    on_dst_side = True  # x currently spans dst nodes
+    for _ in range(half_steps):
+        join_key, group_key = ("d", "s") if on_dst_side else ("s", "d")
+        nxt = (
+            e.join(x.withColumnRenamed("node", join_key), join_key)
+            .groupBy(F.col(group_key).alias("node"))
+            .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
+        ).localCheckpoint()
+        mx = nxt.agg(F.max("score")).collect()[0][0] or 0
+        shift = max(int(mx).bit_length() - target_bits, 0)
+        if shift:
+            nxt = nxt.withColumn(
+                "score", F.shiftright(F.col("score"), shift)
+            ).localCheckpoint()
+        x = nxt
+        on_dst_side = not on_dst_side
+    return x

@@ -147,3 +147,28 @@ def test_dpgs_summarize_fixpoint_is_stable(spark):
     a = {r.node: r.supernode for r in full["assign"].collect()}
     assert a == {1: 1, 2: 1}
     assert full["history"][-1]["positive_pairs"] == 0
+
+
+def test_power_fixedpoint_matches_float_ranking(spark):
+    from spartan2_spark.operators.spectral import (
+        power_iteration,
+        power_iteration_fixedpoint,
+    )
+
+    # dense planted block (users 1-4 x types 100-103, weight 50) over
+    # sparse background: both iterations must rank block users on top
+    rows = [(u, t, 50) for u in (1, 2, 3, 4) for t in (100, 101, 102, 103)]
+    rows += [(u, u % 7 + 200, 1) for u in range(10, 40)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    fx = power_iteration_fixedpoint(edges, weight="w", half_steps=5).toPandas()
+    top_fx = set(fx.sort_values(["score", "node"], ascending=[False, True]).head(4)["node"])
+    fl = power_iteration(edges, weight="w", n_iter=6)["u"].toPandas()
+    top_fl = set(fl.sort_values(["score", "node"], ascending=[False, True]).head(4)["node"])
+    assert top_fx == top_fl == {1, 2, 3, 4}
+    # partition-count invariance (bit-exact integer path)
+    fx2 = power_iteration_fixedpoint(
+        edges.repartition(13), weight="w", half_steps=5
+    ).toPandas()
+    a = fx.sort_values("node", ignore_index=True)
+    b = fx2.sort_values("node", ignore_index=True)
+    assert a.equals(b)
