@@ -960,6 +960,114 @@ _ASOF_SQL = """
 """
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-200 tokens by document frequency then
+    total count — the tokenizer-training / stopword-mining primitive.
+    explode -> two map-side-combinable aggs; integer counts."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    return (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct(F.col("doc_id")).alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), F.asc("token"))
+        .limit(200)
+    )
+
+
+_VOCAB_SQL = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+      FROM documents)
+    SELECT token, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+    FROM tok GROUP BY token
+    ORDER BY df DESC, tf DESC, token ASC LIMIT 200
+"""
+
+
+def _q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling: keep a doc iff
+    poly_hash(doc_id) mod 100 < 10 — the reproducible, engine-portable
+    10% sample a pipeline pins in its manifest (no RNG, no seed drift;
+    the same doc set falls out on ANY engine or cluster size)."""
+    from spartan2_spark.operators.text import _poly_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = _poly_hash(F.col("doc_id").cast("string"))
+    return (
+        d.withColumn("bucket", h % 100)
+        .filter(F.col("bucket") < 10)
+        .select("doc_id", "n_chars", "bucket")
+    )
+
+
+_HASH_SAMPLE_SQL = """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(doc_id::VARCHAR, ''),
+                              c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647) % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, n_chars, bucket FROM h WHERE bucket < 10
+"""
+
+
+def _q_lttb(spark, sf_dir):
+    """Parallel LTTB downsampling of each user's value series to 16
+    buckets (mean-anchored triangles, integer factors, deterministic
+    IEEE products) — value-exact."""
+    from spartan2_spark.operators.timeseries import lttb_parallel
+
+    return lttb_parallel(
+        _events_series(spark, sf_dir), 16, order_cols=("event_id",)
+    )
+
+
+_LTTB_SQL = """
+    WITH base AS (
+      SELECT user_id AS key,
+             row_number() OVER w - 1 AS p,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(floor((epoch_us(ts) - min(epoch_us(ts))
+                 OVER (PARTITION BY user_id)) / 1000000) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    b2 AS (SELECT key, CAST(floor(p * 16 / n) AS BIGINT) AS bucket, p, x, y
+           FROM base),
+    stats AS (SELECT key, bucket, count(*)::BIGINT AS c,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+              FROM b2 GROUP BY 1, 2),
+    nb AS (SELECT key, bucket,
+                  lag(c) OVER wb AS cp, lag(sx) OVER wb AS sxp,
+                  lag(sy) OVER wb AS syp,
+                  lead(c) OVER wb AS cn, lead(sx) OVER wb AS sxn,
+                  lead(sy) OVER wb AS syn
+           FROM stats WINDOW wb AS (PARTITION BY key ORDER BY bucket)),
+    cand AS (SELECT b2.*, nb.cp, nb.sxp, nb.syp, nb.cn, nb.sxn, nb.syn
+             FROM b2 JOIN nb USING (key, bucket)),
+    scored AS (SELECT *,
+        CASE WHEN cp IS NULL OR cn IS NULL THEN NULL
+             ELSE abs(CAST(sxp*cn - sxn*cp AS DOUBLE) * CAST(y*cp - syp AS DOUBLE)
+                    - CAST(sxp - x*cp AS DOUBLE) * CAST(syn*cp - syp*cn AS DOUBLE))
+        END AS area
+        FROM cand),
+    ranked AS (SELECT *,
+        CASE WHEN cp IS NOT NULL AND cn IS NOT NULL
+             THEN row_number() OVER (PARTITION BY key, bucket
+                                     ORDER BY area DESC NULLS LAST, p ASC)
+             ELSE row_number() OVER (PARTITION BY key, bucket
+                    ORDER BY (CASE WHEN cp IS NULL THEN p ELSE -p END) ASC)
+        END AS rn
+        FROM scored)
+    SELECT key, bucket, p, x, y, coalesce(area, -1.0) AS area
+    FROM ranked WHERE rn = 1
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -3819,6 +3927,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_lag": _q_autocorr_lag,
         "spokes_fixedpoint": _q_spokes_fixedpoint,
         "asof_join_quotes": _q_asof_join,
+        # --- new r03, outside the 50-gate (locally oracle-verified;
+        # r4 gate rotates them in) ---
+        "vocab_topk": _q_vocab_topk,
+        "hash_sample": _q_hash_sample,
+        "lttb_downsample": _q_lttb,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -3907,6 +4020,9 @@ def oracle_sql() -> dict[str, str]:
         "autocorr_lag": _AUTOCORR_SQL,
         "spokes_fixedpoint": _power_fixedpoint_sql(),
         "asof_join_quotes": _ASOF_SQL,
+        "vocab_topk": _VOCAB_SQL,
+        "hash_sample": _HASH_SAMPLE_SQL,
+        "lttb_downsample": _LTTB_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -49,6 +49,7 @@ __all__ = [
     "sax_symbols",
     "autocorr_lag",
     "asof_join",
+    "lttb_parallel",
 ]
 
 
@@ -391,4 +392,100 @@ def asof_join(
         u = u.withColumn(rc, F.last(rc, ignorenulls=True).over(w))
     return u.filter(F.col("__side") == 1).drop("__side").select(
         *left.columns, *carried
+    )
+
+
+def lttb_parallel(
+    df: DataFrame,
+    n_buckets: int = 16,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013),
+    parallel variant: the triangle's flanking anchors are the PREVIOUS
+    and NEXT bucket MEANS (canonical LTTB uses the previously *chosen*
+    point, a sequential chain; mean-anchoring makes every bucket's
+    argmax independent — the standard parallelization, and within ~1
+    bucket width the same curve).
+
+    Exactness: time offsets (seconds from the key's first sample) and
+    centi-quantized values are integers; the mean-anchored triangle
+    area is scaled by cp^2*cn (positive, constant within a bucket, so
+    argmax-invariant) into two BIGINT factor pairs whose product is
+    taken in doubles — every engine computes the identical rounded
+    result from identical exact factors. First/last buckets keep their
+    first/last sample (the LTTB endpoint anchors).
+
+    Two window shuffles on the key + one hash agg; no sequential state,
+    100 TB-safe. Returns one row per (key, bucket): the kept sample.
+    """
+    wk = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    base = df.select(
+        F.col(key_col).alias("key"),
+        (F.row_number().over(wk) - 1).alias("p"),
+        F.count("*").over(W.partitionBy(key_col)).alias("n"),
+        F.col(time_col).alias("ts"),
+        F.round(F.col(value_col) * 100).cast("long").alias("y"),
+    ).withColumn(
+        "x",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.min(F.unix_micros(F.col("ts").cast("timestamp"))).over(
+                W.partitionBy("key")
+            )
+        )
+        / F.lit(1000000),
+    ).withColumn("x", F.col("x").cast("long")).withColumn(
+        "bucket", (F.col("p") * n_buckets / F.col("n")).cast("long")
+    )
+    stats = base.groupBy("key", "bucket").agg(
+        F.count("*").alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    wb = W.partitionBy("key").orderBy("bucket")
+    nb = stats.select(
+        "key",
+        "bucket",
+        F.lag("c").over(wb).alias("cp"),
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lead("c").over(wb).alias("cn"),
+        F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+    )
+    cand = base.join(nb, ["key", "bucket"])
+    t1 = F.col("sxp") * F.col("cn") - F.col("sxn") * F.col("cp")
+    t2 = F.col("y") * F.col("cp") - F.col("syp")
+    t3 = F.col("sxp") - F.col("x") * F.col("cp")
+    t4 = F.col("syn") * F.col("cp") - F.col("syp") * F.col("cn")
+    area = F.abs(
+        t1.cast("double") * t2.cast("double")
+        - t3.cast("double") * t4.cast("double")
+    )
+    scored = cand.withColumn(
+        "area",
+        F.when(F.col("cp").isNull() | F.col("cn").isNull(), F.lit(None)).otherwise(area),
+    )
+    # interior buckets: max area (tie -> lowest p); edge buckets:
+    # first bucket keeps its first point, last keeps its last
+    pick = W.partitionBy("key", "bucket").orderBy(
+        F.desc_nulls_last("area"), F.asc("p")
+    )
+    first_last = F.when(
+        F.col("cp").isNull(), F.col("p")  # first bucket -> min p
+    ).otherwise(-F.col("p"))  # last bucket -> max p
+    edge_pick = W.partitionBy("key", "bucket").orderBy(F.asc(first_last))
+    interior = F.col("cp").isNotNull() & F.col("cn").isNotNull()
+    out = scored.withColumn(
+        "rn",
+        F.when(interior, F.row_number().over(pick)).otherwise(
+            F.row_number().over(edge_pick)
+        ),
+    ).filter(F.col("rn") == 1)
+    return out.select(
+        "key", "bucket", "p", "x", "y",
+        F.coalesce(F.col("area"), F.lit(-1.0)).alias("area"),
     )

@@ -166,3 +166,27 @@ def test_asof_join_semantics(spark):
     assert out[103].quote_asof is None and out[103].ts_asof is None
     # row count preserved, all left columns intact
     assert len(out) == 4
+
+
+def test_lttb_parallel_keeps_spike_and_endpoints(spark):
+    from spartan2_spark.operators.timeseries import lttb_parallel
+    import datetime as dt
+
+    # 40 flat samples with one spike at p=22 (bucket 2 of 4); LTTB must
+    # keep the spike, and the first/last buckets keep their endpoints
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=10 * i), 100.0 if i == 22 else 5.0)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value double")
+    out = {r.bucket: r for r in lttb_parallel(df, 4).collect()}
+    assert len(out) == 4
+    assert out[0].p == 0          # first bucket -> first sample
+    assert out[3].p == 39         # last bucket -> last sample
+    assert out[2].p == 22 and out[2].y == 10000  # spike wins its bucket
+    # deterministic at any parallelism (bit-exact integer/IEEE path)
+    out2 = {r.bucket: r for r in lttb_parallel(df.repartition(7), 4).collect()}
+    assert {b: (r.p, r.y, r.area) for b, r in out.items()} == {
+        b: (r.p, r.y, r.area) for b, r in out2.items()
+    }
