@@ -1068,6 +1068,58 @@ _LTTB_SQL = """
 """
 
 
+def _q_countmin(spark, sf_dir):
+    """Count-min sketch (depth 4 x width 256) over event user ids:
+    exact top-20 heavy hitters joined with their sketch estimates
+    (estimate >= exact; collisions visible at width 256). Poly-hash
+    family -> value-exact twin."""
+    from spartan2_spark.functions.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    sk = countmin_build(ev, depth=4, width=256)
+    exact = (
+        ev.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("key"))
+        .limit(20)
+    )
+    est = countmin_estimate(sk, exact.select("key"), depth=4, width=256)
+    return exact.join(est, "key").select(
+        F.col("key").cast("long").alias("user_id"),
+        "exact_cnt",
+        "cms_estimate",
+    )
+
+
+_COUNTMIN_SQL = """
+    WITH ev AS (SELECT user_id::VARCHAR AS key FROM events),
+    ph AS MATERIALIZED (
+      SELECT key, list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(key, ''), c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647) AS h
+      FROM ev),
+    cl AS (SELECT j.j AS j,
+                  ((2*j.j+1)*h + j.j*j.j+7) % 2147483647 % 256 AS cell
+           FROM ph, range(0, 4) j(j)),
+    sk AS (SELECT j, cell, count(*)::BIGINT AS cnt FROM cl GROUP BY 1, 2),
+    exact AS (SELECT key, count(*)::BIGINT AS exact_cnt FROM ev
+              GROUP BY key ORDER BY exact_cnt DESC, key ASC LIMIT 20),
+    pr AS (SELECT e.key, j.j AS j,
+                  ((2*j.j+1)*p.h + j.j*j.j+7) % 2147483647 % 256 AS cell
+           FROM exact e JOIN (SELECT DISTINCT key, h FROM ph) p USING (key),
+                range(0, 4) j(j)),
+    est AS (SELECT pr.key, min(coalesce(sk.cnt, 0)) AS cms_estimate
+            FROM pr LEFT JOIN sk USING (j, cell) GROUP BY pr.key)
+    SELECT CAST(e.key AS BIGINT) AS user_id, e.exact_cnt, est.cms_estimate
+    FROM exact e JOIN est USING (key)
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -3932,6 +3984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "hash_sample": _q_hash_sample,
         "lttb_downsample": _q_lttb,
+        "countmin_heavy_hitters": _q_countmin,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4023,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": _VOCAB_SQL,
         "hash_sample": _HASH_SAMPLE_SQL,
         "lttb_downsample": _LTTB_SQL,
+        "countmin_heavy_hitters": _COUNTMIN_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

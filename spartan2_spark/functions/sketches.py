@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TDigest", "tdigest_quantiles"]
+__all__ = ["TDigest", "tdigest_quantiles", "countmin_build", "countmin_estimate"]
 
 
 class TDigest:
@@ -191,3 +191,68 @@ def tdigest_quantiles(
     return batched_group_apply(
         partials, [*key_cols], final, final_schema, order=("shard",)
     )
+
+
+def countmin_build(
+    df,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a relation:
+    one row per occupied (row j, column h_j(key) mod width) cell with
+    its count — the mergeable heavy-hitter / frequency-estimate state a
+    streaming pipeline checkpoints per window and unions across
+    shards (cells simply re-aggregate: sum on (j, cell)).
+
+    Hashes are the engine-portable polynomial family
+    h_j(x) = ((2j+1)*poly(x) + j^2+7) mod p (same as minhash/LSH), so
+    the sketch — and every estimate read from it — is value-exact
+    reproducible in any SQL engine. depth*width cells bound memory
+    regardless of key cardinality; estimate error <= 2N/width with
+    prob 1 - 2^-depth.
+    """
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.spectral import _poly_node_hash
+
+    rows = [
+        df.select(
+            F.lit(j).alias("j"),
+            (_poly_node_hash(key_col, j) % width).alias("cell"),
+        )
+        for j in range(depth)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionAll(r)
+    return u.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    sketch,
+    keys,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Point-estimate each key's frequency from a count-min relation:
+    min over the depth cells the key hashes to. Broadcast-join the
+    (tiny, <= depth*width row) sketch against the probe keys."""
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.spectral import _poly_node_hash
+
+    probes = keys
+    for j in range(depth):
+        probes = probes.withColumn(
+            f"c{j}", _poly_node_hash(key_col, j) % width
+        )
+    est = None
+    for j in range(depth):
+        s = sketch.filter(F.col("j") == j).select(
+            F.col("cell").alias(f"c{j}"), F.col("cnt").alias(f"n{j}")
+        )
+        probes = probes.join(F.broadcast(s), f"c{j}", "left")
+    est = F.least(*[F.coalesce(F.col(f"n{j}"), F.lit(0)) for j in range(depth)])
+    return probes.select(key_col, est.alias("cms_estimate"))

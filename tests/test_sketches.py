@@ -55,3 +55,29 @@ def test_spark_tdigest_parallelism_invariant(spark):
         exact = np.quantile(g["v"], 0.95)
         got = outs[0].set_index("k").loc[k, "q95"]
         assert abs(got - exact) < 0.1
+
+
+def test_countmin_overestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.functions.sketches import countmin_build, countmin_estimate
+
+    rows = [(f"u{i % 50}",) for i in range(2000)] + [("heavy",)] * 500
+    df = spark.createDataFrame(rows, "key string")
+    sk = countmin_build(df, depth=4, width=64)
+    keys = df.select("key").distinct()
+    est = {r.key: r.cms_estimate for r in countmin_estimate(sk, keys, depth=4, width=64).collect()}
+    exact = {r.key: r.cnt for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # CMS never underestimates; heavy hitter stands out
+    assert all(est[k] >= exact[k] for k in exact)
+    assert est["heavy"] >= 500
+    assert max(est, key=est.get) == "heavy"
+    # mergeability: sketch of two halves re-aggregates to the full sketch
+    d1 = spark.createDataFrame(rows[:1250], "key string")
+    d2 = spark.createDataFrame(rows[1250:], "key string")
+    h1 = countmin_build(d1, depth=4, width=64)
+    h2 = countmin_build(d2, depth=4, width=64)
+    merged = h1.unionAll(h2).groupBy("j", "cell").agg(F.sum("cnt").alias("cnt"))
+    a = {(r.j, r.cell): r.cnt for r in sk.collect()}
+    b = {(r.j, r.cell): r.cnt for r in merged.collect()}
+    assert a == b
