@@ -185,10 +185,12 @@ def repetition_stats(
     the top-2-gram mode needs a per-(doc, gram) count -> explode +
     two hash aggregations, map-side combinable, scale-safe. All
     outputs are single divisions of exact integers -> value-exact
-    across engines.
+    across engines. NULL text is treated as empty (Spark's
+    size(NULL) = -1 would otherwise silently poison the fractions).
     """
-    toks = tokens_expr(text_col)
-    lines = F.split(F.col(text_col), "\n")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.split(F.trim(F.lower(txt)), " +")
+    lines = F.split(txt, "\n")
     n_lines = F.size(lines)
     n_tok = F.size(toks)
     g3 = word_ngrams(toks, 3)
@@ -234,7 +236,8 @@ def c4_line_filters(
     fraction, curly-brace / 'javascript' / 'lorem ipsum' flags, and a
     keep/drop verdict. One codegen projection per doc — no shuffle.
     """
-    lines = F.split(F.col(text_col), "\n")
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == empty
+    lines = F.split(txt, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     def _frac(pred):
         return F.size(F.filter(lines, pred)) / n_lines
@@ -242,11 +245,11 @@ def c4_line_filters(
         lambda l: F.substring(F.rtrim(l), -1, 1).isin(".", "!", "?", '"')
     )
     short_lines = _frac(lambda l: F.length(F.trim(l)) < 30)
-    low = F.lower(F.col(text_col))
+    low = F.lower(txt)
     has_curly = F.contains(low, F.lit("{")).cast("long")
     has_js = F.contains(low, F.lit("javascript")).cast("long")
     has_lorem = F.contains(low, F.lit("lorem ipsum")).cast("long")
-    n_tok = F.size(tokens_expr(text_col))
+    n_tok = F.size(F.split(F.trim(F.lower(txt)), " +"))
     keep = (
         (F.round(end_punct, 8) >= 0.2)
         & (n_tok >= 5)

@@ -347,3 +347,15 @@ def test_c4_line_filters_planted(spark):
     assert out[2].has_curly == 1 and out[2].keep == 0
     assert out[3].has_lorem == 1 and out[3].keep == 0
     assert out[4].end_punct_frac == 0.0 and out[4].keep == 0
+
+
+def test_quality_filters_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "Real text here.")], "doc_id long, text string"
+    )
+    rep = {r.id: r for r in TX.repetition_stats(df).collect()}
+    c4 = {r.id: r for r in TX.c4_line_filters(df).collect()}
+    # NULL text behaves as empty: fractions defined, no -1 poisoning
+    assert rep[1].n_tokens == 1 and rep[1].dup_3gram_frac == 0.0
+    assert c4[1].keep == 0 and c4[1].end_punct_frac == 0.0
+    assert c4[2].end_punct_frac == 1.0
