@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "canonical_text",
     "rpeak_hamilton",
     "beatgan_subspace",
+    "dedup_clusters",
+    "asof_join_quotes",
+    "lttb_downsample",
+    "repetition_stats",
 ]
 
 
