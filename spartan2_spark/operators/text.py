@@ -159,7 +159,11 @@ def fingerprint_bottom_k(
 def word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams as space-joined strings, built from array ops only
     (no explode): element i pairs with the following n-1 tokens via the
-    (element, index) two-arg lambda form."""
+    (element, index) two-arg lambda form.
+
+    Pass ``toks`` as a BOUND COLUMN (select/alias the array first), not
+    an inline split() expression: element_at inside the lambda would
+    re-evaluate an inline expression per element — O(n^2) per doc."""
     if n < 2:
         return toks
     head = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))

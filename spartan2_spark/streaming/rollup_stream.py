@@ -287,3 +287,26 @@ def run_stream_to_memory(streaming_df: DataFrame, name: str, output_mode: str):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("digest",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each key's FIRST arrival and
+    drop re-arrivals — the online form of operators/dedup.exact_dedup
+    for an ingest pipeline (content digests, event ids, crawl urls).
+
+    dropDuplicatesWithinWatermark keeps per-key state only until the
+    watermark passes it, so state is bounded by (keys per watermark
+    horizon), not by stream lifetime — the property that makes exact
+    dedup runnable forever at ingest scale. Duplicates arriving later
+    than the watermark are therefore NOT caught here; the batch
+    dedup_exact/dedup_clusters pass repairs those, mirroring the
+    stream-appends / batch-repairs split of stream_rollup_to_tier.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

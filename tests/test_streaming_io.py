@@ -331,3 +331,39 @@ def test_stream_rollup_to_tier_appends_finalized_and_resumes(spark, tmp_path):
     per = {(r["url"], r["bucket_ts"]): r for r in view}
     assert per[("a", b0)]["cnt"] == 2 and per[("a", b0)]["vmean"] == 3.0
     assert per[("a", b0)]["p95"] == 4.0
+
+
+def test_stream_dedup_first_arrival_only(spark, tmp_path):
+    import datetime as dt
+
+    from spartan2_spark.streaming.rollup_stream import (
+        run_stream_to_memory,
+        stream_dedup,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("d1", t0, 1),
+        ("d2", t0 + dt.timedelta(minutes=1), 2),
+        ("d1", t0 + dt.timedelta(minutes=2), 3),   # dup within watermark
+        ("d3", t0 + dt.timedelta(minutes=3), 4),
+        ("d2", t0 + dt.timedelta(minutes=4), 5),   # dup within watermark
+    ]
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        rows, "digest string, ts timestamp, seq long"
+    ).coalesce(1).write.parquet(str(src))
+    schema = T.StructType(
+        [
+            T.StructField("digest", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_stream_to_memory(stream_dedup(stream), "dedup_out", "append")
+    out = spark.sql("select * from dedup_out").toPandas()
+    # one row per digest; within one micro-batch Spark keeps an
+    # arbitrary-but-single representative per key
+    assert sorted(out["digest"]) == ["d1", "d2", "d3"]
+    assert len(out) == 3
