@@ -1120,6 +1120,61 @@ _COUNTMIN_SQL = """
 """
 
 
+def _q_interval_join(spark, sf_dir):
+    """Response-window range join: each purchase opens a 10-minute
+    window; count/sum the user's OTHER events inside it. Bucketized
+    equi-join (grain = window length), exact containment filter;
+    twin is DuckDB's native theta join."""
+    from spartan2_spark.operators.timeseries import interval_join
+
+    e = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        "event_type",
+    )
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        "key",
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end"),
+    )
+    j = interval_join(
+        e.select("key", "ts", "event_id", "v"), anchors, grain_seconds=600
+    ).filter(F.col("event_id") != F.col("anchor_id"))
+    agg = j.groupBy("key", "anchor_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.sum("v").alias("v_sum_centi"),
+    )
+    return anchors.join(agg, ["key", "anchor_id"], "left").select(
+        "key",
+        "anchor_id",
+        F.coalesce("n_follow", F.lit(0)).alias("n_follow"),
+        F.coalesce("v_sum_centi", F.lit(0)).alias("v_sum_centi"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+    WITH e AS (SELECT user_id AS key, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v, event_type
+               FROM events),
+    a AS (SELECT key, event_id AS anchor_id, ts AS s,
+                 ts + INTERVAL 10 MINUTE AS t
+          FROM e WHERE event_type = 'purchase'),
+    m AS (SELECT a.key, a.anchor_id,
+                 count(*)::BIGINT AS n_follow,
+                 CAST(sum(e.v) AS BIGINT) AS v_sum_centi
+          FROM a JOIN e ON e.key = a.key AND e.ts >= a.s AND e.ts <= a.t
+                       AND e.event_id <> a.anchor_id
+          GROUP BY 1, 2)
+    SELECT a.key, a.anchor_id,
+           coalesce(m.n_follow, 0) AS n_follow,
+           coalesce(m.v_sum_centi, 0) AS v_sum_centi
+    FROM a LEFT JOIN m USING (key, anchor_id)
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -3985,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "lttb_downsample": _q_lttb,
         "countmin_heavy_hitters": _q_countmin,
+        "interval_join_windows": _q_interval_join,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4077,6 +4133,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _HASH_SAMPLE_SQL,
         "lttb_downsample": _LTTB_SQL,
         "countmin_heavy_hitters": _COUNTMIN_SQL,
+        "interval_join_windows": _INTERVAL_JOIN_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

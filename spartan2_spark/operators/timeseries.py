@@ -50,6 +50,7 @@ __all__ = [
     "autocorr_lag",
     "asof_join",
     "lttb_parallel",
+    "interval_join",
 ]
 
 
@@ -489,3 +490,40 @@ def lttb_parallel(
         "key", "bucket", "p", "x", "y",
         F.coalesce(F.col("area"), F.lit(-1.0)).alias("area"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    grain_seconds: int = 600,
+) -> DataFrame:
+    """Point-in-interval range join, bucketized: the scalable form of
+    ``points JOIN intervals ON key AND ts BETWEEN start AND end``
+    (end-inclusive). A naive theta join plans a nested-loop — O(|P|*|I|)
+    per key; instead both sides are mapped to coarse time grains
+    (points to their one grain, intervals exploded over every covered
+    grain), equi-joined on (key, grain), then the exact containment
+    predicate filters. Each point-interval match survives exactly once
+    (the point's single grain), so no dedup pass.
+
+    Cost: |I| * (interval_len / grain) exploded rows vs |P| probe rows
+    joined hash-wise — size ``grain_seconds`` near the median interval
+    length so the explosion factor stays O(1). 100 TB-safe: one
+    equi-join shuffle, skew handled like any hot-key join (salt or AQE).
+    """
+    p_us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    grain_us = grain_seconds * 1_000_000
+    p = points.withColumn("__g", F.floor(p_us / grain_us))
+    i = intervals.withColumn(
+        "__g", F.explode(F.sequence(F.floor(s_us / grain_us), F.floor(e_us / grain_us)))
+    )
+    joined = p.join(i, [key_col, "__g"]).filter(
+        (p_us >= s_us) & (p_us <= e_us)
+    )
+    return joined.drop("__g")

@@ -190,3 +190,35 @@ def test_lttb_parallel_keeps_spike_and_endpoints(spark):
     assert {b: (r.p, r.y, r.area) for b, r in out.items()} == {
         b: (r.p, r.y, r.area) for b, r in out2.items()
     }
+
+
+def test_interval_join_containment(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.timeseries import interval_join
+
+    t0 = dt.datetime(2026, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), s) for s in (0, 100, 599, 600, 601, 5000)],
+        "key long, ts timestamp, pid long",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, t0, t0 + dt.timedelta(seconds=600), 10),
+            (1, t0 + dt.timedelta(seconds=4000), t0 + dt.timedelta(seconds=6000), 11),
+            (2, t0, t0 + dt.timedelta(seconds=9999), 12),  # other key
+        ],
+        "key long, start timestamp, end timestamp, iid long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pts, iv, grain_seconds=600).collect()
+    )
+    # end-inclusive: 600 in; 601 out; key isolation: iid 12 matches nothing
+    assert got == [(0, 10), (100, 10), (599, 10), (600, 10), (5000, 11)]
+    # grain much smaller than the interval still finds the same matches
+    got2 = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pts, iv, grain_seconds=7).collect()
+    )
+    assert got2 == got
