@@ -2379,6 +2379,52 @@ def _q_kcore(spark, sf_dir):
     return GR.kcore(li, k=34)
 
 
+def _q_triangles(spark, sf_dir):
+    """Per-supplier triangle counts on the co-part projection
+    (suppliers sharing a part, part fan-out capped at 200) —
+    canonical-orientation join, each triangle found once."""
+    from spartan2_spark.operators.graph import triangle_counts
+
+    li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
+    ok = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= 200)
+        .select("l_partkey")
+    )
+    li = li.join(ok, "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_partkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(pairs)
+
+
+_TRIANGLES_SQL = """
+    WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200),
+    lf AS (SELECT li.* FROM li JOIN ok USING (l_partkey)),
+    e AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+          FROM lf x JOIN lf y USING (l_partkey)
+          WHERE x.l_suppkey < y.l_suppkey),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM e ab JOIN e bc ON ab.v = bc.u
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+    pn AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY node),
+    nodes AS (SELECT DISTINCT u AS node FROM e UNION SELECT v FROM e)
+    SELECT node, coalesce(n_triangles, 0) AS n_triangles
+    FROM nodes LEFT JOIN pn USING (node)
+"""
+
+
 def _q_spokes_fixedpoint(spark, sf_dir):
     """Unnormalized BIGINT power iteration (adaptive right-shift
     rescaling) on the user x event_type adjacency — the value-exact
@@ -4041,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": _q_lttb,
         "countmin_heavy_hitters": _q_countmin,
         "interval_join_windows": _q_interval_join,
+        "triangle_counts": _q_triangles,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4134,6 +4181,7 @@ def oracle_sql() -> dict[str, str]:
         "lttb_downsample": _LTTB_SQL,
         "countmin_heavy_hitters": _COUNTMIN_SQL,
         "interval_join_windows": _INTERVAL_JOIN_SQL,
+        "triangle_counts": _TRIANGLES_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

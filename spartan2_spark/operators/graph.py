@@ -27,6 +27,7 @@ __all__ = [
     "encode_ids",
     "kcore",
     "connected_components",
+    "triangle_counts",
 ]
 
 
@@ -221,4 +222,45 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds "
         "(component diameter exceeds max_rounds); raise it"
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation on an undirected simple graph —
+    the clustering/cohesion primitive (Watts-Strogatz family metrics,
+    spam-farm detection).
+
+    Canonical-orientation algorithm: orient every edge low->high, then
+    one self-join builds wedges (a<b<c via a-b, b-c) and a second
+    semi-checks the closing a-c edge — each triangle is found exactly
+    once, no post-dedup. Two shuffle joins on node ids; the classic
+    skew control at scale is degree-ordering (orient by (degree, id)
+    instead of id) so hubs fan out less — id-orientation is kept here
+    for engine-portable determinism.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = e.select(F.col("u").alias("node")).unionAll(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )

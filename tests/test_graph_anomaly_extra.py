@@ -126,3 +126,15 @@ def test_holoscope_spectral_seed_recovers_camouflaged_block(spark):
     )
     shaved = {r.user_id for r in res["nodes"].collect()}
     assert set(fraud_users) <= shaved and shaved <= seed
+
+
+def test_triangle_counts_planted(spark):
+    from spartan2_spark.operators.graph import triangle_counts
+
+    # K4 on 1-4 (4 triangles, each node in 3), one pendant (5), one
+    # disjoint triangle (10,11,12); duplicate + reversed edges ignored
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(4, 5), (10, 11), (11, 12), (12, 10), (11, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 10: 1, 11: 1, 12: 1}
