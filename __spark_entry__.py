@@ -2425,6 +2425,53 @@ _TRIANGLES_SQL = """
 """
 
 
+def _q_pagerank(spark, sf_dir):
+    """Integer fixed-point PageRank (6 rounds, d=0.85) on the
+    symmetrized customer<->supplier purchase graph — bit-exact on any
+    engine via integer DIV; fixed-unroll twin."""
+    from spartan2_spark.operators.graph import pagerank_fixedpoint
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    eo = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eo.unionAll(eo.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank_fixedpoint(e, rounds=6)
+
+
+def _pagerank_sql(rounds: int = 6, num: int = 85, den: int = 100,
+                  scale_bits: int = 30) -> str:
+    scale = 1 << scale_bits
+    parts = [
+        "eo AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS u, "
+        "'s' || l_suppkey AS v FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey)",
+        "e AS MATERIALIZED (SELECT u, v FROM eo UNION ALL SELECT v, u FROM eo)",
+        "nodes AS (SELECT DISTINCT u AS node FROM e)",
+        "od AS (SELECT u AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY 1)",
+        f"x0 AS (SELECT node, {scale}::BIGINT AS rank_mass FROM nodes)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.v AS node, "
+            f"CAST(sum(x.rank_mass // od.outdeg) AS BIGINT) AS in_mass "
+            f"FROM e JOIN x{k-1} x ON x.node = e.u "
+            f"JOIN od ON od.node = e.u GROUP BY 1)"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT n.node, "
+            f"CAST(({(den - num) * scale}::BIGINT + {num} * coalesce(c{k}.in_mass, 0)) // {den} AS BIGINT)"
+            f" AS rank_mass FROM nodes n LEFT JOIN c{k} USING (node))"
+        )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_mass FROM x{rounds}"
+
+
 def _q_spokes_fixedpoint(spark, sf_dir):
     """Unnormalized BIGINT power iteration (adaptive right-shift
     rescaling) on the user x event_type adjacency — the value-exact
@@ -4088,6 +4135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_heavy_hitters": _q_countmin,
         "interval_join_windows": _q_interval_join,
         "triangle_counts": _q_triangles,
+        "pagerank_fixedpoint": _q_pagerank,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4182,6 +4230,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_heavy_hitters": _COUNTMIN_SQL,
         "interval_join_windows": _INTERVAL_JOIN_SQL,
         "triangle_counts": _TRIANGLES_SQL,
+        "pagerank_fixedpoint": _pagerank_sql(rounds=6),
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -28,6 +28,7 @@ __all__ = [
     "kcore",
     "connected_components",
     "triangle_counts",
+    "pagerank_fixedpoint",
 ]
 
 
@@ -264,3 +265,68 @@ def triangle_counts(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale_bits: int = 30,
+) -> DataFrame:
+    """PageRank in pure integer arithmetic: rank mass starts at
+    2^scale_bits per node and each round moves
+    floor(x_u / outdeg_u) along every edge, damped rationally:
+    x'_v = (teleport*S) DIV den + (num * in_mass) DIV den.
+
+    Integer DIV (not float division + floor: at rank masses beyond
+    2^44 a double quotient's ulp exceeds 1/outdeg and the floor can
+    disagree with exact integer division) makes every round bit-exact
+    on any SQL engine. Dangling-node mass decays to teleport (the
+    standard simplification; redistribute it with one extra agg if the
+    strict random surfer is needed). Size scale_bits so
+    n_nodes * 2^scale_bits * damping_num < 2^63.
+
+    One join + agg per round, localCheckpoint lineage truncation —
+    the same iterative discipline as kcore/peels. Returns
+    (node, rank_mass) after ``rounds`` rounds.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    scale = 1 << scale_bits
+    teleport = (damping_den - damping_num) * scale
+    x = nodes.withColumn("rank_mass", F.lit(scale).cast("long"))
+    for _ in range(rounds):
+        contrib = (
+            e.join(x.withColumnRenamed("node", "u"), "u")
+            .join(outdeg.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_mass div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        x = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.lit(damping_num) * F.coalesce("in_mass", F.lit(0))
+                ).alias("num"),
+            )
+            .select("node", F.expr(f"num div {damping_den}").alias("rank_mass"))
+            .localCheckpoint()
+        )
+    return x

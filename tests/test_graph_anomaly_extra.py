@@ -138,3 +138,21 @@ def test_triangle_counts_planted(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 10: 1, 11: 1, 12: 1}
+
+
+def test_pagerank_fixedpoint_ranking(spark):
+    from spartan2_spark.operators.graph import pagerank_fixedpoint
+
+    # star: hub 1 pointed at by 2-6 (and back-edges so nothing dangles)
+    edges = [(i, 1) for i in range(2, 7)] + [(1, i) for i in range(2, 7)]
+    edges += [(7, 8), (8, 7)]  # isolated pair
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r.node: r.rank_mass for r in pagerank_fixedpoint(df, rounds=8).collect()}
+    # the hub out-ranks every spoke; spokes are symmetric-identical
+    assert pr[1] > pr[2] and len({pr[i] for i in range(2, 7)}) == 1
+    # the isolated pair keeps the uniform mass (they trade it 1:1)
+    assert pr[7] == pr[8]
+    # parallelism invariance (bit-exact integer path)
+    pr2 = {r.node: r.rank_mass
+           for r in pagerank_fixedpoint(df.repartition(9), rounds=8).collect()}
+    assert pr == pr2
