@@ -1175,6 +1175,65 @@ _INTERVAL_JOIN_SQL = """
 """
 
 
+def _q_rolling_stats(spark, sf_dir):
+    """Trailing 10-row window stats per user (count/sum/mean/min/max),
+    centi-quantized — one running frame, value-exact."""
+    from spartan2_spark.operators.timeseries import rolling_stats
+
+    out = rolling_stats(
+        _events_series(spark, sf_dir), 10, order_cols=("event_id",)
+    )
+    return out.select(
+        "key",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "w_n", "w_sum", "w_mean", "w_min", "w_max",
+    )
+
+
+_ROLLING_SQL = """
+    WITH q AS (SELECT user_id AS key, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v FROM events)
+    SELECT key, epoch_us(ts) AS ts_us, event_id,
+           count(*) OVER w AS w_n,
+           CAST(sum(v) OVER w AS BIGINT) AS w_sum,
+           CAST(sum(v) OVER w AS BIGINT) / (count(*) OVER w) / 100.0 AS w_mean,
+           min(v) OVER w AS w_min,
+           max(v) OVER w AS w_max
+    FROM q
+    WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_ewma(spark, sf_dir):
+    """Dyadic EWMA (alpha=1/2, depth 16) per user — lag terms with
+    integer right-shifts, value-exact."""
+    from spartan2_spark.operators.timeseries import ewma_dyadic
+
+    out = ewma_dyadic(
+        _events_series(spark, sf_dir), 16, order_cols=("event_id",)
+    )
+    return out.select(
+        "key",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "v", "ewma_centi",
+    )
+
+
+def _ewma_sql(depth: int = 16) -> str:
+    terms = " + ".join(
+        f"(coalesce(lag(v, {j}) OVER w, 0) >> {j})" for j in range(depth)
+    )
+    return f"""
+    WITH q AS (SELECT user_id AS key, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v FROM events)
+    SELECT key, epoch_us(ts) AS ts_us, event_id, v,
+           {terms} AS ewma_centi
+    FROM q
+    WINDOW w AS (PARTITION BY key ORDER BY ts, event_id)
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4136,6 +4195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_windows": _q_interval_join,
         "triangle_counts": _q_triangles,
         "pagerank_fixedpoint": _q_pagerank,
+        "rolling_stats": _q_rolling_stats,
+        "ewma_dyadic": _q_ewma,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4231,6 +4292,8 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_windows": _INTERVAL_JOIN_SQL,
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank_fixedpoint": _pagerank_sql(rounds=6),
+        "rolling_stats": _ROLLING_SQL,
+        "ewma_dyadic": _ewma_sql(depth=16),
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -51,6 +51,8 @@ __all__ = [
     "asof_join",
     "lttb_parallel",
     "interval_join",
+    "rolling_stats",
+    "ewma_dyadic",
 ]
 
 
@@ -527,3 +529,80 @@ def interval_join(
         (p_us >= s_us) & (p_us <= e_us)
     )
     return joined.drop("__g")
+
+
+def rolling_stats(
+    df: DataFrame,
+    window_rows: int = 10,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+    quantize: bool = True,
+) -> DataFrame:
+    """Trailing row-window statistics per key: count / sum / mean /
+    min / max over the last ``window_rows`` samples (current row
+    inclusive) — the moving-aggregate view every monitoring query
+    starts from. Centi-quantized sums keep mean a single division of
+    exact integers (value-exact cross-engine); ONE running-frame
+    window, O(n) per key.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(time_col, *order_cols)
+        .rowsBetween(-(window_rows - 1), W.currentRow)
+    )
+    v = F.round(F.col(value_col) * 100).cast("long") if quantize \
+        else F.col(value_col)
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        *[F.col(c) for c in order_cols],
+        v.alias("v"),
+    )
+    mean = (F.sum("v").over(w) / F.count("*").over(w) / 100.0) if quantize \
+        else (F.sum("v").over(w) / F.count("*").over(w))
+    return d.select(
+        "key",
+        "ts",
+        *order_cols,
+        F.count("*").over(w).cast("long").alias("w_n"),
+        F.sum("v").over(w).cast("long").alias("w_sum"),
+        mean.alias("w_mean"),
+        F.min("v").over(w).cast("long").alias("w_min"),
+        F.max("v").over(w).cast("long").alias("w_max"),
+    )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    depth: int = 16,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exponentially-weighted moving sum with dyadic decay 1/2:
+    ewma_t = sum_{j<depth} (x_{t-j} >> j) on centi-quantized values —
+    the engine-portable fixed-point form of EWMA smoothing (alpha=0.5;
+    weights halve per step, truncated at ``depth`` where the
+    contribution underflows integer resolution anyway).
+
+    Expressed as ``depth`` lag terms inside ONE window pass — no
+    sequential recurrence, no UDF; bit-exact at any parallelism and in
+    any engine with >> (each term is an independent integer).
+    """
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    v = F.round(F.col(value_col) * 100).cast("long")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        *[F.col(c) for c in order_cols],
+        v.alias("v"),
+    )
+    terms = [
+        F.shiftright(F.coalesce(F.lag("v", j).over(w), F.lit(0)), j)
+        for j in range(depth)
+    ]
+    out = d.withColumn("ewma_centi", sum(terms[1:], terms[0]))
+    return out.select("key", "ts", *order_cols, "v", "ewma_centi")

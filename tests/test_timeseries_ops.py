@@ -222,3 +222,18 @@ def test_interval_join_containment(spark):
         for r in interval_join(pts, iv, grain_seconds=7).collect()
     )
     assert got2 == got
+
+
+def test_rolling_and_ewma_planted(spark):
+    from spartan2_spark.operators.timeseries import ewma_dyadic, rolling_stats
+
+    rows = [(1, float(t), float(v)) for t, v in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "key long, ts double, value double")
+    rs = {r.ts: r for r in rolling_stats(df, 3).collect()}
+    assert rs[0.0].w_n == 1 and rs[0.0].w_sum == 100
+    assert rs[2.0].w_n == 3 and rs[2.0].w_sum == 600 and rs[2.0].w_mean == 2.0
+    assert rs[4.0].w_sum == 1200 and rs[4.0].w_min == 300 and rs[4.0].w_max == 500
+    ew = {r.ts: r.ewma_centi for r in ewma_dyadic(df, 4).collect()}
+    # t=3: 400 + 300>>1 + 200>>2 + 100>>3 = 400+150+50+12 = 612
+    assert ew[3.0] == 612
+    assert ew[0.0] == 100
