@@ -1234,6 +1234,40 @@ def _ewma_sql(depth: int = 16) -> str:
 """
 
 
+def _q_linear_counting(spark, sf_dir):
+    """Linear-counting distinct sketch (Whang et al. 1990) per event
+    type: occupied buckets of a K=1024 poly-hash bitmap — the exact,
+    mergeable sufficient statistic (estimate = -K ln(empty/K) is a
+    driver-side epilogue; ln() is kept out of the twin) — beside the
+    exact distinct-user count for calibration."""
+    from spartan2_spark.operators.spectral import _poly_node_hash
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("key")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(
+            _poly_node_hash("key", 0) % 1024
+        ).alias("occupied_buckets"),
+        F.count_distinct("key").alias("exact_distinct"),
+    )
+
+
+_LINEAR_COUNT_SQL = """
+    WITH ev AS (SELECT event_type, user_id::VARCHAR AS key FROM events),
+    h AS (SELECT event_type, key,
+                 (1 * list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(key, ''), c -> ascii(c)::BIGINT)),
+                    (a, b) -> (a * 31 + b) % 2147483647) + 7) % 2147483647
+                 % 1024 AS bucket
+          FROM ev)
+    SELECT event_type,
+           count(DISTINCT bucket)::BIGINT AS occupied_buckets,
+           count(DISTINCT key)::BIGINT AS exact_distinct
+    FROM h GROUP BY event_type
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -2529,6 +2563,56 @@ def _pagerank_sql(rounds: int = 6, num: int = 85, den: int = 100,
             f" AS rank_mass FROM nodes n LEFT JOIN c{k} USING (node))"
         )
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_mass FROM x{rounds}"
+
+
+def _q_label_propagation(spark, sf_dir):
+    """Determinized synchronous LPA communities (4 rounds, argmax
+    neighbour label, tie -> min) on the supplier co-part graph;
+    fixed-unroll twin."""
+    from spartan2_spark.operators.graph import label_propagation
+
+    li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
+    ok = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= 200)
+        .select("l_partkey")
+    )
+    li = li.join(ok, "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_partkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return label_propagation(pairs, rounds=4)
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    parts = [
+        "li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        "ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200)",
+        "lf AS (SELECT li.* FROM li JOIN ok USING (l_partkey))",
+        "e0 AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v "
+        "FROM lf x JOIN lf y USING (l_partkey) "
+        "WHERE x.l_suppkey < y.l_suppkey)",
+        "e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"v{k} AS (SELECT e.u AS node, l.label, count(*) AS cnt "
+            f"FROM e JOIN l{k-1} l ON l.node = e.v GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM v{k}) WHERE rn = 1)"
+        )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, label FROM l{rounds}"
 
 
 def _q_spokes_fixedpoint(spark, sf_dir):
@@ -4197,6 +4281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixedpoint": _q_pagerank,
         "rolling_stats": _q_rolling_stats,
         "ewma_dyadic": _q_ewma,
+        "linear_counting": _q_linear_counting,
+        "label_propagation": _q_label_propagation,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4294,6 +4380,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixedpoint": _pagerank_sql(rounds=6),
         "rolling_stats": _ROLLING_SQL,
         "ewma_dyadic": _ewma_sql(depth=16),
+        "linear_counting": _LINEAR_COUNT_SQL,
+        "label_propagation": _lpa_sql(rounds=4),
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -29,6 +29,7 @@ __all__ = [
     "connected_components",
     "triangle_counts",
     "pagerank_fixedpoint",
+    "label_propagation",
 ]
 
 
@@ -330,3 +331,47 @@ def pagerank_fixedpoint(
             .localCheckpoint()
         )
     return x
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "src", dst: str = "dst", rounds: int = 4
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), determinized: every node simultaneously adopts the most
+    frequent label among its neighbours, ties broken by the SMALLEST
+    label — a total order, so the evolution is identical in any engine
+    and at any parallelism (async LPA's visit-order dependence is what
+    makes the classic algorithm irreproducible).
+
+    Fixed ``rounds`` (synchronous LPA can 2-cycle on bipartite
+    structures, so a fixpoint test alone may never fire; bounded
+    rounds + the deterministic tie-break give a well-defined result).
+    One join + count + argmax window per round, localCheckpoint
+    lineage truncation. Returns (node, label).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    pick = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -156,3 +156,20 @@ def test_pagerank_fixedpoint_ranking(spark):
     pr2 = {r.node: r.rank_mass
            for r in pagerank_fixedpoint(df.repartition(9), rounds=8).collect()}
     assert pr == pr2
+
+
+def test_label_propagation_two_cliques(spark):
+    from spartan2_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: LPA must give each
+    # clique one label (the min node id) and not merge across the bridge
+    c1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    c2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(edges, rounds=4).collect()}
+    assert out[1] == out[2] == out[3] == out[4] == 1
+    assert out[11] == out[12] == out[13] == 10
+    # determinism across parallelism
+    out2 = {r.node: r.label
+            for r in label_propagation(edges.repartition(5), rounds=4).collect()}
+    assert out == out2
