@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_media_meta", "extract_features", "frame_sample"]
+__all__ = ["attach_media_meta", "extract_features", "frame_sample", "resize_media"]
 
 
 def attach_media_meta(
@@ -125,5 +125,68 @@ def frame_sample(
                     idxs.append(fi)
                     frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(kernel, schema)
+
+
+def _decode_image_fake(buf: bytes, hw: tuple[int, int]) -> np.ndarray:
+    """Deterministic image-decode stand-in: byte stream tiled into an
+    (h, w) float grid — same role as _decode_fake, 2-D shape."""
+    h, w = hw
+    a = np.frombuffer(buf, dtype=np.uint8)
+    if len(a) == 0:
+        return np.zeros((h, w))
+    reps = -(-(h * w) // len(a))
+    return np.tile(a, reps)[: h * w].reshape(h, w) / 255.0
+
+
+def resize_media(
+    df: DataFrame,
+    bin_col: str = "html",
+    id_col: str = "url",
+    src_hw: tuple[int, int] = (32, 32),
+    out_hw: tuple[int, int] = (8, 8),
+    decoder="fake",
+) -> DataFrame:
+    """binary image -> decoded grid -> mean-pooled resize, Arrow-batched
+    over ``mapInPandas``. Same swap seam as extract_features: pass a
+    CALLABLE ``(buf, src_hw) -> ndarray(h, w)`` wrapping a real codec
+    (PIL on a real cluster), ``'fake'`` (deterministic byte-tile
+    stand-in), or ``'none'`` (raise at execution). The POOLING step is
+    real (block mean via reshape, the standard area resampler) and runs
+    on whatever the decoder returns; src_hw must be divisible by
+    out_hw. Output: one row per media item with the flattened
+    (out_h * out_w) pixel array.
+    """
+    (sh, sw), (oh, ow) = src_hw, out_hw
+    if sh % oh or sw % ow:
+        raise ValueError(f"src_hw {src_hw} not divisible by out_hw {out_hw}")
+    if not callable(decoder) and decoder not in ("fake", "none"):
+        raise ValueError(
+            f"unknown decoder {decoder!r}: callable, 'fake', or 'none'"
+        )
+    decode_fn = decoder if callable(decoder) else _decode_image_fake
+    schema = f"{id_col} string, out_h int, out_w int, pixels array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "none":
+                raise NotImplementedError(
+                    "real image decode requires codec libs not present in "
+                    "this container; use decoder='fake' for plumbing tests"
+                )
+            out = []
+            for b in pdf[bin_col]:
+                img = np.asarray(decode_fn(bytes(b), (sh, sw)), dtype=np.float64)
+                pooled = img.reshape(oh, sh // oh, ow, sw // ow).mean(axis=(1, 3))
+                out.append(pooled.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype(str),
+                    "out_h": oh,
+                    "out_w": ow,
+                    "pixels": out,
+                }
+            )
 
     return df.select(id_col, bin_col).mapInPandas(kernel, schema)

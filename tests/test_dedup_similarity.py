@@ -359,3 +359,29 @@ def test_quality_filters_null_text(spark):
     assert rep[1].n_tokens == 1 and rep[1].dup_3gram_frac == 0.0
     assert c4[1].keep == 0 and c4[1].end_punct_frac == 0.0
     assert c4[2].end_punct_frac == 1.0
+
+
+def test_resize_media_pooling_and_codec_seam(spark):
+    import numpy as np
+
+    from spartan2_spark.datagen import synth_pages
+
+    pages = synth_pages(spark, 20, n_urls=5, days=1)
+    out = MM.resize_media(pages, "html", "url", (32, 32), (8, 8)).toPandas()
+    assert (out["pixels"].map(len) == 64).all()
+    assert out["out_h"].eq(8).all()
+    # pooled values stay in the decoder's [0,1] range
+    assert out["pixels"].map(lambda p: min(p) >= 0 and max(p) <= 1).all()
+
+    # codec seam: a custom callable decoder flows through the pooling
+    def constant_codec(buf, hw):
+        return np.full(hw, 0.5)
+
+    out2 = MM.resize_media(
+        pages, "html", "url", (32, 32), (8, 8), decoder=constant_codec
+    ).toPandas()
+    assert out2["pixels"].map(lambda p: set(p) == {0.5}).all()
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        MM.resize_media(pages, decoder="none").toPandas()
