@@ -310,3 +310,30 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows: events gapped less than ``gap`` merge
+    into one session per key (the online form of the batch sessionize
+    query); watermark bounds the open-session state. Emits one row per
+    closed session with start/end/count — Spark's native session_window
+    aggregation, which merges windows as late-but-in-watermark events
+    arrive.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -367,3 +367,36 @@ def test_stream_dedup_first_arrival_only(spark, tmp_path):
     # arbitrary-but-single representative per key
     assert sorted(out["digest"]) == ["d1", "d2", "d3"]
     assert len(out) == 3
+
+
+def test_stream_sessionize_gap_merge(spark, tmp_path):
+    import datetime as dt
+
+    from spartan2_spark.streaming.rollup_stream import (
+        run_stream_to_memory,
+        stream_sessionize,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=10)),          # session A (2)
+        (1, t0 + dt.timedelta(hours=2)),                      # session B (1)
+        (2, t0 + dt.timedelta(minutes=5)),                    # session C (1)
+    ]
+    src = tmp_path / "sess_in"
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(1)\
+        .write.parquet(str(src))
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    run_stream_to_memory(
+        stream_sessionize(stream, gap="30 minutes"), "sess_out", "complete"
+    )
+    out = spark.sql("select * from sess_out").toPandas()
+    got = {(r.user_id, r.n_events) for r in out.itertuples()}
+    assert got == {(1, 2), (1, 1), (2, 1)}
+    # session A spans first event -> last event + gap
+    a = out[(out.user_id == 1) & (out.n_events == 2)].iloc[0]
+    assert (a.session_end - a.session_start).total_seconds() == 40 * 60
