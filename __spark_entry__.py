@@ -1186,7 +1186,7 @@ def _q_rolling_stats(spark, sf_dir):
     return out.select(
         "key",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-        "event_id", "w_n", "w_sum", "w_mean", "w_min", "w_max",
+        "event_id", "w_n", "w_sum", "w_mean", "w_min", "w_max", "w_var",
     )
 
 
@@ -1198,7 +1198,11 @@ _ROLLING_SQL = """
            CAST(sum(v) OVER w AS BIGINT) AS w_sum,
            CAST(sum(v) OVER w AS BIGINT) / (count(*) OVER w) / 100.0 AS w_mean,
            min(v) OVER w AS w_min,
-           max(v) OVER w AS w_max
+           max(v) OVER w AS w_max,
+           CAST((count(*) OVER w) * CAST(sum(v * v) OVER w AS BIGINT)
+                - CAST(sum(v) OVER w AS BIGINT) * CAST(sum(v) OVER w AS BIGINT)
+                AS BIGINT)
+             / ((count(*) OVER w) * (count(*) OVER w)) / 10000.0 AS w_var
     FROM q
     WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)

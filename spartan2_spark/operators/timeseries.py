@@ -560,17 +560,25 @@ def rolling_stats(
         *[F.col(c) for c in order_cols],
         v.alias("v"),
     )
-    mean = (F.sum("v").over(w) / F.count("*").over(w) / 100.0) if quantize \
-        else (F.sum("v").over(w) / F.count("*").over(w))
+    n = F.count("*").over(w)
+    s1 = F.sum("v").over(w)
+    s2 = F.sum(F.col("v") * F.col("v")).over(w)
+    mean = (s1 / n / 100.0) if quantize else (s1 / n)
+    # population variance with an EXACT integer numerator
+    # n*sum(x^2) - sum(x)^2, then ONE division — engine-portable
+    var = (n * s2 - s1 * s1) / (n * n)
+    if quantize:
+        var = var / 10000.0  # centi^2 -> value units
     return d.select(
         "key",
         "ts",
         *order_cols,
-        F.count("*").over(w).cast("long").alias("w_n"),
-        F.sum("v").over(w).cast("long").alias("w_sum"),
+        n.cast("long").alias("w_n"),
+        s1.cast("long").alias("w_sum"),
         mean.alias("w_mean"),
         F.min("v").over(w).cast("long").alias("w_min"),
         F.max("v").over(w).cast("long").alias("w_max"),
+        var.alias("w_var"),
     )
 
 

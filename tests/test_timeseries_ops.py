@@ -233,6 +233,8 @@ def test_rolling_and_ewma_planted(spark):
     assert rs[0.0].w_n == 1 and rs[0.0].w_sum == 100
     assert rs[2.0].w_n == 3 and rs[2.0].w_sum == 600 and rs[2.0].w_mean == 2.0
     assert rs[4.0].w_sum == 1200 and rs[4.0].w_min == 300 and rs[4.0].w_max == 500
+    # population variance of {3,4,5} = 2/3 (exact integer numerator)
+    assert abs(rs[4.0].w_var - 2 / 3) < 1e-12
     ew = {r.ts: r.ewma_centi for r in ewma_dyadic(df, 4).collect()}
     # t=3: 400 + 300>>1 + 200>>2 + 100>>3 = 400+150+50+12 = 612
     assert ew[3.0] == 612
