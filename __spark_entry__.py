@@ -777,8 +777,8 @@ def _q_repetition_stats(spark, sf_dir):
 _REPETITION_SQL = """
     WITH t AS MATERIALIZED (
       SELECT doc_id AS id,
-             string_split_regex(trim(lower(text)), ' +') AS tok,
-             string_split(text, chr(10)) AS lines
+             string_split_regex(trim(lower(coalesce(text, ''))), ' +') AS tok,
+             string_split(coalesce(text, ''), chr(10)) AS lines
       FROM documents),
     g AS MATERIALIZED (
       SELECT id, tok, lines,
@@ -816,9 +816,9 @@ def _q_c4_filters(spark, sf_dir):
 _C4_FILTERS_SQL = """
     WITH t AS (
       SELECT doc_id AS id,
-             string_split(text, chr(10)) AS lines,
-             len(string_split_regex(trim(lower(text)), ' +')) AS n_tok,
-             lower(text) AS low
+             string_split(coalesce(text, ''), chr(10)) AS lines,
+             len(string_split_regex(trim(lower(coalesce(text, ''))), ' +')) AS n_tok,
+             lower(coalesce(text, '')) AS low
       FROM documents),
     f AS (
       SELECT id, n_tok,

@@ -66,6 +66,34 @@ def run_noop(df) -> float:
     return time.time() - t0
 
 
+def _sweep_stale_scratch(spark) -> None:
+    """Reclaim pid-tagged scratch left by CRASHED bench runs (the
+    end-of-run cleanup only fires on success): any bench_tiers_main*/
+    _warmup* dir and bench_t*_main*/_warmup* table whose pid is not a
+    live process is fair game."""
+    import glob
+    import re as _re
+    import shutil
+
+    def _alive(pid: str) -> bool:
+        return os.path.exists(f"/proc/{pid}")
+
+    for d in glob.glob(os.path.join(CACHE, "bench_tiers_main*")) + glob.glob(
+        os.path.join(CACHE, "bench_tiers_warmup*")
+    ):
+        m = _re.search(r"(?:main|warmup)(\d+)$", d)
+        if m and not _alive(m.group(1)):
+            shutil.rmtree(d, ignore_errors=True)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    for d in glob.glob(os.path.join(wh, "bench_t1*")):
+        m = _re.search(r"(?:main|warmup)(\d+)$", d)
+        if m and not _alive(m.group(1)):
+            spark.sql(f"DROP TABLE IF EXISTS `{os.path.basename(d)}`")
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _drop_bench_tables(spark, tag: str) -> None:
     """Drop a level's tier tables (catalog entry + warehouse dir) before
     the timed passes, so first-pass stages don't pay another run's
@@ -184,6 +212,7 @@ def main() -> None:
     from spartan2_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{CPUS}]")
+    _sweep_stale_scratch(spark)
 
     # warm-up at 1/10 size (floor 20k points): the first pass through the
     # chain pays one-time whole-stage-codegen JIT compilation that a real

@@ -214,19 +214,32 @@ def countmin_build(
     """
     from pyspark.sql import functions as F
 
-    from spartan2_spark.operators.spectral import _poly_node_hash
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
 
-    rows = [
-        df.select(
-            F.lit(j).alias("j"),
-            (_poly_node_hash(key_col, j) % width).alias("cell"),
-        )
-        for j in range(depth)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionAll(r)
-    return u.groupBy("j", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE scan, ONE poly-hash evaluation per key; the depth cells are
+    # derived from it with integer arithmetic and exploded (a per-row
+    # union would re-read and re-hash the input `depth` times)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    (F.lit(2 * j + 1) * F.col("__h") + F.lit(j * j + 7))
+                    % _POLY_P
+                    % width
+                ).alias("cell"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(_poly_hash(F.col(key_col).cast("string")).alias("__h"))
+        .select(F.explode(cells).alias("c"))
+        .select("c.j", "c.cell")
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def countmin_estimate(

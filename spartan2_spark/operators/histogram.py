@@ -537,8 +537,12 @@ def stitch_islands(
       two-axis sum; NULL = degenerate axis accepts) — the reference's
       post_stitch accepts a merge only when the pooled fit passes its
       hypothesis test (eaglemine_model.py:446-457 stat_tester.apply on
-      the merged cells). Default None keeps the likelihood-ratio-only
-      behavior.
+      the merged cells). The gate weighs samples by log2 cell values
+      (same calibration as :func:`gof_islands` and the reference's
+      ``weights = log(count+1)``) so the statistic stays in a stable
+      O(100) range at any mass — raw-count weighting grows linearly
+      with island mass and no fixed bar discriminates shape. Default
+      None keeps the likelihood-ratio-only behavior.
 
     ``tree`` is :func:`water_level_tree` output. Returns (level, bin_x,
     bin_y, cnt, node, stitched) — stitched = min node id of the
@@ -546,9 +550,31 @@ def stitch_islands(
     """
     import pandas as pd
 
+    # cnt-weighted moments drive the pooled Gaussian fit and the
+    # likelihood score; the OPTIONAL JB gate needs its own log2-value
+    # weighted moments (gof_islands calibration — raw-count weights
+    # make the statistic scale with island mass and reject every big
+    # merge at the chi2 threshold)
+    wl = _wlog()
+    cx, cy = _cx(), _cy()
+    gof_aggs = [
+        F.sum(wl).alias("gW"),
+        F.sum(wl * cx).alias("gsx"),
+        F.sum(wl * cx * cx).alias("gsxx"),
+        F.sum(wl * cy).alias("gsy"),
+        F.sum(wl * cy * cy).alias("gsyy"),
+    ]
     m = (
         tree.groupBy("level", "node")
-        .agg(*_gauss_moment_aggs(), *_axis_moment_aggs())
+        .agg(
+            *_gauss_moment_aggs(),
+            *_axis_moment_aggs(),
+            *gof_aggs,
+            F.sum(wl * cx * cx * cx).alias("gsxxx"),
+            F.sum(wl * cx * cx * cx * cx).alias("gsx4"),
+            F.sum(wl * cy * cy * cy).alias("gsyyy"),
+            F.sum(wl * cy * cy * cy * cy).alias("gsy4"),
+        )
         .localCheckpoint()
     )
     params = _gauss_params(m)
@@ -588,18 +614,31 @@ def stitch_islands(
             (F.col("a.sx4") + F.col("b.sx4")).alias("sx4"),
             (F.col("a.syyy") + F.col("b.syyy")).alias("syyy"),
             (F.col("a.sy4") + F.col("b.sy4")).alias("sy4"),
+            *[
+                (F.col(f"a.{c}") + F.col(f"b.{c}")).alias(c)
+                for c in ("gW", "gsx", "gsxx", "gsy", "gsyy",
+                          "gsxxx", "gsx4", "gsyyy", "gsy4")
+            ],
         )
     )
     ppar = _gauss_params(pairs)
     if gof_threshold is not None:
         # pooled-fit normality gate (reference post_stitch's hypothesis
         # test on merged cells): reject the candidate pair outright when
-        # the pooled Jarque-Bera statistic exceeds the threshold
+        # the pooled Jarque-Bera statistic exceeds the threshold.
+        # Weighted like gof_islands — log2-value weights, /100 rescale
+        # (eaglemine_model.py:316-318) — NOT raw counts, whose JB
+        # statistic grows linearly with mass and would reject every
+        # large-island merge at the chi2 threshold regardless of shape.
+        gmu_x = F.col("gsx") / F.col("gW")
+        gmu_y = F.col("gsy") / F.col("gW")
         jb_x, m2x = _jb_axis(
-            F.col("mu_x"), F.col("sxx"), F.col("sxxx"), F.col("sx4"), F.col("W")
+            gmu_x, F.col("gsxx"), F.col("gsxxx"), F.col("gsx4"),
+            F.col("gW"), 100.0,
         )
         jb_y, m2y = _jb_axis(
-            F.col("mu_y"), F.col("syy"), F.col("syyy"), F.col("sy4"), F.col("W")
+            gmu_y, F.col("gsyy"), F.col("gsyyy"), F.col("gsy4"),
+            F.col("gW"), 100.0,
         )
         pooled_stat = F.when((m2x > 1e-12) & (m2y > 1e-12), jb_x + jb_y)
         ppar = ppar.filter(

@@ -339,7 +339,10 @@ def autocorr_lag(
         if quantize else (F.sum(F.col("x") * F.col("x_lag")) / F.count("*"))
     return lagged.groupBy("key").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.sum(F.col("x") * F.col("x_lag")).cast("long").alias("sum_xy"),
+        # cast only on the quantized (exact-integer) path; under raw
+        # doubles a long cast would silently truncate fractional sums
+        (F.sum(F.col("x") * F.col("x_lag")).cast("long") if quantize
+         else F.sum(F.col("x") * F.col("x_lag"))).alias("sum_xy"),
         prod_mean.alias("lag_moment"),
     )
 
@@ -574,10 +577,12 @@ def rolling_stats(
         "ts",
         *order_cols,
         n.cast("long").alias("w_n"),
-        s1.cast("long").alias("w_sum"),
+        (s1.cast("long") if quantize else s1).alias("w_sum"),
         mean.alias("w_mean"),
-        F.min("v").over(w).cast("long").alias("w_min"),
-        F.max("v").over(w).cast("long").alias("w_max"),
+        (F.min("v").over(w).cast("long") if quantize
+         else F.min("v").over(w)).alias("w_min"),
+        (F.max("v").over(w).cast("long") if quantize
+         else F.max("v").over(w)).alias("w_max"),
         var.alias("w_var"),
     )
 

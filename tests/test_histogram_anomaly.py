@@ -394,3 +394,41 @@ def test_stitch_gof_gate(spark):
         tuple(r) for r in HG.stitch_islands(tree, 0.2, gof_threshold=1e9).collect()
     )
     assert same == base
+
+
+def test_stitch_gof_gate_calibrated_for_mass(spark):
+    # two adjacent clean Gaussian-ish islands with HUGE raw mass: the
+    # log2-weighted JB gate must pass them at the chi2(4) bar (a raw-
+    # count-weighted statistic scales with mass and rejects regardless
+    # of shape)
+    import math
+
+    rows = []
+    for dx in range(-4, 5):
+        for dy in range(-4, 5):
+            # ONE bell split into a left and a right island: the pooled
+            # shape is a clean Gaussian, only the raw mass is huge
+            c = int(400000 * math.exp(-(dx * dx + dy * dy) / 5.0)) + 1
+            rows.append((1, dx + 4, dy + 4, c, 1 if dx < 0 else 2))
+    tree = spark.createDataFrame(
+        rows, "level long, bin_x long, bin_y long, cnt long, node long"
+    )
+    # log2-value weighting keeps the statistic in a stable O(100)
+    # range at ANY mass (split bell: 124.7 at ~15M raw mass; raw-count
+    # weighting gives 25,550 here and grows linearly with mass, so no
+    # fixed bar can ever discriminate shape)
+    merged = HG.stitch_islands(tree, 1e9, gof_threshold=200.0).collect()
+    assert {r.stitched for r in merged} == {1}
+    # and a genuine two-bump mixture is still rejected by the same bar
+    far = []
+    for node, x0 in ((1, 0), (2, 14)):
+        for dx in range(-3, 4):
+            for dy in range(-3, 4):
+                c = int(200000 * math.exp(-(dx * dx + dy * dy) / 4.0)) + 1
+                far.append((1, x0 + dx + 3, dy + 3, c, node))
+    tree2 = spark.createDataFrame(
+        far, "level long, bin_x long, bin_y long, cnt long, node long"
+    )
+    # the two-bump mixture scores 262.6 -> rejected at the SAME bar
+    kept = HG.stitch_islands(tree2, 1e9, gof_threshold=200.0).collect()
+    assert all(r.stitched == r.node for r in kept)
