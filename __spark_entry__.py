@@ -1272,6 +1272,81 @@ _LINEAR_COUNT_SQL = """
 """
 
 
+def _q_exact_percentiles(spark, sf_dir):
+    """Exact per-user p50/p95 by sort-based percentile on centi ints —
+    Spark percentile() and DuckDB quantile_cont share the
+    lower+(upper-lower)*frac interpolation, verified value-exact."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("k"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return ev.groupBy("k").agg(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PERCENTILES_SQL = """
+    SELECT user_id AS k,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+           quantile_cont(CAST(round(value * 100) AS BIGINT), 0.95) AS p95,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+"""
+
+
+def _q_cube_aggregate(spark, sf_dir):
+    """OLAP CUBE over (event_type, day-of-week): all four grouping
+    sets + grouping_id in one pass — the multi-rollup a dashboard
+    backend issues."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("timestamp")).alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return ev.cube("event_type", "dow").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("v").alias("v_sum_centi"),
+    )
+
+
+_CUBE_SQL = """
+    SELECT event_type,
+           dayofweek(ts) + 1 AS dow,
+           CAST(GROUPING(event_type) AS BIGINT) * 2
+             + CAST(GROUPING(dayofweek(ts) + 1) AS BIGINT) AS gid,
+           count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_sum_centi
+    FROM events
+    GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+"""
+
+
+def _q_ntile_buckets(spark, sf_dir):
+    """Quartile assignment per user's value ordering (ntile window) —
+    integer bucket ids, deterministic tie-break by event_id."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(
+        F.round(F.col("value") * 100).cast("long"), F.col("event_id")
+    )
+    return ev.select(
+        F.col("user_id").alias("k"),
+        "event_id",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_NTILE_SQL = """
+    SELECT user_id AS k, event_id,
+           ntile(4) OVER (PARTITION BY user_id
+                          ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+             AS quartile
+    FROM events
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4287,6 +4362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_dyadic": _q_ewma,
         "linear_counting": _q_linear_counting,
         "label_propagation": _q_label_propagation,
+        "exact_percentiles": _q_exact_percentiles,
+        "cube_aggregate": _q_cube_aggregate,
+        "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4386,6 +4464,9 @@ def oracle_sql() -> dict[str, str]:
         "ewma_dyadic": _ewma_sql(depth=16),
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
+        "exact_percentiles": _PERCENTILES_SQL,
+        "cube_aggregate": _CUBE_SQL,
+        "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,
