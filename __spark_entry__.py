@@ -1347,6 +1347,42 @@ _NTILE_SQL = """
 """
 
 
+def _q_markov_transitions(spark, sf_dir):
+    """First-order event-type transition counts + per-source
+    probabilities (the behavioral Markov matrix): one lag window per
+    user, one hash aggregate; probability is a single division."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = pairs.groupBy("src").agg(F.sum("cnt").alias("n_src"))
+    return pairs.join(tot, "src").select(
+        "src", "dst", "cnt",
+        F.round(F.col("cnt") / F.col("n_src"), 8).alias("prob"),
+    )
+
+
+_MARKOV_SQL = """
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS src,
+             event_type AS dst
+      FROM events),
+    c AS (SELECT src, dst, count(*)::BIGINT AS cnt FROM p
+          WHERE src IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_src FROM c GROUP BY 1)
+    SELECT c.src, c.dst, c.cnt, round(c.cnt / t.n_src, 8) AS prob
+    FROM c JOIN t USING (src)
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4363,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_counting": _q_linear_counting,
         "label_propagation": _q_label_propagation,
         "exact_percentiles": _q_exact_percentiles,
+        "markov_transitions": _q_markov_transitions,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4465,6 +4502,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,
+        "markov_transitions": _MARKOV_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

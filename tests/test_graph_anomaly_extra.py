@@ -173,3 +173,19 @@ def test_label_propagation_two_cliques(spark):
     out2 = {r.node: r.label
             for r in label_propagation(edges.repartition(5), rounds=4).collect()}
     assert out == out2
+
+
+def test_connected_components_long_chain_and_guard(spark):
+    import pytest
+
+    from spartan2_spark.operators.graph import connected_components
+
+    # a 40-node path: diameter 39, converges well within max_rounds=64
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    out = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(out.values()) == {0} and len(out) == 41
+    # the guard fires loudly instead of returning wrong labels
+    with pytest.raises(Exception, match="did not converge"):
+        connected_components(chain, max_rounds=2)
