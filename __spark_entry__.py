@@ -1383,6 +1383,49 @@ _MARKOV_SQL = """
 """
 
 
+def _q_pii_scrub(spark, sf_dir):
+    """PII scrub over documents with deterministically planted
+    emails/phones (the synth corpus has none): mask + count, value-exact
+    (RE2-portable patterns, email pass before phone pass)."""
+    from spartan2_spark.operators.text import pii_scrub
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or +1-555-01"),
+            F.col("doc_id"),
+        ),
+    )
+    return pii_scrub(planted)
+
+
+_PII_SQL = r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                  || doc_id AS text
+      FROM documents),
+    m1 AS (SELECT doc_id,
+                  len(regexp_extract_all(text,
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT
+                    AS n_emails,
+                  regexp_replace(text,
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                      '<EMAIL>', 'g') AS s1
+           FROM planted)
+    SELECT doc_id AS id, n_emails,
+           len(regexp_extract_all(s1, '\+?[0-9][0-9()\-\. ]{6,}[0-9]'))::BIGINT
+             AS n_phones,
+           regexp_replace(s1, '\+?[0-9][0-9()\-\. ]{6,}[0-9]', '<PHONE>', 'g')
+             AS scrubbed
+    FROM m1
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4400,6 +4443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_label_propagation,
         "exact_percentiles": _q_exact_percentiles,
         "markov_transitions": _q_markov_transitions,
+        "pii_scrub": _q_pii_scrub,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4503,6 +4547,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,
         "markov_transitions": _MARKOV_SQL,
+        "pii_scrub": _PII_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

@@ -21,6 +21,7 @@ __all__ = [
     "word_ngrams",
     "repetition_stats",
     "c4_line_filters",
+    "pii_scrub",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -316,3 +317,31 @@ def extract_text(
     ):
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return pages.withColumn(out_col, s)
+
+
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask emails and phone-number-shaped spans with fixed
+    placeholders and count what was masked — the pre-training privacy
+    scrub pass. Pure regexp_replace/regexp_count chains (whole-stage
+    codegen, no UDF), patterns restricted to RE2-compatible syntax (no
+    backreferences/lookaround) so any engine applies the identical
+    rule. Emails are masked before phones so digits inside an already
+    masked address can't double-count.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_email = F.regexp_count(txt, F.lit(PII_EMAIL_RE))
+    masked1 = F.regexp_replace(txt, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(masked1, F.lit(PII_PHONE_RE))
+    masked = F.regexp_replace(masked1, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+        masked.alias("scrubbed"),
+    )

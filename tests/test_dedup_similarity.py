@@ -385,3 +385,20 @@ def test_resize_media_pooling_and_codec_seam(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="NotImplementedError|real image decode"):
         MM.resize_media(pages, decoder="none").toPandas()
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk or call +1 (415) 555-0133 now"),
+            (2, "two mails x@y.io z@w.org, digits 1234567890"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in TX.pii_scrub(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "<EMAIL>" in out[1].scrubbed and "<PHONE>" in out[1].scrubbed
+    assert "415" not in out[1].scrubbed and "@" not in out[1].scrubbed
+    assert out[2].n_emails == 2 and out[2].n_phones == 1
+    assert out[3].n_emails == 0 and out[3].scrubbed == ""
