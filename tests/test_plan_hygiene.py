@@ -63,6 +63,21 @@ AUDIT_QUERIES = [
     "simhash_dedup_pairs",
     "doc_fingerprint",
     "holoscope_objective",
+    # round-3 additions
+    "dedup_clusters",
+    "repetition_stats",
+    "c4_filters",
+    "paa_segments",
+    "sax_words",
+    "asof_join_quotes",
+    "lttb_downsample",
+    "interval_join_windows",
+    "triangle_counts",
+    "rolling_stats",
+    "ewma_dyadic",
+    "countmin_heavy_hitters",
+    "cube_aggregate",
+    "pii_scrub",
 ]
 
 
