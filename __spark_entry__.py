@@ -1426,6 +1426,78 @@ _PII_SQL = r"""
 """
 
 
+def _q_canonicalize_url(spark, sf_dir):
+    """URL canonicalization over deterministically planted messy urls:
+    lowercase scheme/host, default-port strip, fragment drop, tracking
+    params out, surviving params sorted — value-exact."""
+    from spartan2_spark.operators.text import canonicalize_url
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ds = F.col("doc_id").cast("string")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/A/"), ds,
+                F.lit("?utm_source=feed&b="), (F.col("doc_id") % 7).cast("string"),
+                F.lit("&a="), (F.col("doc_id") % 3).cast("string"),
+                F.lit("#frag"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("http://Site"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".Org:80/p/"), ds,
+            )
+        ).alias("url"),
+    )
+    return canonicalize_url(planted).select(
+        F.col("doc_id").alias("id"), "url", "canon_url"
+    )
+
+
+_CANON_URL_SQL = """
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'HTTPS://WWW.Example.COM:443/A/' || doc_id
+                       || '?utm_source=feed&b=' || (doc_id % 7)
+                       || '&a=' || (doc_id % 3) || '#frag'
+                  ELSE 'http://Site' || (doc_id % 5) || '.Org:80/p/' || doc_id
+             END AS url
+      FROM documents),
+    u AS (SELECT doc_id, url, split_part(url, '#', 1) AS u1 FROM src),
+    p1 AS (SELECT doc_id, url,
+                  lower(split_part(u1, '://', 1)) AS scheme,
+                  substring(u1, instr(u1, '://') + 3) AS after
+           FROM u),
+    p2 AS (SELECT *, split_part(after, '/', 1) AS hostport,
+                  CASE WHEN instr(after, '/') = 0 THEN ''
+                       ELSE substring(after, instr(after, '/')) END AS pathq
+           FROM p1),
+    p3 AS (SELECT *, split_part(pathq, '?', 1) AS path,
+                  CASE WHEN instr(pathq, '?') = 0 THEN ''
+                       ELSE substring(pathq, instr(pathq, '?') + 1) END AS query,
+                  CASE WHEN scheme = 'http' AND lower(hostport) LIKE '%:80'
+                         THEN split_part(lower(hostport), ':', 1)
+                       WHEN scheme = 'https' AND lower(hostport) LIKE '%:443'
+                         THEN split_part(lower(hostport), ':', 1)
+                       ELSE lower(hostport) END AS host
+           FROM p2),
+    p4 AS (SELECT *, array_to_string(list_sort(list_filter(
+                    string_split(query, '&'),
+                    p -> len(p) > 0 AND NOT starts_with(p, 'utm_')
+                         AND NOT starts_with(p, 'gclid=')
+                         AND NOT starts_with(p, 'fbclid='))), '&') AS qcanon
+           FROM p3)
+    SELECT doc_id AS id, url,
+           scheme || '://' || host || path
+             || CASE WHEN len(qcanon) > 0 THEN '?' || qcanon ELSE '' END
+             AS canon_url
+    FROM p4
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4444,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_percentiles": _q_exact_percentiles,
         "markov_transitions": _q_markov_transitions,
         "pii_scrub": _q_pii_scrub,
+        "canonicalize_url": _q_canonicalize_url,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4548,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_percentiles": _PERCENTILES_SQL,
         "markov_transitions": _MARKOV_SQL,
         "pii_scrub": _PII_SQL,
+        "canonicalize_url": _CANON_URL_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

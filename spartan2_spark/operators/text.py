@@ -22,6 +22,7 @@ __all__ = [
     "repetition_stats",
     "c4_line_filters",
     "pii_scrub",
+    "canonicalize_url",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -345,3 +346,58 @@ def pii_scrub(
         n_phone.cast("long").alias("n_phones"),
         masked.alias("scrubbed"),
     )
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canon_url"
+) -> DataFrame:
+    """Canonical URL form for crawl dedup/grouping: lowercase scheme +
+    host, strip the default port (:80 http / :443 https), drop the
+    fragment, drop tracking params (utm_*, gclid, fbclid), sort the
+    surviving query params. Pure string/array expressions (split /
+    substring_index / filter / sort — no regex captures), so the exact
+    same rule runs on any engine.
+    """
+    u = F.substring_index(F.coalesce(F.col(url_col), F.lit("")), "#", 1)
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    after = F.substring_index(u, "://", -1)
+    hostport = F.substring_index(after, "/", 1)
+    # path+query = everything from the first '/' after the authority
+    # (instr-based: substring_index can't express "rest after host"
+    # when the path itself contains '/')
+    pathq = F.expr(
+        f"CASE WHEN instr(substring_index(substring_index(coalesce({url_col}, ''), '#', 1), '://', -1), '/') = 0 THEN '' "
+        f"ELSE substring(substring_index(substring_index(coalesce({url_col}, ''), '#', 1), '://', -1), "
+        f"instr(substring_index(substring_index(coalesce({url_col}, ''), '#', 1), '://', -1), '/')) END"
+    )
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(
+        F.length(pathq) > F.length(path),
+        F.substring_index(pathq, "?", -1),
+    ).otherwise(F.lit(""))
+    host = F.lower(hostport)
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.substring_index(host, ":", 1),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.substring_index(host, ":", 1),
+    ).otherwise(host)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0)
+        & ~p.startswith("utm_")
+        & ~p.startswith("gclid=")
+        & ~p.startswith("fbclid="),
+    )
+    qcanon = F.array_join(F.sort_array(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(qcanon) > 0, F.concat(F.lit("?"), qcanon)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn(out_col, canon)

@@ -402,3 +402,19 @@ def test_pii_scrub_masks_and_counts(spark):
     assert "415" not in out[1].scrubbed and "@" not in out[1].scrubbed
     assert out[2].n_emails == 2 and out[2].n_phones == 1
     assert out[3].n_emails == 0 and out[3].scrubbed == ""
+
+
+def test_canonicalize_url_rules(spark):
+    rows = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/Sub?b=2&utm_source=x&a=1#frag"),
+        (2, "http://site.org:80/"),
+        (3, "http://a.b/x?gclid=99"),
+        (4, "https://h.io:8443/p?z=1&y=2"),  # non-default port kept
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.id: r.canon_url for r in TX.canonicalize_url(df).collect()}
+    assert out[1] == "https://www.example.com/Path/Sub?a=1&b=2"
+    assert out[2] == "http://site.org/"
+    assert out[3] == "http://a.b/x"
+    assert out[4] == "https://h.io:8443/p?y=2&z=1"
