@@ -1498,6 +1498,45 @@ _CANON_URL_SQL = """
 """
 
 
+def _q_cusum_drift(spark, sf_dir):
+    """Page's one-sided CUSUM per user (target 50.0, threshold 500):
+    S_t = P_t - min(0, running min P) — two running windows, no
+    sequential state, integer-exact."""
+    from spartan2_spark.operators.timeseries import cusum_drift
+
+    out = cusum_drift(
+        _events_series(spark, sf_dir),
+        target=50.0,
+        threshold=500.0,
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "key",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "cusum", "alarm",
+    )
+
+
+_CUSUM_SQL = """
+    WITH d AS (
+      SELECT user_id AS key, ts, event_id,
+             CAST(round(value * 100) - 5000 AS BIGINT) AS dev
+      FROM events),
+    p AS (SELECT key, ts, event_id,
+                 CAST(sum(dev) OVER w AS BIGINT) AS p
+          FROM d WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)),
+    s AS (SELECT key, ts, event_id,
+                 p - least(0, min(p) OVER w) AS s_centi
+          FROM p WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING))
+    SELECT key, epoch_us(ts) AS ts_us, event_id,
+           s_centi / 100.0 AS cusum,
+           CAST(s_centi > 50000 AS BIGINT) AS alarm
+    FROM s
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4517,6 +4556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": _q_markov_transitions,
         "pii_scrub": _q_pii_scrub,
         "canonicalize_url": _q_canonicalize_url,
+        "cusum_drift": _q_cusum_drift,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4622,6 +4662,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": _MARKOV_SQL,
         "pii_scrub": _PII_SQL,
         "canonicalize_url": _CANON_URL_SQL,
+        "cusum_drift": _CUSUM_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

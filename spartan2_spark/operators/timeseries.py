@@ -53,6 +53,7 @@ __all__ = [
     "interval_join",
     "rolling_stats",
     "ewma_dyadic",
+    "cusum_drift",
 ]
 
 
@@ -619,3 +620,57 @@ def ewma_dyadic(
     ]
     out = d.withColumn("ewma_centi", sum(terms[1:], terms[0]))
     return out.select("key", "ts", *order_cols, "v", "ewma_centi")
+
+
+def cusum_drift(
+    df: DataFrame,
+    target: float,
+    threshold: float,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-sided CUSUM drift detector (Page 1954): the classic
+    sequential recurrence S_t = max(0, S_{t-1} + (x_t - target))
+    rewritten in closed form — S_t = P_t - min(0, min_{j<=t} P_j)
+    with P the running sum of centi-quantized deviations — so the
+    whole statistic is TWO running-frame window aggregates (sum + min),
+    fully parallel, integer-exact in any engine, no sequential state.
+
+    Emits the running statistic (value units) and the alarm flag
+    S_t > threshold per sample. One shuffle on the key.
+    """
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(time_col, *order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = (F.round(F.col(value_col) * 100) - F.round(F.lit(target) * 100)).cast(
+        "long"
+    )
+    out = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        *[F.col(c) for c in order_cols],
+        d.alias("dev"),
+    )
+    # running min of P needs P materialized first (windows don't nest)
+    out = out.withColumn("p", F.sum("dev").over(w))
+    wmin = (
+        W.partitionBy("key")
+        .orderBy("ts", *order_cols)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = out.withColumn(
+        "s_centi", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(wmin))
+    )
+    return out.select(
+        "key",
+        "ts",
+        *order_cols,
+        (F.col("s_centi") / 100.0).alias("cusum"),
+        (F.col("s_centi") > F.round(F.lit(threshold) * 100).cast("long"))
+        .cast("long")
+        .alias("alarm"),
+    )

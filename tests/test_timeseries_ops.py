@@ -239,3 +239,18 @@ def test_rolling_and_ewma_planted(spark):
     # t=3: 400 + 300>>1 + 200>>2 + 100>>3 = 400+150+50+12 = 612
     assert ew[3.0] == 612
     assert ew[0.0] == 100
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from spartan2_spark.operators.timeseries import cusum_drift
+
+    rows = [(1, float(t), 5.0 if t < 5 else 8.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "key long, ts double, value double")
+    got = {r.ts: (r.cusum, r.alarm)
+           for r in cusum_drift(df, target=5.5, threshold=4.0).collect()}
+    s = 0.0
+    for t in range(10):
+        x = 5.0 if t < 5 else 8.0
+        s = max(0.0, s + (x - 5.5))
+        assert abs(got[float(t)][0] - s) < 1e-9
+        assert got[float(t)][1] == (1 if s > 4.0 else 0)
