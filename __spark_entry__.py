@@ -996,7 +996,10 @@ def _q_hash_sample(spark, sf_dir):
     from spartan2_spark.operators.text import _poly_hash
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = _poly_hash(F.col("doc_id").cast("string"))
+    # multiplicative finalizer: the raw poly fold barely mixes short
+    # digit keys (consecutive ids -> consecutive hashes), so spread it
+    # with a MINSTD step before bucketing
+    h = (_poly_hash(F.col("doc_id").cast("string")) * 48271) % 2147483647
     return (
         d.withColumn("bucket", h % 100)
         .filter(F.col("bucket") < 10)
@@ -1010,7 +1013,8 @@ _HASH_SAMPLE_SQL = """
              list_reduce(list_prepend(0::BIGINT,
                list_transform(string_split(doc_id::VARCHAR, ''),
                               c -> ascii(c)::BIGINT)),
-               (a, b) -> (a * 31 + b) % 2147483647) % 100 AS bucket
+               (a, b) -> (a * 31 + b) % 2147483647) * 48271 % 2147483647
+               % 100 AS bucket
       FROM documents)
     SELECT doc_id, n_chars, bucket FROM h WHERE bucket < 10
 """
@@ -1534,6 +1538,75 @@ _CUSUM_SQL = """
            s_centi / 100.0 AS cusum,
            CAST(s_centi > 50000 AS BIGINT) AS alarm
     FROM s
+"""
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic sampling at different fractions
+    (en 20%, de 50%, others 10%) — poly-hash mod-1000 thresholds, the
+    class-rebalancing sampler a data pipeline pins per stratum."""
+    from spartan2_spark.operators.text import _poly_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        _poly_hash(F.col("doc_id").cast("string")) * 48271 % 2147483647 % 1000
+    )
+    thr = (
+        F.when(F.col("lang") == "en", F.lit(200))
+        .when(F.col("lang") == "de", F.lit(500))
+        .otherwise(F.lit(100))
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < thr)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+_STRATIFIED_SQL = """
+    WITH h AS (
+      SELECT doc_id, lang,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(doc_id::VARCHAR, ''),
+                              c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647) * 48271 % 2147483647
+               % 1000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, bucket FROM h
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 200
+                         WHEN lang = 'de' THEN 500 ELSE 100 END)
+"""
+
+
+def _q_benford_digits(spark, sf_dir):
+    """Benford first-significant-digit profile of event values per
+    event type (the classic fabricated-numbers screen): digit from the
+    centi-int's string form — no float log10, engine-portable."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).filter(F.col("v") > 0)
+    digit = F.substring(F.col("v").cast("string"), 1, 1).cast("long")
+    counts = ev.groupBy("event_type", digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    return counts.join(tot, "event_type").select(
+        "event_type", "digit", "cnt",
+        F.round(F.col("cnt") / F.col("n"), 8).alias("frac"),
+    )
+
+
+_BENFORD_SQL = """
+    WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    c AS (SELECT event_type,
+                 CAST(substring(v::VARCHAR, 1, 1) AS BIGINT) AS digit,
+                 count(*)::BIGINT AS cnt
+          FROM v WHERE v > 0 GROUP BY 1, 2),
+    t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
+    SELECT c.event_type, c.digit, c.cnt, round(c.cnt / t.n, 8) AS frac
+    FROM c JOIN t USING (event_type)
 """
 
 
@@ -4557,6 +4630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "canonicalize_url": _q_canonicalize_url,
         "cusum_drift": _q_cusum_drift,
+        "stratified_sample": _q_stratified_sample,
+        "benford_digits": _q_benford_digits,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4663,6 +4738,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SQL,
         "canonicalize_url": _CANON_URL_SQL,
         "cusum_drift": _CUSUM_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "benford_digits": _BENFORD_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

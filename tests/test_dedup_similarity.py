@@ -418,3 +418,17 @@ def test_canonicalize_url_rules(spark):
     assert out[2] == "http://site.org/"
     assert out[3] == "http://a.b/x"
     assert out[4] == "https://h.io:8443/p?y=2&z=1"
+
+
+def test_hash_sampler_mixes_short_keys(spark):
+    import __spark_entry__ as E
+
+    # raw poly fold of short digit ids barely mixes (consecutive ids ->
+    # consecutive hashes); the MINSTD finalizer must give each stratum
+    # a sample near its target fraction
+    out = E.queries()["stratified_sample"](spark, "/root/testdata/sf0.001").toPandas()
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").toPandas()
+    for lang, frac in (("en", 0.2), ("de", 0.5)):
+        n = (base["lang"] == lang).sum()
+        got = (out["lang"] == lang).sum()
+        assert abs(got / n - frac) < 0.15, (lang, got, n)
