@@ -1610,6 +1610,43 @@ _BENFORD_SQL = """
 """
 
 
+def _q_zorder_keys(spark, sf_dir):
+    """Morton z-order interleave of (user bucket, minute bucket) per
+    event — the OPTIMIZE ZORDER layout key as a pure shift/mask
+    expression, value-exact."""
+    from spartan2_spark.operators.partitioning import zorder_key
+
+    ev = _events(spark, sf_dir)
+    a = (F.col("user_id") % (1 << 16)).cast("long")
+    b = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 60_000_000)
+        % (1 << 16)
+    ).cast("long")
+    return ev.select(
+        "event_id",
+        a.alias("dim_user"),
+        b.alias("dim_minute"),
+        zorder_key(a, b, bits=16).alias("zkey"),
+    )
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    terms = " + ".join(
+        f"(((a >> {i}) % 2) << {2 * i}) + (((b >> {i}) % 2) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_id,
+             CAST(user_id % 65536 AS BIGINT) AS a,
+             CAST(floor(epoch_us(ts) / 60000000) % 65536 AS BIGINT) AS b
+      FROM events)
+    SELECT event_id, a AS dim_user, b AS dim_minute,
+           CAST({terms} AS BIGINT) AS zkey
+    FROM d
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4632,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": _q_cusum_drift,
         "stratified_sample": _q_stratified_sample,
         "benford_digits": _q_benford_digits,
+        "zorder_keys": _q_zorder_keys,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4740,6 +4778,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": _CUSUM_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "benford_digits": _BENFORD_SQL,
+        "zorder_keys": _zorder_sql(bits=16),
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

@@ -26,6 +26,7 @@ __all__ = [
     "global_dense_ids",
     "global_row_numbers",
     "write_bucketed",
+    "zorder_key",
 ]
 
 
@@ -213,3 +214,29 @@ def range_partition_by_ts(
     return df.repartitionByRange(num_partitions, F.col(ts_col)).sortWithinPartitions(
         ts_col, *sort_keys
     )
+
+
+def zorder_key(col_a, col_b, bits: int = 21):
+    """Morton (z-order) interleave of two non-negative integer columns
+    (``bits`` low bits each -> one 2*bits-bit BIGINT): writing a tier
+    sorted by this key clusters BOTH dimensions, so a range scan on
+    either column prunes row groups — the lakehouse OPTIMIZE ZORDER
+    primitive, as a plain column expression (pure shifts/masks,
+    engine-portable, no UDF).
+
+    Use ``bits`` <= 31; values are masked to the low ``bits`` bits
+    (callers bucketize/clamp first — e.g. minutes-since-epoch-origin
+    and a domain hash).
+    """
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+        )
+    return z

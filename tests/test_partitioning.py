@@ -100,3 +100,29 @@ def test_global_row_numbers_matches_single_partition_reference(spark):
     ref = df.withColumn("rn_ref", F.row_number().over(W.orderBy(*order))).toPandas()
     m = got.merge(ref[["id", "rn_ref"]], on="id")
     assert (m["rn"] == m["rn_ref"]).all()
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a long, b long"
+    )
+    out = {(r.a, r.b): r.z for r in df.select(
+        "a", "b", zorder_key("a", "b", bits=3).alias("z")).collect()}
+    # bit-interleave ground truth
+    def morton(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+    assert all(out[(a, b)] == morton(a, b) for a in range(8) for b in range(8))
+    # locality: sorting by z clusters both dims — any 8 consecutive
+    # z-ordered points span at most a 4-wide box in each dimension
+    order = sorted(out, key=lambda k: out[k])
+    for i in range(0, 64, 8):
+        blk = order[i:i + 8]
+        assert max(x for x, _ in blk) - min(x for x, _ in blk) <= 4
+        assert max(y for _, y in blk) - min(y for _, y in blk) <= 4
