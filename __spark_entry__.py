@@ -1647,6 +1647,48 @@ def _zorder_sql(bits: int = 16) -> str:
 """
 
 
+def _q_haar_coeffs(spark, sf_dir):
+    """Unnormalized Haar decomposition (16 leaves) of each user's
+    value series — integer adds/subtracts only, fixed-unroll twin."""
+    from spartan2_spark.operators.timeseries import haar_coeffs
+
+    return haar_coeffs(
+        _events_series(spark, sf_dir), 16, order_cols=("event_id",)
+    )
+
+
+def _haar_sql(n_leaves: int = 16) -> str:
+    import math
+
+    levels = int(math.log2(n_leaves))
+    parts = [
+        """pos AS (
+      SELECT user_id AS key,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS p,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events)""",
+        f"""n{levels} AS (SELECT key, CAST(floor(p * {n_leaves} / n) AS BIGINT) AS idx,
+             CAST(sum(v) AS BIGINT) AS s FROM pos GROUP BY 1, 2)""",
+    ]
+    sel = []
+    for lvl in range(levels, 0, -1):
+        parts.append(
+            f"""p{lvl} AS (SELECT key, idx // 2 AS pidx,
+                 CAST(sum(CASE WHEN idx % 2 = 0 THEN s ELSE 0 END) AS BIGINT) AS se,
+                 CAST(sum(CASE WHEN idx % 2 = 1 THEN s ELSE 0 END) AS BIGINT) AS so
+             FROM n{lvl} GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"n{lvl-1} AS (SELECT key, pidx AS idx, se + so AS s FROM p{lvl})"
+        )
+        sel.append(
+            f"SELECT key, {lvl} AS level, pidx AS idx, se - so AS coeff FROM p{lvl}"
+        )
+    sel.append("SELECT key, 0 AS level, idx, s AS coeff FROM n0")
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4670,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "benford_digits": _q_benford_digits,
         "zorder_keys": _q_zorder_keys,
+        "haar_coeffs": _q_haar_coeffs,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4779,6 +4822,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "benford_digits": _BENFORD_SQL,
         "zorder_keys": _zorder_sql(bits=16),
+        "haar_coeffs": _haar_sql(n_leaves=16),
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),

@@ -54,6 +54,7 @@ __all__ = [
     "rolling_stats",
     "ewma_dyadic",
     "cusum_drift",
+    "haar_coeffs",
 ]
 
 
@@ -674,3 +675,69 @@ def cusum_drift(
         .cast("long")
         .alias("alarm"),
     )
+
+
+def haar_coeffs(
+    df: DataFrame,
+    n_leaves: int = 16,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of each key's series:
+    the series is PAA'd to ``n_leaves`` (power of two) equal-count
+    segment SUMS, then every dyadic level emits detail = left-half sum
+    - right-half sum and the root emits the total. Integer end to end
+    (centi-quantized sums, adds/subtracts only — the 1/sqrt(2)^l
+    normalization is a per-level constant applied at read) -> exact in
+    any engine. The standard multi-resolution feature/compression
+    transform (energy per level localizes change frequency).
+
+    Plan: one position window + ONE hash aggregate per level over
+    (key, node) — log2(n_leaves) tiny aggregations after the leaf agg.
+    Returns (key, level, idx, coeff) with level 0 = root total.
+    """
+    if n_leaves & (n_leaves - 1):
+        raise ValueError("n_leaves must be a power of two")
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    pos = df.select(
+        F.col(key_col).alias("key"),
+        (F.row_number().over(w) - 1).alias("p"),
+        F.count("*").over(W.partitionBy(key_col)).alias("n"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    leaves = (
+        pos.withColumn("leaf", (F.col("p") * n_leaves / F.col("n")).cast("long"))
+        .groupBy("key", "leaf")
+        .agg(F.sum("v").alias("s"))
+    )
+    import math
+
+    levels = int(math.log2(n_leaves))
+    out = None
+    cur = leaves.select("key", F.col("leaf").alias("idx"), "s")
+    for lvl in range(levels, 0, -1):
+        # pair adjacent nodes: detail = even - odd, next sum = even + odd
+        paired = (
+            cur.withColumn("pidx", F.expr("idx div 2"))
+            .groupBy("key", "pidx")
+            .agg(
+                F.sum(F.when(F.col("idx") % 2 == 0, F.col("s")).otherwise(0)).alias("se"),
+                F.sum(F.when(F.col("idx") % 2 == 1, F.col("s")).otherwise(0)).alias("so"),
+            )
+        )
+        details = paired.select(
+            "key",
+            F.lit(lvl).alias("level"),
+            F.col("pidx").alias("idx"),
+            (F.col("se") - F.col("so")).alias("coeff"),
+        )
+        out = details if out is None else out.unionAll(details)
+        cur = paired.select(
+            "key", F.col("pidx").alias("idx"), (F.col("se") + F.col("so")).alias("s")
+        )
+    root = cur.select(
+        "key", F.lit(0).alias("level"), F.col("idx"), F.col("s").alias("coeff")
+    )
+    return out.unionAll(root)

@@ -254,3 +254,18 @@ def test_cusum_matches_sequential_recurrence(spark):
         s = max(0.0, s + (x - 5.5))
         assert abs(got[float(t)][0] - s) < 1e-9
         assert got[float(t)][1] == (1 if s > 4.0 else 0)
+
+
+def test_haar_coeffs_reconstruct(spark):
+    from spartan2_spark.operators.timeseries import haar_coeffs
+
+    # 8 points -> 4 leaves of 2: leaf sums [3, 7, 11, 15] (centi x100)
+    rows = [(1, float(t), float(v)) for t, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])]
+    df = spark.createDataFrame(rows, "key long, ts double, value double")
+    got = {(r.level, r.idx): r.coeff for r in haar_coeffs(df, 4).collect()}
+    assert got[(0, 0)] == 3600                    # total sum
+    assert got[(1, 0)] == (300 + 700) - (1100 + 1500)
+    assert got[(2, 0)] == 300 - 700 and got[(2, 1)] == 1100 - 1500
+    # perfect reconstruction of leaf sums from the coefficients
+    leaf0 = (got[(0, 0)] + got[(1, 0)]) // 2      # left half sum
+    assert (leaf0 + got[(2, 0)]) // 2 == 300
