@@ -1689,6 +1689,43 @@ def _haar_sql(n_leaves: int = 16) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
 
 
+def _q_type_entropy(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix (bits):
+    H = log2(n) - sum(c*log2(c))/n — the behavioral-diversity score.
+    xlogx in both engines agrees (same libm family, proven by the DPGS
+    MDL twins); round(8) guards the last ulp."""
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("xlx"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log2(F.col("n").cast("double")) - F.col("xlx") / F.col("n"), 8
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+_TYPE_ENTROPY_SQL = """
+    WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+                 sum(c * log2(CAST(c AS DOUBLE))) AS xlx
+          FROM c GROUP BY 1)
+    SELECT user_id, n,
+           round(log2(CAST(n AS DOUBLE)) - xlx / n, 8) AS entropy_bits
+    FROM a
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4713,6 +4750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": _q_benford_digits,
         "zorder_keys": _q_zorder_keys,
         "haar_coeffs": _q_haar_coeffs,
+        "type_entropy": _q_type_entropy,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
         # --- green in r02, padding the 50-query prefix ---
@@ -4823,6 +4861,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_digits": _BENFORD_SQL,
         "zorder_keys": _zorder_sql(bits=16),
         "haar_coeffs": _haar_sql(n_leaves=16),
+        "type_entropy": _TYPE_ENTROPY_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
         "lang_id": _langid_oracle(),
