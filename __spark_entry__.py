@@ -1726,6 +1726,166 @@ _TYPE_ENTROPY_SQL = """
 """
 
 
+def _q_funnel_conversion(spark, sf_dir):
+    """Ordered 3-stage funnel signup>click>purchase: distinct users
+    reaching each stage under strict time precedence; single
+    Sort+Exchange for all stages (operators/funnel.py)."""
+    from spartan2_spark.operators.funnel import funnel_counts
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "ts", "event_id", "event_type"
+    )
+    return funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+_FUNNEL_SQL = """
+    WITH e AS (SELECT user_id AS key, ts, event_id, event_type FROM events),
+    q0 AS (SELECT *, (event_type = 'signup') AS f0 FROM e),
+    q1 AS (SELECT *, (event_type = 'click'
+                      AND coalesce(max(f0) OVER w, FALSE)) AS f1
+           FROM q0 WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)),
+    q2 AS (SELECT *, (event_type = 'purchase'
+                      AND coalesce(max(f1) OVER w, FALSE)) AS f2
+           FROM q1 WINDOW w AS (PARTITION BY key ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)),
+    pk AS (SELECT key,
+                  max(CASE WHEN f0 THEN 1 ELSE 0 END) AS r0,
+                  max(CASE WHEN f1 THEN 1 ELSE 0 END) AS r1,
+                  max(CASE WHEN f2 THEN 1 ELSE 0 END) AS r2
+           FROM q2 GROUP BY key),
+    c AS (SELECT CAST(sum(r0) AS BIGINT) AS n0,
+                 CAST(sum(r1) AS BIGINT) AS n1,
+                 CAST(sum(r2) AS BIGINT) AS n2
+          FROM pk)
+    SELECT s.stage, s.stage_name, s.n_keys,
+           CASE WHEN c.n0 > 0 THEN s.n_keys / CAST(c.n0 AS DOUBLE) END
+             AS conv_rate
+    FROM c, (SELECT 0::BIGINT AS stage, 'signup' AS stage_name, n0 AS n_keys
+               FROM c
+             UNION ALL
+             SELECT 1::BIGINT, 'click', n1 FROM c
+             UNION ALL
+             SELECT 2::BIGINT, 'purchase', n2 FROM c) s
+    ORDER BY s.stage
+"""
+
+
+def _q_cohort_retention(spark, sf_dir):
+    """First-touch cohort retention: users grouped by first event date,
+    distinct-active counts per (cohort, day offset) with exact
+    single-division retention (operators/funnel.py)."""
+    from spartan2_spark.operators.funnel import cohort_retention
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("key"), "ts"
+    )
+    out = cohort_retention(ev, max_offset_days=14)
+    return out.select(
+        F.col("cohort_date").cast("string").alias("cohort_date"),
+        F.col("offset_days").cast("long").alias("offset_days"),
+        "n_active",
+        "retention",
+    )
+
+
+_COHORT_SQL = """
+    WITH e AS (SELECT DISTINCT user_id AS key, CAST(ts AS DATE) AS d
+               FROM events),
+    first AS (SELECT key, min(d) AS cohort_date FROM e GROUP BY key),
+    act AS (SELECT cohort_date,
+                   CAST(d - cohort_date AS BIGINT) AS offset_days,
+                   count(DISTINCT key)::BIGINT AS n_active
+            FROM e JOIN first USING (key)
+            WHERE d - cohort_date <= 14
+            GROUP BY 1, 2),
+    sz AS (SELECT cohort_date, n_active AS size FROM act
+           WHERE offset_days = 0)
+    SELECT CAST(act.cohort_date AS VARCHAR) AS cohort_date,
+           act.offset_days, act.n_active,
+           act.n_active / CAST(sz.size AS DOUBLE) AS retention
+    FROM act JOIN sz USING (cohort_date)
+    ORDER BY 1, 2
+"""
+
+
+def _q_topk_per_user(spark, sf_dir):
+    """Top-3 events per user by value (deterministic tie on event_id)
+    via a PARTITIONED row_number window — the scale-safe per-entity
+    top-n (operators/funnel.py topk_per_group)."""
+    from spartan2_spark.operators.funnel import topk_per_group
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    out = topk_per_group(
+        ev, ["user_id"], [F.desc("value"), F.asc("event_id")], 3
+    )
+    return out.select(
+        "user_id", F.col("rank").cast("long").alias("rank"),
+        "event_id", "value"
+    )
+
+
+_TOPK_GROUP_SQL = """
+    SELECT user_id, rank, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id ASC) AS BIGINT) AS rank
+      FROM events)
+    WHERE rank <= 3
+"""
+
+
+def _q_session_paths(spark, sf_dir):
+    """Top-50 event-type journeys per 1h-gap session: '>'-joined type
+    sequences (sort_array over session-bounded collect_list — no
+    window in the path assembly; operators/funnel.py)."""
+    from spartan2_spark.operators.funnel import session_paths
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _usec("ts") - F.lag(_usec("ts")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return session_paths(
+        sess.select(
+            F.col("user_id").alias("key"),
+            "ts",
+            "event_id",
+            "event_type",
+            "session_id",
+        ),
+        top_n=50,
+    )
+
+
+_SESSION_PATHS_SQL = """
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 3600000000 THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, event_id, ts, event_type,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g),
+    p AS (SELECT user_id, session_id,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+          FROM s GROUP BY 1, 2)
+    SELECT path, count(*)::BIGINT AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 50
+"""
+
+
 def _q_lang_id(spark, sf_dir):
     """Stopword-overlap language ID heuristic."""
     from spartan2_spark.operators.text import lang_id
@@ -4753,6 +4913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_entropy": _q_type_entropy,
         "cube_aggregate": _q_cube_aggregate,
         "ntile_buckets": _q_ntile_buckets,
+        "funnel_conversion": _q_funnel_conversion,
+        "cohort_retention": _q_cohort_retention,
+        "topk_per_user": _q_topk_per_user,
+        "session_paths": _q_session_paths,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -4864,6 +5028,10 @@ def oracle_sql() -> dict[str, str]:
         "type_entropy": _TYPE_ENTROPY_SQL,
         "cube_aggregate": _CUBE_SQL,
         "ntile_buckets": _NTILE_SQL,
+        "funnel_conversion": _FUNNEL_SQL,
+        "cohort_retention": _COHORT_SQL,
+        "topk_per_user": _TOPK_GROUP_SQL,
+        "session_paths": _SESSION_PATHS_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,
