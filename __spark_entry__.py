@@ -1276,6 +1276,112 @@ _LINEAR_COUNT_SQL = """
 """
 
 
+def _q_bloom_semi_join(spark, sf_dir):
+    """Bloom-filter prefilter for a semi-join: bitset over the distinct
+    customers that placed orders (portable poly-hash positions, k=3,
+    m=8192), probed by every customer — emitted beside the exact
+    membership flag so false positives are observable. At 10^12 rows
+    the <=m-row bitset broadcast replaces the probe-side shuffle
+    (functions/sketches.py bloom_build/bloom_probe)."""
+    from spartan2_spark.functions.sketches import bloom_build, bloom_probe
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    build = o.select(F.col("o_custkey").alias("key")).distinct()
+    bits = bloom_build(build, k=3, m=8192)
+    probed = bloom_probe(
+        bits, c.select(F.col("c_custkey").alias("key")), k=3, m=8192
+    )
+    truth = build.withColumn("actual", F.lit(True))
+    return (
+        probed.join(truth, "key", "left")
+        .select(
+            F.col("key").alias("c_custkey"),
+            "maybe_present",
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+        )
+    )
+
+
+_BLOOM_SQL = """
+    WITH build AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    bh AS (SELECT key,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(key::VARCHAR, ''),
+                                   c -> ascii(c)::BIGINT)),
+                    (a, b) -> (a * 31 + b) % 2147483647) AS h
+           FROM build),
+    bpos AS (SELECT DISTINCT unnest(list_distinct([
+               (1 * h + 7) % 2147483647 % 8192,
+               (3 * h + 8) % 2147483647 % 8192,
+               (5 * h + 11) % 2147483647 % 8192])) AS pos
+             FROM bh),
+    ph AS (SELECT c_custkey AS key,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(c_custkey::VARCHAR, ''),
+                                   c -> ascii(c)::BIGINT)),
+                    (a, b) -> (a * 31 + b) % 2147483647) AS h
+           FROM customer),
+    ppos AS (SELECT key, unnest(list_distinct([
+               (1 * h + 7) % 2147483647 % 8192,
+               (3 * h + 8) % 2147483647 % 8192,
+               (5 * h + 11) % 2147483647 % 8192])) AS pos
+             FROM ph),
+    flags AS (SELECT key, count(*) AS n,
+                     sum(CASE WHEN pos IN (SELECT pos FROM bpos)
+                         THEN 1 ELSE 0 END) AS hits
+              FROM ppos GROUP BY key)
+    SELECT f.key AS c_custkey,
+           f.hits = f.n AS maybe_present,
+           f.key IN (SELECT key FROM build) AS actual
+    FROM flags f
+"""
+
+
+def _q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality of events.user_id (m=256 registers,
+    poly-hash, bin()-length rho): mergeable register state reduced to
+    (n_occupied, z_sum, hll_estimate) beside the exact distinct count.
+    2^-rho terms are built by integer shift + one division (exact
+    dyadic doubles), so z_sum and the estimate are value-exact on any
+    engine (functions/sketches.py hll_registers/hll_estimate)."""
+    from spartan2_spark.functions.sketches import hll_estimate, hll_registers
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    regs = hll_registers(ev, m=256)
+    est = hll_estimate(regs, m=256)
+    exact = ev.agg(F.count_distinct("key").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+_HLL_SQL = """
+    WITH ev AS (SELECT user_id::VARCHAR AS key FROM events),
+    h0 AS (SELECT list_reduce(list_prepend(0::BIGINT,
+                   list_transform(string_split(key, ''),
+                                  c -> ascii(c)::BIGINT)),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS h
+          FROM ev),
+    h AS (SELECT h * 48271 % 2147483647 * 48271 % 2147483647 AS h FROM h0),
+    rw AS (SELECT h % 256 AS reg, (h - h % 256) // 256 AS w FROM h),
+    rho AS (SELECT reg,
+                   CASE WHEN w > 0 THEN 24 - length(bin(w)) ELSE 24 END AS rho
+            FROM rw),
+    regs AS (SELECT reg, CAST(max(rho) AS BIGINT) AS max_rho
+             FROM rho GROUP BY reg),
+    z AS (SELECT count(*)::BIGINT AS n_occupied,
+                 sum(1.0 / (1::BIGINT << max_rho))
+                   + CAST(256 - count(*) AS DOUBLE) AS z_sum
+          FROM regs)
+    SELECT z.n_occupied, z.z_sum,
+           0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / z.z_sum
+             AS hll_estimate,
+           (SELECT count(DISTINCT key)::BIGINT FROM ev) AS exact_distinct
+    FROM z
+"""
+
+
 def _q_exact_percentiles(spark, sf_dir):
     """Exact per-user p50/p95 by sort-based percentile on centi ints —
     Spark percentile() and DuckDB quantile_cont share the
@@ -4917,6 +5023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "topk_per_user": _q_topk_per_user,
         "session_paths": _q_session_paths,
+        "bloom_semi_join": _q_bloom_semi_join,
+        "hll_distinct": _q_hll_distinct,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5032,6 +5140,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _COHORT_SQL,
         "topk_per_user": _TOPK_GROUP_SQL,
         "session_paths": _SESSION_PATHS_SQL,
+        "bloom_semi_join": _BLOOM_SQL,
+        "hll_distinct": _HLL_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

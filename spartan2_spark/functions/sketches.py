@@ -27,7 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TDigest", "tdigest_quantiles", "countmin_build", "countmin_estimate"]
+__all__ = [
+    "TDigest",
+    "tdigest_quantiles",
+    "countmin_build",
+    "countmin_estimate",
+    "bloom_build",
+    "bloom_probe",
+    "hll_registers",
+    "hll_estimate",
+]
 
 
 class TDigest:
@@ -269,3 +278,135 @@ def countmin_estimate(
         probes = probes.join(F.broadcast(s), f"c{j}", "left")
     est = F.least(*[F.coalesce(F.col(f"n{j}"), F.lit(0)) for j in range(depth)])
     return probes.select(key_col, est.alias("cms_estimate"))
+
+
+def _bloom_positions(key_col, k: int, m: int):
+    """The k engine-portable bit positions of a key: the same salted
+    polynomial family as count-min/minhash, so a bitset built on ANY
+    engine probes identically on any other."""
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
+
+    h = _poly_hash(F.col(key_col).cast("string"))
+    return F.array_distinct(
+        F.array(
+            *[
+                ((F.lit(2 * j + 1) * h + F.lit(j * j + 7)) % _POLY_P % m)
+                for j in range(k)
+            ]
+        )
+    )
+
+
+def bloom_build(df, key_col: str = "key", k: int = 3, m: int = 8192):
+    """Bloom filter (Bloom 1970) as a relation: the DISTINCT occupied
+    bit positions (<= m rows) of the build side's key set.
+
+    The relation form is what makes it a distributed primitive: shards
+    build their own position sets map-side, union + distinct merges
+    them (bitwise OR), and the result broadcast-joins against any probe
+    — replacing a full shuffle semi-join with a <= m-row broadcast when
+    the build side is small-cardinality but physically huge (the
+    classic "which of these 10^12 rows touch the hot set" prefilter).
+    No false negatives; false-positive rate ~ (1 - e^{-kn/m})^k.
+    """
+    return (
+        df.select(F.explode(_bloom_positions(key_col, k, m)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(bitset, probes, key_col: str = "key", k: int = 3, m: int = 8192):
+    """Probe keys against a bloom bitset relation: a key is
+    maybe-present iff ALL of its (distinct) positions are set.
+
+    Plan: explode probe positions, broadcast-join the bitset, count
+    hits per key — no shuffle of the probe side beyond its own
+    re-aggregation on key.
+    """
+    pos = probes.select(
+        key_col, F.explode(_bloom_positions(key_col, k, m)).alias("pos")
+    )
+    hit = pos.join(
+        F.broadcast(bitset.withColumn("_set", F.lit(1))), "pos", "left"
+    )
+    return (
+        hit.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("_hits"),
+        )
+        .select(
+            key_col,
+            (F.col("_hits") == F.col("_n")).alias("maybe_present"),
+        )
+    )
+
+
+_HLL_W = 23  # value-bit width above the 8 register bits under p = 2^31-1
+
+
+def hll_registers(df, key_col: str = "key", m: int = 256):
+    """HyperLogLog registers (Flajolet et al. 2007) as a relation:
+    (reg, max_rho), reg = poly_hash(key) mod m, rho = 1 + leading
+    zeros of the remaining W bits (via bin()-string length — integer
+    arithmetic only, value-exact on any engine).
+
+    The relation is the mergeable state: shards union + groupBy(reg)
+    max(max_rho). m=256 keeps the broadcast state <= 256 rows for a
+    ~6.5% standard error — the cardinality prefilter for dedup
+    planning at 10^12 keys where count_distinct would shuffle
+    everything.
+    """
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
+
+    # double MINSTD finalizer: the raw poly fold under-mixes short
+    # digit keys (consecutive ids -> small, correlated hashes), and the
+    # rho statistic reads the HIGH bits — two multiplicative spreads
+    # make them uniform enough for the HLL error bound
+    h = _poly_hash(F.col(key_col).cast("string"))
+    h = (h * 48271) % _POLY_P
+    h = (h * 48271) % _POLY_P
+    df2 = df.select(h.alias("_h")).select(
+        (F.col("_h") % m).alias("reg"),
+        ((F.col("_h") - F.col("_h") % m) / m).cast("long").alias("_w"),
+    )
+    rho = F.when(F.col("_w") > 0, F.lit(_HLL_W + 1) - F.length(F.bin("_w"))).otherwise(
+        F.lit(_HLL_W + 1)
+    )
+    return (
+        df2.select("reg", rho.alias("_rho"))
+        .groupBy("reg")
+        .agg(F.max("_rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers, m: int = 256):
+    """Raw HLL cardinality estimate from a register relation.
+
+    Z = sum over ALL m registers of 2^-M_j (empty registers contribute
+    2^0 = 1). Every term is an exact dyadic double and the sum spans
+    < 53 bits, so Z is bit-exact on any engine; the alpha correction
+    and final division are a fixed literal expression evaluated in one
+    deterministic order. Returns one row
+    (n_occupied, z_sum, hll_estimate).
+    """
+    # 2^-rho via integer shift + one division: exact dyadic doubles on
+    # any engine (pow() exactness for 2^-k is merely conventional)
+    inv_pow2 = F.lit(1.0) / F.expr("shiftleft(1L, cast(max_rho as int))")
+    return registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        (
+            F.sum(inv_pow2)
+            + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        ).alias("z_sum"),
+    ).select(
+        "n_occupied",
+        "z_sum",
+        (
+            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+            * F.lit(float(m * m))
+            / F.col("z_sum")
+        ).alias("hll_estimate"),
+    )

@@ -81,3 +81,44 @@ def test_countmin_overestimates_and_merges(spark):
     a = {(r.j, r.cell): r.cnt for r in sk.collect()}
     b = {(r.j, r.cell): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_bloom_no_false_negatives_and_fp_observable(spark):
+    from spartan2_spark.functions.sketches import bloom_build, bloom_probe
+
+    build = spark.createDataFrame([(i,) for i in range(0, 200, 2)], "key long")
+    probe = spark.createDataFrame([(i,) for i in range(200)], "key long")
+    # tiny m forces false positives; k=3
+    bits = bloom_build(build, k=3, m=64)
+    out = {r["key"]: r["maybe_present"] for r in bloom_probe(bits, probe, k=3, m=64).collect()}
+    # every build key must probe present (no false negatives)
+    assert all(out[i] for i in range(0, 200, 2))
+    # at m=64 with 100 keys the bitset saturates -> some odd key flags too
+    assert any(out[i] for i in range(1, 200, 2))
+    # larger m separates: far fewer false positives
+    bits2 = bloom_build(build, k=3, m=8192)
+    out2 = {r["key"]: r["maybe_present"] for r in bloom_probe(bits2, probe, k=3, m=8192).collect()}
+    assert all(out2[i] for i in range(0, 200, 2))
+    fp = sum(1 for i in range(1, 200, 2) if out2[i])
+    assert fp < 10
+
+
+def test_hll_estimate_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.functions.sketches import hll_estimate, hll_registers
+
+    n = 5000
+    df = spark.createDataFrame([(str(i),) for i in range(n)], "key string")
+    regs = hll_registers(df, m=256)
+    est = hll_estimate(regs, m=256).collect()[0]
+    # m=256 -> ~6.5% standard error; allow 4 sigma
+    assert abs(est["hll_estimate"] - n) / n < 0.26
+    # mergeability: shard the input, union register relations, re-max
+    a = hll_registers(df.filter(F.col("key").cast("long") % 2 == 0), m=256)
+    b = hll_registers(df.filter(F.col("key").cast("long") % 2 == 1), m=256)
+    merged = (
+        a.unionAll(b).groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = {(r.reg, r.max_rho) for r in regs.collect()}
+    assert {(r.reg, r.max_rho) for r in merged.collect()} == whole
