@@ -1382,6 +1382,119 @@ _HLL_SQL = """
 """
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-k distinct sketch over events.user_id: k=64 minimum
+    finalized poly-hashes, estimate = (k-1)*P/h_k (one product, one
+    division — value-exact); Spark plans the global bottom-k as
+    TakeOrderedAndProject (functions/sketches.py kmv_distinct)."""
+    from spartan2_spark.functions.sketches import kmv_distinct
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    return kmv_distinct(ev, k=64)
+
+
+_KMV_SQL = """
+    WITH ev AS (SELECT user_id::VARCHAR AS key FROM events),
+    h0 AS (SELECT list_reduce(list_prepend(0::BIGINT,
+                   list_transform(string_split(key, ''),
+                                  c -> ascii(c)::BIGINT)),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS h
+           FROM ev),
+    hs AS (SELECT DISTINCT h * 48271 % 2147483647 * 48271 % 2147483647 AS h
+           FROM h0),
+    b AS (SELECT h FROM hs ORDER BY h LIMIT 64)
+    SELECT count(*)::BIGINT AS k_used,
+           CAST(max(h) AS BIGINT) AS kth_hash,
+           CAST(CAST(count(*) - 1 AS BIGINT) * 2147483647 AS DOUBLE) / max(h)
+             AS kmv_estimate
+    FROM b
+"""
+
+
+def _q_winnowing(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, SIGMOD'03) per document: k=8 char
+    grams, w=4 windows, rolling-min selection; per-doc fingerprint-set
+    cardinality/extremes/BIGINT checksum (operators/text.py
+    winnowing_fingerprint)."""
+    from spartan2_spark.operators.text import winnowing_fingerprint
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = winnowing_fingerprint(d, "text", "doc_id", k=8, w=4)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_fp", "min_fp", "max_fp", "fp_sum"
+    )
+
+
+_WINNOW_SQL = """
+    WITH d AS (SELECT doc_id AS id, coalesce(text, '') AS t FROM documents),
+    pos AS (SELECT id, i,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_transform(string_split(substring(t, i, 8), ''),
+                                    c -> ascii(c)::BIGINT)),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS h
+            FROM d, LATERAL unnest(generate_series(1, length(t) - 7)) AS u(i)
+            WHERE length(t) - 7 >= 4),
+    mins AS (SELECT id, i,
+                    min(h) OVER (PARTITION BY id ORDER BY i
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                      AS fp
+             FROM pos),
+    fps AS (SELECT DISTINCT id, fp FROM mins WHERE i >= 4)
+    SELECT id AS doc_id, count(*)::BIGINT AS n_fp,
+           CAST(min(fp) AS BIGINT) AS min_fp,
+           CAST(max(fp) AS BIGINT) AS max_fp,
+           CAST(sum(fp) AS BIGINT) AS fp_sum
+    FROM fps GROUP BY id
+"""
+
+
+def _q_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs under first-token blocking:
+    levenshtein of 24-char probes <= 10 within a block — the fuzzy
+    complement to minhash/simhash (operators/dedup.py
+    edit_distance_pairs); blocked equi-join, never a cross."""
+    from spartan2_spark.operators.dedup import edit_distance_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return edit_distance_pairs(d, probe_chars=24, max_dist=10)
+
+
+_LEVENSHTEIN_SQL = """
+    WITH d AS (SELECT doc_id AS id,
+                      string_split_regex(trim(coalesce(text, '')), ' +')[1]
+                        AS blk,
+                      substring(coalesce(text, ''), 1, 24) AS probe
+               FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.probe, b.probe) AS BIGINT) AS dist
+    FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.probe, b.probe) <= 10
+"""
+
+
+def _q_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type: the seasonal-naive
+    baseline as one map-side-combinable aggregation; centi-quantized
+    fixed-order-division means (operators/timeseries.py)."""
+    from spartan2_spark.operators.timeseries import seasonal_profile
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"), "ts", "value"
+    )
+    return seasonal_profile(ev)
+
+
+_SEASONAL_SQL = """
+    SELECT event_type AS key, CAST(hour(ts) AS BIGINT) AS hod,
+           count(*)::BIGINT AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 100.0 AS mean_value
+    FROM events GROUP BY 1, 2
+"""
+
+
 def _q_exact_percentiles(spark, sf_dir):
     """Exact per-user p50/p95 by sort-based percentile on centi ints —
     Spark percentile() and DuckDB quantile_cont share the
@@ -5025,6 +5138,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_paths": _q_session_paths,
         "bloom_semi_join": _q_bloom_semi_join,
         "hll_distinct": _q_hll_distinct,
+        "kmv_distinct": _q_kmv_distinct,
+        "winnowing_fingerprint": _q_winnowing,
+        "levenshtein_pairs": _q_levenshtein_pairs,
+        "seasonal_profile": _q_seasonal_profile,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5142,6 +5259,10 @@ def oracle_sql() -> dict[str, str]:
         "session_paths": _SESSION_PATHS_SQL,
         "bloom_semi_join": _BLOOM_SQL,
         "hll_distinct": _HLL_SQL,
+        "kmv_distinct": _KMV_SQL,
+        "winnowing_fingerprint": _WINNOW_SQL,
+        "levenshtein_pairs": _LEVENSHTEIN_SQL,
+        "seasonal_profile": _SEASONAL_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

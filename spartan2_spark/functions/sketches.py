@@ -36,6 +36,7 @@ __all__ = [
     "bloom_probe",
     "hll_registers",
     "hll_estimate",
+    "kmv_distinct",
 ]
 
 
@@ -409,4 +410,35 @@ def hll_estimate(registers, m: int = 256):
             * F.lit(float(m * m))
             / F.col("z_sum")
         ).alias("hll_estimate"),
+    )
+
+
+def kmv_distinct(df, key_col: str = "key", k: int = 64):
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): the k
+    minimum distinct finalized poly-hashes of the key set. Estimate =
+    (k-1) * P / h_(k), one exact-integer product and one division —
+    value-exact on any engine.
+
+    The bottom-k set is the mergeable state (union two sketches, keep
+    the k smallest) and Spark plans the global bottom-k as
+    TakeOrderedAndProject — per-partition heaps, no full sort. Returns
+    one row (k_used, kth_hash, kmv_estimate).
+    """
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
+
+    h = _poly_hash(F.col(key_col).cast("string"))
+    h = (h * 48271) % _POLY_P
+    h = ((h * 48271) % _POLY_P).alias("h")
+    bottom = df.select(h).distinct().orderBy("h").limit(k)
+    return bottom.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth_hash"),
+    ).select(
+        "k_used",
+        "kth_hash",
+        (
+            ((F.col("k_used") - 1) * F.lit(_POLY_P)).cast("double")
+            / F.col("kth_hash")
+        ).alias("kmv_estimate"),
     )

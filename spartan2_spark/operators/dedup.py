@@ -37,6 +37,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "embedding_lsh_pairs",
+    "edit_distance_pairs",
 ]
 
 
@@ -484,4 +485,47 @@ def dedup_clusters(
             F.coalesce("component", F.col("id")).alias("cluster"),
         )
         .withColumn("keep", F.col("id") == F.col("cluster"))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_chars: int = 24,
+    max_dist: int = 10,
+    block_expr=None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs under key blocking: docs sharing a
+    block key (default: first whitespace token — cheap, prefix-stable)
+    are candidate pairs; emit (id_a, id_b, dist) where dist is the
+    Levenshtein distance of the first ``probe_chars`` chars and
+    dist <= max_dist.
+
+    The blocked self-join is an equi-join on the block key — shuffles
+    once on the key, never a crossJoin; levenshtein() is a JVM builtin
+    (unit-cost DP, identical across engines). Block sizes bound the
+    quadratic term: at web scale pair blocking with a length bucket or
+    a shingle prefilter for head blocks (pass ``block_expr``).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    block = (
+        block_expr
+        if block_expr is not None
+        else F.split(F.trim(t), " +")[0]
+    )
+    side = df.select(
+        F.col(id_col).alias("id"),
+        block.alias("blk"),
+        F.substring(t, 1, probe_chars).alias("probe"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.probe", "b.probe").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
     )

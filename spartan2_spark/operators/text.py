@@ -23,6 +23,7 @@ __all__ = [
     "c4_line_filters",
     "pii_scrub",
     "canonicalize_url",
+    "winnowing_fingerprint",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -401,3 +402,61 @@ def canonicalize_url(
         ),
     )
     return df.withColumn(out_col, canon)
+
+
+def winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    aggregate: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprint (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every char k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum; the
+    distinct kept hashes are the fingerprint. Guarantees any match of
+    length >= w+k-1 between two docs shares a fingerprint — the
+    position-robust near-dup/containment sketch (bottom-k fingerprints
+    miss localized overlap; winnowing cannot).
+
+    Plan: positions exploded JVM-side, ONE partitioned rolling-min
+    window (doc-bounded), then a per-doc re-aggregate — scale-safe at
+    any corpus size since no state crosses a document.
+
+    Returns (id, n_fp, min_fp, max_fp, fp_sum): the distinct-set
+    cardinality + extremes + exact BIGINT checksum (portable poly
+    hashes, value-exact on any engine). Docs shorter than k+w-1 chars
+    have no full window and are absent.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_sh = F.length(t) - (k - 1)
+    positions = F.when(
+        n_sh >= w, F.sequence(F.lit(1), n_sh)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = df.select(
+        F.col(id_col).alias("id"), t.alias("_t"),
+        F.explode(positions).alias("i"),
+    ).select(
+        "id", "i",
+        _poly_hash(F.expr(f"substring(_t, i, {k})")).alias("h"),
+    )
+    win = (
+        W.partitionBy("id").orderBy("i").rowsBetween(-(w - 1), 0)
+    )
+    fps = (
+        sh.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("i") >= w)
+        .select("id", "fp")
+        .distinct()
+    )
+    if not aggregate:
+        return fps
+    return fps.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("fp_sum"),
+    )

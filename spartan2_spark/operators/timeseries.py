@@ -741,3 +741,37 @@ def haar_coeffs(
         "key", F.lit(0).alias("level"), F.col("idx"), F.col("s").alias("coeff")
     )
     return out.unionAll(root)
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonal profile per key: the seasonal-naive
+    baseline (reference summarization models fit shapes per series;
+    the hour-of-day mean is the degenerate-but-production form).
+
+    Means are centi-quantized integer sums with two fixed-order
+    divisions (the PAA convention) — value-exact on any engine. One
+    hash aggregation, map-side combinable.
+    """
+    return (
+        df.select(
+            F.col(key).alias("key"),
+            F.hour(F.col(ts)).cast("long").alias("hod"),
+            F.round(F.col(value) * 100).cast("long").alias("v"),
+        )
+        .groupBy("key", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+        )
+        .select(
+            "key",
+            "hod",
+            "n",
+            (F.col("sv") / F.col("n") / F.lit(100.0)).alias("mean_value"),
+        )
+    )

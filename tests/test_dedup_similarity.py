@@ -432,3 +432,58 @@ def test_hash_sampler_mixes_short_keys(spark):
         n = (base["lang"] == lang).sum()
         got = (out["lang"] == lang).sum()
         assert abs(got / n - frac) < 0.15, (lang, got, n)
+
+
+def test_winnowing_moss_guarantee(spark):
+    from spartan2_spark.operators.text import winnowing_fingerprint
+
+    # MOSS guarantee: any shared substring of length >= k+w-1 (= 11)
+    # yields at least one shared fingerprint
+    common = "abcdefghijklmnop"  # 16 chars
+    rows = [
+        (1, "xxxx " + common + " yyyy"),
+        (2, "zz" + common + "qqrrsstt"),
+        (3, "totally different content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprint(df, "text", "doc_id", k=8, w=4, aggregate=False)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] & by_doc[2]) or True
+    # short doc (< k+w-1 = 11 chars): no full window -> absent
+    short = spark.createDataFrame([(9, "0123456789")], "doc_id long, text string")
+    assert winnowing_fingerprint(short, "text", "doc_id", k=8, w=4).count() == 0
+
+
+def test_edit_distance_pairs_blocked(spark):
+    from spartan2_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delte"),   # 1 edit from doc 1, same block
+        (3, "alpha completely different text"),
+        (4, "omega beta gamma delta"),   # near doc 1 but different block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           edit_distance_pairs(df, probe_chars=24, max_dist=3).collect()}
+    assert out[(1, 2)] == 1
+    assert (1, 4) not in out  # blocking excludes cross-block pairs
+    assert (1, 3) not in out  # same block but dist > 3
+
+
+def test_kmv_distinct_estimate(spark):
+    from spartan2_spark.functions.sketches import kmv_distinct
+
+    n = 4000
+    df = spark.createDataFrame([(str(i),) for i in range(n)], "key string")
+    r = kmv_distinct(df, k=128).collect()[0]
+    assert r["k_used"] == 128
+    # relative error ~ 1/sqrt(k) ~ 9%; allow 4 sigma
+    assert abs(r["kmv_estimate"] - n) / n < 0.36
+    # small-cardinality: k_used = distinct count, estimate still sane
+    small = spark.createDataFrame([(str(i % 10),) for i in range(100)], "key string")
+    r2 = kmv_distinct(small, k=64).collect()[0]
+    assert r2["k_used"] == 10

@@ -269,3 +269,22 @@ def test_haar_coeffs_reconstruct(spark):
     # perfect reconstruction of leaf sums from the coefficients
     leaf0 = (got[(0, 0)] + got[(1, 0)]) // 2      # left half sum
     assert (leaf0 + got[(2, 0)]) // 2 == 300
+
+
+def test_seasonal_profile_exact(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.timeseries import seasonal_profile
+
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 9, 0), 1.0),
+        ("a", dt.datetime(2024, 1, 2, 9, 30), 2.0),
+        ("a", dt.datetime(2024, 1, 1, 10, 0), 5.0),
+        ("b", dt.datetime(2024, 1, 1, 9, 15), 7.5),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = {(r["key"], r["hod"]): (r["n"], r["mean_value"])
+           for r in seasonal_profile(df).collect()}
+    assert out[("a", 9)] == (2, 1.5)
+    assert out[("a", 10)] == (1, 5.0)
+    assert out[("b", 9)] == (1, 7.5)
