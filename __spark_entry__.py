@@ -1495,6 +1495,66 @@ _SEASONAL_SQL = """
 """
 
 
+def _q_m4_downsample(spark, sf_dir):
+    """M4 visual downsampling (Jugel VLDB'14): 16 time-range buckets
+    per user series, each -> (n, min, max, first, last); first/last by
+    lexicographic struct min/max — no argmin ties, values untouched
+    (operators/timeseries.py m4_downsample)."""
+    from spartan2_spark.operators.timeseries import m4_downsample
+
+    return m4_downsample(_events_series(spark, sf_dir), width=16)
+
+
+_M4_SQL = """
+    WITH base AS (
+      SELECT user_id AS key, epoch_us(ts) AS t, event_id, value,
+             min(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0,
+             max(epoch_us(ts)) OVER (PARTITION BY user_id) AS t1
+      FROM events)
+    SELECT key,
+           CAST(floor((t - t0) * 16 / (t1 - t0 + 1)) AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n,
+           min(value) AS min_v, max(value) AS max_v,
+           (min(struct_pack(t := t, e := event_id, v := value))).v AS first_v,
+           (max(struct_pack(t := t, e := event_id, v := value))).v AS last_v
+    FROM base GROUP BY 1, 2
+"""
+
+
+def _q_stl_seasonal(spark, sf_dir):
+    """STL-lite seasonal extraction per event type: 5-row centered
+    moving-average detrend on interior points, hour-of-day residual
+    means as one division of exact BIGINT numerators
+    (operators/timeseries.py stl_seasonal)."""
+    from spartan2_spark.operators.timeseries import stl_seasonal
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"), "ts", "value", "event_id"
+    )
+    return stl_seasonal(ev, trend_window=5)
+
+
+_STL_SQL = """
+    WITH base AS (
+      SELECT event_type AS key, ts,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER w AS p,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                  AS BIGINT) AS wsum
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    interior AS (
+      SELECT key, CAST(hour(ts) AS BIGINT) AS hod, 5 * v - wsum AS resid
+      FROM base WHERE p > 2 AND p <= n - 2)
+    SELECT key, hod, count(*)::BIGINT AS n,
+           CAST(sum(resid) AS BIGINT) / (count(*) * 5) / 100.0 AS seasonal
+    FROM interior GROUP BY 1, 2
+"""
+
+
 def _q_exact_percentiles(spark, sf_dir):
     """Exact per-user p50/p95 by sort-based percentile on centi ints —
     Spark percentile() and DuckDB quantile_cont share the
@@ -5142,6 +5202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprint": _q_winnowing,
         "levenshtein_pairs": _q_levenshtein_pairs,
         "seasonal_profile": _q_seasonal_profile,
+        "m4_downsample": _q_m4_downsample,
+        "stl_seasonal": _q_stl_seasonal,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5263,6 +5325,8 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_fingerprint": _WINNOW_SQL,
         "levenshtein_pairs": _LEVENSHTEIN_SQL,
         "seasonal_profile": _SEASONAL_SQL,
+        "m4_downsample": _M4_SQL,
+        "stl_seasonal": _STL_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -55,6 +55,9 @@ __all__ = [
     "ewma_dyadic",
     "cusum_drift",
     "haar_coeffs",
+    "seasonal_profile",
+    "m4_downsample",
+    "stl_seasonal",
 ]
 
 
@@ -773,5 +776,115 @@ def seasonal_profile(
             "hod",
             "n",
             (F.col("sv") / F.col("n") / F.lit(100.0)).alias("mean_value"),
+        )
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    width: int = 16,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """M4 visual downsampling (Jugel et al., VLDB'14): per series,
+    ``width`` equal TIME-range buckets, each reduced to
+    (n, min, max, first, last) — the error-free line-rendering reduct
+    (min/max preserve extremes, first/last preserve bucket-edge
+    connectivity).
+
+    first/last are min/max over (ts, tie..., value) STRUCTS — a plain
+    lexicographic aggregate, no argmin ties, no second window. Values
+    pass through untouched (comparisons only), so the output is
+    value-exact on any engine. One partition-scoped window for the
+    per-key time extent + one hash aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    wk = W.partitionBy(key)
+    span = df.withColumn("_t", us).withColumn(
+        "_t0", F.min("_t").over(wk)
+    ).withColumn("_t1", F.max("_t").over(wk))
+    bucket = F.floor(
+        (F.col("_t") - F.col("_t0"))
+        * width
+        / (F.col("_t1") - F.col("_t0") + 1)
+    ).cast("long")
+    ostruct = F.struct(
+        F.col("_t"), *[F.col(c) for c in order_cols], F.col(value).alias("_v")
+    )
+    return (
+        span.withColumn("bucket", bucket)
+        .groupBy(key, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(value).alias("min_v"),
+            F.max(value).alias("max_v"),
+            F.min(ostruct).getField("_v").alias("first_v"),
+            F.max(ostruct).getField("_v").alias("last_v"),
+        )
+    )
+
+
+def stl_seasonal(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    value: str = "value",
+    trend_window: int = 5,
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """STL-lite seasonal extraction: centered moving-average detrend
+    (full ``trend_window`` rows only — interior points), then the
+    hour-of-day mean of the residuals per series.
+
+    Exactness: residuals are kept as INTEGER numerators
+    resid = W*v_centi - sum(window v_centi) over the constant-width
+    interior window, so the seasonal mean is one division of exact
+    BIGINTs (then the fixed /100 de-quantization) — value-exact on any
+    engine. Window + aggregate, one shuffle on the series key.
+    """
+    from pyspark.sql import Window as W
+
+    half = trend_window // 2
+    order = [F.col(ts)] + [F.col(c) for c in order_cols]
+    wo = W.partitionBy(key).orderBy(*order)
+    v = F.round(F.col(value) * 100).cast("long")
+    base = (
+        df.withColumn("_v", v)
+        .withColumn("_p", F.row_number().over(wo))
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy(key)))
+        .withColumn(
+            "_wsum", F.sum("_v").over(wo.rowsBetween(-half, half))
+        )
+        .filter(
+            (F.col("_p") > half) & (F.col("_p") <= F.col("_n") - half)
+        )
+        .withColumn(
+            "resid", F.lit(trend_window) * F.col("_v") - F.col("_wsum")
+        )
+    )
+    return (
+        base.select(
+            F.col(key).alias("key"),
+            F.hour(F.col(ts)).cast("long").alias("hod"),
+            "resid",
+        )
+        .groupBy("key", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("resid").alias("resid_sum"),
+        )
+        .select(
+            "key",
+            "hod",
+            "n",
+            (
+                F.col("resid_sum")
+                / (F.col("n") * F.lit(trend_window))
+                / F.lit(100.0)
+            ).alias("seasonal"),
         )
     )

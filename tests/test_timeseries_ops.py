@@ -288,3 +288,38 @@ def test_seasonal_profile_exact(spark):
     assert out[("a", 9)] == (2, 1.5)
     assert out[("a", 10)] == (1, 5.0)
     assert out[("b", 9)] == (1, 7.5)
+
+
+def test_m4_downsample_extremes_and_edges(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.timeseries import m4_downsample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(seconds=i), float(v), i)
+            for i, v in enumerate([5, 1, 9, 3, 2, 8, 4, 7])]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double, event_id long")
+    out = {r["bucket"]: r for r in m4_downsample(df, width=2).collect()}
+    b0, b1 = out[0], out[1]
+    assert (b0["min_v"], b0["max_v"], b0["first_v"], b0["last_v"]) == (1.0, 9.0, 5.0, 3.0)
+    assert (b1["min_v"], b1["max_v"], b1["first_v"], b1["last_v"]) == (2.0, 8.0, 2.0, 7.0)
+    assert b0["n"] == 4 and b1["n"] == 4
+
+
+def test_stl_seasonal_constant_series_zero(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.timeseries import stl_seasonal
+
+    # pure linear trend -> interior residuals are exactly 0
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("a", t0 + dt.timedelta(hours=i), 10.0 + i, i) for i in range(12)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double, event_id long")
+    out = stl_seasonal(df, trend_window=5).collect()
+    assert all(r["seasonal"] == 0.0 for r in out)
+    # seasonal bump at one hour survives detrending with nonzero sign
+    rows2 = [("b", t0 + dt.timedelta(hours=i),
+              100.0 if i % 24 == 6 else 10.0, i) for i in range(48)]
+    df2 = spark.createDataFrame(rows2, "key string, ts timestamp, value double, event_id long")
+    out2 = {r["hod"]: r["seasonal"] for r in stl_seasonal(df2, trend_window=5).collect()}
+    assert out2[6] > 50
