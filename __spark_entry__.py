@@ -1555,6 +1555,63 @@ _STL_SQL = """
 """
 
 
+def _q_cross_entropy(spark, sf_dir):
+    """CCNet-style unigram cross-entropy of each doc vs the corpus LM
+    (perplexity-proxy quality filter); log2-over-BIGINT + round(8)
+    convention (operators/text.py corpus_cross_entropy)."""
+    from spartan2_spark.operators.text import corpus_cross_entropy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_cross_entropy(d)
+
+
+_XENT_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS t
+      FROM documents),
+    tf AS (SELECT t, count(*)::BIGINT AS tf FROM toks GROUP BY t),
+    total AS (SELECT CAST(sum(tf) AS BIGINT) AS N FROM tf),
+    per_doc AS (
+      SELECT id, count(*)::BIGINT AS n_tokens,
+             sum(log2(CAST(tf AS DOUBLE))) AS slog
+      FROM toks JOIN tf USING (t) GROUP BY id)
+    SELECT id AS doc_id, n_tokens,
+           round(log2(CAST(N AS DOUBLE)) - slog / n_tokens, 8)
+             AS cross_entropy_bits
+    FROM per_doc, total
+"""
+
+
+def _q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 distinctive terms per doc by the exact tf/df ratio
+    (log-free idf: single-division scores, token-asc ties);
+    partitioned window (operators/text.py tfidf_top_terms)."""
+    from spartan2_spark.operators.text import tfidf_top_terms
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(d, k=3)
+
+
+_TFIDF_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS t
+      FROM documents),
+    tf AS (SELECT id, t, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT t, count(*)::BIGINT AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT id, t, tf, df, tf / CAST(df AS DOUBLE) AS score
+      FROM tf JOIN dfq USING (t))
+    SELECT id AS doc_id,
+           CAST(row_number() OVER w AS BIGINT) AS rank,
+           t AS token, tf, df, round(score, 8) AS score
+    FROM scored
+    WINDOW w AS (PARTITION BY id ORDER BY score DESC, t ASC)
+    QUALIFY rank <= 3
+"""
+
+
 def _q_exact_percentiles(spark, sf_dir):
     """Exact per-user p50/p95 by sort-based percentile on centi ints —
     Spark percentile() and DuckDB quantile_cont share the
@@ -5204,6 +5261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": _q_seasonal_profile,
         "m4_downsample": _q_m4_downsample,
         "stl_seasonal": _q_stl_seasonal,
+        "corpus_cross_entropy": _q_cross_entropy,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5327,6 +5386,8 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_profile": _SEASONAL_SQL,
         "m4_downsample": _M4_SQL,
         "stl_seasonal": _STL_SQL,
+        "corpus_cross_entropy": _XENT_SQL,
+        "tfidf_top_terms": _TFIDF_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

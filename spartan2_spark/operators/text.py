@@ -24,6 +24,8 @@ __all__ = [
     "pii_scrub",
     "canonicalize_url",
     "winnowing_fingerprint",
+    "corpus_cross_entropy",
+    "tfidf_top_terms",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -459,4 +461,74 @@ def winnowing_fingerprint(
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
         F.sum("fp").alias("fp_sum"),
+    )
+
+
+def corpus_cross_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram cross-entropy of each doc against the corpus LM — the
+    CCNet/C4-style perplexity proxy (docs far from the corpus
+    distribution are boilerplate or noise):
+
+        H(d) = -(1/n_d) sum_t log2(tf(t)/N) = log2(N) - sum log2(tf)/n_d
+
+    Corpus term frequencies are one hash aggregation; the per-doc pass
+    re-joins exploded tokens on the term (shuffle equi-join — the
+    standard inverted-index shape). log2 over exact BIGINT counts plus
+    round(8) is the cross-engine-proven xlogx convention.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("t")
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").cast("long").alias("N"))
+    per_doc = (
+        toks.join(tf, "t")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log2(F.col("tf").cast("double"))).alias("_slog"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.log2(F.col("N").cast("double"))
+            - F.col("_slog") / F.col("n_tokens"),
+            8,
+        ).alias("cross_entropy_bits"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per doc by the tf/df ratio (the
+    rare-across-corpus, frequent-in-doc score — idf without the log so
+    the ranking stays a single exact division). Ties break on token
+    asc. Partitioned row_number window; df counts are one aggregation
+    re-joined on the term.
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("t")
+    )
+    tf = toks.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "t").withColumn(
+        "score", F.col("tf") / F.col("df")
+    )
+    w = W.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", F.col("t").alias("token"),
+            "tf", "df", F.round("score", 8).alias("score"),
+        )
     )

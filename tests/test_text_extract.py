@@ -33,3 +33,30 @@ def test_extract_text_strips_blocks_tags_and_entities(spark):
         [("u", b"<p>&amp;lt;</p>")], "url string, html binary"
     )
     assert extract_text(df2).first()["extracted_text"] == "&lt;"
+
+
+def test_corpus_cross_entropy_ranks_odd_docs(spark):
+    from spartan2_spark.operators.text import corpus_cross_entropy
+
+    rows = [(i, "the cat sat on the mat") for i in range(9)]
+    rows.append((99, "zyx wvu tsr qpo nml kji"))  # all-rare tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cross_entropy_bits"] for r in corpus_cross_entropy(df).collect()}
+    # the odd doc's tokens each appear once -> maximal cross-entropy
+    assert out[99] > out[0]
+    assert all(out[i] == out[0] for i in range(9))
+
+
+def test_tfidf_top_terms_distinctive(spark):
+    from spartan2_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "common common rareword"),
+        (2, "common common other"),
+        (3, "common filler text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_id"], r["rank"]): r["token"] for r in tfidf_top_terms(df, k=2).collect()}
+    # 'rareword' (df=1) beats 'common' (df=3) for doc 1
+    assert out[(1, 1)] == "rareword"
+    assert out[(1, 2)] == "common"
