@@ -78,7 +78,48 @@ AUDIT_QUERIES = [
     "countmin_heavy_hitters",
     "cube_aggregate",
     "pii_scrub",
+    # round-3 late additions
+    "funnel_conversion",
+    "cohort_retention",
+    "topk_per_user",
+    "session_paths",
+    "bloom_semi_join",
+    "hll_distinct",
+    "kmv_distinct",
+    "winnowing_fingerprint",
+    "levenshtein_pairs",
+    "seasonal_profile",
+    "m4_downsample",
+    "stl_seasonal",
+    "corpus_cross_entropy",
+    "tfidf_top_terms",
 ]
+
+
+def test_funnel_single_exchange_for_all_stages(spark, sf_dir):
+    """The 3-stage funnel's windows share one (partition, order): the
+    plan must sort/shuffle the fact ONCE, not once per stage."""
+    plan = plan_of(E.queries()["funnel_conversion"](spark, sf_dir), "simple")
+    # one exchange for the window partitioning, one for the per-key
+    # aggregate (AQE may add coalesces but not hashpartitionings)
+    assert plan.count("hashpartitioning(key") <= 2, plan
+
+
+def test_bloom_probe_broadcasts_bitset(spark, sf_dir):
+    plan = plan_of(E.queries()["bloom_semi_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_user_pushes_group_limit_map_side(spark, sf_dir):
+    """The per-group top-k must partition its window on user_id AND get
+    Spark's WindowGroupLimit pushdown: a PARTIAL top-k before the
+    exchange (only <=k rows per group shuffle) + a FINAL one after —
+    the difference between shuffling k rows and ALL rows per user at
+    10^12 scale."""
+    plan = plan_of(E.queries()["topk_per_user"](spark, sf_dir), "simple")
+    assert "hashpartitioning(user_id" in plan
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
 
 
 @pytest.mark.parametrize("name", AUDIT_QUERIES)
