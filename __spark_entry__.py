@@ -928,6 +928,72 @@ _AUTOCORR_SQL = """
 """
 
 
+def _q_mad_outliers(spark, sf_dir):
+    """Median/MAD robust outlier counts per user: centi-quantized,
+    doubled values keep both medians on exact doubles so the
+    3*1.4826*MAD threshold compares identically cross-engine."""
+    from spartan2_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(_events_series(spark, sf_dir))
+
+
+_MAD_SQL = """
+    WITH q AS (
+      SELECT user_id AS key,
+             CAST(round(value * 100) AS BIGINT) * 2 AS v2
+      FROM events),
+    med AS (SELECT key, quantile_cont(v2, 0.5) AS med2 FROM q GROUP BY key),
+    dev AS (SELECT q.key, med2, abs(v2 - med2) AS dev2
+            FROM q JOIN med USING (key)),
+    mad AS (SELECT key, count(*)::BIGINT AS n, max(med2) AS med2,
+                   quantile_cont(dev2, 0.5) AS mad2
+            FROM dev GROUP BY key)
+    SELECT d.key,
+           max(m.n) AS n,
+           max(m.med2) / 200.0 AS median,
+           max(m.mad2) / 200.0 AS mad,
+           CAST(sum(CASE WHEN d.dev2 > 3.0 * 1.4826 * m.mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (key)
+    GROUP BY d.key
+"""
+
+
+def _q_linear_trend(spark, sf_dir):
+    """Per-user OLS trend over the observation index — closed
+    normal-equation form on exact integer moment sums; the closing
+    division is the only float op."""
+    from spartan2_spark.operators.timeseries import linear_trend
+
+    return linear_trend(_events_series(spark, sf_dir), order_cols=("event_id",))
+
+
+_LINTREND_SQL = """
+    WITH q AS (
+      SELECT user_id AS key,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    s AS (SELECT key, count(*)::BIGINT AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM q GROUP BY key)
+    SELECT key, n,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0
+           END AS slope,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN (sy / 100.0
+                      - ((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0)
+                        * sx) / n
+           END AS intercept
+    FROM s
+"""
+
+
 def _q_asof_join(spark, sf_dir):
     """Backward as-of join (union + running last, NOT a range join):
     every event aligned to its user's latest hourly max-quote at or
@@ -5263,6 +5329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_seasonal": _q_stl_seasonal,
         "corpus_cross_entropy": _q_cross_entropy,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "mad_outliers": _q_mad_outliers,
+        "linear_trend": _q_linear_trend,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5388,6 +5456,8 @@ def oracle_sql() -> dict[str, str]:
         "stl_seasonal": _STL_SQL,
         "corpus_cross_entropy": _XENT_SQL,
         "tfidf_top_terms": _TFIDF_SQL,
+        "mad_outliers": _MAD_SQL,
+        "linear_trend": _LINTREND_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

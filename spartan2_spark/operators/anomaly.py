@@ -24,6 +24,7 @@ from pyspark.sql import Window as W
 __all__ = [
     "iqr_bound",
     "sigma_bound",
+    "mad_outliers",
     "suspicious_keys",
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
@@ -50,6 +51,55 @@ def iqr_bound(df: DataFrame, col: str) -> DataFrame:
 def sigma_bound(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
     """mean + k*std (population std, matching np.std; iat.py:122-125)."""
     return df.agg((F.avg(col) + k * F.stddev_pop(col)).alias("bound"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier counts per key.
+
+    Breakdown-robust member of the bound family above (the reference's
+    iat.py:115-141 offers mean/std and IQR bounds; MAD's 50% breakdown
+    point survives the heavy-tailed count distributions those bounds
+    are applied to). Values are centi-quantized and doubled so every
+    intermediate stays integral-or-half on exact doubles: med2 =
+    median(2*q) is an integer-valued double (midpoint of two even
+    integers), dev2 = |2q - med2| is integral, and mad2 = median(dev2)
+    is at worst half-integral — so the k*1.4826*mad2 threshold compares
+    identically on any IEEE engine. Two percentile aggregations (exact,
+    sort-based per key) + one count aggregation; all shuffles on key.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        (F.round(F.col(value_col) * 100).cast("bigint") * 2).alias("v2"),
+    )
+    med = base.groupBy("key").agg(F.percentile("v2", F.lit(0.5)).alias("med2"))
+    dev = base.join(med, "key").select(
+        "key", "med2", F.abs(F.col("v2") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.first("med2").alias("med2"),
+        F.percentile("dev2", F.lit(0.5)).alias("mad2"),
+    )
+    return (
+        dev.select("key", "dev2")
+        .join(mad, "key")
+        .groupBy("key")
+        .agg(
+            F.first("n").alias("n"),
+            (F.first("med2") / 200.0).alias("median"),
+            (F.first("mad2") / 200.0).alias("mad"),
+            F.sum(
+                F.when(F.col("dev2") > k * 1.4826 * F.col("mad2"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
 
 
 def suspicious_keys(

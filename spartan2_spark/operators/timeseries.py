@@ -48,6 +48,7 @@ __all__ = [
     "paa",
     "sax_symbols",
     "autocorr_lag",
+    "linear_trend",
     "asof_join",
     "lttb_parallel",
     "interval_join",
@@ -349,6 +350,53 @@ def autocorr_lag(
         (F.sum(F.col("x") * F.col("x_lag")).cast("long") if quantize
          else F.sum(F.col("x") * F.col("x_lag"))).alias("sum_xy"),
         prod_mean.alias("lag_moment"),
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key OLS trend over the observation index (x = 0..n-1 in
+    time order), closed normal-equation form on exact integer sums.
+
+    The index regressor (not raw epoch time) keeps every moment sum
+    comfortably inside int64 — x <= n, x^2*n <= n^3, and the
+    centi-quantized y keeps x*y products integral — so slope's
+    numerator/denominator are order-independent exact integers and the
+    single closing division is the only float op (identical IEEE result
+    on any engine). Interpret slope as value-change per observation
+    step; multiply by the key's sampling rate downstream for per-time
+    units. One sort window (the index) + one hash aggregate.
+    """
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    q = df.select(
+        F.col(key_col).alias("key"),
+        (F.row_number().over(w) - 1).cast("long").alias("x"),
+        F.round(F.col(value_col) * 100).cast("long").alias("y"),
+    )
+    agg = q.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den != 0, num / den / 100.0)
+    return agg.select(
+        "key",
+        "n",
+        slope.alias("slope"),
+        F.when(
+            den != 0,
+            (F.col("sy") / 100.0 - (num / den / 100.0) * F.col("sx"))
+            / F.col("n"),
+        ).alias("intercept"),
     )
 
 

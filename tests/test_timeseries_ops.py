@@ -323,3 +323,41 @@ def test_stl_seasonal_constant_series_zero(spark):
     df2 = spark.createDataFrame(rows2, "key string, ts timestamp, value double, event_id long")
     out2 = {r["hod"]: r["seasonal"] for r in stl_seasonal(df2, trend_window=5).collect()}
     assert out2[6] > 50
+
+
+def test_linear_trend_recovers_planted_slope(spark):
+    from spartan2_spark.operators.timeseries import linear_trend
+
+    # key 1: y = 2.5x + 7 exactly; key 2: constant; key 3: single point
+    rows = [(1, float(t), 7.0 + 2.5 * t) for t in range(10)]
+    rows += [(2, float(t), 4.0) for t in range(5)]
+    rows += [(3, 0.0, 9.0)]
+    df = spark.createDataFrame(rows, "key long, ts double, value double")
+    got = {r.key: r for r in linear_trend(df).collect()}
+    assert abs(got[1].slope - 2.5) < 1e-12
+    assert abs(got[1].intercept - 7.0) < 1e-12
+    assert got[2].slope == 0.0 and abs(got[2].intercept - 4.0) < 1e-12
+    # degenerate denominator -> NULL, not a crash or a wrong 0
+    assert got[3].slope is None and got[3].intercept is None
+
+
+def test_mad_outliers_planted(spark):
+    from spartan2_spark.operators.anomaly import mad_outliers
+
+    # 9 inliers around 10.0 (MAD ~ 0.2) + one gross outlier at 100
+    vals = [9.8, 9.9, 9.9, 10.0, 10.0, 10.1, 10.1, 10.2, 10.3, 100.0]
+    df = spark.createDataFrame(
+        [(1, float(i), v) for i, v in enumerate(vals)],
+        "key long, ts double, value double",
+    )
+    r = mad_outliers(df).collect()[0]
+    assert r.n == 10
+    assert abs(r.median - 10.05) < 1e-12  # midpoint of 10.0, 10.1
+    assert r.n_outliers == 1
+    # constant series: MAD 0 -> nothing beats a zero threshold strictly
+    dfc = spark.createDataFrame(
+        [(2, float(i), 5.0) for i in range(6)],
+        "key long, ts double, value double",
+    )
+    rc = mad_outliers(dfc).collect()[0]
+    assert rc.mad == 0.0 and rc.n_outliers == 0
