@@ -728,6 +728,36 @@ _NGRAM_JACCARD_SQL = """
 """
 
 
+def _q_ngram_containment(spark, sf_dir):
+    """EXACT word-trigram containment join (|A∩B|/|A|, |A∩B|/|B|) —
+    asymmetric near-superset detector; same inverted-index plan as the
+    Jaccard join, brute-force all-pairs only in the DuckDB twin."""
+    from spartan2_spark.operators.dedup import ngram_containment_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_containment_join(d, "text", "doc_id", n=3, threshold=0.3)
+
+
+_NGRAM_CONTAINMENT_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(trim(text), ' +')) - 2, 1)),
+               i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' '))) AS ng
+      FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS c,
+             len(a.ng) AS n_a, len(b.ng) AS n_b
+      FROM d a, d b
+      WHERE a.doc_id < b.doc_id AND len(list_intersect(a.ng, b.ng)) > 0)
+    SELECT id_a, id_b,
+           round(c / n_a, 8) AS cont_a,
+           round(c / n_b, 8) AS cont_b
+    FROM p WHERE greatest(c / n_a, c / n_b) >= 0.3
+"""
+
+
 def _q_quality_score(spark, sf_dir):
     """Text quality heuristics (length/punct/stopword/word-length)."""
     from spartan2_spark.operators.text import quality_score
@@ -5331,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "mad_outliers": _q_mad_outliers,
         "linear_trend": _q_linear_trend,
+        "ngram_containment_pairs": _q_ngram_containment,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5458,6 +5489,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _TFIDF_SQL,
         "mad_outliers": _MAD_SQL,
         "linear_trend": _LINTREND_SQL,
+        "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -34,6 +34,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "ngram_jaccard_join",
+    "ngram_containment_join",
     "simhash64",
     "simhash_pairs",
     "embedding_lsh_pairs",
@@ -233,6 +234,61 @@ def ngram_jaccard_join(
         .withColumn("jaccard", F.round(jac, 8))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_containment_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram containment join — Broder's asymmetric companion to
+    resemblance: |A∩B|/|A| and |A∩B|/|B| per candidate pair. Catches
+    near-supersets (quote inclusion, boilerplate-wrapped reposts) that
+    symmetric Jaccard under-scores: a 100-gram article embedded in a
+    10,000-gram page has Jaccard ~0.01 but containment 1.0.
+
+    Same inverted-index plan as ngram_jaccard_join (explode distinct
+    grams, equi-join on gram, count common per pair) — lossless for any
+    threshold > 0, no all-pairs cross join; ``max_token_df`` df-prunes
+    stopword-grade grams at web scale. A pair is kept when EITHER
+    direction's containment clears the threshold.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"), word_ngrams_expr(text_col, n).alias("ng")
+    )
+    sz = d.select("id", F.size("ng").alias("n_sz"))
+    tok = d.select("id", F.explode("ng").alias("g"))
+    if max_token_df is not None:
+        dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        tok = tok.join(
+            dfreq.filter(F.col("df") <= max_token_df).select("g"), "g"
+        )
+    a = tok.select(F.col("id").alias("id_a"), "g")
+    b = tok.select(F.col("id").alias("id_b"), "g")
+    common = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ca = F.col("c") / F.col("n_a")
+    cb = F.col("c") / F.col("n_b")
+    return (
+        common.join(
+            sz.select(F.col("id").alias("id_a"), F.col("n_sz").alias("n_a")), "id_a"
+        )
+        .join(sz.select(F.col("id").alias("id_b"), F.col("n_sz").alias("n_b")), "id_b")
+        .filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, 8).alias("cont_a"),
+            F.round(cb, 8).alias("cont_b"),
+        )
     )
 
 

@@ -487,3 +487,21 @@ def test_kmv_distinct_estimate(spark):
     small = spark.createDataFrame([(str(i % 10),) for i in range(100)], "key string")
     r2 = kmv_distinct(small, k=64).collect()[0]
     assert r2["k_used"] == 10
+
+
+def test_ngram_containment_supersets(spark):
+    from spartan2_spark.operators.dedup import ngram_containment_join
+
+    core = "alpha beta gamma delta epsilon zeta"          # 4 trigrams
+    wrapper = "intro words here " + core + " outro trailer text tail"
+    df = spark.createDataFrame(
+        [(1, core), (2, wrapper), (3, "totally unrelated words only")],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           ngram_containment_join(df, threshold=0.5).collect()}
+    # all 4 of core's trigrams appear inside wrapper -> containment 1.0
+    # in the A-direction even though Jaccard is well under 0.5
+    r = out[(1, 2)]
+    assert r.cont_a == 1.0 and r.cont_b < 0.5
+    assert (1, 3) not in out and (2, 3) not in out
