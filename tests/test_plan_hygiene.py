@@ -93,6 +93,9 @@ AUDIT_QUERIES = [
     "stl_seasonal",
     "corpus_cross_entropy",
     "tfidf_top_terms",
+    "mad_outliers",
+    "linear_trend",
+    "ngram_containment_pairs",
 ]
 
 
