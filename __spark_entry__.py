@@ -758,6 +758,38 @@ _NGRAM_CONTAINMENT_SQL = """
 """
 
 
+def _q_key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
+    share + cumulative share — the measurement feeding the salting
+    planner (partitioning.domain_salt_map). Window-free: rank/cum via
+    a triangular broadcast self-join on the bounded top-k frame."""
+    from spartan2_spark.operators.partitioning import key_skew_profile
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_profile(e, "user_id", k=20)
+
+
+_KEY_SKEW_SQL = """
+    WITH counts AS (
+      SELECT user_id AS key, count(*)::BIGINT AS cnt
+      FROM events GROUP BY user_id),
+    stats AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                     count(*)::BIGINT AS n_keys
+              FROM counts),
+    top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key LIMIT 20),
+    ranked AS (
+      SELECT a.key, a.cnt, count(*)::BIGINT AS rnk,
+             CAST(sum(b.cnt) AS BIGINT) AS cum_cnt
+      FROM top a JOIN top b
+        ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.key <= a.key)
+      GROUP BY a.key, a.cnt)
+    SELECT r.key, r.rnk, r.cnt, s.n_keys,
+           round(CAST(r.cnt AS DOUBLE) / s.total, 8) AS share,
+           round(CAST(r.cum_cnt AS DOUBLE) / s.total, 8) AS cum_share
+    FROM ranked r CROSS JOIN stats s
+"""
+
+
 def _q_quality_score(spark, sf_dir):
     """Text quality heuristics (length/punct/stopword/word-length)."""
     from spartan2_spark.operators.text import quality_score
@@ -5362,6 +5394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "linear_trend": _q_linear_trend,
         "ngram_containment_pairs": _q_ngram_containment,
+        "key_skew_profile": _q_key_skew_profile,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5490,6 +5523,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": _MAD_SQL,
         "linear_trend": _LINTREND_SQL,
         "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
+        "key_skew_profile": _KEY_SKEW_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -27,6 +27,7 @@ __all__ = [
     "global_row_numbers",
     "write_bucketed",
     "zorder_key",
+    "key_skew_profile",
 ]
 
 
@@ -240,3 +241,51 @@ def zorder_key(col_a, col_b, bits: int = 21):
             + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
         )
     return z
+
+
+def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Shuffle-key skew diagnostic: the top-k heaviest keys with their
+    row count, share of total rows, rank, and cumulative share.
+
+    This is the measurement half of the salting machinery above — run
+    it on a candidate join/groupBy key before choosing salt factors
+    (domain_salt_map's salt table is exactly this profile thresholded).
+    cum_share(rank r) ~ how much of the relation the r hottest keys
+    own; a handful of keys holding >20-30% is the signature that a
+    plain hash shuffle will straggle at scale.
+
+    Plan shape: one count aggregation (map-side combinable), a
+    TakeOrderedAndProject for the top-k (no full sort), a broadcast
+    scalar for the total, and a triangular broadcast self-join on the
+    <=k-row frame for rank/cum-share — no windows, so nothing
+    single-partitions an unbounded relation.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    stats = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "key").limit(k)
+    b = top.select(F.col("key").alias("bkey"), F.col("cnt").alias("bcnt"))
+    ranked = (
+        top.join(
+            F.broadcast(b),
+            (F.col("bcnt") > F.col("cnt"))
+            | ((F.col("bcnt") == F.col("cnt")) & (F.col("bkey") <= F.col("key"))),
+        )
+        .groupBy("key", "cnt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rnk"),
+            F.sum("bcnt").cast("long").alias("cum_cnt"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "rnk",
+        "cnt",
+        "n_keys",
+        F.round(F.col("cnt") / F.col("total"), 8).alias("share"),
+        F.round(F.col("cum_cnt") / F.col("total"), 8).alias("cum_share"),
+    )

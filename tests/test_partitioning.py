@@ -126,3 +126,20 @@ def test_zorder_key_interleaves_and_clusters(spark):
         blk = order[i:i + 8]
         assert max(x for x, _ in blk) - min(x for x, _ in blk) <= 4
         assert max(y for _, y in blk) - min(y for _, y in blk) <= 4
+
+
+def test_key_skew_profile_planted(spark):
+    from spartan2_spark.operators.partitioning import key_skew_profile
+
+    # one head key with half the rows, a warm key, and a cold tail
+    rows = [("hot", i) for i in range(50)]
+    rows += [("warm", i) for i in range(30)]
+    rows += [(f"cold{i}", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    prof = {r.key: r for r in key_skew_profile(df, "k", k=3).collect()}
+    assert len(prof) == 3 and prof["hot"].rnk == 1 and prof["warm"].rnk == 2
+    assert prof["hot"].share == 0.5 and prof["hot"].cum_share == 0.5
+    assert prof["warm"].cum_share == 0.8
+    assert prof["hot"].n_keys == 22
+    # rank-3 key resolves ties deterministically by key name
+    assert prof["cold0"].rnk == 3 and prof["cold0"].cnt == 1

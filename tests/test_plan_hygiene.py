@@ -96,6 +96,7 @@ AUDIT_QUERIES = [
     "mad_outliers",
     "linear_trend",
     "ngram_containment_pairs",
+    "key_skew_profile",
 ]
 
 
