@@ -758,6 +758,42 @@ _NGRAM_CONTAINMENT_SQL = """
 """
 
 
+def _q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-adjusted 3-sigma anomaly counts per user: residuals vs
+    the hour-of-day profile, variance from integer moments; sqrt is
+    the only float op in the threshold."""
+    from spartan2_spark.operators.anomaly import seasonal_anomaly
+
+    return seasonal_anomaly(_events_series(spark, sf_dir))
+
+
+_SEASONAL_ANOMALY_SQL = """
+    WITH base AS (
+      SELECT user_id AS key, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events),
+    prof AS (SELECT key, hod, count(*)::BIGINT AS n_h,
+                    CAST(sum(v) AS BIGINT) AS sv
+             FROM base GROUP BY key, hod),
+    res AS (SELECT b.key, CAST(round(b.v - p.sv / p.n_h) AS BIGINT) AS r
+            FROM base b JOIN prof p USING (key, hod)),
+    stats AS (SELECT key, count(*)::BIGINT AS n,
+                     CAST(sum(r) AS BIGINT) AS sr,
+                     CAST(sum(r * r) AS BIGINT) AS srr
+              FROM res GROUP BY key),
+    s AS (SELECT key, n, n * srr - sr * sr AS s2 FROM stats)
+    SELECT r.key,
+           max(s.n) AS n,
+           round(sqrt(CAST(max(s.s2) AS DOUBLE)) / max(s.n) / 100.0, 8)
+             AS sigma,
+           CAST(sum(CASE WHEN CAST(abs(r.r) AS DOUBLE) * s.n
+                              > 3.0 * sqrt(CAST(s.s2 AS DOUBLE))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM res r JOIN s USING (key)
+    GROUP BY r.key
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5395,6 +5431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_trend": _q_linear_trend,
         "ngram_containment_pairs": _q_ngram_containment,
         "key_skew_profile": _q_key_skew_profile,
+        "seasonal_anomaly": _q_seasonal_anomaly,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5524,6 +5561,7 @@ def oracle_sql() -> dict[str, str]:
         "linear_trend": _LINTREND_SQL,
         "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
         "key_skew_profile": _KEY_SKEW_SQL,
+        "seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -25,6 +25,7 @@ __all__ = [
     "iqr_bound",
     "sigma_bound",
     "mad_outliers",
+    "seasonal_anomaly",
     "suspicious_keys",
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
@@ -98,6 +99,68 @@ def mad_outliers(
             )
             .cast("bigint")
             .alias("n_outliers"),
+        )
+    )
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-adjusted k-sigma anomaly counts per key: residuals
+    against the hour-of-day profile (timeseries.seasonal_profile's
+    baseline), then a population-sigma bound on the residuals — the
+    composition that makes sigma_bound usable on strongly diurnal
+    series, where raw 3-sigma either misses night-time anomalies or
+    flags every rush hour.
+
+    Exactness discipline: centi-quantized values, integer profile sums,
+    residuals re-quantized with round() (half-away ties match across
+    engines), and the variance formed from integer moments
+    n*Σr² - (Σr)² — sqrt is the only float op in the threshold.
+    Three hash aggregations + two broadcast-sized joins, all keyed.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.hour(F.col(time_col)).cast("long").alias("hod"),
+        F.round(F.col(value_col) * 100).cast("long").alias("v"),
+    )
+    prof = base.groupBy("key", "hod").agg(
+        F.count(F.lit(1)).alias("n_h"), F.sum("v").alias("sv")
+    )
+    res = base.join(prof, ["key", "hod"]).select(
+        "key",
+        F.round(F.col("v") - F.col("sv") / F.col("n_h"))
+        .cast("long")
+        .alias("r"),
+    )
+    stats = res.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("srr"),
+    )
+    s2 = F.col("n") * F.col("srr") - F.col("sr") * F.col("sr")
+    flagged = res.join(stats.withColumn("s2", s2).select("key", "n", "s2"), "key")
+    return (
+        flagged.groupBy("key")
+        .agg(
+            F.first("n").alias("n"),
+            F.round(
+                F.sqrt(F.first("s2").cast("double")) / F.first("n") / 100.0,
+                8,
+            ).alias("sigma"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("r")).cast("double") * F.col("n")
+                    > k * F.sqrt(F.col("s2").cast("double")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
         )
     )
 

@@ -189,3 +189,31 @@ def test_connected_components_long_chain_and_guard(spark):
     # the guard fires loudly instead of returning wrong labels
     with pytest.raises(Exception, match="did not converge"):
         connected_components(chain, max_rounds=2)
+
+
+def test_seasonal_anomaly_diurnal_series(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.anomaly import seasonal_anomaly
+
+    # strongly diurnal series: 100 by day, 10 by night, 4 days —
+    # plus ONE 80.0 at 3am (an anomaly far below the global mean,
+    # invisible to a raw sigma bound but huge vs its hour's profile)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for d in range(4):
+        for h in range(24):
+            v = 100.0 if 8 <= h <= 17 else 10.0
+            if d == 1 and h == 3:
+                v = 80.0
+            rows.append((1, t0 + dt.timedelta(days=d, hours=h), v))
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value double")
+    r = seasonal_anomaly(df).collect()[0]
+    assert r.n == 96 and r.n_anomalies == 1
+    # flat series: zero sigma, zero anomalies
+    df2 = spark.createDataFrame(
+        [(2, t0 + dt.timedelta(hours=i), 5.0) for i in range(48)],
+        "key long, ts timestamp, value double",
+    )
+    r2 = seasonal_anomaly(df2).collect()[0]
+    assert r2.sigma == 0.0 and r2.n_anomalies == 0

@@ -97,6 +97,7 @@ AUDIT_QUERIES = [
     "linear_trend",
     "ngram_containment_pairs",
     "key_skew_profile",
+    "seasonal_anomaly",
 ]
 
 
