@@ -794,6 +794,48 @@ _SEASONAL_ANOMALY_SQL = """
 """
 
 
+def _q_psi_drift(spark, sf_dir):
+    """PSI drift per event_type between the first and second half of
+    the time range — per-bin terms quantized to 1e-8 before the
+    cross-bin sum so the aggregation is an order-independent integer
+    sum."""
+    from spartan2_spark.operators.anomaly import psi_drift
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("key"), "ts", "value"
+    )
+    return psi_drift(e)
+
+
+_PSI_SQL = """
+    WITH base AS (
+      SELECT event_type AS key, epoch_us(ts) AS us,
+             least(9, greatest(0, CAST(floor(value / 10.0) AS BIGINT))) AS bin
+      FROM events),
+    mid AS (SELECT key, (min(us) + max(us)) // 2 AS mid_us
+            FROM base GROUP BY key),
+    halves AS (SELECT b.key, b.bin, b.us <= m.mid_us AS is_first
+               FROM base b JOIN mid m USING (key)),
+    bins AS (SELECT key, bin,
+                    CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+                    CAST(sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS BIGINT) AS cq
+             FROM halves GROUP BY key, bin),
+    tot AS (SELECT key, CAST(sum(cp) AS BIGINT) AS np,
+                   CAST(sum(cq) AS BIGINT) AS nq
+            FROM bins GROUP BY key),
+    terms AS (SELECT b.key, t.np, t.nq,
+                     CAST(round(((b.cp + 1) / (t.np + 10)
+                                 - (b.cq + 1) / (t.nq + 10))
+                          * ln(((b.cp + 1) / (t.np + 10))
+                               / ((b.cq + 1) / (t.nq + 10)))
+                          * 1e8) AS BIGINT) AS tq
+              FROM bins b JOIN tot t USING (key))
+    SELECT key, max(np) AS n_first, max(nq) AS n_second,
+           CAST(sum(tq) AS BIGINT) / 1e8 AS psi
+    FROM terms GROUP BY key
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5432,6 +5474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment_pairs": _q_ngram_containment,
         "key_skew_profile": _q_key_skew_profile,
         "seasonal_anomaly": _q_seasonal_anomaly,
+        "psi_drift": _q_psi_drift,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5562,6 +5605,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_containment_pairs": _NGRAM_CONTAINMENT_SQL,
         "key_skew_profile": _KEY_SKEW_SQL,
         "seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
+        "psi_drift": _PSI_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -26,6 +26,7 @@ __all__ = [
     "sigma_bound",
     "mad_outliers",
     "seasonal_anomaly",
+    "psi_drift",
     "suspicious_keys",
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
@@ -161,6 +162,68 @@ def seasonal_anomaly(
             )
             .cast("bigint")
             .alias("n_anomalies"),
+        )
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 10,
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Population Stability Index per key between the first and second
+    half of the observed time range — the standard drift monitor for a
+    long-running ingest pipeline (is this week's value distribution
+    still last week's?). PSI < 0.1 stable, > 0.25 drifted.
+
+    Exactness discipline: fixed-width clamped bins (no quantile
+    estimation inside the monitor), integer bin counts, +1 Laplace
+    smoothing, and each bin's (p-q)*ln(p/q) term — deterministic per
+    bin — is quantized to 1e-8 BEFORE the cross-bin sum, so the final
+    aggregation is an order-independent integer sum (a raw double sum
+    across bins would be reduction-order-dependent). The time midpoint
+    is integer epoch-micros arithmetic.
+
+    Two hash aggregations + a broadcast-sized join on key.
+    """
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("us"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0), F.floor(F.col(value_col) / bin_width).cast("long")
+            ),
+        ).alias("bin"),
+    )
+    mid = base.groupBy("key").agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    halves = base.join(mid, "key").select(
+        "key", "bin", (F.col("us") <= F.col("mid_us")).alias("is_first")
+    )
+    bins = halves.groupBy("key", "bin").agg(
+        F.sum(F.when(F.col("is_first"), 1).otherwise(0)).cast("long").alias("cp"),
+        F.sum(F.when(F.col("is_first"), 0).otherwise(1)).cast("long").alias("cq"),
+    )
+    totals = bins.groupBy("key").agg(
+        F.sum("cp").cast("long").alias("np"),
+        F.sum("cq").cast("long").alias("nq"),
+    )
+    p = (F.col("cp") + 1) / (F.col("np") + n_bins)
+    q = (F.col("cq") + 1) / (F.col("nq") + n_bins)
+    term_q = F.round((p - q) * F.log(p / q) * 1e8).cast("long")
+    return (
+        bins.join(totals, "key")
+        .select("key", "np", "nq", term_q.alias("tq"))
+        .groupBy("key")
+        .agg(
+            F.first("np").alias("n_first"),
+            F.first("nq").alias("n_second"),
+            (F.sum("tq").cast("long") / 1e8).alias("psi"),
         )
     )
 

@@ -217,3 +217,26 @@ def test_seasonal_anomaly_diurnal_series(spark):
     )
     r2 = seasonal_anomaly(df2).collect()[0]
     assert r2.sigma == 0.0 and r2.n_anomalies == 0
+
+
+def test_psi_drift_planted(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.anomaly import psi_drift
+
+    t0 = dt.datetime(2026, 3, 1)
+    # key "same": identical bin histograms in both halves -> PSI exactly 0
+    rows = [("same", t0 + dt.timedelta(hours=h), v)
+            for h in (0, 1, 2, 3) for v in (5.0, 15.0)]
+    rows += [("same", t0 + dt.timedelta(hours=h), v)
+             for h in (10, 11, 12, 13) for v in (5.0, 15.0)]
+    # key "drift": first half all in bin 0, second half all in bin 9
+    rows += [("drift", t0 + dt.timedelta(hours=h), 1.0) for h in (0, 1, 2, 3)]
+    rows += [("drift", t0 + dt.timedelta(hours=h), 95.0) for h in (10, 11, 12, 13)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    got = {r.key: r for r in psi_drift(df).collect()}
+    assert got["same"].psi == 0.0
+    assert got["same"].n_first == 8 and got["same"].n_second == 8
+    # +1/+n_bins smoothing damps tiny-n PSI; 0.92 here — far past the
+    # 0.25 "drifted" rule of thumb, while the identical key reads 0.0
+    assert got["drift"].psi > 0.5

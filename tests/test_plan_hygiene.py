@@ -98,6 +98,7 @@ AUDIT_QUERIES = [
     "ngram_containment_pairs",
     "key_skew_profile",
     "seasonal_anomaly",
+    "psi_drift",
 ]
 
 
