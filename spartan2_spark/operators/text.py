@@ -190,9 +190,12 @@ def repetition_stats(
     fraction of the doc covered by its single most frequent word
     2-gram. High values flag boilerplate / spam / scraped nav bars.
 
-    dup fractions are per-doc array arithmetic (codegen projection);
-    the top-2-gram mode needs a per-(doc, gram) count -> explode +
-    two hash aggregations, map-side combinable, scale-safe. All
+    Entirely one codegen projection per doc — NO shuffle: the
+    top-2-gram mode is the longest equal-run of the SORTED gram array
+    (equal grams are adjacent after array_sort), found with a
+    transform + aggregate fold instead of the explode -> groupBy(doc,
+    gram) -> max plan, which shuffled every gram of the corpus twice
+    (~n_tokens rows per doc; the dominant cost at any scale). All
     outputs are single divisions of exact integers -> value-exact
     across engines. NULL text is treated as empty (Spark's
     size(NULL) = -1 would otherwise silently poison the fractions).
@@ -211,40 +214,47 @@ def repetition_stats(
     lines = F.col("lines")
     n_lines = F.size(lines)
     g3 = word_ngrams(toks, 3)
-    base = arr.select(
+    # g2s must be a BOUND column before the run-fold below references
+    # it with element_at (inline it and the sort re-runs per element)
+    arr = arr.select(
+        "id", "tok", "lines", F.array_sort(word_ngrams(toks, 2)).alias("g2s")
+    )
+    # mode count == longest equal-run of the sorted gram array; the
+    # fold walks adjacent-equality flags once, O(n) per doc, JVM-side.
+    # size <= 1 short-circuits: sequence(2, 1) would count DOWN, and
+    # ANSI element_at would then throw on the out-of-range index.
+    top2_cnt = F.expr(
+        """
+        CASE WHEN size(g2s) <= 1 THEN CAST(size(g2s) AS BIGINT) ELSE
+          aggregate(
+            transform(sequence(2, size(g2s)),
+                      i -> IF(element_at(g2s, i) = element_at(g2s, i - 1), 1, 0)),
+            named_struct('run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+            (acc, e) -> named_struct(
+              'run', IF(e = 1, acc.run + 1, CAST(0 AS BIGINT)),
+              'best', greatest(acc.best,
+                               IF(e = 1, acc.run + 1, CAST(0 AS BIGINT)))),
+            acc -> acc.best) + 1
+        END
+        """
+    )
+    return arr.select(
         "id",
         F.size(toks).cast("long").alias("n_tokens"),
         n_lines.cast("long").alias("n_lines"),
-        ((n_lines - F.size(F.array_distinct(lines)))
-         / F.greatest(n_lines, F.lit(1))).alias("dup_line_frac"),
-        ((F.size(g3) - F.size(F.array_distinct(g3)))
-         / F.greatest(F.size(g3), F.lit(1))).alias("dup_3gram_frac"),
-    )
-    # mode branch from the MINIMAL projection (id, tok): deriving it
-    # from `base` dragged the g3/array_distinct work into this branch
-    # too (generators defeat cross-branch pruning) — measured 4.3x.
-    # size(g2) == n_tokens - 1, so g2 itself is never carried.
-    top2 = (
-        arr.select("id", F.explode(word_ngrams(toks, 2)).alias("gram"))
-        .groupBy("id", "gram")
-        .count()
-        .groupBy("id")
-        .agg(F.max("count").alias("top2_cnt"))
-    )
-    return (
-        base.join(top2, "id", "left")
-        .select(
-            "id",
-            "n_tokens",
-            "n_lines",
-            F.round("dup_line_frac", 8).alias("dup_line_frac"),
-            F.round("dup_3gram_frac", 8).alias("dup_3gram_frac"),
-            F.round(
-                F.coalesce(F.col("top2_cnt"), F.lit(0))
-                / F.greatest(F.col("n_tokens") - 1, F.lit(1)),
-                8,
-            ).alias("top_2gram_frac"),
-        )
+        F.round(
+            (n_lines - F.size(F.array_distinct(lines)))
+            / F.greatest(n_lines, F.lit(1)),
+            8,
+        ).alias("dup_line_frac"),
+        F.round(
+            (F.size(g3) - F.size(F.array_distinct(g3)))
+            / F.greatest(F.size(g3), F.lit(1)),
+            8,
+        ).alias("dup_3gram_frac"),
+        F.round(
+            top2_cnt / F.greatest(F.size(toks) - 1, F.lit(1)), 8
+        ).alias("top_2gram_frac"),
     )
 
 
