@@ -836,6 +836,52 @@ _PSI_SQL = """
 """
 
 
+def _q_fano_burstiness(spark, sf_dir):
+    """Fano dispersion index per user over minute-bucket counts —
+    integer moments, one fixed-order division chain."""
+    from spartan2_spark.operators.anomaly import fano_burstiness
+
+    return fano_burstiness(_events_series(spark, sf_dir))
+
+
+_FANO_SQL = """
+    WITH b AS (
+      SELECT user_id AS key, date_trunc('minute', ts) AS bucket,
+             count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2)
+    SELECT key,
+           count(*)::BIGINT AS n_buckets,
+           CAST(sum(c) AS BIGINT) AS total,
+           round(CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS DOUBLE)
+                 / count(*) / sum(c), 8) AS fano
+    FROM b GROUP BY key
+"""
+
+
+def _q_gini_concentration(spark, sf_dir):
+    """Gini coefficient of the per-user event-count distribution —
+    distributed ascending rank via global_row_numbers, exact BIGINT
+    rank-formula sums."""
+    from spartan2_spark.operators.partitioning import gini_concentration
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gini_concentration(e, "user_id")
+
+
+_GINI_SQL = """
+    WITH counts AS (
+      SELECT user_id AS key, count(*)::BIGINT AS cnt
+      FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt, key) AS i FROM counts)
+    SELECT count(*)::BIGINT AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           round(CAST(2 * sum(i * cnt) - (count(*) + 1) * sum(cnt) AS DOUBLE)
+                 / count(*) / sum(cnt), 8) AS gini
+    FROM ranked
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5475,6 +5521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": _q_key_skew_profile,
         "seasonal_anomaly": _q_seasonal_anomaly,
         "psi_drift": _q_psi_drift,
+        "fano_burstiness": _q_fano_burstiness,
+        "gini_concentration": _q_gini_concentration,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5606,6 +5654,8 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": _KEY_SKEW_SQL,
         "seasonal_anomaly": _SEASONAL_ANOMALY_SQL,
         "psi_drift": _PSI_SQL,
+        "fano_burstiness": _FANO_SQL,
+        "gini_concentration": _GINI_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

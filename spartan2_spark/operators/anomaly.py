@@ -27,6 +27,7 @@ __all__ = [
     "mad_outliers",
     "seasonal_anomaly",
     "psi_drift",
+    "fano_burstiness",
     "suspicious_keys",
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
@@ -225,6 +226,45 @@ def psi_drift(
             F.first("nq").alias("n_second"),
             (F.sum("tq").cast("long") / 1e8).alias("psi"),
         )
+    )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    grain: str = "minute",
+) -> DataFrame:
+    """Fano factor (variance/mean of per-interval event counts) per
+    key — the dispersion index behind the burst-detection family
+    (burst_peak/burst_involvement above find WHERE the burst is; the
+    Fano factor says HOW bursty the whole series is: 1 = Poisson,
+    >>1 = bursty, <1 = regular).
+
+    Computed over the key's non-empty time buckets from integer
+    moments n*Σc² - (Σc)², one fixed-order double division chain at
+    the end. Two map-side-combinable hash aggregations.
+    """
+    b = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(grain, F.col(time_col)).alias("bucket"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return b.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("c").cast("long").alias("total"),
+        F.round(
+            (
+                F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
+                - F.sum("c") * F.sum("c")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.sum("c"),
+            8,
+        ).alias("fano"),
     )
 
 

@@ -28,6 +28,7 @@ __all__ = [
     "write_bucketed",
     "zorder_key",
     "key_skew_profile",
+    "gini_concentration",
 ]
 
 
@@ -288,4 +289,37 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         "n_keys",
         F.round(F.col("cnt") / F.col("total"), 8).alias("share"),
         F.round(F.col("cum_cnt") / F.col("total"), 8).alias("cum_share"),
+    )
+
+
+def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
+    """Gini coefficient of the key's row-count distribution — the
+    single-number companion to key_skew_profile's top-k view (0 =
+    perfectly uniform keys, ->1 = one key owns everything). The
+    standard rank formula G = (2*Σ(i*c_i) - (n+1)*Σc_i) / (n*Σc_i)
+    over counts sorted ascending, rank ties broken by key.
+
+    The ascending rank comes from global_row_numbers (range-partition +
+    local numbering + broadcast offsets) — no single-partition window
+    over the key relation. All sums are exact BIGINTs; under ANSI an
+    i*c_i overflow at extreme key counts throws loudly rather than
+    silently wrapping (switch the product to DOUBLE there and accept
+    estimator-grade precision).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked = global_row_numbers(counts, [F.col("cnt"), F.col("key")], "i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.round(
+            (
+                2 * F.sum(F.col("i") * F.col("cnt"))
+                - (F.count(F.lit(1)) + 1) * F.sum("cnt")
+            ).cast("double")
+            / F.count(F.lit(1))
+            / F.sum("cnt"),
+            8,
+        ).alias("gini"),
     )

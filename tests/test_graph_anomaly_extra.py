@@ -240,3 +240,23 @@ def test_psi_drift_planted(spark):
     # +1/+n_bins smoothing damps tiny-n PSI; 0.92 here — far past the
     # 0.25 "drifted" rule of thumb, while the identical key reads 0.0
     assert got["drift"].psi > 0.5
+
+
+def test_fano_burstiness_planted(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.anomaly import fano_burstiness
+
+    t0 = dt.datetime(2026, 4, 1)
+    # key "flat": 2 events in each of 3 minutes -> variance 0 -> fano 0
+    rows = [("flat", t0 + dt.timedelta(minutes=m, seconds=s))
+            for m in range(3) for s in (0, 30)]
+    # key "burst": bucket counts [1, 1, 8] -> fano = 98/30
+    rows += [("burst", t0), ("burst", t0 + dt.timedelta(minutes=1))]
+    rows += [("burst", t0 + dt.timedelta(minutes=2, seconds=s))
+             for s in range(8)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    got = {r.key: r for r in fano_burstiness(df).collect()}
+    assert got["flat"].fano == 0.0 and got["flat"].n_buckets == 3
+    assert got["burst"].total == 10
+    assert abs(got["burst"].fano - 98 / 30) < 1e-7

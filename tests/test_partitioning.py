@@ -143,3 +143,20 @@ def test_key_skew_profile_planted(spark):
     assert prof["hot"].n_keys == 22
     # rank-3 key resolves ties deterministically by key name
     assert prof["cold0"].rnk == 3 and prof["cold0"].cnt == 1
+
+
+def test_gini_concentration_planted(spark):
+    from spartan2_spark.operators.partitioning import gini_concentration
+
+    # uniform: every key the same count -> gini 0
+    uni = spark.createDataFrame(
+        [(f"k{i}", j) for i in range(4) for j in range(5)], "k string, v long"
+    )
+    r = gini_concentration(uni, "k").collect()[0]
+    assert r.gini == 0.0 and r.n_keys == 4 and r.total == 20
+    # counts [1, 9] -> G = (2*(1*1 + 2*9) - 3*10) / (2*10) = 0.4
+    skew = spark.createDataFrame(
+        [("a", 0)] + [("b", i) for i in range(9)], "k string, v long"
+    )
+    r2 = gini_concentration(skew, "k").collect()[0]
+    assert r2.gini == 0.4

@@ -99,6 +99,8 @@ AUDIT_QUERIES = [
     "key_skew_profile",
     "seasonal_anomaly",
     "psi_drift",
+    "fano_burstiness",
+    "gini_concentration",
 ]
 
 
