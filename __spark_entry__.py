@@ -882,6 +882,71 @@ _GINI_SQL = """
 """
 
 
+def _q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope over the top-200 corpus tokens —
+    per-term ln values quantized to 1e-5 integers before the moment
+    sums, rank from a triangular join on the bounded frame."""
+    from spartan2_spark.operators.text import zipf_slope
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_slope(d, "text", top_n=200)
+
+
+_ZIPF_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+      FROM documents),
+    counts AS (SELECT token, count(*)::BIGINT AS cnt
+               FROM tok WHERE token != '' GROUP BY token),
+    top AS (SELECT token, cnt FROM counts
+            ORDER BY cnt DESC, token LIMIT 200),
+    ranked AS (
+      SELECT a.token, a.cnt, count(*)::BIGINT AS r
+      FROM top a JOIN top b
+        ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.token <= a.token)
+      GROUP BY a.token, a.cnt),
+    q AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e5) AS BIGINT) AS xq,
+                 CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e5) AS BIGINT) AS yq
+          FROM ranked),
+    agg AS (SELECT count(*)::BIGINT AS n,
+                   CAST(sum(xq) AS BIGINT) AS sx,
+                   CAST(sum(yq) AS BIGINT) AS sy,
+                   CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                   CAST(sum(xq * yq) AS BIGINT) AS sxy
+            FROM q)
+    SELECT n AS n_terms,
+           round(CASE WHEN n * sxx - sx * sx != 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 8) AS slope
+    FROM agg
+"""
+
+
+def _q_vocab_hapax(spark, sf_dir):
+    """Corpus lexical diversity: vocab size, token count, hapax count,
+    TTR + hapax fraction — exact integers, single divisions."""
+    from spartan2_spark.operators.text import vocab_hapax
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_hapax(d, "text")
+
+
+_HAPAX_SQL = """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+      FROM documents),
+    counts AS (SELECT token, count(*)::BIGINT AS cnt
+               FROM tok WHERE token != '' GROUP BY token)
+    SELECT count(*)::BIGINT AS n_vocab,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) / sum(cnt), 8) AS ttr,
+           round(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) / count(*), 8)
+             AS hapax_frac
+    FROM counts
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5523,6 +5588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "fano_burstiness": _q_fano_burstiness,
         "gini_concentration": _q_gini_concentration,
+        "zipf_slope": _q_zipf_slope,
+        "vocab_hapax": _q_vocab_hapax,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5656,6 +5723,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": _PSI_SQL,
         "fano_burstiness": _FANO_SQL,
         "gini_concentration": _GINI_SQL,
+        "zipf_slope": _ZIPF_SQL,
+        "vocab_hapax": _HAPAX_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -26,6 +26,8 @@ __all__ = [
     "winnowing_fingerprint",
     "corpus_cross_entropy",
     "tfidf_top_terms",
+    "zipf_slope",
+    "vocab_hapax",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -541,4 +543,80 @@ def tfidf_top_terms(
             F.col("id").alias(id_col), "rank", F.col("t").alias("token"),
             "tf", "df", F.round("score", 8).alias("score"),
         )
+    )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text", top_n: int = 200) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: OLS of
+    ln(freq) on ln(rank) over the top_n tokens — natural text sits
+    near -1; far-off slopes flag templated/spammy or synthetic
+    corpora (a standard pretraining-data QA probe).
+
+    Exactness: per-term ln values are quantized to 1e-5 integers
+    BEFORE the moment sums (a raw double Σxy is reduction-order-
+    dependent), so the normal-equation numerator/denominator are exact
+    BIGINTs; rank comes from a triangular broadcast self-join on the
+    bounded top_n frame (ties broken by token), not a global window.
+    """
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "token").limit(top_n)
+    b = top.select(F.col("token").alias("btok"), F.col("cnt").alias("bcnt"))
+    ranked = (
+        top.join(
+            F.broadcast(b),
+            (F.col("bcnt") > F.col("cnt"))
+            | ((F.col("bcnt") == F.col("cnt")) & (F.col("btok") <= F.col("token"))),
+        )
+        .groupBy("token", "cnt")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    q = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1e5).cast("long").alias("xq"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1e5).cast("long").alias("yq"),
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(F.when(den != 0, num / den), 8).alias("slope"),
+    )
+
+
+def vocab_hapax(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus lexical-diversity scalars: vocabulary size, token count,
+    hapax-legomenon count (words seen once) and their ratios. High
+    hapax fraction + high TTR = diverse natural text; both collapsing
+    = boilerplate or dedup failure. One explode + two combinable
+    aggregations; exact integers + single divisions.
+    """
+    counts = (
+        df.select(F.explode(tokens_expr(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(F.count(F.lit(1)) / F.sum("cnt"), 8).alias("ttr"),
+        F.round(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            8,
+        ).alias("hapax_frac"),
     )

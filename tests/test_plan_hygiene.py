@@ -101,6 +101,8 @@ AUDIT_QUERIES = [
     "psi_drift",
     "fano_burstiness",
     "gini_concentration",
+    "zipf_slope",
+    "vocab_hapax",
 ]
 
 

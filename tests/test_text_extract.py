@@ -60,3 +60,19 @@ def test_tfidf_top_terms_distinctive(spark):
     # 'rareword' (df=1) beats 'common' (df=3) for doc 1
     assert out[(1, 1)] == "rareword"
     assert out[(1, 2)] == "common"
+
+
+def test_zipf_slope_and_hapax_planted(spark):
+    from spartan2_spark.operators.text import vocab_hapax, zipf_slope
+
+    # geometric frequencies: freq(rank r) = 2^(4-r) for ranks 1..4 ->
+    # ln f = ln 16 - r ln 2: NOT linear in ln r, but monotone; slope
+    # must be negative and finite. Exact hapax accounting is the
+    # sharper assertion below.
+    words = (["aa"] * 16) + (["bb"] * 8) + (["cc"] * 4) + (["dd"] * 2) + ["ee"]
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    z = zipf_slope(df, top_n=10).collect()[0]
+    assert z.n_terms == 5 and z.slope < -1.0
+    h = vocab_hapax(df).collect()[0]
+    assert h.n_vocab == 5 and h.n_tokens == 31 and h.n_hapax == 1
+    assert h.ttr == round(5 / 31, 8) and h.hapax_frac == 0.2
