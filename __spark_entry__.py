@@ -947,6 +947,48 @@ _HAPAX_SQL = """
 """
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    """Top-100 bigram collocations by PMI (Church & Hanks 1990),
+    min_count=5 — exact counts, one deterministic double expression
+    per gram, TakeOrderedAndProject cut."""
+    from spartan2_spark.operators.text import pmi_collocations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(d, "text", top_n=100, min_count=5)
+
+
+_PMI_SQL = """
+    WITH d AS (
+      SELECT string_split_regex(trim(lower(text)), ' +') AS t FROM documents),
+    uni AS (
+      SELECT w, count(*)::BIGINT AS c FROM (
+        SELECT unnest(t) AS w FROM d) WHERE w != '' GROUP BY w),
+    ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    bg AS (
+      SELECT gram, string_split(gram, ' ')[1] AS w1,
+             string_split(gram, ' ')[2] AS w2,
+             count(*)::BIGINT AS c_xy
+      FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 1, 0)),
+                 i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM d)
+      WHERE string_split(gram, ' ')[1] != ''
+        AND string_split(gram, ' ')[2] != ''
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 5),
+    nbig AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM bg)
+    SELECT bg.gram, bg.c_xy,
+           round(ln((bg.c_xy / nbig.n_big)
+                    / ((ux.c / ntok.n_uni) * (uy.c / ntok.n_uni))), 8) AS pmi
+    FROM bg
+    JOIN uni ux ON ux.w = bg.w1
+    JOIN uni uy ON uy.w = bg.w2
+    CROSS JOIN ntok CROSS JOIN nbig
+    ORDER BY pmi DESC, gram LIMIT 100
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5590,6 +5632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": _q_gini_concentration,
         "zipf_slope": _q_zipf_slope,
         "vocab_hapax": _q_vocab_hapax,
+        "pmi_collocations": _q_pmi_collocations,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5725,6 +5768,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_concentration": _GINI_SQL,
         "zipf_slope": _ZIPF_SQL,
         "vocab_hapax": _HAPAX_SQL,
+        "pmi_collocations": _PMI_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

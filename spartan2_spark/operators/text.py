@@ -28,6 +28,7 @@ __all__ = [
     "tfidf_top_terms",
     "zipf_slope",
     "vocab_hapax",
+    "pmi_collocations",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -619,4 +620,61 @@ def vocab_hapax(df: DataFrame, text_col: str = "text") -> DataFrame:
             / F.count(F.lit(1)),
             8,
         ).alias("hapax_frac"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top word-bigram collocations by pointwise mutual information
+    PMI = ln( p(xy) / (p(x)p(y)) ) — the classic collocation miner
+    (Church & Hanks 1990) used for tokenizer-vocab seeding and
+    multiword-expression detection over a pretraining corpus.
+
+    Counts are exact integers; each bigram's PMI is one deterministic
+    double expression (division chain + ln) so the top_n cut (PMI
+    desc, gram tie-break) lands identically on any engine.
+    ``min_count`` drops noise pairs whose PMI is inflated by tiny
+    denominators. Plan: one explode per arity, two broadcast-scalar
+    joins, two keyed equi-joins against the unigram counts, then
+    TakeOrderedAndProject — no windows.
+    """
+    arr = df.select(tokens_expr(text_col).alias("tok"))
+    uni = (
+        arr.select(F.explode("tok").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_tok = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    big = (
+        arr.select(F.explode(word_ngrams(F.col("tok"), 2)).alias("gram"))
+        .select(
+            "gram",
+            F.split("gram", " ").getItem(0).alias("w1"),
+            F.split("gram", " ").getItem(1).alias("w2"),
+        )
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("gram", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    n_big = big.agg(F.sum("c_xy").cast("long").alias("n_big"))
+    j = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.log(
+        (F.col("c_xy") / F.col("n_big"))
+        / ((F.col("c_x") / F.col("n_uni")) * (F.col("c_y") / F.col("n_uni")))
+    )
+    return (
+        j.select("gram", "c_xy", F.round(pmi, 8).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "gram")
+        .limit(top_n)
     )

@@ -103,6 +103,7 @@ AUDIT_QUERIES = [
     "gini_concentration",
     "zipf_slope",
     "vocab_hapax",
+    "pmi_collocations",
 ]
 
 

@@ -76,3 +76,24 @@ def test_zipf_slope_and_hapax_planted(spark):
     h = vocab_hapax(df).collect()[0]
     assert h.n_vocab == 5 and h.n_tokens == 31 and h.n_hapax == 1
     assert h.ttr == round(5 / 31, 8) and h.hapax_frac == 0.2
+
+
+def test_pmi_collocations_planted(spark):
+    import math
+
+    from spartan2_spark.operators.text import pmi_collocations
+
+    # "new york" always adjacent (strong collocation); "the cat" and
+    # "the dog" mix freely with a shared left word (weak)
+    docs = [(i, "new york " + ("the cat " if i % 2 else "the dog ") * 3)
+            for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.gram: r for r in pmi_collocations(df, min_count=5).collect()}
+    assert "new york" in out and out["new york"].c_xy == 10
+    # exact PMI for "new york": p(xy)=10/B, p(new)=p(york)=10/N
+    n_uni = 10 * 8  # 8 tokens per doc
+    n_big = sum(r.c_xy for r in out.values())
+    expect = math.log((10 / n_big) / ((10 / n_uni) * (10 / n_uni)))
+    assert abs(out["new york"].pmi - expect) < 1e-6
+    # the perfectly-bound pair out-scores the promiscuous "the *" pairs
+    assert out["new york"].pmi > out["the cat"].pmi
