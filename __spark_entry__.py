@@ -989,6 +989,41 @@ _PMI_SQL = """
 """
 
 
+def _q_lsh_label_purity(spark, sf_dir):
+    """Weighted majority-label purity of portable sign-LSH buckets —
+    the embedding-quality pre-flight; exact integer bucket bits and
+    counts."""
+    from spartan2_spark.operators.similarity import lsh_label_purity
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_label_purity(e, "embedding", "label", n_planes=16, dim=64)
+
+
+_LSH_PURITY_SQL = """
+    WITH pl AS (SELECT p.p AS p,
+                  list(CAST(((2*p.p+3)*(i.i+1)*40503 + p.p*p.p*7) % 65536 - 32768
+                       AS DOUBLE) ORDER BY i.i) AS w
+           FROM range(0, 16) p(p), range(0, 64) i(i) GROUP BY p.p),
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding,
+                                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS q
+          FROM embeddings),
+    bk AS (SELECT v.vec_id, v.label,
+                  CAST(sum(CASE WHEN list_inner_product(v.q, pl.w) >= 0
+                           THEN (1::BIGINT << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v, pl GROUP BY 1, 2),
+    cnt AS (SELECT bucket, label, count(*)::BIGINT AS c
+            FROM bk GROUP BY 1, 2),
+    pb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_b,
+                  CAST(max(c) AS BIGINT) AS maj
+           FROM cnt GROUP BY bucket)
+    SELECT count(*)::BIGINT AS n_buckets,
+           CAST(sum(n_b) AS BIGINT) AS n_vecs,
+           round(sum(maj) / sum(n_b), 8) AS purity
+    FROM pb
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5633,6 +5668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": _q_zipf_slope,
         "vocab_hapax": _q_vocab_hapax,
         "pmi_collocations": _q_pmi_collocations,
+        "lsh_label_purity": _q_lsh_label_purity,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5769,6 +5805,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": _ZIPF_SQL,
         "vocab_hapax": _HAPAX_SQL,
         "pmi_collocations": _PMI_SQL,
+        "lsh_label_purity": _LSH_PURITY_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

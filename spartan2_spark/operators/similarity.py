@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["cosine_topk", "ann_topk", "ivf_topk"]
+__all__ = ["cosine_topk", "ann_topk", "ivf_topk", "lsh_label_purity"]
 
 
 def _vec(col, quantize: bool):
@@ -260,4 +260,54 @@ def ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "corpus_id", "rank", F.round("cosine", 8).alias("cosine"))
+    )
+
+
+def lsh_label_purity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_planes: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space quality scalar: weighted majority-label purity
+    of the sign-LSH buckets. If labels cluster in embedding space,
+    random-hyperplane buckets are label-pure (purity -> 1); purity near
+    the label prior means the embeddings carry no label signal — the
+    cheap pre-flight check before trusting ANN search or
+    embedding-cosine dedup on a new embedding column.
+
+    Uses the same portable integer hyperplanes + centi-quantized
+    components as embedding_lsh_pairs' oracle mode, so every bucket
+    bit is an exact integer comparison; purity is integer counts and
+    one division. Two hash aggregations; nothing leaves the JVM.
+    """
+    planes = [
+        [((2 * p + 3) * (i + 1) * 40503 + p * p * 7) % 65536 - 32768
+         for i in range(dim)]
+        for p in range(n_planes)
+    ]
+    v = _vec(vec_col, quantize=True)
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    bucket = sum(bits[1:], bits[0])
+    cnt = (
+        df.select(bucket.cast("long").alias("bucket"), F.col(label_col).alias("lbl"))
+        .groupBy("bucket", "lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_bucket = cnt.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_b"),
+        F.max("c").cast("long").alias("maj"),
+    )
+    return per_bucket.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("n_b").cast("long").alias("n_vecs"),
+        F.round(F.sum("maj") / F.sum("n_b"), 8).alias("purity"),
     )

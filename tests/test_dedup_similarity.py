@@ -505,3 +505,30 @@ def test_ngram_containment_supersets(spark):
     r = out[(1, 2)]
     assert r.cont_a == 1.0 and r.cont_b < 0.5
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_lsh_label_purity_separated_vs_random(spark):
+    from spartan2_spark.operators.similarity import lsh_label_purity
+
+    dim = 8
+    # two well-separated label clusters on opposite axes -> near-pure
+    # buckets; labels assigned at random to the SAME points -> purity
+    # drops toward the 0.5 prior
+    rows = []
+    for i in range(40):
+        base = [0.0] * dim
+        base[0] = 1.0 + 0.001 * i
+        rows.append((i, [float(x) for x in base], 0))
+    for i in range(40):
+        base = [0.0] * dim
+        base[1] = -1.0 - 0.001 * i
+        rows.append((100 + i, [float(x) for x in base], 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pure = lsh_label_purity(df, n_planes=8, dim=dim).collect()[0]
+    assert pure.n_vecs == 80 and pure.purity == 1.0
+    # shuffled labels: same geometry, label signal destroyed
+    shuffled = df.withColumn(
+        "label", (F.col("vec_id") % 2).cast("int")
+    )
+    mixed = lsh_label_purity(shuffled, n_planes=8, dim=dim).collect()[0]
+    assert mixed.purity < 1.0

@@ -104,6 +104,7 @@ AUDIT_QUERIES = [
     "zipf_slope",
     "vocab_hapax",
     "pmi_collocations",
+    "lsh_label_purity",
 ]
 
 
