@@ -1024,6 +1024,119 @@ _LSH_PURITY_SQL = """
 """
 
 
+def _q_doc_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution — per-term
+    contributions quantized to 1e-8 before the per-doc integer sum."""
+    from spartan2_spark.operators.text import doc_entropy
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_entropy(d, "text", "doc_id")
+
+
+_DOC_ENTROPY_SQL = """
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+      FROM documents),
+    cnt AS (SELECT id, w, count(*)::BIGINT AS c
+            FROM tok WHERE w != '' GROUP BY 1, 2),
+    tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY id),
+    t AS (SELECT cnt.id, tot.n,
+                 CAST(round((cnt.c / tot.n) * ln(cnt.c / tot.n) * 1e8)
+                      AS BIGINT) AS tq
+          FROM cnt JOIN tot USING (id))
+    SELECT id, max(n) AS n_tokens,
+           -CAST(sum(tq) AS BIGINT) / 1e8 AS entropy_nats
+    FROM t GROUP BY id
+"""
+
+
+def _q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient per supplier on the co-part
+    projection — triangles + degrees, exact integers, one division."""
+    from spartan2_spark.operators.graph import clustering_coeff
+
+    li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
+    ok = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= 200)
+        .select("l_partkey")
+    )
+    li = li.join(ok, "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_partkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return clustering_coeff(pairs)
+
+
+_CLUSTER_COEFF_SQL = """
+    WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200),
+    lf AS (SELECT li.* FROM li JOIN ok USING (l_partkey)),
+    e AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+          FROM lf x JOIN lf y USING (l_partkey)
+          WHERE x.l_suppkey < y.l_suppkey),
+    tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+            FROM e ab JOIN e bc ON ab.v = bc.u
+                      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+    pn AS (SELECT node, count(*)::BIGINT AS n_triangles FROM (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY node),
+    deg AS (SELECT node, count(*)::BIGINT AS degree FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            GROUP BY node),
+    nodes AS (SELECT DISTINCT u AS node FROM e UNION SELECT v FROM e)
+    SELECT n.node, deg.degree,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           round(CASE WHEN deg.degree >= 2
+                      THEN 2 * coalesce(pn.n_triangles, 0)
+                           / (deg.degree * (deg.degree - 1))
+                      ELSE 0.0 END, 8) AS clustering_coeff
+    FROM nodes n LEFT JOIN pn USING (node) JOIN deg USING (node)
+"""
+
+
+def _q_burst_islands(spark, sf_dir):
+    """Maximal burst runs per user (gaps-and-islands on hot minute
+    buckets, count >= 2) — integer bucket indices throughout."""
+    from spartan2_spark.operators.anomaly import burst_islands
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").alias("key"), "ts"
+    )
+    return burst_islands(e, grain_seconds=60, threshold=2)
+
+
+_BURST_ISLANDS_SQL = """
+    WITH b AS (
+      SELECT user_id AS key, (epoch_us(ts) // 1000000) // 60 AS bidx
+      FROM events),
+    c AS (SELECT key, bidx, count(*)::BIGINT AS c
+          FROM b GROUP BY 1, 2 HAVING count(*) >= 2),
+    isl AS (SELECT key, bidx, c,
+                   bidx - row_number() OVER (PARTITION BY key ORDER BY bidx)
+                     AS island
+            FROM c),
+    runs AS (SELECT key, island, count(*)::BIGINT AS len_buckets,
+                    CAST(sum(c) AS BIGINT) AS n_events,
+                    CAST(min(bidx) AS BIGINT) AS start_bidx
+             FROM isl GROUP BY 1, 2)
+    SELECT key, count(*)::BIGINT AS n_bursts,
+           CAST(max(len_buckets) AS BIGINT) AS longest_burst,
+           CAST(max(n_events) AS BIGINT) AS max_burst_events,
+           CAST(min(start_bidx) AS BIGINT) AS first_burst_bidx
+    FROM runs GROUP BY key
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5669,6 +5782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
+        "doc_entropy": _q_doc_entropy,
+        "clustering_coeff": _q_clustering_coeff,
+        "burst_islands": _q_burst_islands,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5806,6 +5922,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_hapax": _HAPAX_SQL,
         "pmi_collocations": _PMI_SQL,
         "lsh_label_purity": _LSH_PURITY_SQL,
+        "doc_entropy": _DOC_ENTROPY_SQL,
+        "clustering_coeff": _CLUSTER_COEFF_SQL,
+        "burst_islands": _BURST_ISLANDS_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -28,6 +28,7 @@ __all__ = [
     "seasonal_anomaly",
     "psi_drift",
     "fano_burstiness",
+    "burst_islands",
     "suspicious_keys",
     "kl_divergence_per_sink",
     "reciprocal_rank_fusion",
@@ -591,4 +592,55 @@ def holoscope_shave_spectral(
         seeded = credits
     return holoscope_greedy_shave(
         seeded, key=key, credit=credit, max_rounds=max_rounds
+    )
+
+
+def burst_islands(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    grain_seconds: int = 60,
+    threshold: int = 2,
+) -> DataFrame:
+    """Maximal burst runs per key — the gaps-and-islands form of the
+    burst family: bucket events on the time grain, keep buckets with
+    count >= threshold, and group CONSECUTIVE hot buckets into islands
+    (island id = bucket index minus dense rank — constant within a
+    run). burst_peak finds the single hottest bin; this finds every
+    sustained episode and its length, the shape MonLAD/HoloScope
+    credit windows care about.
+
+    Integer bucket indices (epoch seconds div grain) keep the island
+    arithmetic exact. One aggregation + one keyed sort window + one
+    final aggregation.
+    """
+    b = (
+        df.select(
+            F.col(key_col).alias("key"),
+            # integer div, not float-divide-then-cast: a double quotient
+            # one ulp above the true value would truncate to the wrong
+            # bucket
+            F.expr(
+                f"unix_micros(CAST({time_col} AS TIMESTAMP)) div 1000000"
+            ).alias("es"),
+        )
+        .withColumn("bidx", F.expr(f"es div {grain_seconds}"))
+        .groupBy("key", "bidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= threshold)
+    )
+    w = W.partitionBy("key").orderBy("bidx")
+    isl = b.withColumn(
+        "island", F.col("bidx") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("key", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("len_buckets"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.min("bidx").cast("long").alias("start_bidx"),
+    )
+    return runs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bursts"),
+        F.max("len_buckets").cast("long").alias("longest_burst"),
+        F.max("n_events").cast("long").alias("max_burst_events"),
+        F.min("start_bidx").cast("long").alias("first_burst_bidx"),
     )

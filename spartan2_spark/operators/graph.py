@@ -28,6 +28,7 @@ __all__ = [
     "kcore",
     "connected_components",
     "triangle_counts",
+    "clustering_coeff",
     "pagerank_fixedpoint",
     "label_propagation",
 ]
@@ -375,3 +376,42 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def clustering_coeff(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node on the undirected simple
+    graph: cc = 2T / (d(d-1)) — triangles from triangle_counts, degree
+    from the deduplicated edge set; nodes of degree < 2 report 0 (no
+    possible wedge). Watts-Strogatz's per-node cohesion metric; low cc
+    with high degree is the hub-spammer signature EigenSpokes-family
+    detectors look for.
+
+    Exact integers + one division. Reuses triangle_counts' two-join
+    plan plus one degree aggregation.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    cc = F.when(
+        F.col("degree") >= 2,
+        2 * F.col("n_triangles")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return tri.join(deg, "node").select(
+        "node",
+        "degree",
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.round(cc, 8).alias("clustering_coeff"),
+    )

@@ -29,6 +29,7 @@ __all__ = [
     "zipf_slope",
     "vocab_hapax",
     "pmi_collocations",
+    "doc_entropy",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -677,4 +678,39 @@ def pmi_collocations(
         j.select("gram", "c_xy", F.round(pmi, 8).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "gram")
         .limit(top_n)
+    )
+
+
+def doc_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits of
+    lexical spread): near-zero = one token repeated (spam/boilerplate),
+    high = diverse vocabulary. The per-doc companion to the corpus
+    cross-entropy filter above.
+
+    Each token's -(c/n)ln(c/n) contribution is deterministic per
+    (doc, token) group and quantized to 1e-8 BEFORE the per-doc sum,
+    so the final aggregation is an order-independent integer sum —
+    engine plans can differ, values cannot. One explode + two
+    map-side-combinable aggregations.
+    """
+    cnt = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_expr(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cnt.groupBy("id").agg(F.sum("c").cast("long").alias("n"))
+    term_q = F.round(
+        (F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n")) * 1e8
+    ).cast("long")
+    return (
+        cnt.join(tot, "id")
+        .select("id", "n", term_q.alias("tq"))
+        .groupBy("id")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            (-F.sum("tq").cast("long") / 1e8).alias("entropy_nats"),
+        )
     )

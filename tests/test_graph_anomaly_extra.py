@@ -260,3 +260,36 @@ def test_fano_burstiness_planted(spark):
     assert got["flat"].fano == 0.0 and got["flat"].n_buckets == 3
     assert got["burst"].total == 10
     assert abs(got["burst"].fano - 98 / 30) < 1e-7
+
+
+def test_clustering_coeff_planted(spark):
+    from spartan2_spark.operators.graph import clustering_coeff
+
+    # triangle a-b-c plus pendant c-d: a,b have cc=1; c has degree 3,
+    # 1 triangle -> cc = 2/(3*2) = 1/3; d degree 1 -> 0
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {r.node: r for r in clustering_coeff(edges).collect()}
+    assert got["a"].clustering_coeff == 1.0 and got["b"].clustering_coeff == 1.0
+    assert got["c"].clustering_coeff == round(1 / 3, 8)
+    assert got["d"].clustering_coeff == 0.0 and got["d"].degree == 1
+
+
+def test_burst_islands_planted(spark):
+    import datetime as dt
+
+    from spartan2_spark.operators.anomaly import burst_islands
+
+    t0 = dt.datetime(2026, 5, 1)
+    rows = []
+    # burst 1: minutes 0-2 hot (3 events each); quiet minute 3 (1 event,
+    # below threshold); burst 2: minute 4 hot (2 events)
+    for m in (0, 1, 2):
+        rows += [(1, t0 + dt.timedelta(minutes=m, seconds=s)) for s in (0, 10, 20)]
+    rows.append((1, t0 + dt.timedelta(minutes=3)))
+    rows += [(1, t0 + dt.timedelta(minutes=4, seconds=s)) for s in (0, 30)]
+    df = spark.createDataFrame(rows, "key long, ts timestamp")
+    r = burst_islands(df, grain_seconds=60, threshold=2).collect()[0]
+    assert r.n_bursts == 2
+    assert r.longest_burst == 3 and r.max_burst_events == 9

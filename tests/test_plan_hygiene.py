@@ -105,6 +105,9 @@ AUDIT_QUERIES = [
     "vocab_hapax",
     "pmi_collocations",
     "lsh_label_purity",
+    "doc_entropy",
+    "clustering_coeff",
+    "burst_islands",
 ]
 
 

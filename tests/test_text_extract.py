@@ -97,3 +97,18 @@ def test_pmi_collocations_planted(spark):
     assert abs(out["new york"].pmi - expect) < 1e-6
     # the perfectly-bound pair out-scores the promiscuous "the *" pairs
     assert out["new york"].pmi > out["the cat"].pmi
+
+
+def test_doc_entropy_planted(spark):
+    import math
+
+    from spartan2_spark.operators.text import doc_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in doc_entropy(df).collect()}
+    assert got[1].entropy_nats == 0.0           # one token repeated
+    assert abs(got[2].entropy_nats - math.log(4)) < 1e-7  # uniform over 4
+    assert abs(got[3].entropy_nats - math.log(2)) < 1e-7  # uniform over 2
