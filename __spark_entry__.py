@@ -1137,6 +1137,63 @@ _BURST_ISLANDS_SQL = """
 """
 
 
+def _q_session_stats(spark, sf_dir):
+    """Per-user session dwell statistics on the 1h-gap sessionization:
+    session count, mean/max duration, mean events per session — exact
+    integer durations, single closing divisions."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = _usec("ts") - F.lag(_usec("ts")).over(w)
+    new_s = F.when(gap.isNull() | (gap > 3600 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        (F.max(_usec("ts")) - F.min(_usec("ts"))).alias("dur_us"),
+        F.count(F.lit(1)).alias("ne"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("ne").cast("long").alias("n_events"),
+        F.max("dur_us").cast("long").alias("max_dur_us"),
+        # no round(): at ~1e8 magnitude the 8th decimal sits at the
+        # double's last ulp, where Spark's BigDecimal rounding and
+        # DuckDB's float rounding disagree; the raw IEEE division of
+        # exact integers is already engine-identical
+        (F.sum("dur_us") / F.count(F.lit(1))).alias("mean_dur_us"),
+        (F.sum("ne") / F.count(F.lit(1))).alias("mean_events"),
+    )
+
+
+_SESSION_STATS_SQL = """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 3600000000 THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM g),
+    per AS (SELECT user_id, session_id,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us,
+                   count(*)::BIGINT AS ne
+            FROM s GROUP BY 1, 2)
+    SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           CAST(sum(ne) AS BIGINT) AS n_events,
+           CAST(max(dur_us) AS BIGINT) AS max_dur_us,
+           sum(dur_us) / count(*) AS mean_dur_us,
+           sum(ne) / count(*) AS mean_events
+    FROM per GROUP BY user_id
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5785,6 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_entropy": _q_doc_entropy,
         "clustering_coeff": _q_clustering_coeff,
         "burst_islands": _q_burst_islands,
+        "session_stats": _q_session_stats,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5925,6 +5983,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_entropy": _DOC_ENTROPY_SQL,
         "clustering_coeff": _CLUSTER_COEFF_SQL,
         "burst_islands": _BURST_ISLANDS_SQL,
+        "session_stats": _SESSION_STATS_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -91,3 +91,16 @@ def test_session_paths_order_and_count(spark):
     )
     out = [(r["path"], r["n_sessions"]) for r in session_paths(df).collect()]
     assert out == [("view>click", 2), ("click>view", 1)]
+
+
+def test_session_stats_planted(spark, sf_dir):
+    import __spark_entry__ as E
+
+    # contract-level check on real tables: session count matches the
+    # sessionize query and durations are non-negative
+    s1 = {r.user_id: r for r in E.queries()["session_stats"](spark, sf_dir).collect()}
+    s2 = {r.user_id: r.n_sessions for r in E.queries()["sessionize"](spark, sf_dir).collect()}
+    assert set(s1) == set(s2)
+    for uid, r in s1.items():
+        assert r.n_sessions == s2[uid]
+        assert r.max_dur_us >= 0 and r.mean_events >= 1.0

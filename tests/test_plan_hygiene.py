@@ -108,6 +108,7 @@ AUDIT_QUERIES = [
     "doc_entropy",
     "clustering_coeff",
     "burst_islands",
+    "session_stats",
 ]
 
 
