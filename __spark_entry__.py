@@ -1194,6 +1194,45 @@ _SESSION_STATS_SQL = """
 """
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample (Efraimidis-Spirakis A-ES): key =
+    -ln(u)/w with u a hash-derived uniform and w = n_chars; smallest 20
+    keys win. No RNG — the same sample falls out on any engine or
+    cluster size, pinnable in a manifest; long docs are proportionally
+    likelier. All doubles are single deterministic expressions from
+    exact integers; the cut is TakeOrderedAndProject."""
+    from spartan2_spark.operators.text import _poly_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = (_poly_hash(F.col("doc_id").cast("string")) * 48271) % 2147483647
+    u = (h % 1000003 + 1) / 1000004.0
+    key = -F.log(u) / F.greatest(F.col("n_chars"), F.lit(1))
+    return (
+        d.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars", F.round("es_key", 12).alias("es_key"))
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(doc_id::VARCHAR, ''),
+                              c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647) * 48271 % 2147483647
+               AS hv
+      FROM documents),
+    k AS (SELECT doc_id, n_chars,
+                 -ln((hv % 1000003 + 1) / 1000004.0)
+                   / greatest(n_chars, 1) AS es_key
+          FROM h)
+    SELECT doc_id, n_chars, round(es_key, 12) AS es_key
+    FROM k ORDER BY es_key, doc_id LIMIT 20
+"""
+
+
 def _q_key_skew_profile(spark, sf_dir):
     """Shuffle-key skew diagnostic: top-20 heaviest user_ids with
     share + cumulative share — the measurement feeding the salting
@@ -5843,6 +5882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": _q_clustering_coeff,
         "burst_islands": _q_burst_islands,
         "session_stats": _q_session_stats,
+        "weighted_sample": _q_weighted_sample,
         # --- green in r02, padding the 50-query prefix ---
         # (ivf_topk's r3 change is seeding hygiene only and the
         # holoscope spectral-seed commit was purely additive — both r2
@@ -5984,6 +6024,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _CLUSTER_COEFF_SQL,
         "burst_islands": _BURST_ISLANDS_SQL,
         "session_stats": _SESSION_STATS_SQL,
+        "weighted_sample": _WEIGHTED_SAMPLE_SQL,
         "lang_id": _langid_oracle(),
         "cosine_topk": _COSINE_TOPK_SQL,
         "hist1d_clamped": _HIST1D_SQL,

@@ -532,3 +532,18 @@ def test_lsh_label_purity_separated_vs_random(spark):
     )
     mixed = lsh_label_purity(shuffled, n_planes=8, dim=dim).collect()[0]
     assert mixed.purity < 1.0
+
+
+def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
+    import __spark_entry__ as E
+    import duckdb
+
+    out = E.queries()["weighted_sample"](spark, sf_dir).collect()
+    assert len(out) == 20 and len({r.doc_id for r in out}) == 20
+    # expected-weight property: the sampled docs' mean length should
+    # exceed the corpus mean (long docs are proportionally likelier)
+    corpus_mean = duckdb.sql(
+        f"SELECT avg(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    sample_mean = sum(r.n_chars for r in out) / len(out)
+    assert sample_mean > corpus_mean

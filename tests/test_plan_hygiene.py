@@ -109,6 +109,7 @@ AUDIT_QUERIES = [
     "clustering_coeff",
     "burst_islands",
     "session_stats",
+    "weighted_sample",
 ]
 
 
