@@ -35,6 +35,7 @@ __all__ = [
     "dedup_clusters",
     "ngram_jaccard_join",
     "ngram_containment_join",
+    "word_ngrams_from_tokens",
     "simhash64",
     "simhash_pairs",
     "embedding_lsh_pairs",
@@ -60,10 +61,28 @@ def char_shingles_expr(text_col: str, n: int = 5):
 
 
 def word_ngrams_expr(text_col: str, n: int = 3):
-    """Distinct word n-grams (space-tokenized), JVM-side."""
+    """Distinct word n-grams (space-tokenized), JVM-side.
+
+    Prefer word_ngrams_from_tokens over this: the inline split() here
+    is re-evaluated by the transform lambda PER GRAM — O(tokens^2)
+    splitting per doc (measured 8x on the sf0.1 inverted-index joins).
+    Kept for expression-level call sites that cannot bind a column.
+    """
     return F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(split(trim({text_col}), ' +')) - {n - 1}, 1)),"
         f" i -> array_join(slice(split(trim({text_col}), ' +'), i, {n}), ' ')))"
+    )
+
+
+def word_ngrams_from_tokens(tok_col: str, n: int = 3):
+    """Distinct word n-grams from a BOUND token-array column (select
+    ``split(trim(text), ' +')`` into a column first). Identical output
+    to word_ngrams_expr — including the short-doc convention of one
+    whole-text gram when size < n — but each gram slices the
+    materialized array instead of re-splitting the text."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 1)),"
+        f" i -> array_join(slice({tok_col}, i, {n}), ' ')))"
     )
 
 
@@ -208,10 +227,16 @@ def ngram_jaccard_join(
     grade grams — sized so threshold*min_size exceeds it in practice).
     """
     d = df.select(
-        F.col(id_col).alias("id"), word_ngrams_expr(text_col, n).alias("ng")
-    )
-    sz = d.select("id", F.size("ng").alias("n_sz"))
-    tok = d.select("id", F.explode("ng").alias("g"))
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " +").alias("__t"),
+    ).select("id", word_ngrams_from_tokens("__t", n).alias("ng"))
+    # materialize the gram relation ONCE: it feeds the size agg and BOTH
+    # sides of the self-join (3-4 consumers), and Spark re-derives an
+    # un-checkpointed subtree per consumer — the n-gram build was the
+    # dominant cost of the whole join (triangle_counts applies the same
+    # pattern). Volume is the same gram relation the join shuffles anyway.
+    tok = d.select("id", F.explode("ng").alias("g")).localCheckpoint()
+    sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_sz"))
     if max_token_df is not None:
         dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         tok = tok.join(
@@ -258,10 +283,16 @@ def ngram_containment_join(
     direction's containment clears the threshold.
     """
     d = df.select(
-        F.col(id_col).alias("id"), word_ngrams_expr(text_col, n).alias("ng")
-    )
-    sz = d.select("id", F.size("ng").alias("n_sz"))
-    tok = d.select("id", F.explode("ng").alias("g"))
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " +").alias("__t"),
+    ).select("id", word_ngrams_from_tokens("__t", n).alias("ng"))
+    # materialize the gram relation ONCE: it feeds the size agg and BOTH
+    # sides of the self-join (3-4 consumers), and Spark re-derives an
+    # un-checkpointed subtree per consumer — the n-gram build was the
+    # dominant cost of the whole join (triangle_counts applies the same
+    # pattern). Volume is the same gram relation the join shuffles anyway.
+    tok = d.select("id", F.explode("ng").alias("g")).localCheckpoint()
+    sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_sz"))
     if max_token_df is not None:
         dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
         tok = tok.join(
