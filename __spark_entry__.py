@@ -2993,9 +2993,9 @@ def _minhash_prelude(k: int = 32, bands: int = 8, shingle_n: int = 5,
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
              FROM bb a JOIN bb b USING (band, bh) WHERE a.id < b.id),
     j AS (SELECT c.id_a, c.id_b,
-                 len(list_intersect(x.sh, y.sh))::DOUBLE
-                   / len(list_distinct(list_concat(x.sh, y.sh))) AS jac
-          FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b)"""
+                 len(list_intersect(x.hv, y.hv))::DOUBLE
+                   / len(list_distinct(list_concat(x.hv, y.hv))) AS jac
+          FROM cand c JOIN hs x ON x.id = c.id_a JOIN hs y ON y.id = c.id_b)"""
 
 
 def _minhash_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,

@@ -135,11 +135,14 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs by MinHash + banded LSH + exact verify.
 
     bands of r = k/bands rows each: P(candidate) = 1-(1-J^r)^bands.
-    Returns (id_a, id_b, jaccard) with id_a < id_b, exact Jaccard on
-    distinct shingle sets (array_intersect/array_union — JVM).
-    ``hash_mode='poly'`` makes every value engine-portable (see
-    minhash_signature); the band bucket key is then the plain joined
-    signature string instead of its xxhash.
+    Returns (id_a, id_b, jaccard) with id_a < id_b. xxhash mode (the
+    production default) verifies with exact Jaccard on distinct shingle
+    STRING sets; ``hash_mode='poly'`` makes every value engine-portable
+    (see minhash_signature) and verifies on the hashed shingle arrays
+    instead — hash-resolution Jaccard: a within-doc collision (p ~
+    |sh|^2/2^32 per doc) perturbs the score identically on every
+    engine, so cross-engine exactness holds while the pair-heavy verify
+    hashes longs instead of strings (~4x).
     """
     if k % bands:
         raise ValueError(
@@ -151,7 +154,37 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         char_shingles_expr(text_col, shingle_n).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), k, hash_mode))
+    )
+    if hash_mode == "poly":
+        # Bind the per-shingle base hashes BEFORE building the k slots:
+        # minhash_signature's poly mode embeds its base expression in
+        # every slot, so an inline base re-runs the O(chars) character
+        # fold k times per shingle — measured 10x of the whole join at
+        # sf0.1. One materialized hash array amortizes it to once.
+        from spartan2_spark.operators.text import _poly_hash
+
+        sh = sh.withColumn("__hv", F.transform(F.col("sh"), _poly_hash))
+
+        def _slot(j: int):
+            a, b = F.lit(2 * j + 1), F.lit(j * j + 7)
+            return F.array_min(
+                F.transform(F.col("__hv"), lambda h: (a * h + b) % _POLY_P)
+            )
+
+        # keep __hv: the verify stage below intersects the hashed
+        # shingle arrays (longs) instead of the 5-char strings — ~4x
+        # cheaper set-hashing on the pair-heavy verify; a within-doc
+        # hash collision changes the score identically on every engine
+        # (same hash), so cross-engine exactness is unaffected
+        sh = sh.withColumn("sig", F.array(*[_slot(j) for j in range(k)]))
+    else:
+        sh = sh.withColumn("sig", minhash_signature(F.col("sh"), k, hash_mode))
+    # Materialize (id, sh, sig) once: CollapseProject re-inlines bound
+    # columns into every consumer, and this frame feeds BOTH the banded
+    # bucket branch and the candidate-verify join — without the barrier
+    # the shingle+signature build runs per consumer (measured ~40% of
+    # the sf0.1 join).
+    sh = sh.localCheckpoint()
 
     def band_key(b):
         joined = F.concat_ws(
@@ -191,10 +224,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    shg = sh.select("id", "sh")
+    # Verify join shape: every doc's shingle array would otherwise be
+    # DUPLICATED into each of its candidate pairs and shuffled (on a
+    # near-dup-heavy corpus that is hundreds of copies per doc — the
+    # dominant cost of the whole operator, measured ~50% at sf0.1).
+    # Broadcasting the doc->shingles side ships each array once per
+    # executor instead. Guarded by an estimated size cap: past it (true
+    # web scale) fall back to the shuffle join, where max_bucket and
+    # the threshold keep pair counts sane.
+    vcol = "__hv" if hash_mode == "poly" else "sh"
+    shg = sh.select("id", F.col(vcol).alias("vs"))
+    broadcast_ok = sh.count() <= 200_000  # sh is checkpointed; count is free
+    if broadcast_ok:
+        shg = F.broadcast(shg)
     cand = cand.join(
-        shg.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
-    ).join(shg.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        shg.select(F.col("id").alias("id_a"), F.col("vs").alias("sh_a")), "id_a"
+    ).join(shg.select(F.col("id").alias("id_b"), F.col("vs").alias("sh_b")), "id_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
