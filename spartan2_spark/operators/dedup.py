@@ -388,11 +388,22 @@ def simhash64(
     if hash_mode == "poly":
         from spartan2_spark.operators.text import _poly_hash
 
-        tok = tok.withColumn("ph", _poly_hash(F.col("t")))
+        tok = tok.select("id", _poly_hash(F.col("t")).alias("th"))
+    elif hash_mode == "xxhash":
+        tok = tok.select("id", F.xxhash64("t").alias("th"))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    # Barrier before the 64-way aggregate: CollapseProject folds the
+    # hash projection into EVERY one of the 64 aggregate expressions
+    # (64 re-hashes per token — the dominant cost of the whole
+    # operator); materializing (id, hash) once makes each token hash
+    # exactly once.
+    tok = tok.localCheckpoint()
+    if hash_mode == "poly":
         aggs = [
             F.sum(
                 F.when(
-                    ((F.lit(2 * b + 1) * F.col("ph") + F.lit(b * b + 7)) % _POLY_P)
+                    ((F.lit(2 * b + 1) * F.col("th") + F.lit(b * b + 7)) % _POLY_P)
                     % 2
                     == 1,
                     1,
@@ -400,16 +411,13 @@ def simhash64(
             ).alias(f"b{b}")
             for b in range(64)
         ]
-    elif hash_mode == "xxhash":
-        tok = tok.withColumn("h", F.xxhash64("t"))
+    else:
         aggs = [
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1)
+                F.when(F.col("th").bitwiseAND(F.lit(1 << b) if b < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1)
             ).alias(f"b{b}")
             for b in range(64)
         ]
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     per_doc = tok.groupBy("id").agg(*aggs)
     sim = None
     for b in range(64):
@@ -473,12 +481,18 @@ def simhash_pairs(
         banded = banded.join(sizes.select("band", "key"), ["band", "key"])
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "key")
+    # Hamming verify BEFORE the pair dedup: the bit_count filter is a
+    # per-row codegen op on the band-match stream, while dropDuplicates
+    # is a shuffle — filtering first shrinks that shuffle from every
+    # band collision (huge on boilerplate-heavy corpora) to just the
+    # verified pairs. A pair's hamming is band-independent, so the
+    # reorder is semantics-preserving.
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
