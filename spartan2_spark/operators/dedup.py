@@ -234,8 +234,15 @@ def minhash_lsh_pairs(
     # the threshold keep pair counts sane.
     vcol = "__hv" if hash_mode == "poly" else "sh"
     shg = sh.select("id", F.col(vcol).alias("vs"))
-    broadcast_ok = sh.count() <= 200_000  # sh is checkpointed; count is free
-    if broadcast_ok:
+    # byte-aware broadcast guard: a row-count cap alone would happily
+    # broadcast gigabytes of shingle arrays into small executors (the
+    # 133k-doc cluster-scaling corpus is ~2 GB of shingles). Estimate
+    # from the checkpointed frame (local stats pass, no recompute):
+    # ~8 B/element hashed, ~16 B/element strings; cap well under
+    # executor broadcast budgets.
+    n_elems = sh.agg(F.sum(F.size(vcol))).collect()[0][0] or 0
+    est_bytes = n_elems * (8 if hash_mode == "poly" else 16)
+    if est_bytes <= 256 << 20:
         shg = F.broadcast(shg)
     cand = cand.join(
         shg.select(F.col("id").alias("id_a"), F.col("vs").alias("sh_a")), "id_a"
