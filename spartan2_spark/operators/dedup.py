@@ -151,10 +151,14 @@ def minhash_lsh_pairs(
             "P(candidate)=1-(1-J^r)^bands would not hold"
         )
     r = k // bands
+    # First barrier: materialize the shingle arrays. Anything computed
+    # above a checkpoint references a LEAF ATTRIBUTE (free to inline);
+    # without it CollapseProject folds the shingle construction into
+    # each of the k signature slots below.
     sh = df.select(
         F.col(id_col).alias("id"),
         char_shingles_expr(text_col, shingle_n).alias("sh"),
-    )
+    ).localCheckpoint()
     if hash_mode == "poly":
         # Bind the per-shingle base hashes BEFORE building the k slots:
         # minhash_signature's poly mode embeds its base expression in
@@ -163,7 +167,12 @@ def minhash_lsh_pairs(
         # sf0.1. One materialized hash array amortizes it to once.
         from spartan2_spark.operators.text import _poly_hash
 
-        sh = sh.withColumn("__hv", F.transform(F.col("sh"), _poly_hash))
+        # Second barrier: __hv feeds all k slots; as a mere bound
+        # column it would be re-inlined (and the char fold re-run) per
+        # slot — as a checkpointed attribute it is hashed exactly once.
+        sh = sh.withColumn(
+            "__hv", F.transform(F.col("sh"), _poly_hash)
+        ).localCheckpoint()
 
         def _slot(j: int):
             a, b = F.lit(2 * j + 1), F.lit(j * j + 7)
