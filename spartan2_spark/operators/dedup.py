@@ -135,14 +135,17 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs by MinHash + banded LSH + exact verify.
 
     bands of r = k/bands rows each: P(candidate) = 1-(1-J^r)^bands.
-    Returns (id_a, id_b, jaccard) with id_a < id_b. xxhash mode (the
-    production default) verifies with exact Jaccard on distinct shingle
-    STRING sets; ``hash_mode='poly'`` makes every value engine-portable
-    (see minhash_signature) and verifies on the hashed shingle arrays
-    instead — hash-resolution Jaccard: a within-doc collision (p ~
-    |sh|^2/2^32 per doc) perturbs the score identically on every
-    engine, so cross-engine exactness holds while the pair-heavy verify
-    hashes longs instead of strings (~4x).
+    Returns (id_a, id_b, jaccard) with id_a < id_b. Both modes hash
+    every shingle to a long up front and verify with hash-resolution
+    Jaccard on the hashed sets — a within-doc collision (xxhash: p ~
+    |sh|^2/2^65, poly: |sh|^2/2^32 per doc) perturbs the score
+    identically on every engine and at every cluster size, so
+    cross-engine exactness and cross-parallelism determinism hold while
+    the pair-heavy verify hashes longs instead of strings (~4x) and the
+    shingle strings are never persisted or shuffled at all.
+    ``hash_mode='poly'`` makes every value engine-portable (the DuckDB
+    oracle twin reproduces it); ``xxhash`` (production default) keeps
+    everything on the JVM intrinsic.
     """
     if k % bands:
         raise ValueError(
@@ -151,49 +154,48 @@ def minhash_lsh_pairs(
             "P(candidate)=1-(1-J^r)^bands would not hold"
         )
     r = k // bands
-    # First barrier: materialize the shingle arrays. Anything computed
-    # above a checkpoint references a LEAF ATTRIBUTE (free to inline);
-    # without it CollapseProject folds the shingle construction into
-    # each of the k signature slots below.
-    sh = df.select(
+    # Hash every shingle to a LONG immediately and materialize ONLY
+    # (id, hv): shingle strings are never persisted, shuffled, or
+    # re-built. The checkpoint stores ~8 B/shingle (partition-local,
+    # spillable), and every later stage — the k signature slots, the
+    # band keys, and the candidate verify — reads the materialized
+    # attribute, which CollapseProject inlines for free (an
+    # un-checkpointed expression would be RE-COMPUTED per consumer:
+    # measured 10x of the whole join before this structure).
+    base = df.select(
         F.col(id_col).alias("id"),
         char_shingles_expr(text_col, shingle_n).alias("sh"),
-    ).localCheckpoint()
+    )
     if hash_mode == "poly":
-        # Bind the per-shingle base hashes BEFORE building the k slots:
-        # minhash_signature's poly mode embeds its base expression in
-        # every slot, so an inline base re-runs the O(chars) character
-        # fold k times per shingle — measured 10x of the whole join at
-        # sf0.1. One materialized hash array amortizes it to once.
         from spartan2_spark.operators.text import _poly_hash
 
-        # Second barrier: __hv feeds all k slots; as a mere bound
-        # column it would be re-inlined (and the char fold re-run) per
-        # slot — as a checkpointed attribute it is hashed exactly once.
-        sh = sh.withColumn(
-            "__hv", F.transform(F.col("sh"), _poly_hash)
-        ).localCheckpoint()
+        hv = F.transform(F.col("sh"), _poly_hash)
+    elif hash_mode == "xxhash":
+        hv = F.transform(F.col("sh"), lambda sx: F.xxhash64(sx))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    sh = base.select("id", hv.alias("hv")).localCheckpoint()
+
+    if hash_mode == "poly":
 
         def _slot(j: int):
             a, b = F.lit(2 * j + 1), F.lit(j * j + 7)
             return F.array_min(
-                F.transform(F.col("__hv"), lambda h: (a * h + b) % _POLY_P)
+                F.transform(F.col("hv"), lambda h: (a * h + b) % _POLY_P)
             )
 
-        # keep __hv: the verify stage below intersects the hashed
-        # shingle arrays (longs) instead of the 5-char strings — ~4x
-        # cheaper set-hashing on the pair-heavy verify; a within-doc
-        # hash collision changes the score identically on every engine
-        # (same hash), so cross-engine exactness is unaffected
-        sh = sh.withColumn("sig", F.array(*[_slot(j) for j in range(k)]))
     else:
-        sh = sh.withColumn("sig", minhash_signature(F.col("sh"), k, hash_mode))
-    # Materialize (id, sh, sig) once: CollapseProject re-inlines bound
-    # columns into every consumer, and this frame feeds BOTH the banded
-    # bucket branch and the candidate-verify join — without the barrier
-    # the shingle+signature build runs per consumer (measured ~40% of
-    # the sf0.1 join).
-    sh = sh.localCheckpoint()
+        # re-seeded intrinsic over the 64-bit base hash — an equally
+        # valid minhash family that never touches the shingle strings
+        def _slot(j: int):
+            seed = F.lit(j)
+            return F.array_min(
+                F.transform(F.col("hv"), lambda h: F.xxhash64(h, seed))
+            )
+
+    # second barrier: sig feeds the banded branch's 3 consumers
+    # (bucket-size agg + both join sides)
+    sh = sh.withColumn("sig", F.array(*[_slot(j) for j in range(k)])).localCheckpoint()
 
     def band_key(b):
         joined = F.concat_ws(
@@ -202,11 +204,8 @@ def minhash_lsh_pairs(
         return joined if hash_mode == "poly" else F.xxhash64(joined)
 
     # Shuffle diet: band rows carry ONLY (id, band, bh) through the
-    # bucket self-join — NOT the shingle arrays, which would otherwise be
-    # duplicated into every band row (×bands) and shuffled twice more
-    # through the join. Shingle sets are re-joined on id for the
-    # (candidate pairs only) verify stage, so each doc's shingles travel
-    # the network once per join side instead of ×bands.
+    # bucket self-join; the hashed shingle sets are re-joined on id for
+    # the (candidate pairs only) verify stage.
     banded = sh.select(
         "id",
         F.explode(
@@ -233,24 +232,17 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify join shape: every doc's shingle array would otherwise be
-    # DUPLICATED into each of its candidate pairs and shuffled (on a
-    # near-dup-heavy corpus that is hundreds of copies per doc — the
-    # dominant cost of the whole operator, measured ~50% at sf0.1).
-    # Broadcasting the doc->shingles side ships each array once per
-    # executor instead. Guarded by an estimated size cap: past it (true
-    # web scale) fall back to the shuffle join, where max_bucket and
-    # the threshold keep pair counts sane.
-    vcol = "__hv" if hash_mode == "poly" else "sh"
+    # Verify join shape: every doc's hashed shingle array would
+    # otherwise be DUPLICATED into each of its candidate pairs and
+    # shuffled (hundreds of copies per doc on a near-dup-heavy corpus —
+    # measured ~50% of the operator at sf0.1). Broadcasting the
+    # doc->hashes side ships each array once per executor instead,
+    # guarded by an estimated-bytes cap; past it (true web scale) the
+    # shuffle join stands, with max_bucket bounding pair counts.
+    vcol = "hv"
     shg = sh.select("id", F.col(vcol).alias("vs"))
-    # byte-aware broadcast guard: a row-count cap alone would happily
-    # broadcast gigabytes of shingle arrays into small executors (the
-    # 133k-doc cluster-scaling corpus is ~2 GB of shingles). Estimate
-    # from the checkpointed frame (local stats pass, no recompute):
-    # ~8 B/element hashed, ~16 B/element strings; cap well under
-    # executor broadcast budgets.
     n_elems = sh.agg(F.sum(F.size(vcol))).collect()[0][0] or 0
-    est_bytes = n_elems * (8 if hash_mode == "poly" else 16)
+    est_bytes = n_elems * 8
     if est_bytes <= 256 << 20:
         shg = F.broadcast(shg)
     cand = cand.join(
