@@ -4122,6 +4122,92 @@ def _pagerank_sql(rounds: int = 6, num: int = 85, den: int = 100,
     return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, rank_mass FROM x{rounds}"
 
 
+def _q_ktruss(spark, sf_dir):
+    """5-truss of the hash-sparsified supplier co-part graph: iterative
+    edge peel keeping edges in >= 3 triangles — the EDGE-cohesion dual
+    of kcore_peel, pruning the bridge/hub edges node peeling keeps.
+    The co-part graph saturates to a near-clique at any sf (every
+    supplier pair eventually shares a part), so a deterministic
+    integer MINSTD edge sample keeps it sparse at every scale — the
+    same engine-portable no-RNG trick as hash_sample, identical edge
+    set on any engine. The sample rate adapts as floor(150/sqrt(n))%
+    (n = supplier count): expected triangle support scales with
+    n * rate^2, so a 1/sqrt(n) rate holds the peel workload constant
+    from sf0.001 to any scale — the measurement is one bounded scalar
+    count (the documented driver-side-scalar seam, cf. ivf_topk's dim
+    fallback). Fixed-unroll twin: the fixpoint is a closure, so extra
+    unrolled rounds are the identity and the DuckDB replay lands on
+    the same edge set value-exactly."""
+    from spartan2_spark.operators.graph import ktruss
+
+    li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
+    ok = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= 200)
+        .select("l_partkey")
+    )
+    li = li.join(ok, "l_partkey")
+    pairs = (
+        li.alias("x")
+        .join(li.alias("y"), "l_partkey")
+        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .select(
+            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    nsupp = li.select("l_suppkey").distinct().count()
+    rate = max(2, int(150 / nsupp**0.5))
+    pairs = pairs.filter(
+        ((F.col("src") * 48271 + F.col("dst")) * 48271)
+        % 2147483647 % 100
+        < rate
+    )
+    return ktruss(pairs, k=5)
+
+
+def _ktruss_sql(k: int = 5, rounds: int = 8) -> str:
+    parts = [
+        "li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        "ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200)",
+        "lf AS (SELECT li.* FROM li JOIN ok USING (l_partkey))",
+        "ep AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v "
+        "FROM lf x JOIN lf y USING (l_partkey) "
+        "WHERE x.l_suppkey < y.l_suppkey)",
+        "rate AS (SELECT GREATEST(2, FLOOR(150 / sqrt(count(DISTINCT "
+        "l_suppkey)))::BIGINT) AS r FROM lf)",
+        "e0 AS MATERIALIZED (SELECT u, v FROM ep "
+        "WHERE (u::BIGINT * 48271 + v) * 48271 % 2147483647 % 100 "
+        "< (SELECT r FROM rate))",
+    ]
+    sup = (
+        "sup{r} AS (SELECT u, v, count(*)::BIGINT AS support FROM ("
+        "SELECT ab.u AS u, ab.v AS v FROM e{p} ab "
+        "JOIN e{p} bc ON ab.v = bc.u "
+        "JOIN e{p} ac ON ac.u = ab.u AND ac.v = bc.v "
+        "UNION ALL SELECT ab.v, bc.v FROM e{p} ab "
+        "JOIN e{p} bc ON ab.v = bc.u "
+        "JOIN e{p} ac ON ac.u = ab.u AND ac.v = bc.v "
+        "UNION ALL SELECT ab.u, bc.v FROM e{p} ab "
+        "JOIN e{p} bc ON ab.v = bc.u "
+        "JOIN e{p} ac ON ac.u = ab.u AND ac.v = bc.v"
+        ") GROUP BY u, v)"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(sup.format(r=r, p=r - 1))
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN sup{r} s USING (u, v) WHERE s.support >= {k - 2})"
+        )
+    parts.append(sup.format(r="f", p=rounds))
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT e.u, e.v, coalesce(s.support, 0)::BIGINT AS support
+    FROM e{rounds} e LEFT JOIN supf s USING (u, v)"""
+    )
+
+
 def _q_label_propagation(spark, sf_dir):
     """Determinized synchronous LPA communities (4 rounds, argmax
     neighbour label, tie -> min) on the supplier co-part graph;
@@ -5836,6 +5922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_windows": _q_interval_join,
         "triangle_counts": _q_triangles,
         "pagerank_fixedpoint": _q_pagerank,
+        "ktruss_edges": _q_ktruss,
         "rolling_stats": _q_rolling_stats,
         "ewma_dyadic": _q_ewma,
         "linear_counting": _q_linear_counting,
@@ -5978,6 +6065,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_windows": _INTERVAL_JOIN_SQL,
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank_fixedpoint": _pagerank_sql(rounds=6),
+        "ktruss_edges": _ktruss_sql(k=5, rounds=8),
         "rolling_stats": _ROLLING_SQL,
         "ewma_dyadic": _ewma_sql(depth=16),
         "linear_counting": _LINEAR_COUNT_SQL,

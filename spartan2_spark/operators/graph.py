@@ -415,3 +415,91 @@ def clustering_coeff(
         F.col("n_triangles").cast("long").alias("n_triangles"),
         F.round(cc, 8).alias("clustering_coeff"),
     )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support on an oriented (u < v) distinct edge
+    set: triangle (a < b < c) contributes one support unit to each of
+    its three edges (a,b), (b,c), (a,c) — all already in canonical
+    orientation, so the attribution is a plain unionAll + groupBy with
+    no re-orientation. Returns (u, v, support), triangle-free edges
+    absent (support joins back as 0).
+    """
+    ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+        .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss of an undirected simple graph: the maximal subgraph in
+    which every edge participates in at least k-2 triangles — the
+    EDGE-cohesion dual of :func:`kcore`'s node peel, and the standard
+    community-core extractor (a k-truss is always inside the (k-1)-core
+    but prunes bridge/hub edges kcore keeps). Same batch-peel analogue
+    of the reference's one-at-a-time MinTree peeling
+    (util/MinTree.py:5-43): each round drops ALL under-supported edges
+    at once, converging in O(log n) rounds on real graphs.
+
+    Each round is triangle_counts' two-join wedge plan plus one
+    aggregation; ``localCheckpoint`` truncates the iterative lineage
+    and two scalar counts per round drive convergence (the engine-wide
+    iterative-plan discipline). Deterministic — the fixpoint is unique
+    (the k-truss is a closure operator), so any engine's replay lands
+    on the same edge set, which makes the fixed-unroll SQL twin
+    value-exact: running MORE rounds than needed is the identity.
+
+    Returns surviving edges (u, v, support) with support measured on
+    the final fixpoint subgraph.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    cur = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_n = cur.count()
+    converged = prev_n == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
+        keep = (
+            _edge_support(cur)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+        )
+        # inner semi-join: triangle-free edges (absent from support)
+        # drop whenever k > 2
+        if k > 2:
+            nxt = cur.join(keep, ["u", "v"], "left_semi").localCheckpoint()
+        else:
+            nxt = cur
+        n = nxt.count()
+        if n == prev_n:
+            cur = nxt
+            converged = True
+            break
+        cur, prev_n = nxt, n
+    if not converged:
+        raise RuntimeError(
+            f"ktruss did not reach a fixpoint within {max_rounds} rounds; "
+            "raise max_rounds (each round strictly shrinks the edge set)"
+        )
+    sup = _edge_support(cur)
+    return cur.join(sup, ["u", "v"], "left").select(
+        "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )

@@ -293,3 +293,37 @@ def test_burst_islands_planted(spark):
     r = burst_islands(df, grain_seconds=60, threshold=2).collect()[0]
     assert r.n_bursts == 2
     assert r.longest_burst == 3 and r.max_burst_events == 9
+
+
+def test_ktruss_peels_bridge_and_tail(spark):
+    from spartan2_spark.operators.graph import ktruss
+
+    # K4 on {a,b,c,d} (every edge in 2 triangles) bridged to a
+    # triangle {x,y,z} (every edge in 1 triangle) plus a pendant tail.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tri = [("x", "y"), ("x", "z"), ("y", "z")]
+    extra = [("d", "x"), ("z", "t")]  # bridge + tail: support 0
+    edges = spark.createDataFrame(k4 + tri + extra, ["src", "dst"])
+
+    # 4-truss (support >= 2): only the K4 survives; the triangle's
+    # edges have support 1 and peel, the bridge/tail peel first.
+    got = {(r.u, r.v): r.support for r in ktruss(edges, k=4).collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("a", "d"): 2,
+                   ("b", "c"): 2, ("b", "d"): 2, ("c", "d"): 2}
+
+    # 3-truss (support >= 1): K4 + triangle survive, bridge/tail peel.
+    got3 = {(r.u, r.v) for r in ktruss(edges, k=3).collect()}
+    assert got3 == set(k4) | set(tri)
+
+    # 5-truss of K4 is empty (support 2 < 3), and the peel cascades
+    # to a fixpoint rather than erroring.
+    assert ktruss(edges, k=5).count() == 0
+
+
+def test_ktruss_k2_keeps_triangle_free_edges(spark):
+    from spartan2_spark.operators.graph import ktruss
+
+    # k=2 demands support >= 0: nothing peels, support reported as 0.
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    got = {(r.u, r.v): r.support for r in ktruss(edges, k=2).collect()}
+    assert got == {("a", "b"): 0, ("b", "c"): 0}
