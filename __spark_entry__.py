@@ -5707,6 +5707,9 @@ def _q_score_level_users(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn(
             "cum",
+            # unpartitioned on purpose: the frame is the distinct-score
+            # histogram (bounded by the score range, not the data), so
+            # the WindowExec single-partition WARN is expected/harmless
             F.sum("c").over(
                 W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
             ),
