@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     "asof_join_quotes",
     "lttb_downsample",
     "repetition_stats",
+    # round-3 analytics layer representatives: graph cohesion,
+    # behavioral funnels, drift monitoring, distinct sketches
+    "triangle_counts",
+    "ktruss_edges",
+    "funnel_conversion",
+    "psi_drift",
+    "hll_distinct",
+    "minhash_dedup_pairs",
 ]
 
 
@@ -242,7 +250,13 @@ def main() -> None:
     qs = E.queries()
     qtimes = {}
     for name in BENCH_QUERIES:
-        qtimes[name] = round(run_noop(qs[name](spark, SF_DIR)), 3)
+        # best-of-2 per query, same rationale as the flagship passes:
+        # host co-tenant bursts move a single pass 2-4x; the min is the
+        # plan's steady-state cost (second pass also rides the page
+        # cache, which a warm production service rides too)
+        qtimes[name] = round(
+            min(run_noop(qs[name](spark, SF_DIR)) for _ in range(2)), 3
+        )
 
     # reclaim this run's pid-tagged scratch (tables + tier dirs); the
     # pages cache is shared across runs and stays

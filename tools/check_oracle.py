@@ -69,8 +69,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if "/" not in a]
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
 
     import __spark_entry__ as E
     from spartan2_spark.session import get_spark
@@ -86,6 +92,7 @@ def main() -> int:
         print(f"UNKNOWN query name(s): {unknown} — not in queries()")
         return 2
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -94,23 +101,40 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error {exc}")
             failed.append(name)
+            report[name] = {"rows": None, "value_exact": False,
+                            "err": f"spark: {exc}"[:300]}
             continue
         if name not in os_:
             print(f"SKIP {name}: rows-only ({len(sdf)} rows)")
+            report[name] = {"rows": len(sdf), "value_exact": None,
+                            "err": "no_oracle"}
             continue
         try:
             odf = con.execute(os_[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {exc}")
             failed.append(name)
+            report[name] = {"rows": len(sdf), "value_exact": False,
+                            "err": f"duckdb: {exc}"[:300]}
             continue
         problems = compare(sdf, odf)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
+            report[name] = {"rows": len(sdf), "value_exact": False,
+                            "err": "; ".join(problems)[:300]}
         else:
             print(f"OK   {name} ({len(sdf)} rows)")
+            report[name] = {"rows": len(sdf), "value_exact": True, "err": None}
     print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(report),
+                       "n_failures": len(failed), "results": report}, fh,
+                      indent=1)
+        print(f"wrote {json_out}")
     return 1 if failed else 0
 
 
