@@ -728,6 +728,54 @@ _NGRAM_JACCARD_SQL = """
 """
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-2/3- and C4-report style eval-set
+    leakage scan): a deterministic 5% of documents plays the held-out
+    benchmark (same MINSTD poly-hash bucketing as hash_sample), the
+    other 95% is the training corpus; a corpus doc is contaminated when
+    >= 5 of its distinct word trigrams appear anywhere in the
+    benchmark. Benchmark gram set broadcasts; corpus read once."""
+    from spartan2_spark.operators.dedup import decontaminate
+    from spartan2_spark.operators.text import _poly_hash
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = (_poly_hash(F.col("doc_id").cast("string")) * 48271) % 2147483647 % 100
+    d = d.withColumn("__b", b)
+    return decontaminate(
+        d.filter(F.col("__b") >= 5), d.filter(F.col("__b") < 5),
+        "text", "doc_id", n=3, min_overlap=5,
+    )
+
+
+_DECONTAMINATE_SQL = """
+    WITH h AS (
+      SELECT doc_id, text,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(string_split(doc_id::VARCHAR, ''),
+                              c -> ascii(c)::BIGINT)),
+               (a, b) -> (a * 31 + b) % 2147483647) * 48271 % 2147483647
+               % 100 AS b
+      FROM documents),
+    g AS (
+      SELECT doc_id, b,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split_regex(trim(text), ' +')) - 2, 1)),
+               i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' '))) AS ng
+      FROM h),
+    bench AS (SELECT DISTINCT unnest(ng) AS gr FROM g WHERE b < 5),
+    corp AS (SELECT doc_id, ng FROM g WHERE b >= 5),
+    hits AS (
+      SELECT doc_id, count(*)::BIGINT AS n_hit
+      FROM (SELECT doc_id, unnest(ng) AS gr FROM corp)
+      WHERE gr IN (SELECT gr FROM bench)
+      GROUP BY doc_id)
+    SELECT c.doc_id, len(c.ng)::BIGINT AS n_grams,
+           coalesce(h2.n_hit, 0)::BIGINT AS n_hit,
+           coalesce(h2.n_hit, 0) >= 5 AS contaminated
+    FROM corp c LEFT JOIN hits h2 USING (doc_id)
+"""
+
+
 def _q_ngram_containment(spark, sf_dir):
     """EXACT word-trigram containment join (|A∩B|/|A|, |A∩B|/|B|) —
     asymmetric near-superset detector; same inverted-index plan as the
@@ -5926,6 +5974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _q_triangles,
         "pagerank_fixedpoint": _q_pagerank,
         "ktruss_edges": _q_ktruss,
+        "benchmark_decontaminate": _q_decontaminate,
         "rolling_stats": _q_rolling_stats,
         "ewma_dyadic": _q_ewma,
         "linear_counting": _q_linear_counting,
@@ -6069,6 +6118,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": _TRIANGLES_SQL,
         "pagerank_fixedpoint": _pagerank_sql(rounds=6),
         "ktruss_edges": _ktruss_sql(k=5, rounds=8),
+        "benchmark_decontaminate": _DECONTAMINATE_SQL,
         "rolling_stats": _ROLLING_SQL,
         "ewma_dyadic": _ewma_sql(depth=16),
         "linear_counting": _LINEAR_COUNT_SQL,

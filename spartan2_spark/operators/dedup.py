@@ -683,3 +683,56 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap: int = 5,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination — the eval-set leakage scan every
+    training-data pipeline runs before a model sees the corpus (the
+    n-gram overlap rule popularized by the GPT-2/GPT-3 and C4 dataset
+    reports): flag a corpus doc when at least ``min_overlap`` of its
+    distinct word n-grams also appear anywhere in the benchmark set.
+
+    Plan: the benchmark's distinct gram set is tiny next to the corpus
+    (eval suites are MBs against TBs), so it broadcasts and the scan is
+    one semi-join per corpus gram + one per-doc count — the corpus is
+    read once, never self-joined. Set ``broadcast_bench=False`` if the
+    benchmark gram set outgrows executor memory (falls back to a
+    shuffle semi-join, same result). Returns one row per corpus doc:
+    (id, n_grams, n_hit, contaminated) — clean docs included with
+    n_hit = 0, so the verdict column is directly filterable either way.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), " +").alias("__t"),
+        ).select("id", word_ngrams_from_tokens("__t", n).alias("ng"))
+
+    c = grams(corpus)
+    bench_grams = grams(benchmark).select(F.explode("ng").alias("g")).distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        c.select("id", F.explode("ng").alias("g"))
+        .join(bench_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        c.select("id", F.size("ng").cast("long").alias("n_grams"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -547,3 +547,29 @@ def test_weighted_sample_prefers_heavy_docs(spark, sf_dir):
     ).fetchone()[0]
     sample_mean = sum(r.n_chars for r in out) / len(out)
     assert sample_mean > corpus_mean
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    from spartan2_spark.operators.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            ("c1", leak + " with extra trailing words appended here"),
+            ("c2", "completely unrelated text about spark aggregation plans"),
+            ("c3", "the quick brown fox appears briefly"),  # 2 shared trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("b1", leak)], ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in decontaminate(
+            corpus, bench, "text", "doc_id", n=3, min_overlap=5
+        ).collect()
+    }
+    assert len(out) == 3  # every corpus doc reported, clean ones included
+    assert out["c1"].contaminated and out["c1"].n_hit >= 8
+    assert not out["c2"].contaminated and out["c2"].n_hit == 0
+    # partial overlap below the threshold stays clean but is counted
+    assert not out["c3"].contaminated and 0 < out["c3"].n_hit < 5
