@@ -728,6 +728,33 @@ _NGRAM_JACCARD_SQL = """
 """
 
 
+def _q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over documents: block key = first
+    24 chars of the trimmed text (near-dup reposts share prefixes),
+    tie-break doc_id, window 4 — each doc pairs with its next 3
+    neighbours in block order. Distributed global ranking + integer
+    equi-join; the DuckDB twin is a plain row_number self-join."""
+    from spartan2_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 24).alias("bk")
+    )
+    return sorted_neighborhood_pairs(
+        d, [F.col("bk"), F.col("doc_id")], "doc_id", window=4
+    )
+
+
+_SORTED_NEIGHBORHOOD_SQL = """
+    WITH r AS (
+      SELECT doc_id AS id,
+             row_number() OVER (
+               ORDER BY substring(trim(text), 1, 24), doc_id) AS rn
+      FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b, (b.rn - a.rn)::BIGINT AS rank_gap
+    FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+"""
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-2/3- and C4-report style eval-set
     leakage scan): a deterministic 5% of documents plays the held-out
@@ -5975,6 +6002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixedpoint": _q_pagerank,
         "ktruss_edges": _q_ktruss,
         "benchmark_decontaminate": _q_decontaminate,
+        "sorted_neighborhood_pairs": _q_sorted_neighborhood,
         "rolling_stats": _q_rolling_stats,
         "ewma_dyadic": _q_ewma,
         "linear_counting": _q_linear_counting,
@@ -6119,6 +6147,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_fixedpoint": _pagerank_sql(rounds=6),
         "ktruss_edges": _ktruss_sql(k=5, rounds=8),
         "benchmark_decontaminate": _DECONTAMINATE_SQL,
+        "sorted_neighborhood_pairs": _SORTED_NEIGHBORHOOD_SQL,
         "rolling_stats": _ROLLING_SQL,
         "ewma_dyadic": _ewma_sql(depth=16),
         "linear_counting": _LINEAR_COUNT_SQL,

@@ -736,3 +736,43 @@ def decontaminate(
             (F.coalesce("n_hit", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_cols: list,
+    id_col: str = "doc_id",
+    window: int = 4,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): order the
+    corpus by a blocking key and emit each row paired with its next
+    ``window - 1`` neighbours in that order — the classic record-linkage
+    candidate generator that complements hash blocking (MinHash/SimHash
+    bands): key-adjacent near-dups land in the same window even when
+    their hashes differ everywhere.
+
+    ``sort_cols`` must end in a unique tie-break (pass the id) so the
+    global order — and therefore the pair set — is deterministic on any
+    engine. Scale shape: ONE distributed global ranking
+    (partitioning.global_row_numbers — range-repartition + local
+    row_number + broadcast offsets, never a single-partition window),
+    then the neighbour pairing is an integer equi-join of the ranked
+    relation against itself shifted by j = 1..window-1 (explode of a
+    ``window-1``-element array, shuffle on the rank integer) — no sort
+    of the full corpus into one task, no cross join. Output:
+    (id_a, id_b, rank_gap), id_a the earlier row in block order.
+    """
+    from spartan2_spark.operators.partitioning import global_row_numbers
+
+    ranked = global_row_numbers(
+        df.select(F.col(id_col).alias("id"), *sort_cols), list(sort_cols), "rn"
+    ).select("id", "rn")
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(F.array(*[F.lit(j) for j in range(1, window)])).alias("__j"),
+    ).select("id_a", "rn_a", (F.col("rn_a") + F.col("__j")).alias("rn_b"))
+    b = ranked.select(F.col("id").alias("id_b"), F.col("rn").alias("rn_b"))
+    return a.join(b, "rn_b").select(
+        "id_a", "id_b", (F.col("rn_b") - F.col("rn_a")).cast("long").alias("rank_gap")
+    )

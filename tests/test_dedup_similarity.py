@@ -573,3 +573,31 @@ def test_decontaminate_flags_planted_leak(spark):
     assert not out["c2"].contaminated and out["c2"].n_hit == 0
     # partial overlap below the threshold stays clean but is counted
     assert not out["c3"].contaminated and 0 < out["c3"].n_hit < 5
+
+
+def test_sorted_neighborhood_pairs_window_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # block order by (bk, id): b1 < b2 < b3 < c1 < d1
+    rows = [("d1", "delta"), ("b2", "bravo"), ("c1", "charlie"),
+            ("b1", "bravo"), ("b3", "bravo")]
+    df = spark.createDataFrame(rows, ["doc_id", "bk"])
+    out = sorted_neighborhood_pairs(
+        df, [F.col("bk"), F.col("doc_id")], "doc_id", window=3
+    )
+    got = {(r.id_a, r.id_b): r.rank_gap for r in out.collect()}
+    # each row pairs with its next 2 neighbours in (bk, id) order
+    assert got == {
+        ("b1", "b2"): 1, ("b1", "b3"): 2,
+        ("b2", "b3"): 1, ("b2", "c1"): 2,
+        ("b3", "c1"): 1, ("b3", "d1"): 2,
+        ("c1", "d1"): 1,
+    }
+    # order of input rows must not change the pair set
+    out2 = sorted_neighborhood_pairs(
+        df.orderBy(F.desc("doc_id")), [F.col("bk"), F.col("doc_id")],
+        "doc_id", window=3,
+    )
+    assert {(r.id_a, r.id_b): r.rank_gap for r in out2.collect()} == got

@@ -110,6 +110,10 @@ AUDIT_QUERIES = [
     "burst_islands",
     "session_stats",
     "weighted_sample",
+    # round-3 wrap additions (ktruss_edges is iterative — its rounds
+    # are audited through the shared kcore/peel discipline instead)
+    "benchmark_decontaminate",
+    "sorted_neighborhood_pairs",
 ]
 
 
