@@ -4107,7 +4107,11 @@ def _q_kcore(spark, sf_dir):
 def _q_triangles(spark, sf_dir):
     """Per-supplier triangle counts on the co-part projection
     (suppliers sharing a part, part fan-out capped at 200) —
-    canonical-orientation join, each triangle found once."""
+    canonical-orientation join, each triangle found once. The co-part
+    graph saturates toward a clique as sf grows (every supplier pair
+    eventually shares a part), so the same floor(150/sqrt(n))% MINSTD
+    edge sample as ktruss_edges keeps edge density — and the wedge-join
+    workload — scale-constant (measured 47 s -> <1 s at sf0.1)."""
     from spartan2_spark.operators.graph import triangle_counts
 
     li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
@@ -4118,12 +4122,22 @@ def _q_triangles(spark, sf_dir):
         .select("l_partkey")
     )
     li = li.join(ok, "l_partkey")
+    nsupp = li.select("l_suppkey").distinct().count()
+    rate = max(2, int(150 / nsupp**0.5))
     pairs = (
         li.alias("x")
         .join(li.alias("y"), "l_partkey")
         .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
         .select(
             F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+        )
+        # sample BEFORE the dedup shuffle: the hash is per-pair
+        # deterministic, so filter-then-distinct == distinct-then-filter
+        # while the distinct's input shrinks by 1/rate (25x at sf0.1)
+        .filter(
+            ((F.col("src") * 48271 + F.col("dst")) * 48271)
+            % 2147483647 % 100
+            < rate
         )
         .distinct()
     )
@@ -4134,9 +4148,14 @@ _TRIANGLES_SQL = """
     WITH li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
     ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200),
     lf AS (SELECT li.* FROM li JOIN ok USING (l_partkey)),
-    e AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
-          FROM lf x JOIN lf y USING (l_partkey)
-          WHERE x.l_suppkey < y.l_suppkey),
+    ep AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+           FROM lf x JOIN lf y USING (l_partkey)
+           WHERE x.l_suppkey < y.l_suppkey),
+    rate AS (SELECT GREATEST(2, FLOOR(150 / sqrt(count(DISTINCT
+             l_suppkey)))::BIGINT) AS r FROM lf),
+    e AS MATERIALIZED (SELECT u, v FROM ep
+          WHERE (u::BIGINT * 48271 + v) * 48271 % 2147483647 % 100
+          < (SELECT r FROM rate)),
     tri AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
             FROM e ab JOIN e bc ON ab.v = bc.u
                       JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
@@ -4223,6 +4242,8 @@ def _q_ktruss(spark, sf_dir):
         .select("l_partkey")
     )
     li = li.join(ok, "l_partkey")
+    nsupp = li.select("l_suppkey").distinct().count()
+    rate = max(2, int(150 / nsupp**0.5))
     pairs = (
         li.alias("x")
         .join(li.alias("y"), "l_partkey")
@@ -4230,14 +4251,15 @@ def _q_ktruss(spark, sf_dir):
         .select(
             F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
         )
+        # sample BEFORE the dedup shuffle: the hash is per-pair
+        # deterministic, so filter-then-distinct == distinct-then-filter
+        # while the distinct's input shrinks by 1/rate (25x at sf0.1)
+        .filter(
+            ((F.col("src") * 48271 + F.col("dst")) * 48271)
+            % 2147483647 % 100
+            < rate
+        )
         .distinct()
-    )
-    nsupp = li.select("l_suppkey").distinct().count()
-    rate = max(2, int(150 / nsupp**0.5))
-    pairs = pairs.filter(
-        ((F.col("src") * 48271 + F.col("dst")) * 48271)
-        % 2147483647 % 100
-        < rate
     )
     return ktruss(pairs, k=5)
 
