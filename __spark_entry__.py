@@ -5955,66 +5955,16 @@ _GORILLA_READ_RANGE_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-query prefix gate always covers the
-    # queries with the STALEST (or missing) driver-grade CORRECTNESS row:
-    # r2 fails fixed this round first, then queries last driver-verified
-    # in r1, then this round's new queries, then r2-green rows.
+    # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
+    # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
+    # this round fronts r3's positions 51-100 so they get their first
+    # driver-grade CORRECTNESS row. Block 2 = r3's positions 101-153
+    # (r5 fronts these next round; new r4 queries are inserted at the
+    # head of block 2 so they fall inside r5's window). Block 3 = r3's
+    # gate set (driver-verified green in CORRECTNESS_r03.json).
     return {
-        # --- FAIL in r02 (HUGEINT twin columns), fixed this round ---
-        "burst_involvement": _q_burst_involvement,
-        "eaglemine_describe": _q_eaglemine_describe,
-        "holoscope_objective": _q_holoscope_objective,
-        # --- last driver-verified in r01 (36) ---
-        "degree_dist": _q_degree_dist,
-        "adjacency_collapse": _q_adjacency_collapse,
-        "dedup_exact": _q_dedup_exact,
-        "token_count": _q_token_count,
-        "normalize_minmax": _q_normalize_minmax,
-        "running_extremes": _q_running_max,
-        "cut_range": _q_cut_range,
-        "time_bucket_equal_width": _q_time_bucket_equal_width,
-        "iat_pairs": _q_iat_pairs,
-        "infer_freq": _q_infer_freq,
-        "dict_encode": _q_dict_encode,
-        "resample_fourier": _q_resample_fourier,
-        "beatlex_summarize": _q_beatlex_summarize,
-        "eigenpulse_density": _q_eigenpulse_density,
-        "monlad_zeroout": _q_monlad_zeroout,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        "cosine_topk": _q_cosine_topk,
-        "minhash_dedup_pairs": _q_minhash_dedup,
-        "simhash_dedup_pairs": _q_simhash_dedup,
-        "ann_topk": _q_ann_topk,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "hist1d_clamped": _q_hist1d,
-        "hist2d_log": _q_hist2d_peak,
-        "suspicious_users_iqr": _q_suspicious_users,
-        "kl_divergence": _q_kl_divergence,
-        "rank_fusion_rrf": _q_rank_fusion,
-        "burst_peak": _q_burst_peak,
-        "densest_subgraph": _q_densest_subgraph,
-        "tdigest_quantiles": _q_tdigest_quantiles,
-        "agg_ts_list": _q_agg_ts_list,
-        "cumsum_daily": _q_cumsum_daily,
-        "pivot_rollup": _q_pivot_rollup,
-        "graph_difference": _q_graph_difference,
-        "subgraph_reindex": _q_subgraph_reindex,
-        # --- new this round (r03) ---
-        "eaglemine_gof": _q_eaglemine_gof,
-        "flowscope_peel": _q_flowscope_peel,
-        "dedup_clusters": _q_dedup_clusters,
-        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
-        "repetition_stats": _q_repetition_stats,
-        "c4_filters": _q_c4_filters,
-        "paa_segments": _q_paa_segments,
-        "sax_words": _q_sax_words,
-        "autocorr_lag": _q_autocorr_lag,
-        "spokes_fixedpoint": _q_spokes_fixedpoint,
-        "asof_join_quotes": _q_asof_join,
-        # --- new r03, outside the 50-gate (locally oracle-verified;
-        # r4 gate rotates them in) ---
+        # --- block 1: r4 driver gate (r3 positions 51-100, locally
+        # oracle-verified in ORACLE_LOCAL_r03.json, never driver-checked) ---
         "vocab_topk": _q_vocab_topk,
         "hash_sample": _q_hash_sample,
         "lttb_downsample": _q_lttb,
@@ -6065,6 +6015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": _q_gini_concentration,
         "zipf_slope": _q_zipf_slope,
         "vocab_hapax": _q_vocab_hapax,
+        # --- block 2: r5 gate candidates (r3 positions 101-153; insert
+        # new r4 queries HERE, at the head) ---
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6072,10 +6024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_islands": _q_burst_islands,
         "session_stats": _q_session_stats,
         "weighted_sample": _q_weighted_sample,
-        # --- green in r02, padding the 50-query prefix ---
-        # (ivf_topk's r3 change is seeding hygiene only and the
-        # holoscope spectral-seed commit was purely additive — both r2
-        # green rows stand; first to rotate back in next round)
         "ivf_topk": _q_ivf_topk,
         "holoscope_shaving": _q_holoscope_shaving,
         "rollup_1m": _q_rollup_1m,
@@ -6122,6 +6070,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpeak_hamilton": _q_rpeak_hamilton,
         "beatgan_subspace": _q_beatgan_subspace,
         "html_extract_text": _q_html_extract,
+        # --- block 3: driver-verified green in r3 (CORRECTNESS_r03.json) ---
+        "burst_involvement": _q_burst_involvement,
+        "eaglemine_describe": _q_eaglemine_describe,
+        "holoscope_objective": _q_holoscope_objective,
+        "degree_dist": _q_degree_dist,
+        "adjacency_collapse": _q_adjacency_collapse,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "normalize_minmax": _q_normalize_minmax,
+        "running_extremes": _q_running_max,
+        "cut_range": _q_cut_range,
+        "time_bucket_equal_width": _q_time_bucket_equal_width,
+        "iat_pairs": _q_iat_pairs,
+        "infer_freq": _q_infer_freq,
+        "dict_encode": _q_dict_encode,
+        "resample_fourier": _q_resample_fourier,
+        "beatlex_summarize": _q_beatlex_summarize,
+        "eigenpulse_density": _q_eigenpulse_density,
+        "monlad_zeroout": _q_monlad_zeroout,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "cosine_topk": _q_cosine_topk,
+        "minhash_dedup_pairs": _q_minhash_dedup,
+        "simhash_dedup_pairs": _q_simhash_dedup,
+        "ann_topk": _q_ann_topk,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "hist1d_clamped": _q_hist1d,
+        "hist2d_log": _q_hist2d_peak,
+        "suspicious_users_iqr": _q_suspicious_users,
+        "kl_divergence": _q_kl_divergence,
+        "rank_fusion_rrf": _q_rank_fusion,
+        "burst_peak": _q_burst_peak,
+        "densest_subgraph": _q_densest_subgraph,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "agg_ts_list": _q_agg_ts_list,
+        "cumsum_daily": _q_cumsum_daily,
+        "pivot_rollup": _q_pivot_rollup,
+        "graph_difference": _q_graph_difference,
+        "subgraph_reindex": _q_subgraph_reindex,
+        "eaglemine_gof": _q_eaglemine_gof,
+        "flowscope_peel": _q_flowscope_peel,
+        "dedup_clusters": _q_dedup_clusters,
+        "dpgs_summarize_fixpoint": _q_dpgs_summarize_fixpoint,
+        "repetition_stats": _q_repetition_stats,
+        "c4_filters": _q_c4_filters,
+        "paa_segments": _q_paa_segments,
+        "sax_words": _q_sax_words,
+        "autocorr_lag": _q_autocorr_lag,
+        "spokes_fixedpoint": _q_spokes_fixedpoint,
+        "asof_join_quotes": _q_asof_join,
     }
 
 
