@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spartan2_spark.operators.barrier import barrier
+
 __all__ = [
     "iqr_bound",
     "sigma_bound",
@@ -460,7 +462,7 @@ def holoscope_greedy_shave(
     """
     cur = credits.select(
         F.col(key).alias("k"), F.col(credit).alias("c")
-    ).localCheckpoint()
+    ).transform(barrier)
     if n_total is None:
         n_total = cur.count()
     best_df, best_obj, best_round = None, float("-inf"), -1
@@ -472,7 +474,7 @@ def holoscope_greedy_shave(
         obj = sc / (n_total + n)
         if obj > best_obj:
             best_df, best_obj, best_round = cur, obj, r
-        cur = cur.filter(F.col("c") * F.lit(n) > F.lit(sc)).localCheckpoint()
+        cur = cur.filter(F.col("c") * F.lit(n) > F.lit(sc)).transform(barrier)
     if best_df is None:  # empty input: no round ever scored
         best_df = cur.limit(0)
     return {
@@ -493,14 +495,14 @@ def densest_subgraph_peel(
     Returns {'density': best, 'rounds': r, 'nodes': node DataFrame}.
 
     Iterative-plan discipline: every round ends with an EAGER
-    ``localCheckpoint`` — without it the logical plan references the
+    ``barrier()`` — without it the logical plan references the
     previous round's plan twice (via the degree table) and grows
     exponentially, and the driver ends up spending minutes in
     ``TreeNode.generateTreeString`` (observed via jstack). Lineage
     truncation per round is the canonical fix for iterative DataFrame
     algorithms.
     """
-    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(barrier)
     best_density, best_nodes = -1.0, None
     rounds = 0
     for _ in range(max_rounds):
@@ -512,7 +514,7 @@ def densest_subgraph_peel(
             .unionAll(cur.select(F.col("d").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
+            .transform(barrier)
         )
         n_nodes = nodes.count()
         density = n_edges / n_nodes
@@ -523,7 +525,7 @@ def densest_subgraph_peel(
         nxt = (
             cur.join(keep.withColumnRenamed("n", "s"), "s", "left_semi")
             .join(keep.withColumnRenamed("n", "d"), "d", "left_semi")
-            .localCheckpoint()
+            .transform(barrier)
         )
         rounds += 1
         if nxt.count() == n_edges:  # fixpoint (clique-like core)
@@ -586,7 +588,7 @@ def holoscope_shave_spectral(
     spectral init existed).
     """
     seed = holoscope_spectral_seed(edges, src=src, dst=dst, weight=weight)
-    seed = seed.withColumnRenamed(src, key).localCheckpoint()
+    seed = seed.withColumnRenamed(src, key).transform(barrier)
     seeded = credits.join(seed, key, "left_semi")
     if seeded.limit(1).count() == 0:
         seeded = credits

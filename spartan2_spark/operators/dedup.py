@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spartan2_spark.operators.barrier import barrier
+
 __all__ = [
     "exact_dedup",
     "char_shingles_expr",
@@ -174,7 +176,7 @@ def minhash_lsh_pairs(
         hv = F.transform(F.col("sh"), lambda sx: F.xxhash64(sx))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    sh = base.select("id", hv.alias("hv")).localCheckpoint()
+    sh = base.select("id", hv.alias("hv")).transform(barrier)
 
     if hash_mode == "poly":
 
@@ -195,7 +197,7 @@ def minhash_lsh_pairs(
 
     # second barrier: sig feeds the banded branch's 3 consumers
     # (bucket-size agg + both join sides)
-    sh = sh.withColumn("sig", F.array(*[_slot(j) for j in range(k)])).localCheckpoint()
+    sh = sh.withColumn("sig", F.array(*[_slot(j) for j in range(k)])).transform(barrier)
 
     def band_key(b):
         joined = F.concat_ws(
@@ -288,7 +290,7 @@ def ngram_jaccard_join(
     # un-checkpointed subtree per consumer — the n-gram build was the
     # dominant cost of the whole join (triangle_counts applies the same
     # pattern). Volume is the same gram relation the join shuffles anyway.
-    tok = d.select("id", F.explode("ng").alias("g")).localCheckpoint()
+    tok = d.select("id", F.explode("ng").alias("g")).transform(barrier)
     sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_sz"))
     if max_token_df is not None:
         dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -344,7 +346,7 @@ def ngram_containment_join(
     # un-checkpointed subtree per consumer — the n-gram build was the
     # dominant cost of the whole join (triangle_counts applies the same
     # pattern). Volume is the same gram relation the join shuffles anyway.
-    tok = d.select("id", F.explode("ng").alias("g")).localCheckpoint()
+    tok = d.select("id", F.explode("ng").alias("g")).transform(barrier)
     sz = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n_sz"))
     if max_token_df is not None:
         dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -406,7 +408,7 @@ def simhash64(
     # (64 re-hashes per token — the dominant cost of the whole
     # operator); materializing (id, hash) once makes each token hash
     # exactly once.
-    tok = tok.localCheckpoint()
+    tok = tok.transform(barrier)
     if hash_mode == "poly":
         aggs = [
             F.sum(

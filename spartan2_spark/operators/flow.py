@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spartan2_spark.operators.barrier import barrier
+
 __all__ = [
     "flow_balance",
     "flow_suspicious_mids",
@@ -113,7 +115,7 @@ def flow_greedy_peel(
     """
     cur = scores.select(
         F.col(mid).alias("k"), F.col(score).alias("s")
-    ).localCheckpoint()
+    ).transform(barrier)
     best_df, best_obj, best_round = None, float("-inf"), -1
     for r in range(max_rounds):
         row = cur.agg(F.sum("s").alias("ts"), F.count(F.lit(1)).alias("n")).collect()[0]
@@ -123,7 +125,7 @@ def flow_greedy_peel(
         obj = tot / (n + k_reg)
         if obj > best_obj:
             best_df, best_obj, best_round = cur, obj, r
-        nxt = cur.filter(F.col("s") * F.lit(n + k_reg) > F.lit(tot)).localCheckpoint()
+        nxt = cur.filter(F.col("s") * F.lit(n + k_reg) > F.lit(tot)).transform(barrier)
         if nxt.count() == n:  # fixpoint: nothing peeled
             break
         cur = nxt
@@ -168,22 +170,22 @@ def flowscope_peel(
 
     Per round: two hash aggs (in/out per mid), three bounded node-set
     joins, one scalar collect; edges are semi-join filtered and
-    localCheckpoint'ed so lineage stays flat. No per-row Python.
+    barrier()-ed so lineage stays flat. No per-row Python.
 
     Returns {"nodes": DataFrame(side, node, priority), "objective",
     "round"} for the best round.
     """
     eam = am.select(
         F.col(a).alias("na"), F.col(mid).alias("m"), F.col(val).cast("long").alias("v")
-    ).localCheckpoint()
+    ).transform(barrier)
     emc = mc.select(
         F.col(mid).alias("m"), F.col(c).alias("nc"), F.col(val).cast("long").alias("v")
-    ).localCheckpoint()
-    set_a = eam.select("na").distinct().localCheckpoint()
+    ).transform(barrier)
+    set_a = eam.select("na").distinct().transform(barrier)
     set_m = (
-        eam.select("m").unionByName(emc.select("m")).distinct().localCheckpoint()
+        eam.select("m").unionByName(emc.select("m")).distinct().transform(barrier)
     )
-    set_c = emc.select("nc").distinct().localCheckpoint()
+    set_c = emc.select("nc").distinct().transform(barrier)
 
     one_p_a = 1 + alpha
     best_nodes, best_obj, best_round = None, float("-inf"), -1
@@ -202,19 +204,19 @@ def flowscope_peel(
                     - F.lit(alpha) * F.greatest("w_in", "w_out")
                 ).alias("p"),
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
         pa = (
             set_a.join(eam.groupBy("na").agg(F.sum("v").alias("w")), "na", "left")
             .fillna(0, subset=["w"])
             .select("na", (F.lit(one_p_a) * F.col("w")).alias("p"))
-            .localCheckpoint()
+            .transform(barrier)
         )
         pc = (
             set_c.join(emc.groupBy("nc").agg(F.sum("v").alias("w")), "nc", "left")
             .fillna(0, subset=["w"])
             .select("nc", (F.lit(one_p_a) * F.col("w")).alias("p"))
-            .localCheckpoint()
+            .transform(barrier)
         )
         n_a, n_m, n_c = pa.count(), pm.count(), pc.count()
         if not (n_a and n_m and n_c):
@@ -239,18 +241,18 @@ def flowscope_peel(
             break  # fixpoint: the threshold peeled nothing
         prev_sizes = (n_a, n_m, n_c)
         thr = F.col("p") * F.lit(s) > F.lit(num)
-        set_a = pa.filter(thr).select("na").localCheckpoint()
-        set_m = pm.filter(thr).select("m").localCheckpoint()
-        set_c = pc.filter(thr).select("nc").localCheckpoint()
+        set_a = pa.filter(thr).select("na").transform(barrier)
+        set_m = pm.filter(thr).select("m").transform(barrier)
+        set_c = pc.filter(thr).select("nc").transform(barrier)
         eam = (
             eam.join(set_a, "na", "left_semi")
             .join(set_m, "m", "left_semi")
-            .localCheckpoint()
+            .transform(barrier)
         )
         emc = (
             emc.join(set_m, "m", "left_semi")
             .join(set_c, "nc", "left_semi")
-            .localCheckpoint()
+            .transform(barrier)
         )
     if best_nodes is None:
         spark = am.sparkSession

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spartan2_spark.operators.barrier import barrier
+
 __all__ = [
     "adjacency",
     "degrees",
@@ -99,10 +101,10 @@ def kcore(
     the k-core rounds remove all of them at once, O(log n) rounds).
 
     Returns (node, degree) of surviving nodes. Each round is one
-    groupBy + two semi-joins; ``localCheckpoint`` truncates the
+    groupBy + two semi-joins; ``barrier()`` truncates the
     iterative lineage (same discipline as densest_subgraph_peel).
     """
-    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    cur = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(barrier)
     prev_n = cur.count()
     converged = False
     for _ in range(max_rounds):
@@ -111,13 +113,13 @@ def kcore(
             .unionAll(cur.select(F.col("d").alias("n")))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("degree"))
-            .localCheckpoint()
+            .transform(barrier)
         )
         keep = deg.filter(F.col("degree") >= k).select("n")
         nxt = (
             cur.join(keep.withColumnRenamed("n", "s"), "s", "left_semi")
             .join(keep.withColumnRenamed("n", "d"), "d", "left_semi")
-            .localCheckpoint()
+            .transform(barrier)
         )
         n = nxt.count()
         if n == prev_n:
@@ -177,7 +179,7 @@ def connected_components(
     """Connected components of an undirected graph, labeled by the
     minimum node id in the component — min-label propagation over the
     symmetrized edge set, converging in O(component diameter) rounds
-    (two scalar actions + one localCheckpoint per round, the same
+    (two scalar actions + one barrier() per round, the same
     iterative-plan discipline as :func:`kcore`).
 
     Deterministic: labels are min ids, independent of partitioning and
@@ -189,13 +191,13 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     labels = (
         e.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     for _ in range(max_rounds):
         prop = (
@@ -211,7 +213,7 @@ def connected_components(
                     "component"
                 ),
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
         changed = (
             nxt.withColumnRenamed("component", "c2")
@@ -248,7 +250,7 @@ def triangle_counts(
         edges.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     ab = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     bc = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -291,16 +293,16 @@ def pagerank_fixedpoint(
     strict random surfer is needed). Size scale_bits so
     n_nodes * 2^scale_bits * damping_num < 2^63.
 
-    One join + agg per round, localCheckpoint lineage truncation —
+    One join + agg per round, barrier() lineage truncation —
     the same iterative discipline as kcore/peels. Returns
     (node, rank_mass) after ``rounds`` rounds.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).transform(barrier)
     nodes = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     outdeg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
@@ -329,7 +331,7 @@ def pagerank_fixedpoint(
                 ).alias("num"),
             )
             .select("node", F.expr(f"num div {damping_den}").alias("rank_mass"))
-            .localCheckpoint()
+            .transform(barrier)
         )
     return x
 
@@ -347,20 +349,20 @@ def label_propagation(
     Fixed ``rounds`` (synchronous LPA can 2-cycle on bipartite
     structures, so a fixpoint test alone may never fire; bounded
     rounds + the deterministic tie-break give a well-defined result).
-    One join + count + argmax window per round, localCheckpoint
+    One join + count + argmax window per round, barrier()
     lineage truncation. Returns (node, label).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     labels = (
         e.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     pick = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(rounds):
@@ -373,7 +375,7 @@ def label_propagation(
             votes.withColumn("rn", F.row_number().over(pick))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint()
+            .transform(barrier)
         )
     return labels
 
@@ -455,7 +457,7 @@ def ktruss(
     at once, converging in O(log n) rounds on real graphs.
 
     Each round is triangle_counts' two-join wedge plan plus one
-    aggregation; ``localCheckpoint`` truncates the iterative lineage
+    aggregation; ``barrier()`` truncates the iterative lineage
     and two scalar counts per round drive convergence (the engine-wide
     iterative-plan discipline). Deterministic — the fixpoint is unique
     (the k-truss is a closure operator), so any engine's replay lands
@@ -470,7 +472,7 @@ def ktruss(
         edges.select(u.alias("u"), v.alias("v"))
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .transform(barrier)
     )
     prev_n = cur.count()
     converged = prev_n == 0
@@ -485,7 +487,7 @@ def ktruss(
         # inner semi-join: triangle-free edges (absent from support)
         # drop whenever k > 2
         if k > 2:
-            nxt = cur.join(keep, ["u", "v"], "left_semi").localCheckpoint()
+            nxt = cur.join(keep, ["u", "v"], "left_semi").transform(barrier)
         else:
             nxt = cur
         n = nxt.count()

@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from spartan2_spark.operators.barrier import barrier
+
 __all__ = [
     "hist1d",
     "hist2d_log",
@@ -134,11 +136,11 @@ def cluster_histogram_cells(
 
     The cell relation is post-aggregation (thousands of rows at most,
     regardless of input scale), so the propagation loop's self-joins
-    are broadcast-sized; each round ends in localCheckpoint to truncate
+    are broadcast-sized; each round ends in barrier() to truncate
     the iterative lineage.
     """
     cid = (F.col("bin_x") * 100000 + F.col("bin_y")).alias("cid")
-    cells = hist.select(cid, "bin_x", "bin_y", "cnt").localCheckpoint()
+    cells = hist.select(cid, "bin_x", "bin_y", "cnt").transform(barrier)
     edges = (
         cells.alias("a")
         .join(
@@ -150,7 +152,7 @@ def cluster_histogram_cells(
             == 1,
         )
         .select(F.col("a.cid").alias("u"), F.col("b.cid").alias("v"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     labels = cells.select("cid", F.col("cid").alias("cluster"))
     converged = False
@@ -168,7 +170,7 @@ def cluster_histogram_cells(
                     F.col("cluster"), F.coalesce("nbr_cluster", "cluster")
                 ).alias("cluster"),
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
         changed = (
             new_labels.withColumnRenamed("cluster", "new_cluster")
@@ -210,7 +212,7 @@ def smooth_open_2x2(hist: DataFrame) -> DataFrame:
     one of the four cells covered by some anchor. Surviving cells keep
     their original counts.
     """
-    c = hist.select("bin_x", "bin_y").localCheckpoint()
+    c = hist.select("bin_x", "bin_y").transform(barrier)
 
     def shifted(dx: int, dy: int) -> DataFrame:
         return c.select(
@@ -289,7 +291,7 @@ def water_level_tree(
         "bin_x",
         "bin_y",
         "cnt",
-    ).localCheckpoint()
+    ).transform(barrier)
     spark = cells.sparkSession
     max_cnt = cells.agg(F.max("cnt")).first()[0]
     if max_cnt is None:
@@ -316,11 +318,11 @@ def water_level_tree(
             "left_semi",
         )
     )
-    kept = kept.localCheckpoint()
+    kept = kept.transform(barrier)
     alive = (
         kept.join(cells, F.col("cnt") >= F.col("thresh"))
         .select("l", "cid", "bin_x", "bin_y", "cnt")
-        .localCheckpoint()
+        .transform(barrier)
     )
     edges = (
         alive.alias("a")
@@ -332,7 +334,7 @@ def water_level_tree(
             & (F.col("a.cid") != F.col("b.cid")),
         )
         .select(F.col("a.l").alias("l"), F.col("a.cid").alias("u"), F.col("b.cid").alias("v"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     labels = alive.select("l", "cid", F.col("cid").alias("node"))
     converged = False
@@ -351,7 +353,7 @@ def water_level_tree(
                 "cid",
                 F.least(F.col("node"), F.coalesce("nbr_node", "node")).alias("node"),
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
         changed = (
             new_labels.withColumnRenamed("node", "new_node")
@@ -491,7 +493,7 @@ def describe_islands(tree: DataFrame) -> DataFrame:
     m = tree.groupBy("level", "node").agg(
         F.count(F.lit(1)).alias("n_cells"), *_gauss_moment_aggs()
     )
-    params = _gauss_params(m).localCheckpoint()
+    params = _gauss_params(m).transform(barrier)
     loss = _gauss_loss(tree, params, ["level", "node"])
     return params.join(loss, ["level", "node"]).select(
         "level",
@@ -575,12 +577,12 @@ def stitch_islands(
             F.sum(wl * cy * cy * cy).alias("gsyyy"),
             F.sum(wl * cy * cy * cy * cy).alias("gsy4"),
         )
-        .localCheckpoint()
+        .transform(barrier)
     )
     params = _gauss_params(m)
 
     own_loss = _gauss_loss(tree, params, ["level", "node"])
-    isl = params.join(own_loss, ["level", "node"]).localCheckpoint()
+    isl = params.join(own_loss, ["level", "node"]).transform(barrier)
 
     dist = F.sqrt(
         (F.col("a.mu_x") - F.col("b.mu_x")) * (F.col("a.mu_x") - F.col("b.mu_x"))
@@ -677,7 +679,7 @@ def stitch_islands(
             "v",
             F.round(-F.col("score") * 1e6, 0).cast("long").alias("gq"),
         )
-        .localCheckpoint()
+        .transform(barrier)
     )
     cand = scored.select("level", F.col("u").alias("node"), F.col("v").alias("partner"), "gq").unionByName(
         scored.select("level", F.col("v").alias("node"), F.col("u").alias("partner"), "gq")
@@ -883,7 +885,7 @@ def gof_accept_tree(
 
     Returns (level, node, mass, gof_stat, accepted, visited, selected).
     """
-    st = gof_islands(tree, threshold).localCheckpoint()
+    st = gof_islands(tree, threshold).transform(barrier)
     rows = st.select("level", "node", "parent", "accepted").collect()
     levels = sorted({r["level"] for r in rows})
     prev_of = {levels[i + 1]: l for i, l in enumerate(levels[:-1])}

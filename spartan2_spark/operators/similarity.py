@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spartan2_spark.operators.barrier import barrier
+
 __all__ = ["cosine_topk", "ann_topk", "ivf_topk", "lsh_label_purity"]
 
 
@@ -139,7 +141,7 @@ def ivf_topk(
     cents = corpus.sparkSession.createDataFrame(
         [(i + 1, r["cv"]) for i, r in enumerate(seed_rows)],
         schema="centroid_id int, centroid array<double>",
-    ).localCheckpoint()
+    ).transform(barrier)
     for _ in range(lloyd_rounds):
         assigned = _assign_nearest(c, cents, "cv", "cell")
         cents = (
@@ -153,7 +155,7 @@ def ivf_topk(
                     lambda s: s["mx"],
                 ).alias("centroid")
             )
-            .localCheckpoint()
+            .transform(barrier)
         )
 
     cells = _assign_nearest(c, cents, "cv", "cell")

@@ -12,7 +12,9 @@ scipy on an in-memory sparse matrix, we run DataFrame joins/aggs):
   One power step is two shuffles: ``y = A v`` is a join of edges with
   the v-vector on dst + groupBy(src); ``v' = A^T y`` symmetrically.
   O(log(1/eps)/log(s1/s2)) rounds; each round ends with an eager
-  ``localCheckpoint`` to truncate the iterative plan lineage.
+  ``barrier()`` (reliable ``checkpoint()`` when a checkpoint dir is
+  configured, ``localCheckpoint()`` otherwise) to truncate the
+  iterative plan lineage.
 
 - ``eigen_spokes_nodes``: EigenSpokes' node pick — entries of the
   leading singular vector with ``|u_i| >= 1/sqrt(m)``
@@ -40,6 +42,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+from spartan2_spark.operators.barrier import barrier
 
 __all__ = [
     "power_iteration",
@@ -70,13 +74,13 @@ def power_iteration(
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w")
-    ).localCheckpoint()
+    ).transform(barrier)
 
     v = (
         e.select(F.col("d").alias("node"))
         .distinct()
         .withColumn("score", F.lit(1.0))
-    ).localCheckpoint()
+    ).transform(barrier)
     # normalize start
     n_dst = v.count()
     if n_dst == 0:  # empty graph: sums below would collect as NULL
@@ -94,7 +98,7 @@ def power_iteration(
             .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
         )
         y_norm = y.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
-        u = y.withColumn("score", F.col("score") / F.lit(y_norm)).localCheckpoint()
+        u = y.withColumn("score", F.col("score") / F.lit(y_norm)).transform(barrier)
         # v' = A^T u (join on src, sum per dst)
         z = (
             e.join(u.withColumnRenamed("node", "s"), "s")
@@ -102,7 +106,7 @@ def power_iteration(
             .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
         )
         sigma = z.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).collect()[0][0]
-        v = z.withColumn("score", F.col("score") / F.lit(sigma)).localCheckpoint()
+        v = z.withColumn("score", F.col("score") / F.lit(sigma)).transform(barrier)
     return {"sigma1": float(sigma), "u": u, "v": v}
 
 
@@ -200,13 +204,13 @@ def specgreedy_subgraph(
     'density': float, 'rounds': int}.
     """
     tri = power_iteration(edges, src, dst, n_iter=n_iter)
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint()
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).transform(barrier)
     su = eigen_spokes_nodes(tri["u"], tri["u"].count()).select(
         F.col("node").alias("s")
-    ).localCheckpoint()
+    ).transform(barrier)
     sv = eigen_spokes_nodes(tri["v"], tri["v"].count()).select(
         F.col("node").alias("d")
-    ).localCheckpoint()
+    ).transform(barrier)
 
     density = 0.0
     rounds = 0
@@ -214,7 +218,7 @@ def specgreedy_subgraph(
         blk = (
             e.join(F.broadcast(su), "s", "left_semi")
             .join(F.broadcast(sv), "d", "left_semi")
-            .localCheckpoint()
+            .transform(barrier)
         )
         stats = blk.agg(
             F.count(F.lit(1)).alias("m"),
@@ -227,10 +231,10 @@ def specgreedy_subgraph(
         half = density / 2.0
         keep_s = (
             blk.groupBy("s").count().filter(F.col("count") >= half).select("s")
-        ).localCheckpoint()
+        ).transform(barrier)
         keep_d = (
             blk.groupBy("d").count().filter(F.col("count") >= half).select("d")
-        ).localCheckpoint()
+        ).transform(barrier)
         if keep_s.count() == su.count() and keep_d.count() == sv.count():
             break
         su, sv = keep_s, keep_d
@@ -282,7 +286,7 @@ def kgrass_summarize(
     # not multi-edges): deduplicate edge pairs first so the per-
     # superedge multiplicity counts DISTINCT cells and is bounded by
     # |A|*|B| — keeping err_term = c*(1 - c/(|A|*|B|)) in [0, c].
-    e0 = edges.select(src, dst).dropDuplicates([src, dst]).localCheckpoint()
+    e0 = edges.select(src, dst).dropDuplicates([src, dst]).transform(barrier)
 
     if hash_mode == "poly":
         nbr_h = _poly_node_hash(dst, 0)
@@ -424,7 +428,7 @@ def dpgs_merge_round(
     node_w = (
         edges.groupBy(F.col(src).alias("node"), F.col(dst).alias("nei"))
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     deg = node_w.groupBy("node").agg(F.sum("w").alias("d"))
     sig = summarize_graph_lsh(edges, src, dst, k_hashes, hash_mode)["assign"]
@@ -435,7 +439,7 @@ def dpgs_merge_round(
         .filter((F.col("gsz") >= 2) & (F.col("gsz") <= max_group))
         .select("g")
     )
-    grp = sig.join(ok, "g").localCheckpoint()
+    grp = sig.join(ok, "g").transform(barrier)
     nodes = grp.join(deg, "node")
     pairs = (
         nodes.alias("a")
@@ -490,7 +494,7 @@ def dpgs_merge_round(
         )
         .filter(F.col("gq") > 0)
         .select("g", "u", "v", "gq")
-        .localCheckpoint()
+        .transform(barrier)
     )
     all_nodes = edges.select(F.col(src).alias("node")).distinct()
     assign = _match_and_collapse(gains, all_nodes)
@@ -584,7 +588,7 @@ def kgrass_merge_round(
     Buckets above ``max_group`` are skipped this round. Returns
     {'assign': (node, supernode), 'losses': (g, u, v, loss)}.
     """
-    e0 = edges.select(src, dst).dropDuplicates([src, dst]).localCheckpoint()
+    e0 = edges.select(src, dst).dropDuplicates([src, dst]).transform(barrier)
     sig = kgrass_summarize(e0, src, dst, k=k, hash_mode=hash_mode)["assign"]
     srcs = e0.select(F.col(src).alias("node")).distinct()
     grp = (
@@ -597,7 +601,7 @@ def kgrass_merge_round(
         .filter((F.col("gsz") >= 2) & (F.col("gsz") <= max_group))
         .select("g")
     )
-    grp = grp.join(ok, "g").localCheckpoint()
+    grp = grp.join(ok, "g").transform(barrier)
     deg = e0.groupBy(F.col(src).alias("node")).agg(F.count(F.lit(1)).alias("d"))
     nodes = grp.join(deg, "node")
     pairs = (
@@ -633,7 +637,7 @@ def kgrass_merge_round(
             "v",
             (F.col("dsum") - 2 * F.coalesce("c", F.lit(0))).alias("loss"),
         )
-        .localCheckpoint()
+        .transform(barrier)
     )
     gains = losses.select("g", "u", "v", (-F.col("loss")).alias("gq"))
     assign = _match_and_collapse(gains, srcs)
@@ -663,7 +667,7 @@ def dpgs_summarize(
     scores no positive pair or ``max_rounds``.
 
     Only scalars cross to the driver per round (positive-pair count);
-    per-round relations are ``localCheckpoint``-ed to truncate lineage.
+    per-round relations go through ``barrier()`` to truncate lineage.
     Returns {'assign': (node, supernode) in ORIGINAL node ids,
     'history': [{'round', 'positive_pairs'} ...]}.
     """
@@ -678,7 +682,7 @@ def dpgs_summarize(
         history.append({"round": r, "positive_pairs": n_pos})
         if n_pos == 0:
             break
-        assign = res["assign"].localCheckpoint()
+        assign = res["assign"].transform(barrier)
         total = (
             assign
             if total is None
@@ -688,12 +692,12 @@ def dpgs_summarize(
                 F.col("t.supernode") == F.col("a.node"),
             )
             .select(F.col("t.node"), F.col("a.supernode"))
-            .localCheckpoint()
+            .transform(barrier)
         )
         cur = (
             cur.join(assign, cur["src"] == assign["node"])
             .select(F.col("supernode").alias("src"), "dst")
-            .localCheckpoint()
+            .transform(barrier)
         )
     if total is None:
         total = edges.select(F.col(src).alias("node")).distinct().select(
@@ -737,11 +741,11 @@ def power_iteration_fixedpoint(
     w = (F.col(weight).cast("long") if weight else F.lit(1).cast("long"))
     e = edges.select(
         F.col(src).alias("s"), F.col(dst).alias("d"), w.alias("w")
-    ).localCheckpoint()
+    ).transform(barrier)
     x = (
         e.select(F.col("d").alias("node")).distinct()
         .withColumn("score", F.lit(1).cast("long"))
-        .localCheckpoint()
+        .transform(barrier)
     )
     on_dst_side = True  # x currently spans dst nodes
     for _ in range(half_steps):
@@ -750,13 +754,13 @@ def power_iteration_fixedpoint(
             e.join(x.withColumnRenamed("node", join_key), join_key)
             .groupBy(F.col(group_key).alias("node"))
             .agg(F.sum(F.col("w") * F.col("score")).alias("score"))
-        ).localCheckpoint()
+        ).transform(barrier)
         mx = nxt.agg(F.max("score")).collect()[0][0] or 0
         shift = max(int(mx).bit_length() - target_bits, 0)
         if shift:
             nxt = nxt.withColumn(
                 "score", F.shiftright(F.col("score"), shift)
-            ).localCheckpoint()
+            ).transform(barrier)
         x = nxt
         on_dst_side = not on_dst_side
     return x
