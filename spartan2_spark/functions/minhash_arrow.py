@@ -1,0 +1,116 @@
+"""Vectorized (Arrow/numpy) minhash signature kernel — the poly-mode
+fast path for ``minhash_lsh_pairs``.
+
+The SQL formulation of the signature stage evaluates two nested
+higher-order ``transform`` lambdas per row (shingle substrings, then
+k re-hash/min slots). Catalyst does not codegen higher-order-function
+lambdas — they run on the interpreted expression evaluator — so the
+stage costs ~10 s at sf0.1 for only ~1M shingles. This kernel computes
+the *identical values* (same distinct-shingle poly hashes, same k
+affine-minhash slots) in one ``mapInArrow`` pass with numpy batch
+arithmetic: measured >20x on the signature stages.
+
+Exact semantics reproduced (oracle-parity contract — the DuckDB twin
+in ``__spark_entry__._minhash_prelude`` recomputes these values):
+
+* shingles: positions ``1 .. greatest(len - n + 1, 1)``, i.e. docs
+  shorter than ``n`` chars contribute ONE shingle = the whole text
+  (and the empty string hashes like Spark: ``split('', '') = ['']``,
+  ``ascii('') = 0`` -> hash 0);
+* per-shingle hash: fold ``h = (h*31 + codepoint) % (2^31-1)`` over
+  the characters (``operators.text._poly_hash``);
+* the doc's shingle-hash SET (array_distinct upstream + the
+  set-semantics of array_min/array_intersect/array_union make only
+  the set observable);
+* slot j: ``min(((2j+1)*h + j^2+7) % (2^31-1))`` over the set.
+
+Everything stays mod-2^31-1 so all intermediates fit int64 with wide
+margins (max product: codepoint(2^21) * 31^(n-1)).
+
+Used by ``dedup.minhash_lsh_pairs(hash_mode='poly')`` (auto) — the
+xxhash production mode keeps the JVM-intrinsic SQL path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["minhash_batches", "poly_shingle_set"]
+
+_P = np.int64(2147483647)  # 2^31 - 1, matches text._POLY_P
+
+
+def _fold_hash(codes: np.ndarray) -> int:
+    """Whole-string poly hash (short-doc / empty-doc path)."""
+    h = np.int64(0)
+    for c in codes:
+        h = (h * 31 + np.int64(c)) % _P
+    return int(h)
+
+
+def poly_shingle_set(text: str, n: int) -> np.ndarray:
+    """Sorted distinct poly hashes of one doc's char n-gram shingles."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    length = codes.shape[0]
+    if length <= n:
+        # one shingle: substring(text, 1, n) == the whole text
+        return np.array([_fold_hash(codes)], dtype=np.int64)
+    pows = (31 ** np.arange(n - 1, -1, -1, dtype=np.int64)) % _P
+    nwin = length - n + 1
+    acc = np.zeros(nwin, dtype=np.int64)
+    for j in range(n):
+        acc += codes[j : j + nwin] * pows[j]
+        # codepoint < 2^21, pow < 2^31 -> addend < 2^52; reduce each
+        # round so the running sum never approaches 2^63
+        acc %= _P
+    return np.unique(acc)
+
+
+def minhash_batches(
+    batches: Iterator[pa.RecordBatch],
+    *,
+    n: int,
+    k: int,
+    id_field: str = "id",
+    text_field: str = "text",
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: (id, text) -> (id, hv: list<int64> distinct
+    shingle hashes (sorted), sig: list<int64> of k minhash slots)."""
+    a = np.array([2 * j + 1 for j in range(k)], dtype=np.int64)[:, None]
+    b = np.array([j * j + 7 for j in range(k)], dtype=np.int64)[:, None]
+    for batch in batches:
+        ids = batch.column(id_field)
+        texts = batch.column(text_field).to_pylist()
+        sets = [poly_shingle_set(t if t is not None else "", n) for t in texts]
+        lens = np.array([s.shape[0] for s in sets], dtype=np.int64)
+        flat = (
+            np.concatenate(sets) if sets else np.empty(0, dtype=np.int64)
+        )
+        offsets = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        # k x total affine transforms, then per-doc segmented minima.
+        # a*h < 2^37 -> int64-safe
+        transformed = (a * flat[None, :] + b) % _P
+        if flat.shape[0]:
+            sig = np.minimum.reduceat(transformed, offsets[:-1], axis=1)
+        else:
+            sig = np.empty((k, 0), dtype=np.int64)
+        sig_flat = np.ascontiguousarray(sig.T).reshape(-1)
+        hv_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int64())
+        )
+        sig_off = pa.array(
+            np.arange(0, (len(texts) + 1) * k, k, dtype=np.int64),
+            type=pa.int32(),
+        )
+        sig_arr = pa.ListArray.from_arrays(
+            sig_off, pa.array(sig_flat, type=pa.int64())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [ids, hv_arr, sig_arr], names=[id_field, "hv", "sig"]
+        )

@@ -601,3 +601,74 @@ def test_sorted_neighborhood_pairs_window_and_determinism(spark):
         "doc_id", window=3,
     )
     assert {(r.id_a, r.id_b): r.rank_gap for r in out2.collect()} == got
+
+
+def test_minhash_arrow_sql_parity(spark):
+    """The mapInArrow poly-mode fast path must produce IDENTICAL pairs,
+    jaccards, and underlying hv/sig values to the SQL formulation —
+    including short (<n chars), empty, and non-ASCII documents."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dogs"),
+        (3, "abc"),  # shorter than shingle_n -> one whole-text shingle
+        (4, ""),  # empty: split('','')=[''], ascii('')=0 -> hash 0
+        (5, "héllo wörld ünïcode çharacters £¥€ test string"),
+        (6, "héllo wörld ünïcode çharacters £¥€ test strings"),
+        (7, "abc"),  # identical short doc -> J=1 pair with 3
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(k=16, bands=4, jaccard_threshold=0.1, hash_mode="poly")
+    arrow = sorted(
+        map(tuple, DD.minhash_lsh_pairs(d, use_arrow=True, **kw).collect())
+    )
+    sql = sorted(
+        map(tuple, DD.minhash_lsh_pairs(d, use_arrow=False, **kw).collect())
+    )
+    assert arrow == sql
+    assert (3, 7, 1.0) in [(a, b, j) for a, b, j in arrow]
+
+
+def test_minhash_arrow_kernel_values_match_sql_exprs(spark):
+    """Slot-level parity: the numpy kernel's hv set and k signature
+    slots equal the Catalyst expressions' values row by row."""
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.functions.minhash_arrow import minhash_batches
+    from spartan2_spark.operators.dedup import _POLY_P, char_shingles_expr
+    from spartan2_spark.operators.text import _poly_hash
+
+    rows = [(1, "minhash parity check text"), (2, "xy"), (3, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    n, k = 5, 8
+
+    def kern(it):
+        return minhash_batches(it, n=n, k=k)
+
+    got = {
+        r["id"]: r
+        for r in d.select(F.col("doc_id").alias("id"), "text")
+        .mapInArrow(kern, schema="id bigint, hv array<bigint>, sig array<bigint>")
+        .collect()
+    }
+    hv = F.transform(char_shingles_expr("text", n), _poly_hash)
+
+    def _slot(j):
+        # single-parameter lambda: a second parameter would be bound to
+        # the ARRAY INDEX by PySpark (see dedup.minhash_signature note)
+        return F.array_min(
+            F.transform(
+                F.col("hv"),
+                lambda h: (F.lit(2 * j + 1) * h + F.lit(j * j + 7)) % _POLY_P,
+            )
+        )
+
+    slots = [_slot(j) for j in range(k)]
+    want = {
+        r["doc_id"]: r
+        for r in d.withColumn("hv", hv)
+        .select("doc_id", "hv", F.array(*slots).alias("sig"))
+        .collect()
+    }
+    for i in want:
+        assert sorted(set(want[i]["hv"])) == list(got[i]["hv"]), i
+        assert want[i]["sig"] == list(got[i]["sig"]), i
