@@ -4104,16 +4104,18 @@ def _q_kcore(spark, sf_dir):
     return GR.kcore(li, k=34)
 
 
-def _q_triangles(spark, sf_dir):
-    """Per-supplier triangle counts on the co-part projection
-    (suppliers sharing a part, part fan-out capped at 200) —
-    canonical-orientation join, each triangle found once. The co-part
-    graph saturates toward a clique as sf grows (every supplier pair
-    eventually shares a part), so the same floor(150/sqrt(n))% MINSTD
-    edge sample as ktruss_edges keeps edge density — and the wedge-join
-    workload — scale-constant (measured 47 s -> <1 s at sf0.1)."""
-    from spartan2_spark.operators.graph import triangle_counts
-
+def _sampled_copart_edges(spark, sf_dir):
+    """Shared candidate-edge builder for the co-part graph queries
+    (triangle_counts_sampled, ktruss_edges): distinct supplier co-part
+    pairs, part fan-out capped at 200, then a deterministic MINSTD edge
+    sample at rate floor(150/sqrt(n_suppliers))%. The co-part graph
+    saturates toward a clique as sf grows (every supplier pair
+    eventually shares a part), so the 1/sqrt(n) rate holds edge density
+    — and the wedge-join workload — scale-constant (measured 47 s ->
+    <1 s at sf0.1). One scalar count (n_suppliers) is the documented
+    driver-side-scalar seam; both consumers AND their SQL twins must
+    replay this construction identically — factored here so the hash /
+    rate expressions cannot drift apart (ADVICE r3)."""
     li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
     ok = (
         li.groupBy("l_partkey")
@@ -4124,7 +4126,7 @@ def _q_triangles(spark, sf_dir):
     li = li.join(ok, "l_partkey")
     nsupp = li.select("l_suppkey").distinct().count()
     rate = max(2, int(150 / nsupp**0.5))
-    pairs = (
+    return (
         li.alias("x")
         .join(li.alias("y"), "l_partkey")
         .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
@@ -4141,7 +4143,19 @@ def _q_triangles(spark, sf_dir):
         )
         .distinct()
     )
-    return triangle_counts(pairs)
+
+
+def _q_triangles(spark, sf_dir):
+    """Per-supplier triangle counts on the SAMPLED co-part projection
+    (see _sampled_copart_edges) — canonical-orientation join, each
+    triangle found once. Named *_sampled because r3 changed the
+    semantics from exact co-part triangle counts to counts on the
+    deterministic edge sample: results are exact FOR THE SAMPLED GRAPH
+    (Spark and the SQL twin replay the identical sample) but are not
+    comparable to the pre-r3 exact-graph numbers."""
+    from spartan2_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_sampled_copart_edges(spark, sf_dir))
 
 
 _TRIANGLES_SQL = """
@@ -4217,54 +4231,33 @@ def _pagerank_sql(rounds: int = 6, num: int = 85, den: int = 100,
 
 
 def _q_ktruss(spark, sf_dir):
-    """5-truss of the hash-sparsified supplier co-part graph: iterative
-    edge peel keeping edges in >= 3 triangles — the EDGE-cohesion dual
-    of kcore_peel, pruning the bridge/hub edges node peeling keeps.
-    The co-part graph saturates to a near-clique at any sf (every
-    supplier pair eventually shares a part), so a deterministic
-    integer MINSTD edge sample keeps it sparse at every scale — the
-    same engine-portable no-RNG trick as hash_sample, identical edge
-    set on any engine. The sample rate adapts as floor(150/sqrt(n))%
-    (n = supplier count): expected triangle support scales with
-    n * rate^2, so a 1/sqrt(n) rate holds the peel workload constant
-    from sf0.001 to any scale — the measurement is one bounded scalar
-    count (the documented driver-side-scalar seam, cf. ivf_topk's dim
-    fallback). Fixed-unroll twin: the fixpoint is a closure, so extra
-    unrolled rounds are the identity and the DuckDB replay lands on
-    the same edge set value-exactly."""
+    """5-truss of the sampled supplier co-part graph
+    (_sampled_copart_edges): iterative edge peel keeping edges in >= 3
+    triangles — the EDGE-cohesion dual of kcore_peel, pruning the
+    bridge/hub edges node peeling keeps. Fixed-unroll twin: the
+    fixpoint is a closure, so extra unrolled rounds are the identity
+    and the DuckDB replay lands on the same edge set value-exactly.
+    The Spark peel raises if unconverged within max_rounds=30, so a
+    converged Spark result compared against the 8-round twin can only
+    mismatch (loudly) if convergence needs >8 rounds — on the sampled
+    graph the peel converges in <=3 rounds at every tested sf (the
+    sample rate holds expected edge density scale-constant, see
+    _sampled_copart_edges)."""
     from spartan2_spark.operators.graph import ktruss
 
-    li = _lineitem(spark, sf_dir).select("l_partkey", "l_suppkey").distinct()
-    ok = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") <= 200)
-        .select("l_partkey")
-    )
-    li = li.join(ok, "l_partkey")
-    nsupp = li.select("l_suppkey").distinct().count()
-    rate = max(2, int(150 / nsupp**0.5))
-    pairs = (
-        li.alias("x")
-        .join(li.alias("y"), "l_partkey")
-        .filter(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
-        .select(
-            F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
-        )
-        # sample BEFORE the dedup shuffle: the hash is per-pair
-        # deterministic, so filter-then-distinct == distinct-then-filter
-        # while the distinct's input shrinks by 1/rate (25x at sf0.1)
-        .filter(
-            ((F.col("src") * 48271 + F.col("dst")) * 48271)
-            % 2147483647 % 100
-            < rate
-        )
-        .distinct()
-    )
-    return ktruss(pairs, k=5)
+    return ktruss(_sampled_copart_edges(spark, sf_dir), k=5)
 
 
 def _ktruss_sql(k: int = 5, rounds: int = 8) -> str:
+    # The peel rounds drop triangle-free edges via the INNER join
+    # against sup{r}; the Spark ktruss keeps them when k <= 2, so the
+    # twin is only valid for k > 2 (ADVICE r3). `rounds` must be >= the
+    # rounds the Spark peel needs; Spark raises past max_rounds=30 and
+    # extra unrolled rounds are the identity, so a converged comparison
+    # can only fail loudly, never silently diverge.
+    if k <= 2:
+        raise ValueError("_ktruss_sql requires k > 2 (k <= 2 keeps "
+                         "triangle-free edges, which the peel CTEs drop)")
     parts = [
         "li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
         "ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200)",
@@ -5970,7 +5963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lttb_downsample": _q_lttb,
         "countmin_heavy_hitters": _q_countmin,
         "interval_join_windows": _q_interval_join,
-        "triangle_counts": _q_triangles,
+        "triangle_counts_sampled": _q_triangles,
         "pagerank_fixedpoint": _q_pagerank,
         "ktruss_edges": _q_ktruss,
         "benchmark_decontaminate": _q_decontaminate,
@@ -6164,7 +6157,7 @@ def oracle_sql() -> dict[str, str]:
         "lttb_downsample": _LTTB_SQL,
         "countmin_heavy_hitters": _COUNTMIN_SQL,
         "interval_join_windows": _INTERVAL_JOIN_SQL,
-        "triangle_counts": _TRIANGLES_SQL,
+        "triangle_counts_sampled": _TRIANGLES_SQL,
         "pagerank_fixedpoint": _pagerank_sql(rounds=6),
         "ktruss_edges": _ktruss_sql(k=5, rounds=8),
         "benchmark_decontaminate": _DECONTAMINATE_SQL,

@@ -72,7 +72,7 @@ AUDIT_QUERIES = [
     "asof_join_quotes",
     "lttb_downsample",
     "interval_join_windows",
-    "triangle_counts",
+    "triangle_counts_sampled",
     "rolling_stats",
     "ewma_dyadic",
     "countmin_heavy_hitters",
