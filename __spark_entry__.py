@@ -662,6 +662,71 @@ def _q_monlad_zeroout(spark, sf_dir):
     return WD.zero_out_replay(ev, delta_up=5000.0, epsilon=500.0)
 
 
+def _q_monlad_cfd(spark, sf_dir):
+    """MonLAD CFD-variant replay (ZeroOutCoreCFD.py:3-53): typed
+    single-account events — 'purchase' = credit (des_type), 'error' =
+    debit (source_type), all other types ignored; up-transitions fire
+    only on credits, zero-outs only on debits, and n_credits_in flushes
+    the per-cycle pump-credit counter at each zero-out. Marker-sequence
+    SQL twin (_MONLAD_CFD_SQL), same centi-integer exactness trick as
+    monlad_zeroout."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        _usec("ts").alias("ts"),
+        F.col("event_type").alias("tx_type"),
+        F.round(F.col("value") * 100).alias("weight"),
+    )
+    return WD.zero_out_replay_cfd(
+        ev,
+        source_type="error",
+        des_type="purchase",
+        delta_up=2000.0,
+        epsilon=200.0,
+    )
+
+
+_MONLAD_CFD_SQL = """
+WITH typed AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS ts,
+         CASE WHEN event_type = 'purchase' THEN ROUND(value*100)
+              ELSE -ROUND(value*100) END AS amt,
+         (event_type = 'purchase') AS is_credit
+  FROM events WHERE event_type IN ('error', 'purchase')),
+b1 AS (
+  SELECT key, ts, is_credit,
+         SUM(amt) OVER (PARTITION BY key ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS bal
+  FROM typed),
+b2 AS (
+  SELECT *, LEAST(0, COALESCE(MIN(bal) OVER (PARTITION BY key ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS run_min
+  FROM b1),
+mk AS (
+  SELECT *, CASE WHEN is_credit AND bal - run_min >= 2000 THEN 'P'
+                 WHEN NOT is_credit AND bal - run_min <= 200 THEN 'D' END AS mark
+  FROM b2),
+seq AS (
+  SELECT key, ts, mark,
+         LAG(mark) OVER (PARTITION BY key ORDER BY ts) AS prev
+  FROM mk WHERE mark IS NOT NULL),
+cd AS (SELECT key, ts FROM seq WHERE mark = 'D' AND prev = 'P'),
+lastcd AS (SELECT key, MAX(ts) AS last_ts FROM cd GROUP BY key),
+zo AS (SELECT key, COUNT(*)::BIGINT AS n_zero_outs FROM cd GROUP BY key),
+cin AS (
+  SELECT s.key, COUNT(*)::BIGINT AS n_credits_in
+  FROM seq s JOIN lastcd l ON s.key = l.key
+  WHERE s.mark = 'P' AND s.ts < l.last_ts GROUP BY s.key),
+stats AS (
+  SELECT key, COUNT(*)::BIGINT AS n_events, MAX(bal) AS max_balance,
+         arg_max(bal, ts) AS final_balance
+  FROM b1 GROUP BY key)
+SELECT st.key, st.n_events, COALESCE(z.n_zero_outs, 0)::BIGINT AS n_zero_outs,
+       COALESCE(c.n_credits_in, 0)::BIGINT AS n_credits_in,
+       st.max_balance, st.final_balance
+FROM stats st LEFT JOIN zo z USING (key) LEFT JOIN cin c USING (key)
+"""
+
+
 _MONLAD_SQL = """
     WITH e AS (
       SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS tsu,
@@ -6010,6 +6075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
+        "monlad_cfd": _q_monlad_cfd,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6249,6 +6315,7 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_text": _HTML_EXTRACT_SQL,
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
+        "monlad_cfd": _MONLAD_CFD_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the
         # Spark side raises if unconverged by then, so a converged Spark
         # result is always compared against a >=-fixpoint-depth oracle

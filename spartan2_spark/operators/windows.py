@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["assign_windows", "window_spectral_density", "zero_out_replay"]
+__all__ = [
+    "assign_windows",
+    "window_spectral_density",
+    "zero_out_replay",
+    "zero_out_replay_cfd",
+]
 
 
 def assign_windows(
@@ -210,4 +215,98 @@ def zero_out_replay(
 
     return batched_group_apply(
         df, [key_col], kernel, _ZEROOUT_SCHEMA, order=(time_col,)
+    )
+
+_ZEROOUT_CFD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_zero_outs", T.LongType()),
+        T.StructField("n_credits_in", T.LongType()),
+        T.StructField("max_balance", T.DoubleType()),
+        T.StructField("final_balance", T.DoubleType()),
+    ]
+)
+
+
+def zero_out_replay_cfd(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    type_col: str = "tx_type",
+    weight_col: str = "weight",
+    source_type: str = "VYDAJ",
+    des_type: str = "PRIJEM",
+    delta_up: float = 100.0,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """MonLAD CFD-variant replay: single-account events typed by a
+    transaction-type column (reference
+    /root/reference/spartan/model/MonLAD/ZeroOutCoreCFD.py:3-53).
+
+    Differences from :func:`zero_out_replay` (the source/destination
+    pair form), mirroring the reference split:
+
+    * each event carries ONE account + a type; ``des_type`` events are
+      credits (+weight), ``source_type`` events debits (-weight), any
+      other type is ignored entirely (no balance change, no state —
+      the reference's early-return for unknown types);
+    * the pump (up) transition can only fire on a CREDIT event and the
+      drain (zero-out) only on a DEBIT event;
+    * ``n_credits_in`` accumulates, at each zero-out, the number of
+      pump-qualifying credits since the previous zero-out (the
+      reference's countTempInDict -> countInDict flush) — credits
+      after the last zero-out never count.
+
+    Same simplified running-trough state machine as
+    ``zero_out_replay`` (pumped: bal - run_min >= delta_up; drained:
+    bal - run_min <= epsilon, run_min excluding the current event);
+    SQL-expressible as a marker sequence, see the oracle twin.
+    """
+    typed = df.filter(F.col(type_col).isin(source_type, des_type)).select(
+        F.col(key_col).alias(key_col),
+        F.col(time_col).alias(time_col),
+        F.when(
+            F.col(type_col) == des_type, F.col(weight_col)
+        )
+        .otherwise(-F.col(weight_col))
+        .alias("__amt"),
+        (F.col(type_col) == des_type).alias("__is_credit"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        bal = pdf["__amt"].to_numpy(np.float64).cumsum()
+        credit = pdf["__is_credit"].to_numpy(bool)
+        run_min = np.minimum.accumulate(np.concatenate(([0.0], bal)))[:-1]
+        pumped = credit & (bal - run_min >= delta_up)
+        drained = ~credit & (bal - run_min <= epsilon)
+        open_ = False
+        n_cycles = 0
+        temp_in = 0
+        credits_in = 0
+        for i in np.flatnonzero(pumped | drained):
+            if pumped[i]:
+                open_ = True
+                temp_in += 1
+            elif open_:
+                open_ = False
+                n_cycles += 1
+                credits_in += temp_in
+                temp_in = 0
+        return pd.DataFrame(
+            {
+                "key": [str(pdf[key_col].iloc[0])],
+                "n_events": [len(bal)],
+                "n_zero_outs": [n_cycles],
+                "n_credits_in": [credits_in],
+                "max_balance": [float(bal.max()) if len(bal) else 0.0],
+                "final_balance": [float(bal[-1]) if len(bal) else 0.0],
+            }
+        )
+
+    from spartan2_spark.operators.grouped import batched_group_apply
+
+    return batched_group_apply(
+        typed, [key_col], kernel, _ZEROOUT_CFD_SCHEMA, order=(time_col,)
     )

@@ -40,6 +40,7 @@ __all__ = [
     "stream_rollup_to_tier",
     "stream_running_extremes",
     "stream_zero_out",
+    "stream_zero_out_cfd",
     "run_stream_to_memory",
 ]
 
@@ -203,6 +204,97 @@ def stream_zero_out(
         _make_zero_out_fn(delta_up, epsilon),
         outputStructType=_ZO_OUT,
         stateStructType=_ZO_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_ZO_CFD_STATE = T.StructType(
+    [
+        T.StructField("bal", T.DoubleType()),
+        T.StructField("run_min", T.DoubleType()),
+        T.StructField("open", T.BooleanType()),
+        T.StructField("n_cycles", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("temp_in", T.LongType()),
+        T.StructField("credits_in", T.LongType()),
+    ]
+)
+_ZO_CFD_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_zero_outs", T.LongType()),
+        T.StructField("n_credits_in", T.LongType()),
+        T.StructField("balance", T.DoubleType()),
+    ]
+)
+
+
+def _make_zero_out_cfd_fn(delta_up: float, epsilon: float):
+    def fn(key, pdfs, state: GroupState):
+        bal, run_min, open_, n_cycles, n_events, temp_in, credits_in = (
+            state.get if state.exists else (0.0, 0.0, False, 0, 0, 0, 0)
+        )
+        chunks = [c for c in pdfs if len(c)]
+        if chunks:
+            pdf = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values("ts", kind="mergesort")
+            amts = pdf["amount"].to_numpy()
+            credits = pdf["is_credit"].to_numpy()
+            for amt, is_credit in zip(amts, credits):
+                # run_min EXCLUDES the current event (parity with the
+                # batch replay's leading-zero minimum-accumulate)
+                prev_min = run_min
+                bal += float(amt)
+                run_min = min(run_min, bal)
+                n_events += 1
+                if is_credit:
+                    if bal - prev_min >= delta_up:
+                        open_ = True
+                        temp_in += 1
+                elif bal - prev_min <= epsilon and open_:
+                    open_ = False
+                    n_cycles += 1
+                    credits_in += temp_in
+                    temp_in = 0
+        state.update(
+            (bal, run_min, open_, n_cycles, n_events, temp_in, credits_in)
+        )
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])],
+                "n_events": [n_events],
+                "n_zero_outs": [n_cycles],
+                "n_credits_in": [credits_in],
+                "balance": [bal],
+            }
+        )
+
+    return fn
+
+
+def stream_zero_out_cfd(
+    stream: DataFrame,
+    key_col: str = "key",
+    delta_up: float = 100.0,
+    epsilon: float = 1.0,
+) -> DataFrame:
+    """CFD-variant MonLAD state machine as a streaming stateful
+    operator (reference ZeroOutCoreCFD.py:3-53: single-account typed
+    events — credits pump, debits drain, per-cycle credit counting).
+    Input stream must carry (key, ts, amount, is_credit) — pre-map the
+    transaction-type column with the signed amount, dropping ignored
+    types (``operators.windows.zero_out_replay_cfd`` shows the exact
+    mapping). Matches that batch replay on the same input
+    (parity-tested in tests/test_streaming_io.py)."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _make_zero_out_cfd_fn(delta_up, epsilon),
+        outputStructType=_ZO_CFD_OUT,
+        stateStructType=_ZO_CFD_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -400,3 +400,87 @@ def test_stream_sessionize_gap_merge(spark, tmp_path):
     # session A spans first event -> last event + gap
     a = out[(out.user_id == 1) & (out.n_events == 2)].iloc[0]
     assert (a.session_end - a.session_start).total_seconds() == 40 * 60
+
+
+def test_stream_zero_out_cfd_matches_batch_replay(spark, tmp_path):
+    """CFD variant (ZeroOutCoreCFD semantics): credits pump, debits
+    drain, ignored types contribute nothing, and n_credits_in flushes
+    the per-cycle pump-credit count at each zero-out. Hand-computed
+    fixture + stream/batch parity across multiple keys."""
+    from spartan2_spark.operators.windows import zero_out_replay_cfd
+    from spartan2_spark.streaming.rollup_stream import stream_zero_out_cfd
+
+    rows = []
+    # acc1: credit 120 (P, temp=1), credit 120 (P, temp=2), debit 239
+    #   (bal=1 <= eps -> zero-out #1, credits_in=2), ignored 500,
+    #   credit 150 (P, temp=1), debit 150 (bal=1, zero-out #2,
+    #   credits_in=3), credit 200 (P after last zero-out: NOT counted)
+    seq1 = [
+        ("purchase", 120.0),
+        ("purchase", 120.0),
+        ("error", 239.0),
+        ("view", 500.0),
+        ("purchase", 150.0),
+        ("error", 150.0),
+        ("purchase", 200.0),
+    ]
+    # acc2: pump via credits but drain below via one huge CREDIT then a
+    #   small debit; only the debit can close the cycle
+    seq2 = [("purchase", 150.0), ("error", 100.0), ("error", 49.5)]
+    for key, seq in (("acc1", seq1), ("acc2", seq2)):
+        for i, (ty, w) in enumerate(seq):
+            rows.append((key, pd.Timestamp(f"2024-01-01 00:00:{i:02d}"), ty, w))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "tx_type", "weight"])
+    d = str(tmp_path / "zocfd_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+
+    batch = (
+        zero_out_replay_cfd(
+            spark.read.parquet(d),
+            "key", "ts", "tx_type", "weight",
+            source_type="error", des_type="purchase",
+            delta_up=100.0, epsilon=1.0,
+        )
+        .toPandas()
+        .set_index("key")
+    )
+    assert batch.loc["acc1", "n_events"] == 6  # 'view' ignored
+    assert batch.loc["acc1", "n_zero_outs"] == 2
+    assert batch.loc["acc1", "n_credits_in"] == 3
+    assert abs(batch.loc["acc1", "final_balance"] - 201.0) < 1e-9
+    assert batch.loc["acc2", "n_zero_outs"] == 1
+    assert abs(batch.loc["acc2", "final_balance"] - 0.5) < 1e-9
+
+    # streaming parity: pre-map types to (amount, is_credit) as the
+    # operator documents, then compare final state per key
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("tx_type", T.StringType()),
+            T.StructField("weight", T.DoubleType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, d, schema, fmt="parquet")
+    mapped = stream.where(F.col("tx_type").isin("error", "purchase")).select(
+        "key",
+        "ts",
+        F.when(F.col("tx_type") == "purchase", F.col("weight"))
+        .otherwise(-F.col("weight"))
+        .alias("amount"),
+        (F.col("tx_type") == "purchase").alias("is_credit"),
+    )
+    run_stream_to_memory(
+        stream_zero_out_cfd(mapped, "key", delta_up=100.0, epsilon=1.0),
+        "zocfd_out",
+        "update",
+    )
+    got = spark.sql(
+        """select * from (
+             select *, row_number() over (partition by key order by n_events desc) rn
+             from zocfd_out) where rn = 1"""
+    ).toPandas().set_index("key")
+    for key in ("acc1", "acc2"):
+        for c in ("n_events", "n_zero_outs", "n_credits_in"):
+            assert got.loc[key, c] == batch.loc[key, c], (key, c)
+        assert abs(got.loc[key, "balance"] - batch.loc[key, "final_balance"]) < 1e-9
