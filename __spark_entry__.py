@@ -5469,6 +5469,100 @@ _EAGLEMINE_DESC_SQL = _EAGLEMINE_TREE_CTES + """
 """
 
 
+def _q_eaglemine_describe_trunc(spark, sf_dir):
+    """EagleMine describe, TRUNCATED-Gaussian hypothesis family
+    (desc/truncated_gaussian.py:59-68 _psi_, desc/dtmnorm.py): the
+    island fit is renormalized over its hypercube bounding box —
+    loss = sum(cnt*(logpdf - log Z)) with Z the axis-aligned Gaussian
+    box mass (shared A&S-7.1.26 erf polynomial on both engines; the
+    reference's correlated scipy mvnormcdf is the documented
+    divergence). round(6) discipline."""
+    from spartan2_spark.operators.histogram import (
+        describe_islands,
+        hist2d_log,
+        water_level_tree,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    tree = water_level_tree(hist, min_hcubes=4, smooth=True)
+    d = describe_islands(tree, variant="truncated")
+    return d.select(
+        "level",
+        "node",
+        "n_cells",
+        "mass",
+        F.round("mu_x", 6).alias("mu_x"),
+        F.round("mu_y", 6).alias("mu_y"),
+        F.round("cov_xx", 6).alias("cov_xx"),
+        F.round("cov_xy", 6).alias("cov_xy"),
+        F.round("cov_yy", 6).alias("cov_yy"),
+        F.round("log_z", 6).alias("log_z"),
+        F.round("loss", 6).alias("loss"),
+    )
+
+
+_PHI_SQL = """0.5 * (1 + CASE WHEN ({z}) < 0 THEN -1 ELSE 1 END * (1 -
+    ((((1.061405429 * (1 / (1 + 0.3275911 * (abs({z}) / sqrt(2)))) - 1.453152027)
+       * (1 / (1 + 0.3275911 * (abs({z}) / sqrt(2)))) + 1.421413741)
+       * (1 / (1 + 0.3275911 * (abs({z}) / sqrt(2)))) - 0.284496736)
+       * (1 / (1 + 0.3275911 * (abs({z}) / sqrt(2)))) + 0.254829592)
+       * (1 / (1 + 0.3275911 * (abs({z}) / sqrt(2))))
+       * exp(-(abs({z}) / sqrt(2)) * (abs({z}) / sqrt(2)))))"""
+
+
+def _eaglemine_desc_trunc_sql() -> str:
+    zx_hi = _PHI_SQL.format(z="(p.hi_x - p.mu_x) / sqrt(p.cov_xx)")
+    zx_lo = _PHI_SQL.format(z="(p.lo_x - p.mu_x) / sqrt(p.cov_xx)")
+    zy_hi = _PHI_SQL.format(z="(p.hi_y - p.mu_y) / sqrt(p.cov_yy)")
+    zy_lo = _PHI_SQL.format(z="(p.lo_y - p.mu_y) / sqrt(p.cov_yy)")
+    return _EAGLEMINE_TREE_CTES + f"""
+    , tree AS (SELECT o.level, c.bin_x, c.bin_y, c.cnt, o.node
+               FROM surv o JOIN c ON c.cid = o.cid),
+    m AS (SELECT level, node, count(*) AS n_cells, CAST(sum(cnt) AS BIGINT) AS mass,
+                 sum(CAST(cnt AS DOUBLE)) AS W,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5)) AS sx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5)) AS sy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_x + 0.5)) AS sxx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_y + 0.5)) AS sxy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5) * (bin_y + 0.5)) AS syy,
+                 CAST(min(bin_x) AS DOUBLE) AS lo_x,
+                 CAST(max(bin_x) AS DOUBLE) + 1.0 AS hi_x,
+                 CAST(min(bin_y) AS DOUBLE) AS lo_y,
+                 CAST(max(bin_y) AS DOUBLE) + 1.0 AS hi_y
+          FROM tree GROUP BY 1, 2),
+    params AS (SELECT level, node, n_cells, mass, W, lo_x, hi_x, lo_y, hi_y,
+                      sx / W AS mu_x, sy / W AS mu_y,
+                      sxx / W - (sx / W) * (sx / W) AS cov_xx,
+                      sxy / W - (sx / W) * (sy / W) AS cov_xy,
+                      syy / W - (sy / W) * (sy / W) AS cov_yy
+               FROM m),
+    zc AS (SELECT p.*,
+                  CASE WHEN p.cov_xx > 1e-12 AND p.cov_yy > 1e-12
+                        AND (({zx_hi}) - ({zx_lo})) * (({zy_hi}) - ({zy_lo})) > 0
+                       THEN ln((({zx_hi}) - ({zx_lo})) * (({zy_hi}) - ({zy_lo})))
+                  END AS log_z
+           FROM params p),
+    lo AS (SELECT t.level, t.node,
+                  sum(CASE WHEN p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy > 1e-12 THEN
+                        CAST(t.cnt AS DOUBLE) * (
+                          -ln(2 * pi())
+                          - 0.5 * ln(p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)
+                          - 0.5 * ((p.cov_yy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_x + 0.5 - p.mu_x)
+                                    - 2 * p.cov_xy * (t.bin_x + 0.5 - p.mu_x) * (t.bin_y + 0.5 - p.mu_y)
+                                    + p.cov_xx * (t.bin_y + 0.5 - p.mu_y) * (t.bin_y + 0.5 - p.mu_y))
+                                   / (p.cov_xx * p.cov_yy - p.cov_xy * p.cov_xy)))
+                      ELSE NULL END) AS loss
+           FROM tree t JOIN params p USING (level, node) GROUP BY 1, 2)
+    SELECT p.level, p.node, p.n_cells, p.mass,
+           round(p.mu_x, 6) AS mu_x, round(p.mu_y, 6) AS mu_y,
+           round(p.cov_xx, 6) AS cov_xx, round(p.cov_xy, 6) AS cov_xy,
+           round(p.cov_yy, 6) AS cov_yy, round(p.log_z, 6) AS log_z,
+           round(lo.loss - p.W * p.log_z, 6) AS loss
+    FROM zc p JOIN lo ON lo.level = p.level AND lo.node = p.node
+"""
+
+
 def _q_eaglemine_stitch(spark, sf_dir):
     """EagleMine post-stitch (eaglemine_model.py:377-460): same-level
     islands whose Gaussian fits pass the reference's closeness rule and
@@ -6076,6 +6170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
         "monlad_cfd": _q_monlad_cfd,
+        "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6308,6 +6403,7 @@ def oracle_sql() -> dict[str, str]:
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,
         "eaglemine_describe": _EAGLEMINE_DESC_SQL,
+        "eaglemine_describe_trunc": _eaglemine_desc_trunc_sql(),
         "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
         "eaglemine_gof": _EAGLEMINE_GOF_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,

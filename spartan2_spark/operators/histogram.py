@@ -473,12 +473,50 @@ def _gauss_loss(cells: DataFrame, prm: DataFrame, keys: list) -> DataFrame:
     )
 
 
-def describe_islands(tree: DataFrame) -> DataFrame:
+# erf rational approximation (Abramowitz & Stegun 7.1.26, |err| <=
+# 1.5e-7): pure +,*,exp arithmetic so BOTH engines (Spark, DuckDB)
+# evaluate the identical expression — neither ships a built-in erf on
+# every version, and the twin must be value-exact under round(6).
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _std_normal_cdf(z):
+    """Phi(z) = 0.5*(1 + erf(z/sqrt(2))) as a column expression, via the
+    A&S 7.1.26 polynomial (same Horner order as the SQL twin)."""
+    x = F.abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + _ERF_P * x)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    erf_abs = 1.0 - poly * F.exp(-x * x)
+    erf = F.when(z < 0, -erf_abs).otherwise(erf_abs)
+    return 0.5 * (1.0 + erf)
+
+
+def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
     """EagleMine's describe stage: a count-weighted Gaussian fit per
     water-level-tree island (model/eaglemine/desc/gaussian_describe.py
     fit/`fit_single`, desc/discrete_gaussian.py:36-44 — weighted MLE
     mean + covariance of cell CENTERS (bin + 0.5), and the weighted
     log-likelihood `loss = sum(cnt * logpdf(center))`).
+
+    ``variant`` selects the describe hypothesis family
+    (desc/__init__ exposes the same choice of describe classes):
+
+    * ``"gaussian"`` (default; the reference's DiscreteGaussian /
+      GaussianDescribe point-mass-at-center estimator — gaussian_
+      describe.py delegates straight to discrete_gaussian.py, so
+      'discrete' is accepted as an alias): plain weighted log-pdf loss.
+    * ``"truncated"`` (desc/truncated_gaussian.py:59-68 `_psi_` /
+      dtmnorm.py): the density is renormalized over the island's
+      hypercube bounding box [min bin, max bin + 1] per axis (the
+      'left' hypercube convention), i.e. loss = sum(cnt * (logpdf -
+      log Z)) with Z the Gaussian mass inside the box. The reference
+      integrates the correlated bivariate normal with scipy's
+      mvnormcdf; the engine uses the axis-aligned product of normal
+      CDFs (documented divergence — deterministic and replayable in
+      any SQL engine via the shared A&S erf polynomial). Adds a
+      ``log_z`` column; Z <= 0 or a singular axis yields NULL loss.
 
     ``tree`` is :func:`water_level_tree` output. Two hash aggregations
     over the bounded island relation: raw weighted moments, then a
@@ -488,14 +526,48 @@ def describe_islands(tree: DataFrame) -> DataFrame:
     collinear cells — scipy's allow_singular path) yield NULL loss.
 
     Returns (level, node, n_cells, mass, mu_x, mu_y, cov_xx, cov_xy,
-    cov_yy, loss).
+    cov_yy[, log_z], loss).
     """
+    if variant in ("gaussian", "discrete"):
+        truncated = False
+    elif variant == "truncated":
+        truncated = True
+    else:
+        raise ValueError(f"unknown describe variant {variant!r}")
+    extra = (
+        [
+            F.min("bin_x").cast("double").alias("lo_x"),
+            (F.max("bin_x").cast("double") + 1.0).alias("hi_x"),
+            F.min("bin_y").cast("double").alias("lo_y"),
+            (F.max("bin_y").cast("double") + 1.0).alias("hi_y"),
+        ]
+        if truncated
+        else []
+    )
     m = tree.groupBy("level", "node").agg(
-        F.count(F.lit(1)).alias("n_cells"), *_gauss_moment_aggs()
+        F.count(F.lit(1)).alias("n_cells"), *_gauss_moment_aggs(), *extra
     )
     params = _gauss_params(m).transform(barrier)
     loss = _gauss_loss(tree, params, ["level", "node"])
-    return params.join(loss, ["level", "node"]).select(
+    out = params.join(loss, ["level", "node"])
+    if truncated:
+        sx = F.sqrt(F.col("cov_xx"))
+        sy = F.sqrt(F.col("cov_yy"))
+        z = (
+            _std_normal_cdf((F.col("hi_x") - F.col("mu_x")) / sx)
+            - _std_normal_cdf((F.col("lo_x") - F.col("mu_x")) / sx)
+        ) * (
+            _std_normal_cdf((F.col("hi_y") - F.col("mu_y")) / sy)
+            - _std_normal_cdf((F.col("lo_y") - F.col("mu_y")) / sy)
+        )
+        log_z = F.when(
+            (F.col("cov_xx") > 1e-12) & (F.col("cov_yy") > 1e-12) & (z > 0),
+            F.log(z),
+        )
+        out = out.withColumn("log_z", log_z).withColumn(
+            "loss", F.col("loss") - F.col("W") * F.col("log_z")
+        )
+    return out.select(
         "level",
         "node",
         "n_cells",
@@ -505,6 +577,7 @@ def describe_islands(tree: DataFrame) -> DataFrame:
         "cov_xx",
         "cov_xy",
         "cov_yy",
+        *(["log_z"] if truncated else []),
         "loss",
     )
 

@@ -432,3 +432,52 @@ def test_stitch_gof_gate_calibrated_for_mass(spark):
     # the two-bump mixture scores 262.6 -> rejected at the SAME bar
     kept = HG.stitch_islands(tree2, 1e9, gof_threshold=200.0).collect()
     assert all(r.stitched == r.node for r in kept)
+
+
+def test_describe_islands_truncated_variant(spark):
+    """Truncated family (desc/truncated_gaussian.py _psi_): Z is the
+    Gaussian mass inside the island's bounding box, so log_z < 0 and
+    the renormalized loss exceeds the plain-Gaussian loss by exactly
+    -W*log_z; unknown variants raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from spartan2_spark.operators.histogram import describe_islands
+
+    rng = np.random.default_rng(7)
+    cells = [
+        (0, 1, int(bx), int(by), int(c))
+        for bx, by, c in zip(
+            rng.integers(0, 8, 40), rng.integers(0, 8, 40), rng.integers(1, 50, 40)
+        )
+    ]
+    tree = spark.createDataFrame(
+        [(lvl, node, bx, by, cnt) for lvl, node, bx, by, cnt in cells],
+        "level int, node int, bin_x int, bin_y int, cnt long",
+    ).groupBy("level", "node", "bin_x", "bin_y").agg(F.sum("cnt").alias("cnt"))
+
+    g = describe_islands(tree).collect()[0]
+    t = describe_islands(tree, variant="truncated").collect()[0]
+    d = describe_islands(tree, variant="discrete").collect()[0]
+    assert d["loss"] == g["loss"]  # discrete is the gaussian estimator
+    assert t["log_z"] < 0
+    W = float(g["mass"])
+    assert abs(t["loss"] - (g["loss"] - W * t["log_z"])) < 1e-6
+    assert t["loss"] > g["loss"]
+    with _pytest.raises(ValueError):
+        describe_islands(tree, variant="bogus")
+
+
+def test_std_normal_cdf_matches_scipy_free_reference(spark):
+    """The A&S 7.1.26 Phi approximation is within 1.5e-7 of the exact
+    normal CDF (math.erf ground truth) across the working range."""
+    import math as _math
+
+    from spartan2_spark.operators.histogram import _std_normal_cdf
+
+    zs = [-6.0, -3.2, -1.0, -0.1, 0.0, 0.1, 1.0, 2.5, 4.0, 7.5]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r["z"]: r["phi"] for r in df.select("z", _std_normal_cdf(F.col("z")).alias("phi")).collect()}
+    for z in zs:
+        exact = 0.5 * (1 + _math.erf(z / _math.sqrt(2)))
+        assert abs(got[z] - exact) < 1.5e-7, z
