@@ -2,12 +2,14 @@
 metadata; decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels over ``mapInPandas``.
 
-The real decode step needs codec libraries absent from this container,
-so it is STUBBED behind ``decoder='none'`` (raises NotImplementedError)
-or ``decoder='fake'`` (deterministic bytes-derived features). The
-Spark-side plumbing — schema, batching, partition sizing, UDF
-signatures — is real and tested; swapping in PIL/ffmpeg later touches
-only ``_decode_fake``.
+Decoders plug in through the ``decoder=`` seam: ``'png'`` is a REAL
+decode path (pure-stdlib zlib PNG codec, functions/png_codec.py — any
+spec-conforming 8-bit gray/RGB PNG), ``'fake'`` is the deterministic
+bytes-derived stand-in for plumbing tests, ``'none'`` raises at
+execution, and a CALLABLE swaps in an external codec (PIL/ffmpeg on a
+real cluster). ffmpeg-class formats (JPEG/video/compressed audio) have
+no in-container codec and keep the stub seam; WAV audio decodes for
+real via png_codec.decode_wav (stdlib ``wave``).
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest (the session
@@ -71,14 +73,20 @@ def extract_features(
     """
     schema = f"{id_col} string, n_bytes long, features array<double>"
 
-    if not callable(decoder) and decoder not in ("fake", "none"):
+    if not callable(decoder) and decoder not in ("fake", "none", "png"):
         raise ValueError(
             f"unknown decoder {decoder!r}: pass a callable "
-            "(buf, n_features) -> ndarray, or 'fake' (deterministic "
-            "stand-in), or 'none' (raise at execution) — a typo must "
-            "not silently produce fake features"
+            "(buf, n_features) -> ndarray, or 'png' (real stdlib-zlib "
+            "PNG decode), or 'fake' (deterministic stand-in), or "
+            "'none' (raise at execution) — a typo must not silently "
+            "produce fake features"
         )
-    decode_fn = decoder if callable(decoder) else _decode_fake
+    if decoder == "png":
+        from spartan2_spark.functions.png_codec import png_feature_decoder
+
+        decode_fn = png_feature_decoder
+    else:
+        decode_fn = decoder if callable(decoder) else _decode_fake
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,11 +169,16 @@ def resize_media(
     (sh, sw), (oh, ow) = src_hw, out_hw
     if sh % oh or sw % ow:
         raise ValueError(f"src_hw {src_hw} not divisible by out_hw {out_hw}")
-    if not callable(decoder) and decoder not in ("fake", "none"):
+    if not callable(decoder) and decoder not in ("fake", "none", "png"):
         raise ValueError(
-            f"unknown decoder {decoder!r}: callable, 'fake', or 'none'"
+            f"unknown decoder {decoder!r}: callable, 'png', 'fake', or 'none'"
         )
-    decode_fn = decoder if callable(decoder) else _decode_image_fake
+    if decoder == "png":
+        from spartan2_spark.functions.png_codec import png_image_decoder
+
+        decode_fn = png_image_decoder
+    else:
+        decode_fn = decoder if callable(decoder) else _decode_image_fake
     schema = f"{id_col} string, out_h int, out_w int, pixels array<double>"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
