@@ -5303,6 +5303,44 @@ def _q_beatgan_subspace(spark, sf_dir):
     ).orderBy("user_id", "win_start_idx")
 
 
+def _q_beatgan_ae(spark, sf_dir):
+    """BeatGAN with a TRAINED nonlinear reconstructor
+    (models/beatgan.py mlp_ae_window_scores): per user series, a
+    2-layer tanh-bottleneck autoencoder is trained by fixed-seed
+    full-batch Adam on that series' own windows (16 samples, stride 8,
+    hidden 4, 60 epochs) and each window scored by reconstruction MSE —
+    the numpy counterpart of the reference's torch AE training loop
+    (model/beatgan/BeatGAN_CNN.py), minus the adversarial
+    discriminator (documented scope cut). Deterministic (fixed seed,
+    no shuffling; pytest-proven bit-identical re-runs) but
+    float-iterative -> rows-only driver check."""
+    from spartan2_spark.models.beatgan import beatgan_ae_scores
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id"),
+        F.round(F.col("value") * 100).alias("v"),
+    )
+    res = beatgan_ae_scores(
+        ev,
+        key="user_id",
+        ts="ts",
+        val="v",
+        window=16,
+        stride=8,
+        hidden=4,
+        epochs=60,
+        tie="event_id",
+    )
+    return res.select(
+        "user_id",
+        "win_start_idx",
+        _usec("win_start_ts").alias("win_start_us"),
+        F.round("err", 6).alias("err"),
+    ).orderBy("user_id", "win_start_idx")
+
+
 def _q_beatgan_recon(spark, sf_dir):
     """BeatGAN's scoring shape (model/beatgan/): per-point
     reconstruction error vs a context reconstruction, top anomalies by
@@ -6171,6 +6209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r4 queries HERE, at the head) ---
         "monlad_cfd": _q_monlad_cfd,
         "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
+        "beatgan_ae_recon": _q_beatgan_ae,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,

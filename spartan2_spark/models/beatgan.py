@@ -3,15 +3,24 @@
 The reference (/root/reference/spartan/model/beatgan/BeatGAN_CNN.py,
 BeatGAN_RNN.py — 906 LoC torch) trains an autoencoder-GAN on fixed
 windows of a series and scores each window by its reconstruction error
-|x - G(x)|. torch is absent from this container, so the learned
-reconstructor here is the closed-form optimum of a *linear*
-autoencoder: projection onto the top-``rank`` principal subspace of
-the window matrix (Baldi & Hornik 1989 — a linear AE trained to the
-global MSE optimum spans the PCA subspace). That keeps the reference's
-task shape exactly — fit a reconstruction model on a series' windows,
-score each window by reconstruction MSE — while being deterministic
-and dependency-free. A torch generator can replace ``_subspace_scores``
-behind the same per-series kernel contract.
+|x - G(x)|. torch is absent from this container, so two reconstructor
+families are provided behind the same per-series kernel contract:
+
+* ``subspace`` — the closed-form optimum of a *linear* autoencoder:
+  projection onto the top-``rank`` principal subspace of the window
+  matrix (Baldi & Hornik 1989 — a linear AE trained to the global MSE
+  optimum spans the PCA subspace). Deterministic, no training loop.
+* ``mlp`` — a genuinely LEARNED nonlinear autoencoder: a 2-layer
+  tanh-bottleneck MLP trained by full-batch Adam in plain numpy
+  (fixed-seed init, no shuffling -> bit-deterministic runs). This
+  closes the "learned nonlinear reconstructor" gap without torch; the
+  adversarial discriminator of the reference remains out of scope
+  (documented — its role is regularizing the reconstructor, not
+  changing the task shape, and the scoring contract |x - G(x)| is
+  identical).
+
+A torch generator can still replace either scorer behind the same
+kernel seam.
 
 Scale: one grouped-pandas kernel per series; the window matrix is
 (n_windows x window), SVD cost O(n_windows * window^2) — linear in
@@ -26,7 +35,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["subspace_window_scores", "beatgan_subspace_scores"]
+__all__ = [
+    "subspace_window_scores",
+    "beatgan_subspace_scores",
+    "mlp_ae_window_scores",
+    "beatgan_ae_scores",
+]
 
 
 def subspace_window_scores(
@@ -76,6 +90,27 @@ def beatgan_subspace_scores(
 
     Returns (key, win_start_idx, win_start_ts, err).
     """
+    return _windowed_scores(
+        df,
+        key,
+        ts,
+        val,
+        tie,
+        lambda arr: subspace_window_scores(arr, window, stride, rank),
+    )
+
+
+def _windowed_scores(df, key, ts, val, tie, score_fn) -> DataFrame:
+    """Shared per-series window-scoring plumbing: sort, cut groups, run
+    ``score_fn(series) -> (starts, errs)``, emit one row per window.
+
+    Thousands of short per-user series: whole-batch grouped apply
+    (operators/grouped.py). Spark's sortWithinPartitions supplies the
+    (key, ts, tie) order, so the kernel does zero pandas sorting —
+    groups are cut with one numpy change-point scan and only the scorer
+    runs per series. Profiled at sf0.1: per-group pandas sort_values
+    on a string tie column alone cost ~1 ms/group vs 0.08 ms of SVD.
+    """
     order = [ts] + ([tie] if tie else [])
     key_t = dict(df.dtypes)[key]
     ts_t = dict(df.dtypes)[ts]
@@ -83,12 +118,6 @@ def beatgan_subspace_scores(
         f"{key} {key_t}, win_start_idx long, win_start_ts {ts_t}, err double"
     )
 
-    # thousands of short per-user series: whole-batch grouped apply
-    # (operators/grouped.py). Spark's sortWithinPartitions supplies the
-    # (key, ts, tie) order, so the kernel does zero pandas sorting —
-    # groups are cut with one numpy change-point scan and only the SVD
-    # runs per series. Profiled at sf0.1: per-group pandas sort_values
-    # on a string tie column alone cost ~1 ms/group vs 0.08 ms of SVD.
     def batch_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         kv = pdf[key].to_numpy()
         tv = pdf[ts].to_numpy()
@@ -97,9 +126,7 @@ def beatgan_subspace_scores(
         bounds = np.concatenate(([0], change, [len(kv)]))
         key_parts, idx_parts, ts_parts, err_parts = [], [], [], []
         for a, b in zip(bounds[:-1], bounds[1:]):
-            starts, errs = subspace_window_scores(
-                x[a:b], window, stride, rank
-            )
+            starts, errs = score_fn(x[a:b])
             if not len(starts):
                 continue
             key_parts.append(np.repeat(kv[a], len(starts)))
@@ -129,3 +156,92 @@ def beatgan_subspace_scores(
         order=order,
         whole_batch=True,
     )
+
+def mlp_ae_window_scores(
+    x: np.ndarray,
+    window: int,
+    stride: int,
+    hidden: int = 8,
+    epochs: int = 200,
+    lr: float = 0.01,
+    seed: int = 7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-window reconstruction MSE from a TRAINED nonlinear
+    autoencoder: X -> tanh(X W1 + b1) W2 + b2, full-batch Adam on MSE.
+
+    Deterministic by construction: fixed-seed Gaussian init, full-batch
+    gradients (no shuffling), fixed epoch count. Windows are
+    standardized by the series' own mean/std for conditioning; scores
+    are reported in the standardized space (monotonic in the original
+    space for a fixed series). Returns (starts, errs).
+    """
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < window:
+        return np.empty(0, dtype=np.int64), np.empty(0)
+    starts = np.arange(0, len(x) - window + 1, stride, dtype=np.int64)
+    X = np.stack([x[s : s + window] for s in starts])
+    mu, sd = X.mean(), X.std()
+    Xs = (X - mu) / (sd if sd > 0 else 1.0)
+    n, w = Xs.shape
+
+    rng = np.random.default_rng(seed)
+    w1 = rng.normal(0.0, 1.0 / np.sqrt(w), (w, hidden))
+    b1 = np.zeros(hidden)
+    w2 = rng.normal(0.0, 1.0 / np.sqrt(hidden), (hidden, w))
+    b2 = np.zeros(w)
+    params = [w1, b1, w2, b2]
+    m_t = [np.zeros_like(p) for p in params]
+    v_t = [np.zeros_like(p) for p in params]
+    beta1, beta2, eps = 0.9, 0.999, 1e-8
+
+    for t in range(1, epochs + 1):
+        h_pre = Xs @ params[0] + params[1]
+        h = np.tanh(h_pre)
+        out = h @ params[2] + params[3]
+        err = out - Xs
+        # d(mean over n*w of err^2) / d out
+        g_out = 2.0 * err / (n * w)
+        g_w2 = h.T @ g_out
+        g_b2 = g_out.sum(axis=0)
+        g_h = g_out @ params[2].T * (1.0 - h * h)
+        g_w1 = Xs.T @ g_h
+        g_b1 = g_h.sum(axis=0)
+        for i, g in enumerate((g_w1, g_b1, g_w2, g_b2)):
+            m_t[i] = beta1 * m_t[i] + (1 - beta1) * g
+            v_t[i] = beta2 * v_t[i] + (1 - beta2) * g * g
+            mhat = m_t[i] / (1 - beta1**t)
+            vhat = v_t[i] / (1 - beta2**t)
+            params[i] = params[i] - lr * mhat / (np.sqrt(vhat) + eps)
+
+    h = np.tanh(Xs @ params[0] + params[1])
+    recon = h @ params[2] + params[3]
+    errs = ((recon - Xs) ** 2).mean(axis=1)
+    return starts, errs
+
+
+def beatgan_ae_scores(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    val: str = "value",
+    window: int = 64,
+    stride: int = 32,
+    hidden: int = 8,
+    epochs: int = 200,
+    tie: str | None = None,
+) -> DataFrame:
+    """beatgan_subspace_scores with the TRAINED nonlinear reconstructor
+    (``mlp_ae_window_scores``): one fixed-seed Adam-trained tanh
+    autoencoder per series, windows scored by reconstruction MSE.
+    Returns (key, win_start_idx, win_start_ts, err)."""
+    return _windowed_scores(
+        df,
+        key,
+        ts,
+        val,
+        tie,
+        lambda arr: mlp_ae_window_scores(
+            arr, window, stride, hidden=hidden, epochs=epochs
+        ),
+    )
+
