@@ -5047,6 +5047,147 @@ def _flow_peel_sql(rounds: int = 12) -> str:
     )
 
 
+def _q_cubeflow_plus(spark, sf_dir):
+    """CubeFlowPlus post-processing (CubeFlowPlus.py:14-68,
+    res_util.py:20-60/363-420/305-330): the top-12-mids CubeFlow block's
+    induced A->M->C graph splits into weakly connected components,
+    components with more than 6 middles repeatedly drop their
+    max-degree middle (handle_biggraph_type=1), and every component is
+    re-scored with the fs objective ((1-a)f - a*q)/(|A|+|M|+|C|),
+    a=4/5. Integer centi values keep f/q in BIGINT; the twin unrolls
+    the split rounds with per-round recursive-CTE connected components
+    (extra rounds are the identity; Spark raises if unconverged, the
+    kcore discipline)."""
+    from spartan2_spark.operators.flow import (
+        cubeflow_plus,
+        flow_balance,
+        flow_suspicious_mids,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    base = li.select(
+        F.col("l_suppkey").alias("a"),
+        F.col("l_partkey").alias("mid"),
+        (F.col("l_orderkey") % 997).alias("c"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("value"),
+        (F.col("l_linenumber") % 2).alias("par"),
+    )
+    am = base.filter(F.col("par") == 1).select("a", "mid", "value")
+    mc = base.filter(F.col("par") == 0).select("mid", "c", "value")
+    bal = flow_balance(
+        am.withColumn("bucket", F.lit(0)), mc.withColumn("bucket", F.lit(0))
+    )
+    blk = flow_suspicious_mids(bal, k=12)
+    out = cubeflow_plus(am, mc, blk, max_node_limit=6, max_split_rounds=40)
+    return out.select(
+        "component",
+        "n_a",
+        "n_m",
+        "n_c",
+        "f",
+        "imbalance",
+        F.round("score", 8).alias("score"),
+    )
+
+
+def _cubeflow_plus_sql(k: int = 12, limit: int = 6, rounds: int = 12,
+                       a_num: int = 4, a_den: int = 5) -> str:
+    """Fixed-unroll CubeFlowPlus twin: per split round one recursive-CTE
+    CC over the m-projected graph + the argmax-degree removal, then the
+    final component membership/labels/fs scores. Every per-round CTE is
+    MATERIALIZED — without it DuckDB re-inlines the chained NOT IN
+    filters inside each recursion and the plan explodes."""
+    parts = ["""base AS MATERIALIZED (SELECT l_suppkey AS a, l_partkey AS mid,
+                     l_orderkey % 997 AS c,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     l_linenumber % 2 AS par
+              FROM lineitem)""",
+    "qin AS (SELECT mid, sum(v) AS q_in FROM base WHERE par = 1 GROUP BY 1)",
+    "qout AS (SELECT mid, sum(v) AS q_out FROM base WHERE par = 0 GROUP BY 1)",
+    f"""blk AS MATERIALIZED (SELECT mid FROM (
+        SELECT mid, least(coalesce(q_in,0), coalesce(q_out,0))
+                    - 0.8 * abs(coalesce(q_in,0) - coalesce(q_out,0)) AS score
+        FROM qin FULL JOIN qout USING (mid))
+        ORDER BY score DESC, mid ASC LIMIT {k})""",
+    """e0 AS MATERIALIZED (
+        SELECT a * 3 AS u, mid * 3 + 1 AS v_, v AS w FROM base
+        WHERE par = 1 AND mid IN (SELECT mid FROM blk)
+        UNION ALL
+        SELECT mid * 3 + 1 AS u, c * 3 + 2 AS v_, v AS w FROM base
+        WHERE par = 0 AND mid IN (SELECT mid FROM blk))""",
+    """deg AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v_ FROM e0)
+        WHERE node % 3 = 1 GROUP BY node)""",
+    """proj0 AS MATERIALIZED (
+        SELECT x.m AS m1, y.m AS m2 FROM
+          (SELECT DISTINCT u AS k, v_ AS m FROM e0 WHERE v_ % 3 = 1) x
+          JOIN (SELECT DISTINCT u AS k, v_ AS m FROM e0 WHERE v_ % 3 = 1) y USING (k)
+        WHERE x.m < y.m
+        UNION
+        SELECT x.m, y.m FROM
+          (SELECT DISTINCT v_ AS k, u AS m FROM e0 WHERE u % 3 = 1) x
+          JOIN (SELECT DISTINCT v_ AS k, u AS m FROM e0 WHERE u % 3 = 1) y USING (k)
+        WHERE x.m < y.m)""",
+    "ms0 AS MATERIALIZED (SELECT node AS m FROM deg)"]
+    cc = ("cc{r}(node, lbl) AS ("
+          "SELECT m, m FROM ms{r} UNION "
+          "SELECT s.nb, cc{r}.lbl FROM (SELECT m1 AS nd, m2 AS nb FROM proj{r} "
+          "UNION SELECT m2, m1 FROM proj{r}) s JOIN cc{r} ON cc{r}.node = s.nd)")
+    for r in range(rounds):
+        parts.append(cc.format(r=r))
+        parts.append(f"comp{r} AS MATERIALIZED (SELECT node, min(lbl) AS root FROM cc{r} GROUP BY node)")
+        parts.append(f"""rm{r} AS MATERIALIZED (SELECT node FROM (
+            SELECT c.node, row_number() OVER (PARTITION BY c.root ORDER BY d.deg DESC, c.node ASC) AS rn,
+                   count(*) OVER (PARTITION BY c.root) AS n_m
+            FROM comp{r} c JOIN deg d USING (node))
+            WHERE n_m > {limit} AND rn = 1)""")
+        parts.append(f"ms{r+1} AS MATERIALIZED (SELECT m FROM ms{r} WHERE m NOT IN (SELECT node FROM rm{r}))")
+        parts.append(f"proj{r+1} AS MATERIALIZED (SELECT * FROM proj{r} WHERE m1 NOT IN (SELECT node FROM rm{r}) AND m2 NOT IN (SELECT node FROM rm{r}))")
+    R = rounds
+    parts.append(cc.format(r=R))
+    parts.append(f"compF AS MATERIALIZED (SELECT node, min(lbl) AS root FROM cc{R} GROUP BY node)")
+    parts.append("removed AS MATERIALIZED (" + " UNION ALL ".join(
+        f"SELECT node FROM rm{r}" for r in range(rounds)) + ")")
+    parts.append("""ef AS MATERIALIZED (SELECT * FROM e0
+        WHERE (u % 3 <> 1 OR u NOT IN (SELECT node FROM removed))
+          AND (v_ % 3 <> 1 OR v_ NOT IN (SELECT node FROM removed)))""")
+    parts.append("""memb AS MATERIALIZED (
+        SELECT node, root FROM compF
+        UNION
+        SELECT DISTINCT e.u AS node, c.root FROM ef e JOIN compF c ON c.node = e.v_ WHERE e.v_ % 3 = 1
+        UNION
+        SELECT DISTINCT e.v_ AS node, c.root FROM ef e JOIN compF c ON c.node = e.u WHERE e.u % 3 = 1)""")
+    parts.append("labels AS (SELECT root, min(node) AS component FROM memb GROUP BY root)")
+    parts.append("alln AS (SELECT DISTINCT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v_ FROM e0))")
+    parts.append("""membership AS MATERIALIZED (
+        SELECT a.node, coalesce(l.component, a.node) AS component
+        FROM alln a LEFT JOIN memb m USING (node) LEFT JOIN labels l USING (root)
+        WHERE NOT (a.node % 3 = 1 AND a.node IN (SELECT node FROM removed)))""")
+    parts.append("""qm AS (
+        SELECT m.node, m.component,
+               coalesce(qi.q_in, 0) AS q_in, coalesce(qo.q_out, 0) AS q_out
+        FROM membership m
+        LEFT JOIN (SELECT v_ AS node, sum(w) AS q_in FROM ef WHERE v_ % 3 = 1 GROUP BY 1) qi USING (node)
+        LEFT JOIN (SELECT u AS node, sum(w) AS q_out FROM ef WHERE u % 3 = 1 GROUP BY 1) qo USING (node)
+        WHERE m.node % 3 = 1)""")
+    parts.append("""cnts AS (SELECT component,
+        sum(CASE WHEN node % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        sum(CASE WHEN node % 3 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_m,
+        sum(CASE WHEN node % 3 = 2 THEN 1 ELSE 0 END)::BIGINT AS n_c
+        FROM membership GROUP BY 1)""")
+    parts.append("""msum AS (SELECT component,
+        sum(least(q_in, q_out))::BIGINT AS f,
+        sum(abs(q_in - q_out))::BIGINT AS imbalance
+        FROM qm GROUP BY 1)""")
+    return ("WITH RECURSIVE " + ",\n    ".join(parts) + f"""
+    SELECT c.component, c.n_a, c.n_m, c.n_c,
+           coalesce(s.f, 0)::BIGINT AS f,
+           coalesce(s.imbalance, 0)::BIGINT AS imbalance,
+           round(CAST((({a_den - a_num}) * coalesce(s.f, 0) - {a_num} * coalesce(s.imbalance, 0)) AS DOUBLE)
+             / ({a_den} * (c.n_a + c.n_m + c.n_c)), 8) AS score
+    FROM cnts c LEFT JOIN msum s USING (component)""")
+
+
 def _q_flowscope_peel(spark, sf_dir):
     """FlowScope coupled A->M->C chain peel (flowscopeFraudDect.py:
     100-148/256-283/324-384): per-middle min(in,out) flow and
@@ -6210,6 +6351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monlad_cfd": _q_monlad_cfd,
         "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
         "beatgan_ae_recon": _q_beatgan_ae,
+        "cubeflow_plus": _q_cubeflow_plus,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6438,6 +6580,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_top_mids": _FLOW_TOP_SQL,
         "flow_peel_block": _flow_peel_sql(rounds=12),
         "flowscope_peel": _flowscope_peel_sql(rounds=6),
+        "cubeflow_plus": _cubeflow_plus_sql(k=12, limit=6, rounds=12),
         "rpeak_segments": _RPEAK_SQL,
         "beatgan_recon": _BEATGAN_SQL,
         "eaglemine_clusters": _EAGLEMINE_SQL,

@@ -182,3 +182,48 @@ def test_flowscope_peel_recovers_planted_chain_block(spark):
     # no imbalanced background mid survives
     assert not any(s == "M" and n < 500 for s, n in nodes)
     assert res["objective"] > 0
+
+
+def test_cubeflow_plus_splits_hub_and_scores(spark):
+    """Planted structure: two clean A->M->C blocks bridged by one hub
+    middle with edges into both. With max_node_limit=2 the hub (max
+    degree) is removed, the graph splits into the two blocks (plus the
+    hub's isolated counterparties as singletons), and each block's fs
+    score is (0.2*f - 0.8*q)/s computed from its own middles."""
+    from spartan2_spark.operators.flow import cubeflow_plus
+
+    am_rows, mc_rows = [], []
+    # block 1: a=1,2 -> m=10,11 -> c=20 ; balanced flows of 100 per m
+    for m in (10, 11):
+        am_rows += [(1, m, 60), (2, m, 40)]
+        mc_rows += [(m, 20, 100)]
+    # block 2: a=3 -> m=12,13 -> c=21 ; in 80, out 50 per m
+    for m in (12, 13):
+        am_rows += [(3, m, 80)]
+        mc_rows += [(m, 21, 50)]
+    # hub m=14 connects to BOTH c=20 and c=21 (bridges the blocks) and
+    # has the highest degree (4 edges)
+    am_rows += [(4, 14, 10), (5, 14, 10)]
+    mc_rows += [(14, 20, 5), (14, 21, 5)]
+    am = spark.createDataFrame(am_rows, "a long, mid long, value long")
+    mc = spark.createDataFrame(mc_rows, "mid long, c long, value long")
+    blk = spark.createDataFrame([(m,) for m in (10, 11, 12, 13, 14)], "mid long")
+
+    out = cubeflow_plus(am, mc, blk, max_node_limit=2, max_split_rounds=10)
+    rows = {r["component"]: r for r in out.collect()}
+    # block 1: nodes a{1,2} m{10,11} c{20} -> component label min node = 1*3=3
+    b1 = rows[3]
+    assert (b1["n_a"], b1["n_m"], b1["n_c"]) == (2, 2, 1)
+    assert b1["f"] == 200 and b1["imbalance"] == 0
+    assert abs(b1["score"] - (0.2 * 200) / 5) < 1e-9
+    # block 2: a{3} m{12,13} c{21} -> label 3*3=9
+    b2 = rows[9]
+    assert (b2["n_a"], b2["n_m"], b2["n_c"]) == (1, 2, 1)
+    assert b2["f"] == 100 and b2["imbalance"] == 60
+    assert abs(b2["score"] - (0.2 * 100 - 0.8 * 60) / 4) < 1e-9
+    # hub removed; its counterparties a=4,5 are singletons
+    assert 14 * 3 + 1 not in rows
+    assert rows[4 * 3]["n_a"] == 1 and rows[5 * 3]["n_a"] == 1
+    # without the limit, everything is one component (hub bridges)
+    whole = cubeflow_plus(am, mc, blk, max_node_limit=10).collect()
+    assert len(whole) == 1 and whole[0]["n_m"] == 5
