@@ -1956,6 +1956,56 @@ _ROLLING_SQL = """
 """
 
 
+def _q_ses_forecast(spark, sf_dir):
+    """SES forecast per user (operators/forecast.py — the reference's
+    Forecast task is a pass stub, task/forecast.py:38-41; the engine
+    ships the real thing): dyadic alpha=1/2, depth-16 truncated level
+    in pure integer shifts, flat h-step forecast for h=1..3.
+    Value-exact twin."""
+    from spartan2_spark.operators.forecast import ses_forecast
+
+    ev = _events_series(spark, sf_dir).withColumn(
+        "v", F.round(F.col("value") * 100).cast("long")
+    )
+    out = ses_forecast(
+        ev, alpha_log2=1, depth=16, horizon=3, order_cols=("event_id",)
+    )
+    return out.select("key", F.col("h").cast("long").alias("h"), "forecast")
+
+
+def _ses_forecast_sql(depth: int = 16, horizon: int = 3) -> str:
+    terms = " + ".join(
+        f"(coalesce(lag(v, {j}) OVER w, 0) >> {j + 1})" for j in range(depth)
+    )
+    return f"""
+    WITH q AS (SELECT user_id AS key, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v FROM events),
+    lvl AS (SELECT key, {terms} AS level,
+                   row_number() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn
+            FROM q
+            WINDOW w AS (PARTITION BY key ORDER BY ts, event_id))
+    SELECT key, h, level AS forecast
+    FROM lvl CROSS JOIN generate_series(1, {horizon}) t(h)
+    WHERE rn = 1
+"""
+
+
+def _q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters forecast per user (operators/forecast.py;
+    fills the reference's empty Forecast task): level+trend+seasonal
+    recursions with standard first-two-seasons initialization,
+    horizon-6 forecasts. Float-sequential kernel -> rows-only;
+    planted trend+seasonality recovery is pytest-proven."""
+    from spartan2_spark.operators.forecast import holt_winters
+
+    ev = _events_series(spark, sf_dir).withColumn(
+        "v", F.round(F.col("value") * 100).cast("long")
+    )
+    return holt_winters(
+        ev, season=12, horizon=6
+    ).select("key", "h", F.round("forecast", 6).alias("forecast"))
+
+
 def _q_ewma(spark, sf_dir):
     """Dyadic EWMA (alpha=1/2, depth 16) per user — lag terms with
     integer right-shifts, value-exact."""
@@ -6352,6 +6402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
         "beatgan_ae_recon": _q_beatgan_ae,
         "cubeflow_plus": _q_cubeflow_plus,
+        "ses_forecast": _q_ses_forecast,
+        "holt_winters_forecast": _q_holt_winters,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6506,6 +6558,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood_pairs": _SORTED_NEIGHBORHOOD_SQL,
         "rolling_stats": _ROLLING_SQL,
         "ewma_dyadic": _ewma_sql(depth=16),
+        "ses_forecast": _ses_forecast_sql(depth=16, horizon=3),
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,
