@@ -8,8 +8,9 @@ Reference contract being mirrored (NOT ported):
   task/anomaly_detection.py:20-28, task/summarization.py:20-28).
 - Registered policies: AD = {EigenPulse, HoloScope, FlowScope}
   (anomaly_detection.py:38-45), Summarization = {BeatLex, DPGS, kGrass}
-  (summarization.py:38-43); Forecast is empty in the reference
-  (forecast.py:38-41).
+  (summarization.py:38-43); Forecast is an EMPTY pass stub in the
+  reference (forecast.py:38-41) — this engine registers real
+  forecasters (operators/forecast.py: SES + additive Holt-Winters).
 - ``PipeLine(data, [(model, params), ...])`` threads each stage's
   output into the next (model/_model.py:123-144).
 
@@ -41,6 +42,14 @@ class SummarizePolicy(enum.Enum):
 
     BeatLex = "beatlex"
     DPGS = "dpgs"
+
+
+class ForePolicy(enum.Enum):
+    """Forecast policies — the reference's ForePolicy enum is empty
+    (forecast.py:38-41); the engine fills the slot."""
+
+    SES = "ses"
+    HoltWinters = "holt_winters"
 
 
 def _eigenpulse(df: DataFrame, window: str = "2 days", stride: str = "1 day",
@@ -104,6 +113,18 @@ def _dpgs(df: DataFrame, src: str = "src", dst: str = "dst", **kw) -> DataFrame:
     return summarize_graph_lsh(df, src=src, dst=dst, **kw)["mdl_gain_bits"]
 
 
+def _ses(df: DataFrame, **kw) -> DataFrame:
+    from spartan2_spark.operators.forecast import ses_forecast
+
+    return ses_forecast(df, **kw)
+
+
+def _holt_winters(df: DataFrame, **kw) -> DataFrame:
+    from spartan2_spark.operators.forecast import holt_winters
+
+    return holt_winters(df, **kw)
+
+
 _REGISTRY: dict[enum.Enum, Callable[..., DataFrame]] = {
     ADPolicy.EigenPulse: _eigenpulse,
     ADPolicy.HoloScope: _holoscope,
@@ -111,6 +132,8 @@ _REGISTRY: dict[enum.Enum, Callable[..., DataFrame]] = {
     ADPolicy.IAT: _iat,
     SummarizePolicy.BeatLex: _beatlex,
     SummarizePolicy.DPGS: _dpgs,
+    ForePolicy.SES: _ses,
+    ForePolicy.HoltWinters: _holt_winters,
 }
 
 
@@ -149,6 +172,10 @@ class AnomalyDetection(Task):
 
 
 class Summarization(Task):
+    pass
+
+
+class Forecast(Task):
     pass
 
 

@@ -47,3 +47,18 @@ def test_pipeline_chains_stages(spark, sf_dir):
     out = pipe.run()
     assert set(out.columns) == {"key", "cnt"}
     assert out.count() >= 0
+
+
+def test_forecast_task_registered(spark):
+    """The reference's ForePolicy enum is empty (forecast.py:38-41);
+    the engine's facade dispatches real forecasters through it."""
+    from spartan2_spark.task import Forecast, ForePolicy, Task
+
+    df = spark.createDataFrame(
+        [("k", i, 128) for i in range(8)], "key string, ts long, v long"
+    )
+    out = Task.create(df, ForePolicy.SES, "my_ses", depth=4, horizon=2).run()
+    rows = out.collect()
+    assert {r["h"] for r in rows} == {1, 2}
+    assert Task.list_models(ForePolicy) == ["SES", "HoltWinters"]
+    assert issubclass(Forecast, Task)
