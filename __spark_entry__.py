@@ -868,6 +868,38 @@ _DECONTAMINATE_SQL = """
 """
 
 
+def _q_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 suffix-array
+    dedup rule, distributed): maximal runs of >= 8 consecutive tokens
+    occurring at >= 2 (doc, position) sites corpus-wide. Positional
+    gram shuffle + per-doc gaps-and-islands merge; no global sort, no
+    suffix array."""
+    from spartan2_spark.operators.dedup import exact_substring_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substring_spans(d, "text", "doc_id", l=8, min_count=2)
+
+
+_SUBSTRING_SPANS_SQL = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i::BIGINT AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM grams WHERE g IN (SELECT g FROM dup))
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) + 7)::BIGINT AS span_end,
+           (max(pos) - min(pos) + 8)::BIGINT AS span_tokens
+    FROM hits GROUP BY doc_id, isl
+"""
+
+
 def _q_ngram_containment(spark, sf_dir):
     """EXACT word-trigram containment join (|A∩B|/|A|, |A∩B|/|B|) —
     asymmetric near-superset detector; same inverted-index plan as the
@@ -6404,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cubeflow_plus": _q_cubeflow_plus,
         "ses_forecast": _q_ses_forecast,
         "holt_winters_forecast": _q_holt_winters,
+        "substring_dedup_spans": _q_substring_spans,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6559,6 +6592,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_stats": _ROLLING_SQL,
         "ewma_dyadic": _ewma_sql(depth=16),
         "ses_forecast": _ses_forecast_sql(depth=16, horizon=3),
+        "substring_dedup_spans": _SUBSTRING_SPANS_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

@@ -672,3 +672,34 @@ def test_minhash_arrow_kernel_values_match_sql_exprs(spark):
     for i in want:
         assert sorted(set(want[i]["hv"])) == list(got[i]["hv"]), i
         assert want[i]["sig"] == list(got[i]["sig"]), i
+
+
+def test_exact_substring_spans_planted(spark):
+    from spartan2_spark.operators.dedup import exact_substring_spans
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 tokens shared verbatim
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + shared + " x y z"),          # span at tokens 4..13
+            (2, shared + " p q"),                        # span at tokens 1..10
+            (3, "nothing here matches any other doc at all ever once more"),
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),  # self-repeat
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in exact_substring_spans(docs, "text", "doc_id", l=8).collect()
+    }
+    # docs 1 and 2 share a maximal 10-token span at different offsets
+    assert out[(1, 4)].span_end == 13 and out[(1, 4)].span_tokens == 10
+    assert out[(2, 1)].span_end == 10 and out[(2, 1)].span_tokens == 10
+    # the within-doc repeat in doc 4 is found too (suffix-array semantics):
+    # the 8-gram "r1..r8" occurs at positions 1 and 9 (the straddling
+    # grams occur once each), giving two disjoint 8-token spans —
+    # exactly the repeated-substring sites a suffix array reports
+    assert out[(4, 1)].span_end == 8 and out[(4, 1)].span_tokens == 8
+    assert out[(4, 9)].span_end == 16 and out[(4, 9)].span_tokens == 8
+    # doc 3 is absent entirely
+    assert not any(k[0] == 3 for k in out)
+    assert len(out) == 4
