@@ -900,6 +900,54 @@ _SUBSTRING_SPANS_SQL = """
 """
 
 
+def _q_substring_clean(spark, sf_dir):
+    """Exact-substring REMOVAL (full Lee et al. 2022 ExactSubstr rule):
+    duplicated >= 8-token spans keep their first (doc, pos) occurrence
+    and are cut everywhere else; cleaned text rebuilt in token order.
+    Keep-first via one min-struct groupBy (no per-gram sort window)."""
+    from spartan2_spark.operators.dedup import exact_substring_dedup_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substring_dedup_text(d, "text", "doc_id", l=8, min_count=2)
+
+
+_SUBSTRING_CLEAN_SQL = """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i::BIGINT AS pos, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM grams),
+    rem AS (SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rk >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS i
+      FROM rem),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc_id, i),
+    tokpos AS (
+      SELECT doc_id, t[p] AS tok, p::BIGINT AS p
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(p)),
+    kept AS (
+      SELECT tp.doc_id, tp.tok, tp.p
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND tp.p BETWEEN s.s AND s.e))
+    SELECT t0.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_clean,
+           (len(any_value(t0.t)) - count(k.p))::BIGINT AS n_removed_tokens
+    FROM toks t0 LEFT JOIN kept k USING (doc_id)
+    GROUP BY t0.doc_id
+"""
+
+
 def _q_ngram_containment(spark, sf_dir):
     """EXACT word-trigram containment join (|A∩B|/|A|, |A∩B|/|B|) —
     asymmetric near-superset detector; same inverted-index plan as the
@@ -6437,6 +6485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ses_forecast": _q_ses_forecast,
         "holt_winters_forecast": _q_holt_winters,
         "substring_dedup_spans": _q_substring_spans,
+        "substring_dedup_clean": _q_substring_clean,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6593,6 +6642,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_dyadic": _ewma_sql(depth=16),
         "ses_forecast": _ses_forecast_sql(depth=16, horizon=3),
         "substring_dedup_spans": _SUBSTRING_SPANS_SQL,
+        "substring_dedup_clean": _SUBSTRING_CLEAN_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

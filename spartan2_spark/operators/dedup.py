@@ -929,3 +929,84 @@ def exact_substring_spans(
             (F.col("__maxpos") - F.col("span_start") + l).cast("long").alias("span_tokens"),
         )
     )
+
+
+def exact_substring_dedup_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring REMOVAL — the full Lee et al. 2022 ExactSubstr
+    rule: every duplicated >= ``l``-token span keeps its first
+    occurrence in (doc, position) order and is cut from every other
+    site; the cleaned text is rebuilt in token order.
+
+    Keep-first is computed WITHOUT a per-gram sort window: the first
+    site of each gram is ``min(struct(id, pos))`` in one partial-agg
+    groupBy — a boilerplate gram occurring 10^9 times at corpus scale
+    is a single combine-reduced group, never a 10^9-row window
+    partition. Removal sites (any duplicated-gram site that is not the
+    gram's first) merge into maximal spans per doc via gaps-and-islands,
+    spans collect to one bounded array per doc (docs are bounded; span
+    count <= tokens), and the rebuild is a single array ``filter`` by
+    token index — the corpus is read once, the only shuffles are the
+    gram groupBy, the keep-first join, and the per-doc span collect.
+
+    Returns (id_col, text_clean, n_removed_tokens) for EVERY input doc
+    (clean docs pass through with 0 removed). Deterministic — the
+    DuckDB twin reproduces it value-exact (twin uses an equivalent
+    row_number formulation; fine at oracle scale).
+    """
+    from pyspark.sql import Window
+
+    toks = barrier(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), " +").alias("t"),
+        )
+    )  # consumers: gram generation and the final rebuild join
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {l - 1}, 1)),"
+                f" i -> array_join(slice(t, i, {l}), ' '))"
+            )
+        ).alias("off", "g"),
+    ).select("id", (F.col("off") + 1).cast("long").alias("pos"), "g")
+    grams = barrier(grams)
+    firsts = grams.groupBy("g").agg(
+        F.min(F.struct("id", "pos")).alias("__first"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    rem = (
+        grams.join(firsts, "g")
+        .filter(
+            (F.col("__n") >= min_count)
+            & ~((F.col("id") == F.col("__first.id")) & (F.col("pos") == F.col("__first.pos")))
+        )
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    spans = (
+        rem.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "__isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + (l - 1)).alias("e"))
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__spans"))
+    )
+    kept = F.expr(
+        "filter(t, (tok, i) -> __spans IS NULL"
+        " OR NOT exists(__spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"
+    )
+    return (
+        toks.join(spans, "id", "left")
+        .withColumn("__kept", kept)
+        .select(
+            F.col("id").alias(id_col),
+            F.array_join("__kept", " ").alias("text_clean"),
+            (F.size("t") - F.size("__kept")).cast("long").alias("n_removed_tokens"),
+        )
+    )

@@ -703,3 +703,27 @@ def test_exact_substring_spans_planted(spark):
     # doc 3 is absent entirely
     assert not any(k[0] == 3 for k in out)
     assert len(out) == 4
+
+
+def test_exact_substring_dedup_text_keep_first(spark):
+    from spartan2_spark.operators.dedup import exact_substring_dedup_text
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly l=8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2"),   # first occurrence — kept intact
+            (2, "head " + shared),           # later occurrence — span removed
+            (3, "no duplicate content in this one at all whatsoever today"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_text(docs, "text", "doc_id", l=8).collect()
+    }
+    assert len(out) == 3  # every doc reported, clean ones included
+    assert out[1].text_clean == shared + " tail1 tail2"
+    assert out[1].n_removed_tokens == 0
+    assert out[2].text_clean == "head"
+    assert out[2].n_removed_tokens == 8
+    assert out[3].n_removed_tokens == 0
