@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "psi_drift",
     "hll_distinct",
     "minhash_dedup_pairs",
+    # round-4: exact-substring dedup (positional-gram suffix-array analogue)
+    "substring_dedup_spans",
 ]
 
 
