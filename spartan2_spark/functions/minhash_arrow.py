@@ -42,6 +42,16 @@ __all__ = ["minhash_batches", "poly_shingle_set"]
 
 _P = np.int64(2147483647)  # 2^31 - 1, matches text._POLY_P
 
+# Peak-memory bound for the k x shingles affine-transform matrix: the
+# batch is processed in row chunks holding at most this many shingle
+# hashes, so the transient `transformed` array never exceeds
+# k * _CHUNK_SHINGLES * 8 bytes (k=64 -> 512 MiB) REGARDLESS of the
+# arrow batch row count or document length. Without the bound, a
+# 65536-row batch of ~1 KB docs materializes a ~30 GB matrix per
+# python worker — fine at sf0.1, fatal with 8 concurrent workers on a
+# 128 GiB box (measured on the 41M-row cluster-scaling ladder).
+_CHUNK_SHINGLES = 1 << 20
+
 
 def _fold_hash(codes: np.ndarray) -> int:
     """Whole-string poly hash (short-doc / empty-doc path)."""
@@ -88,29 +98,47 @@ def minhash_batches(
         texts = batch.column(text_field).to_pylist()
         sets = [poly_shingle_set(t if t is not None else "", n) for t in texts]
         lens = np.array([s.shape[0] for s in sets], dtype=np.int64)
-        flat = (
-            np.concatenate(sets) if sets else np.empty(0, dtype=np.int64)
-        )
-        offsets = np.zeros(lens.shape[0] + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        # k x total affine transforms, then per-doc segmented minima.
-        # a*h < 2^37 -> int64-safe
-        transformed = (a * flat[None, :] + b) % _P
-        if flat.shape[0]:
-            sig = np.minimum.reduceat(transformed, offsets[:-1], axis=1)
-        else:
-            sig = np.empty((k, 0), dtype=np.int64)
-        sig_flat = np.ascontiguousarray(sig.T).reshape(-1)
-        hv_arr = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.int64())
-        )
-        sig_off = pa.array(
-            np.arange(0, (len(texts) + 1) * k, k, dtype=np.int64),
-            type=pa.int32(),
-        )
-        sig_arr = pa.ListArray.from_arrays(
-            sig_off, pa.array(sig_flat, type=pa.int64())
-        )
-        yield pa.RecordBatch.from_arrays(
-            [ids, hv_arr, sig_arr], names=[id_field, "hv", "sig"]
-        )
+        nrows = len(texts)
+        start = 0
+        while start < nrows:
+            # grow the chunk until the shingle budget is hit; always
+            # admit at least one row so an over-budget doc still flows
+            end = start
+            tot = 0
+            while end < nrows and (
+                end == start or tot + lens[end] <= _CHUNK_SHINGLES
+            ):
+                tot += lens[end]
+                end += 1
+            clens = lens[start:end]
+            flat = (
+                np.concatenate(sets[start:end])
+                if end > start
+                else np.empty(0, dtype=np.int64)
+            )
+            offsets = np.zeros(clens.shape[0] + 1, dtype=np.int64)
+            np.cumsum(clens, out=offsets[1:])
+            # k x chunk affine transforms, then per-doc segmented
+            # minima. a*h < 2^37 -> int64-safe
+            transformed = (a * flat[None, :] + b) % _P
+            if flat.shape[0]:
+                sig = np.minimum.reduceat(transformed, offsets[:-1], axis=1)
+            else:
+                sig = np.empty((k, 0), dtype=np.int64)
+            sig_flat = np.ascontiguousarray(sig.T).reshape(-1)
+            hv_arr = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat, type=pa.int64()),
+            )
+            sig_off = pa.array(
+                np.arange(0, (end - start + 1) * k, k, dtype=np.int64),
+                type=pa.int32(),
+            )
+            sig_arr = pa.ListArray.from_arrays(
+                sig_off, pa.array(sig_flat, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids.slice(start, end - start), hv_arr, sig_arr],
+                names=[id_field, "hv", "sig"],
+            )
+            start = end
