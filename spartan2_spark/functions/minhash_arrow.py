@@ -38,7 +38,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["minhash_batches", "poly_shingle_set"]
+__all__ = ["minhash_batches", "poly_shingle_set", "jaccard_counts_batches"]
 
 _P = np.int64(2147483647)  # 2^31 - 1, matches text._POLY_P
 
@@ -142,3 +142,154 @@ def minhash_batches(
                 names=[id_field, "hv", "sig"],
             )
             start = end
+
+
+def jaccard_counts_batches(
+    batches: Iterator[pa.RecordBatch],
+    hv_map: dict,
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow verify kernel: (id_a, id_b) candidate pairs ->
+    (id_a, id_b, inter, nv_a, nv_b) where ``inter`` is the exact
+    distinct-shingle-hash intersection size and ``nv_*`` the set sizes.
+
+    ``hv_map`` maps doc id -> SORTED distinct int64 shingle hashes (the
+    arrow signature kernel's ``hv`` column, broadcast once per
+    executor). Replaces the JVM pair-side ``array_intersect`` join: no
+    join at all — each ~200-element intersection is a numpy
+    searchsorted merge (~2 us) instead of a per-row hash-set build, and
+    the candidate shuffle carries ONLY the two ids. Jaccard itself is
+    computed JVM-side from the returned integers with the identical
+    ``inter / (nv_a + nv_b - inter)`` double division, so values match
+    the join path bit-for-bit.
+    """
+    for batch in batches:
+        m = batch.num_rows
+        if m == 0:
+            continue
+        ia = batch.column("id_a").to_pylist()
+        ib = batch.column("id_b").to_pylist()
+        inter = np.empty(m, dtype=np.int64)
+        na = np.empty(m, dtype=np.int64)
+        nb = np.empty(m, dtype=np.int64)
+        for i in range(m):
+            a = hv_map[ia[i]]
+            b = hv_map[ib[i]]
+            na[i] = a.shape[0]
+            nb[i] = b.shape[0]
+            if a.shape[0] > b.shape[0]:
+                a, b = b, a
+            idx = np.searchsorted(b, a)
+            # idx == len(b) means a-value > every b-value: clamp to the
+            # last slot — side='left' guarantees the clamped compare
+            # can't false-positive (equality would have returned len-1)
+            np.minimum(idx, b.shape[0] - 1, out=idx)
+            inter[i] = np.count_nonzero(b[idx] == a)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("id_a"),
+                batch.column("id_b"),
+                pa.array(inter, type=pa.int64()),
+                pa.array(na, type=pa.int64()),
+                pa.array(nb, type=pa.int64()),
+            ],
+            names=["id_a", "id_b", "inter", "nv_a", "nv_b"],
+        )
+
+
+def bucket_pairs_verify_batches(
+    batches: Iterator[pa.RecordBatch],
+    hv_map: dict,
+    emit_rows: int = 1 << 17,
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: bucket id-lists -> verified candidate pairs
+    (id_a, id_b, inter, nv_a, nv_b).
+
+    Expands each bucket's sorted id list into its i<j pairs AND scores
+    them in one pass, replacing BOTH the interpreted
+    ``flatten(transform(...))`` pair expansion and the pre-verify
+    ``dropDuplicates`` shuffle of every raw candidate (the caller
+    dedups AFTER the threshold filter, on the far smaller survivor
+    set — duplicate pairs score identically, so the late dedup is
+    value-neutral).
+
+    Vectorized per ANCHOR, not per pair: for anchor doc i the
+    intersection sizes against ALL partners j>i come from ONE
+    searchsorted of the concatenated partner tail against the anchor's
+    sorted set plus a segmented sum — a ~300k-pair mega-bucket costs
+    ~0.1 s of numpy instead of ~1.5 s of per-pair python. Output is
+    chunked at ``emit_rows`` pairs so a run of max_bucket-sized buckets
+    cannot accumulate an unbounded batch.
+    """
+    id_type = None
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        if id_type is None:
+            id_type = batch.column("ids").type.value_type
+        ida: list = []
+        idb: list = []
+        inter: list = []
+        na: list = []
+        nb: list = []
+        pending = 0
+
+        def flush():
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(ida), type=id_type)
+                    if ida and isinstance(ida[0], np.ndarray)
+                    else pa.array(
+                        [x for part in ida for x in part], type=id_type
+                    ),
+                    pa.array(np.concatenate(idb), type=id_type)
+                    if idb and isinstance(idb[0], np.ndarray)
+                    else pa.array(
+                        [x for part in idb for x in part], type=id_type
+                    ),
+                    pa.array(np.concatenate(inter), type=pa.int64()),
+                    pa.array(np.concatenate(na), type=pa.int64()),
+                    pa.array(np.concatenate(nb), type=pa.int64()),
+                ],
+                names=["id_a", "id_b", "inter", "nv_a", "nv_b"],
+            )
+            ida.clear(); idb.clear(); inter.clear(); na.clear(); nb.clear()
+            return out
+
+        for ids in batch.column("ids").to_pylist():
+            m = len(ids)
+            if m < 2:
+                continue
+            sets = [hv_map[i] for i in ids]
+            lens = np.array([s.shape[0] for s in sets], dtype=np.int64)
+            flat = np.concatenate(sets)
+            offsets = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            numeric = isinstance(ids[0], (int, np.integer))
+            ids_np = np.asarray(ids, dtype=np.int64) if numeric else ids
+            for i in range(m - 1):
+                a = sets[i]
+                tail = flat[offsets[i + 1] :]
+                # membership of every tail element in the anchor's set:
+                # one vectorized searchsorted + clamped equality compare
+                idx = np.searchsorted(a, tail)
+                np.minimum(idx, a.shape[0] - 1, out=idx)
+                hits = a[idx] == tail
+                seg = offsets[i + 1 :] - offsets[i + 1]
+                counts = np.add.reduceat(hits, seg[:-1])
+                inter.append(counts.astype(np.int64))
+                if numeric:
+                    ida.append(
+                        np.full(m - 1 - i, ids_np[i], dtype=ids_np.dtype)
+                    )
+                    idb.append(ids_np[i + 1 :])
+                else:
+                    ida.append([ids[i]] * (m - 1 - i))
+                    idb.append(ids[i + 1 :])
+                na.append(np.full(m - 1 - i, lens[i], dtype=np.int64))
+                nb.append(lens[i + 1 :])
+                pending += m - 1 - i
+            if pending >= emit_rows:
+                yield flush()
+                pending = 0
+        if pending:
+            yield flush()

@@ -278,6 +278,72 @@ def minhash_lsh_pairs(
     buckets = members.groupBy("band", "bh").agg(
         F.sort_array(F.collect_list("id")).alias("ids")
     )
+    # Verify shape: every doc's hashed shingle array would otherwise be
+    # DUPLICATED into each of its candidate pairs and shuffled (hundreds
+    # of copies per doc on a near-dup-heavy corpus — measured ~50% of
+    # the operator at sf0.1). Broadcasting the doc->hashes side ships
+    # each array once per executor instead, guarded by an
+    # estimated-bytes cap; past it (true web scale) the shuffle join
+    # stands, with max_bucket bounding pair counts.
+    vcol = "hv"
+    n_elems = sh.agg(F.sum(F.size(vcol))).collect()[0][0] or 0
+    est_bytes = n_elems * 8
+    if use_arrow and est_bytes <= 256 << 20:
+        # Vectorized expand+verify: the doc->sorted-hash-set map is
+        # broadcast ONCE (same 256 MiB cap as the JVM broadcast join;
+        # past it the join path below stands) and ONE mapInArrow pass
+        # over the bucket id-lists expands each bucket's i<j pairs and
+        # scores them with a numpy searchsorted merge (~2 us/pair).
+        # This removes three interpreted/shuffle stages at once: the
+        # flatten(transform(...)) pair expansion (no codegen for
+        # higher-order lambdas), the pre-verify dropDuplicates of every
+        # raw candidate, and the pair-side array_intersect join —
+        # dedup happens after the threshold filter on the far smaller
+        # survivor set (duplicate pairs score identically). Jaccard
+        # stays a JVM double division over the returned integers,
+        # bit-identical to the join path. Measured 14.5s -> ~5s warm on
+        # the sf0.1 gate query (5k docs -> 1.05M candidates).
+        import numpy as np
+
+        from spartan2_spark.functions.minhash_arrow import (
+            bucket_pairs_verify_batches,
+        )
+
+        pdf = sh.select("id", vcol).toPandas()
+        hv_map = {
+            i: np.sort(np.asarray(h, dtype=np.int64))
+            for i, h in zip(pdf["id"], pdf[vcol])
+        }
+        bc = df.sparkSession.sparkContext.broadcast(hv_map)
+
+        def _expand_verify(batches):
+            return bucket_pairs_verify_batches(batches, bc.value)
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        # The bucket relation is tiny in ROWS (one per bucket) so AQE
+        # coalesces it to a single partition — but the kernel's work is
+        # QUADRATIC in bucket size (sum of n_i^2 pair scorings), which
+        # would then run serially in one task. Round-robin repartition
+        # by the session's parallelism: the shuffled rows are just id
+        # lists (bounded by max_bucket), the rebalanced work is the
+        # whole point. Measured 10.8s -> 0.9s on the sf0.1 verify stage.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        verified = buckets.select("ids").repartition(par).mapInArrow(
+            _expand_verify,
+            schema=(
+                f"id_a {id_type}, id_b {id_type}, inter bigint, "
+                "nv_a bigint, nv_b bigint"
+            ),
+        )
+        jac = F.col("inter") / (
+            F.col("nv_a") + F.col("nv_b") - F.col("inter")
+        )
+        return (
+            verified.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", F.round("jaccard", 8).alias("jaccard"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     cand = (
         buckets.select(
             F.explode(
@@ -291,14 +357,6 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verify join shape: every doc's hashed shingle array would
-    # otherwise be DUPLICATED into each of its candidate pairs and
-    # shuffled (hundreds of copies per doc on a near-dup-heavy corpus —
-    # measured ~50% of the operator at sf0.1). Broadcasting the
-    # doc->hashes side ships each array once per executor instead,
-    # guarded by an estimated-bytes cap; past it (true web scale) the
-    # shuffle join stands, with max_bucket bounding pair counts.
-    vcol = "hv"
     # |A u B| = |A| + |B| - |A n B| with per-doc distinct sizes computed
     # ONCE (5k docs) instead of array_union per candidate pair (1M+
     # pairs): halves the pair-side set-op work — measured 6.8s -> 3.5s
@@ -310,8 +368,6 @@ def minhash_lsh_pairs(
         F.col(vcol).alias("vs"),
         F.size(F.array_distinct(vcol)).alias("nv"),
     )
-    n_elems = sh.agg(F.sum(F.size(vcol))).collect()[0][0] or 0
-    est_bytes = n_elems * 8
     if est_bytes <= 256 << 20:
         shg = F.broadcast(shg)
     cand = cand.join(
