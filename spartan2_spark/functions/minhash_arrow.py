@@ -38,7 +38,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["minhash_batches", "poly_shingle_set", "jaccard_counts_batches"]
+__all__ = ["minhash_batches", "poly_shingle_set", "bucket_pairs_verify_batches"]
 
 _P = np.int64(2147483647)  # 2^31 - 1, matches text._POLY_P
 
@@ -142,58 +142,6 @@ def minhash_batches(
                 names=[id_field, "hv", "sig"],
             )
             start = end
-
-
-def jaccard_counts_batches(
-    batches: Iterator[pa.RecordBatch],
-    hv_map: dict,
-) -> Iterator[pa.RecordBatch]:
-    """mapInArrow verify kernel: (id_a, id_b) candidate pairs ->
-    (id_a, id_b, inter, nv_a, nv_b) where ``inter`` is the exact
-    distinct-shingle-hash intersection size and ``nv_*`` the set sizes.
-
-    ``hv_map`` maps doc id -> SORTED distinct int64 shingle hashes (the
-    arrow signature kernel's ``hv`` column, broadcast once per
-    executor). Replaces the JVM pair-side ``array_intersect`` join: no
-    join at all — each ~200-element intersection is a numpy
-    searchsorted merge (~2 us) instead of a per-row hash-set build, and
-    the candidate shuffle carries ONLY the two ids. Jaccard itself is
-    computed JVM-side from the returned integers with the identical
-    ``inter / (nv_a + nv_b - inter)`` double division, so values match
-    the join path bit-for-bit.
-    """
-    for batch in batches:
-        m = batch.num_rows
-        if m == 0:
-            continue
-        ia = batch.column("id_a").to_pylist()
-        ib = batch.column("id_b").to_pylist()
-        inter = np.empty(m, dtype=np.int64)
-        na = np.empty(m, dtype=np.int64)
-        nb = np.empty(m, dtype=np.int64)
-        for i in range(m):
-            a = hv_map[ia[i]]
-            b = hv_map[ib[i]]
-            na[i] = a.shape[0]
-            nb[i] = b.shape[0]
-            if a.shape[0] > b.shape[0]:
-                a, b = b, a
-            idx = np.searchsorted(b, a)
-            # idx == len(b) means a-value > every b-value: clamp to the
-            # last slot — side='left' guarantees the clamped compare
-            # can't false-positive (equality would have returned len-1)
-            np.minimum(idx, b.shape[0] - 1, out=idx)
-            inter[i] = np.count_nonzero(b[idx] == a)
-        yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("id_a"),
-                batch.column("id_b"),
-                pa.array(inter, type=pa.int64()),
-                pa.array(na, type=pa.int64()),
-                pa.array(nb, type=pa.int64()),
-            ],
-            names=["id_a", "id_b", "inter", "nv_a", "nv_b"],
-        )
 
 
 def bucket_pairs_verify_batches(

@@ -727,3 +727,56 @@ def test_exact_substring_dedup_text_keep_first(spark):
     assert out[2].text_clean == "head"
     assert out[2].n_removed_tokens == 8
     assert out[3].n_removed_tokens == 0
+
+
+def test_bucket_pairs_verify_kernel_parity():
+    """The vectorized expand+verify kernel must reproduce brute-force
+    pair intersections exactly, across chunked emits, duplicate buckets
+    (cross-band repeats), and both integer and string doc ids."""
+    import pyarrow as pa
+
+    from spartan2_spark.functions.minhash_arrow import (
+        bucket_pairs_verify_batches,
+    )
+
+    rng = np.random.default_rng(7)
+    hv_map = {
+        i: np.unique(rng.integers(0, 50, size=int(s)).astype(np.int64))
+        for i, s in enumerate(rng.integers(1, 20, size=12))
+    }
+    buckets = [[0, 1, 2, 3], [2, 3], [4, 5, 6, 7, 8], [0, 1, 2, 3], [9], []]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(buckets, type=pa.list_(pa.int64()))], names=["ids"]
+    )
+    got = {}
+    # emit_rows=3 forces multiple flushes mid-bucket
+    for out in bucket_pairs_verify_batches(iter([batch]), hv_map, emit_rows=3):
+        d = out.to_pydict()
+        for a, b, it, na, nb in zip(
+            d["id_a"], d["id_b"], d["inter"], d["nv_a"], d["nv_b"]
+        ):
+            got[(a, b)] = (it, na, nb)
+    expect = {}
+    for ids in buckets:
+        for x in range(len(ids) - 1):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                expect[(a, b)] = (
+                    int(np.intersect1d(hv_map[a], hv_map[b]).shape[0]),
+                    int(hv_map[a].shape[0]),
+                    int(hv_map[b].shape[0]),
+                )
+    assert got == expect
+
+    # string ids go through the list (non-numpy) emit path
+    smap = {f"d{i}": v for i, v in hv_map.items()}
+    sbatch = pa.RecordBatch.from_arrays(
+        [pa.array([["d0", "d1", "d2"]], type=pa.list_(pa.string()))],
+        names=["ids"],
+    )
+    (sout,) = bucket_pairs_verify_batches(iter([sbatch]), smap)
+    sd = sout.to_pydict()
+    assert sd["id_a"] == ["d0", "d0", "d1"]
+    assert sd["id_b"] == ["d1", "d2", "d2"]
+    for a, b, it in zip(sd["id_a"], sd["id_b"], sd["inter"]):
+        assert it == int(np.intersect1d(smap[a], smap[b]).shape[0])
