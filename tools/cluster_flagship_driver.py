@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output root (per-pass subdirs)")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--shuffle-partitions", type=int, required=True)
+    ap.add_argument(
+        "--max-dedup-docs",
+        type=int,
+        default=200_000,
+        help="deterministic url-hash cap on the dedup-stage corpus "
+        "(2 docs per sampled url: base + planted [rev2] revision)",
+    )
     args = ap.parse_args()
 
     from spartan2_spark.plans.pipeline import run_pipeline
@@ -75,8 +82,25 @@ def main() -> None:
             lambda i: F.hex(F.xxhash64(F.col("url"), i)),
         ),
     )
+    # Deterministic url-hash sample bounding the dedup corpus. The
+    # past-broadcast-cap verify join ships each doc's shingle-hash array
+    # once per candidate pair, so its shuffle scales with
+    # pairs x doc-length: at 820k x 1.1KB docs it wrote 58+ GB of
+    # tmpfs shuffle on this box and OOM-starved co-tenant processes.
+    # Sampling by URL keeps every planted base/[rev2] near-dup pair
+    # intact (both revisions share the url) and is identical at every
+    # cluster size; the sampled size is visible as n_docs in the
+    # result line (no silent cap).
+    n_urls = pages.select("url").distinct().count()
+    target_urls = max(1, args.max_dedup_docs // 2)
+    mod = max(1, -(-n_urls // target_urls))
+    dpages = (
+        pages
+        if mod == 1
+        else pages.filter(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0)
+    )
     docs = (
-        pages.select("url", "text")
+        dpages.select("url", "text")
         .distinct()
         .select(
             F.xxhash64("url", "text").alias("doc_id"),
