@@ -157,6 +157,16 @@ def minhash_lsh_pairs(
     interpreted path: identical values (slot-level parity-tested),
     >10x on the signature stages at sf0.1. ``use_arrow=False`` forces
     the pure-SQL formulation.
+
+    Scale envelope of the verify stage: under the 256 MiB hash-set
+    budget the arrow path broadcasts the doc->set map and ships pairs
+    as bare ids; past it, the fallback shuffle join's volume is
+    sum over candidate pairs of both docs' set bytes — measured 58+ GB
+    for 820k x ~1.1 KB docs with 410k planted near-dup pairs. That
+    volume is inherent to exact per-pair verification; the knobs that
+    bound it are band precision (bands/r vs the threshold), max_bucket,
+    and verifying per corpus PARTITION (dedup within url-domain or
+    crawl-snapshot shards) rather than globally.
     """
     if k % bands:
         raise ValueError(
