@@ -5872,6 +5872,94 @@ def _eaglemine_desc_trunc_sql() -> str:
 """
 
 
+def _q_eaglemine_describe_dtm(spark, sf_dir):
+    """EagleMine describe, full DTM (Discrete-Truncate-Multivariate)
+    hypothesis family (desc/dtmnorm.py:119-135 _single_optpara): each
+    cell contributes its Gaussian MASS over its own unit hypercube
+    [bin, bin+1) — not a point logpdf — renormalized by the island box
+    mass with the reference's smoothed floor Z = max(8e-3, boxmass)
+    (dtmnorm.py:126). Axis-aligned CDF products (shared A&S-7.1.26 erf
+    polynomial on both engines) and moment-estimate parameters are the
+    documented divergences from the reference's scipy mvnormcdf +
+    scipy.optimize MLE. round(6) discipline."""
+    from spartan2_spark.operators.histogram import (
+        describe_islands,
+        hist2d_log,
+        water_level_tree,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    tree = water_level_tree(hist, min_hcubes=4, smooth=True)
+    d = describe_islands(tree, variant="dtm")
+    return d.select(
+        "level",
+        "node",
+        "n_cells",
+        "mass",
+        F.round("mu_x", 6).alias("mu_x"),
+        F.round("mu_y", 6).alias("mu_y"),
+        F.round("cov_xx", 6).alias("cov_xx"),
+        F.round("cov_xy", 6).alias("cov_xy"),
+        F.round("cov_yy", 6).alias("cov_yy"),
+        F.round("log_z", 6).alias("log_z"),
+        F.round("loss", 6).alias("loss"),
+    )
+
+
+def _eaglemine_desc_dtm_sql() -> str:
+    zx_hi = _PHI_SQL.format(z="(p.hi_x - p.mu_x) / sqrt(p.cov_xx)")
+    zx_lo = _PHI_SQL.format(z="(p.lo_x - p.mu_x) / sqrt(p.cov_xx)")
+    zy_hi = _PHI_SQL.format(z="(p.hi_y - p.mu_y) / sqrt(p.cov_yy)")
+    zy_lo = _PHI_SQL.format(z="(p.lo_y - p.mu_y) / sqrt(p.cov_yy)")
+    cx_hi = _PHI_SQL.format(z="(t.bin_x + 1.0 - p.mu_x) / sqrt(p.cov_xx)")
+    cx_lo = _PHI_SQL.format(z="(t.bin_x + 0.0 - p.mu_x) / sqrt(p.cov_xx)")
+    cy_hi = _PHI_SQL.format(z="(t.bin_y + 1.0 - p.mu_y) / sqrt(p.cov_yy)")
+    cy_lo = _PHI_SQL.format(z="(t.bin_y + 0.0 - p.mu_y) / sqrt(p.cov_yy)")
+    p_cell = f"(({cx_hi}) - ({cx_lo})) * (({cy_hi}) - ({cy_lo}))"
+    return _EAGLEMINE_TREE_CTES + f"""
+    , tree AS (SELECT o.level, CAST(c.bin_x AS DOUBLE) AS bin_x,
+                      CAST(c.bin_y AS DOUBLE) AS bin_y, c.cnt, o.node
+               FROM surv o JOIN c ON c.cid = o.cid),
+    m AS (SELECT level, node, count(*) AS n_cells, CAST(sum(cnt) AS BIGINT) AS mass,
+                 sum(CAST(cnt AS DOUBLE)) AS W,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5)) AS sx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5)) AS sy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_x + 0.5)) AS sxx,
+                 sum(CAST(cnt AS DOUBLE) * (bin_x + 0.5) * (bin_y + 0.5)) AS sxy,
+                 sum(CAST(cnt AS DOUBLE) * (bin_y + 0.5) * (bin_y + 0.5)) AS syy,
+                 min(bin_x) AS lo_x, max(bin_x) + 1.0 AS hi_x,
+                 min(bin_y) AS lo_y, max(bin_y) + 1.0 AS hi_y
+          FROM tree GROUP BY 1, 2),
+    params AS (SELECT level, node, n_cells, mass, W, lo_x, hi_x, lo_y, hi_y,
+                      sx / W AS mu_x, sy / W AS mu_y,
+                      sxx / W - (sx / W) * (sx / W) AS cov_xx,
+                      sxy / W - (sx / W) * (sy / W) AS cov_xy,
+                      syy / W - (sy / W) * (sy / W) AS cov_yy
+               FROM m),
+    zc AS (SELECT p.*,
+                  CASE WHEN p.cov_xx > 1e-12 AND p.cov_yy > 1e-12
+                       THEN ln(greatest(0.008,
+                            (({zx_hi}) - ({zx_lo})) * (({zy_hi}) - ({zy_lo}))))
+                  END AS log_z
+           FROM params p),
+    lo AS (SELECT t.level, t.node,
+                  sum(CASE WHEN p.cov_xx > 1e-12 AND p.cov_yy > 1e-12
+                            AND ({p_cell}) > 0
+                           THEN CAST(t.cnt AS DOUBLE) * ln({p_cell})
+                      END) AS s,
+                  max(CASE WHEN p.cov_xx <= 1e-12 OR p.cov_yy <= 1e-12
+                            OR ({p_cell}) <= 0 THEN 1 ELSE 0 END) AS bad
+           FROM tree t JOIN params p USING (level, node) GROUP BY 1, 2)
+    SELECT p.level, p.node, p.n_cells, p.mass,
+           round(p.mu_x, 6) AS mu_x, round(p.mu_y, 6) AS mu_y,
+           round(p.cov_xx, 6) AS cov_xx, round(p.cov_xy, 6) AS cov_xy,
+           round(p.cov_yy, 6) AS cov_yy, round(p.log_z, 6) AS log_z,
+           round(CASE WHEN lo.bad = 0 THEN lo.s - p.W * p.log_z END, 6) AS loss
+    FROM zc p JOIN lo ON lo.level = p.level AND lo.node = p.node
+"""
+
+
 def _q_eaglemine_stitch(spark, sf_dir):
     """EagleMine post-stitch (eaglemine_model.py:377-460): same-level
     islands whose Gaussian fits pass the reference's closeness rule and
@@ -6480,6 +6568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r4 queries HERE, at the head) ---
         "monlad_cfd": _q_monlad_cfd,
         "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
+        "eaglemine_describe_dtm": _q_eaglemine_describe_dtm,
         "beatgan_ae_recon": _q_beatgan_ae,
         "cubeflow_plus": _q_cubeflow_plus,
         "ses_forecast": _q_ses_forecast,
@@ -6723,6 +6812,7 @@ def oracle_sql() -> dict[str, str]:
         "eaglemine_clusters": _EAGLEMINE_SQL,
         "eaglemine_describe": _EAGLEMINE_DESC_SQL,
         "eaglemine_describe_trunc": _eaglemine_desc_trunc_sql(),
+        "eaglemine_describe_dtm": _eaglemine_desc_dtm_sql(),
         "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
         "eaglemine_gof": _EAGLEMINE_GOF_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,

@@ -493,6 +493,41 @@ def _std_normal_cdf(z):
     return 0.5 * (1.0 + erf)
 
 
+def _dtm_loss(cells: DataFrame, prm: DataFrame) -> DataFrame:
+    """DTM objective numerator per island: sum(cnt * ln P_cell) where
+    P_cell is the axis-aligned Gaussian mass over the cell's unit box
+    [bin, bin+1) (dtmnorm.py:119-135 `_single_optpara`, 'left'
+    hypercube convention). Singular marginals (cov <= 1e-12) or any
+    cell mass underflowing to <= 0 yield NULL loss (the reference
+    accumulates NaN there)."""
+    keys = ["level", "node"]
+    sx = F.sqrt(F.col("cov_xx"))
+    sy = F.sqrt(F.col("cov_yy"))
+    px = _std_normal_cdf(
+        (F.col("bin_x").cast("double") + 1.0 - F.col("mu_x")) / sx
+    ) - _std_normal_cdf((F.col("bin_x").cast("double") - F.col("mu_x")) / sx)
+    py = _std_normal_cdf(
+        (F.col("bin_y").cast("double") + 1.0 - F.col("mu_y")) / sy
+    ) - _std_normal_cdf((F.col("bin_y").cast("double") - F.col("mu_y")) / sy)
+    ok = (F.col("cov_xx") > 1e-12) & (F.col("cov_yy") > 1e-12)
+    p_cell = px * py
+    return (
+        cells.join(prm.select(*keys, "mu_x", "mu_y", "cov_xx", "cov_yy"), keys)
+        .withColumn("__p", F.when(ok, p_cell))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(F.col("__p") > 0, _w() * F.log("__p"))).alias("__s"),
+            F.max(
+                F.when(F.col("__p").isNull() | (F.col("__p") <= 0), 1).otherwise(0)
+            ).alias("__bad"),
+        )
+        .select(
+            *keys,
+            F.when(F.col("__bad") == 0, F.col("__s")).alias("loss"),
+        )
+    )
+
+
 def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
     """EagleMine's describe stage: a count-weighted Gaussian fit per
     water-level-tree island (model/eaglemine/desc/gaussian_describe.py
@@ -517,6 +552,19 @@ def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
       CDFs (documented divergence — deterministic and replayable in
       any SQL engine via the shared A&S erf polynomial). Adds a
       ``log_z`` column; Z <= 0 or a singular axis yields NULL loss.
+    * ``"dtm"`` (desc/dtmnorm.py:119-135 `_single_optpara`): the full
+      Discrete-Truncate-Multivariate hypothesis — each CELL contributes
+      its Gaussian MASS over its own unit hypercube [bin, bin+1) (not a
+      point logpdf at the center), renormalized by the island box mass
+      with the reference's smoothed-normalizer floor
+      ``Z = max(8e-3, boxmass)`` (dtmnorm.py:126); loss =
+      sum(cnt * (ln P_cell - ln Z)). Cell and box masses use the same
+      axis-aligned CDF-product divergence as ``"truncated"``. Any cell
+      whose mass underflows to <= 0 NULLs the island's loss (the
+      reference adds NaN there, dtmnorm.py:132). Adds ``log_z``;
+      parameters stay the weighted-moment fit (the reference's
+      scipy.optimize MLE refinement is the documented divergence —
+      the engine evaluates the DTM objective at the moment estimate).
 
     ``tree`` is :func:`water_level_tree` output. Two hash aggregations
     over the bounded island relation: raw weighted moments, then a
@@ -529,11 +577,14 @@ def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
     cov_yy[, log_z], loss).
     """
     if variant in ("gaussian", "discrete"):
-        truncated = False
+        truncated = dtm = False
     elif variant == "truncated":
-        truncated = True
+        truncated, dtm = True, False
+    elif variant == "dtm":
+        truncated, dtm = False, True
     else:
         raise ValueError(f"unknown describe variant {variant!r}")
+    boxed = truncated or dtm
     extra = (
         [
             F.min("bin_x").cast("double").alias("lo_x"),
@@ -541,16 +592,19 @@ def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
             F.min("bin_y").cast("double").alias("lo_y"),
             (F.max("bin_y").cast("double") + 1.0).alias("hi_y"),
         ]
-        if truncated
+        if boxed
         else []
     )
     m = tree.groupBy("level", "node").agg(
         F.count(F.lit(1)).alias("n_cells"), *_gauss_moment_aggs(), *extra
     )
     params = _gauss_params(m).transform(barrier)
-    loss = _gauss_loss(tree, params, ["level", "node"])
+    if dtm:
+        loss = _dtm_loss(tree, params)
+    else:
+        loss = _gauss_loss(tree, params, ["level", "node"])
     out = params.join(loss, ["level", "node"])
-    if truncated:
+    if boxed:
         sx = F.sqrt(F.col("cov_xx"))
         sy = F.sqrt(F.col("cov_yy"))
         z = (
@@ -560,10 +614,18 @@ def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
             _std_normal_cdf((F.col("hi_y") - F.col("mu_y")) / sy)
             - _std_normal_cdf((F.col("lo_y") - F.col("mu_y")) / sy)
         )
-        log_z = F.when(
-            (F.col("cov_xx") > 1e-12) & (F.col("cov_yy") > 1e-12) & (z > 0),
-            F.log(z),
-        )
+        if dtm:
+            # smoothed normalizer floor (dtmnorm.py:126): Z is never 0,
+            # so log_z only requires non-singular marginals.
+            z = F.greatest(F.lit(8.0e-3), z)
+            log_z = F.when(
+                (F.col("cov_xx") > 1e-12) & (F.col("cov_yy") > 1e-12), F.log(z)
+            )
+        else:
+            log_z = F.when(
+                (F.col("cov_xx") > 1e-12) & (F.col("cov_yy") > 1e-12) & (z > 0),
+                F.log(z),
+            )
         out = out.withColumn("log_z", log_z).withColumn(
             "loss", F.col("loss") - F.col("W") * F.col("log_z")
         )
@@ -577,7 +639,7 @@ def describe_islands(tree: DataFrame, variant: str = "gaussian") -> DataFrame:
         "cov_xx",
         "cov_xy",
         "cov_yy",
-        *(["log_z"] if truncated else []),
+        *(["log_z"] if boxed else []),
         "loss",
     )
 

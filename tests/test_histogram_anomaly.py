@@ -468,6 +468,64 @@ def test_describe_islands_truncated_variant(spark):
         describe_islands(tree, variant="bogus")
 
 
+def test_describe_islands_dtm_variant(spark):
+    """DTM family (desc/dtmnorm.py:119-135 _single_optpara): per-cell
+    Gaussian MASS over the cell's unit box, renormalized by
+    max(8e-3, box mass). Checked against an independent numpy replay
+    with exact erf (the engine's A&S polynomial is within 1.5e-7);
+    a singular-axis island yields NULL loss."""
+    import math
+
+    import numpy as np
+
+    from spartan2_spark.operators.histogram import describe_islands
+
+    rng = np.random.default_rng(11)
+    raw = {}
+    for bx, by, c in zip(
+        rng.integers(0, 8, 40), rng.integers(0, 8, 40), rng.integers(1, 50, 40)
+    ):
+        raw[(int(bx), int(by))] = raw.get((int(bx), int(by)), 0) + int(c)
+    tree = spark.createDataFrame(
+        [(0, 1, bx, by, cnt) for (bx, by), cnt in sorted(raw.items())],
+        "level int, node int, bin_x int, bin_y int, cnt long",
+    )
+    row = describe_islands(tree, variant="dtm").collect()[0]
+
+    # independent numpy replay of the objective at the moment estimate
+    bx = np.array([k[0] for k in sorted(raw)], dtype=float)
+    by = np.array([k[1] for k in sorted(raw)], dtype=float)
+    w = np.array([raw[k] for k in sorted(raw)], dtype=float)
+    W = w.sum()
+    mux = (w * (bx + 0.5)).sum() / W
+    muy = (w * (by + 0.5)).sum() / W
+    sx = math.sqrt((w * (bx + 0.5) ** 2).sum() / W - mux * mux)
+    sy = math.sqrt((w * (by + 0.5) ** 2).sum() / W - muy * muy)
+    phi = lambda z: 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+    pm = lambda lo, hi, mu, s: phi((hi - mu) / s) - phi((lo - mu) / s)
+    p_cell = np.array(
+        [
+            pm(x, x + 1.0, mux, sx) * pm(y, y + 1.0, muy, sy)
+            for x, y in zip(bx, by)
+        ]
+    )
+    z = max(
+        8e-3,
+        pm(bx.min(), bx.max() + 1.0, mux, sx) * pm(by.min(), by.max() + 1.0, muy, sy),
+    )
+    expected = float((w * np.log(p_cell)).sum() - W * math.log(z))
+    assert abs(row["log_z"] - math.log(z)) < 1e-5
+    assert abs(row["loss"] - expected) < 1e-3
+
+    # a one-column island (cov_yy == 0) cannot carry the hypothesis
+    flat = spark.createDataFrame(
+        [(0, 1, i, 3, 5) for i in range(6)],
+        "level int, node int, bin_x int, bin_y int, cnt long",
+    )
+    frow = describe_islands(flat, variant="dtm").collect()[0]
+    assert frow["loss"] is None
+
+
 def test_std_normal_cdf_matches_scipy_free_reference(spark):
     """The A&S 7.1.26 Phi approximation is within 1.5e-7 of the exact
     normal CDF (math.erf ground truth) across the working range."""
