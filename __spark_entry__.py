@@ -6503,6 +6503,228 @@ _GORILLA_READ_RANGE_SQL = """
 """
 
 
+def _q_xcorr(spark, sf_dir):
+    """Lagged cross-correlation between the per-minute click and
+    purchase count series, lags 0..5: exact BIGINT raw moments over the
+    zero-filled dense minute axis + the Pearson r they imply (IEEE
+    div/sqrt of exact sub-2^53 integers — bit-identical cross-engine)."""
+    return TS.cross_correlogram(
+        _events(spark, sf_dir), "click", "purchase", max_lag=5
+    )
+
+
+_XCORR_SQL = """
+    WITH ca AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60
+                  AS b, count(*)::BIGINT AS x
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+    cb AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) // 60
+             AS b, count(*)::BIGINT AS y
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM
+               (SELECT b FROM ca UNION ALL SELECT b FROM cb)),
+    lags AS (SELECT unnest(range(0, 6)) AS lag),
+    axis AS (SELECT lag, unnest(generate_series(lo, hi - lag)) AS t
+             FROM bounds, lags WHERE hi - lag >= lo),
+    j AS (SELECT lag, coalesce(x, 0) AS x, coalesce(y, 0) AS y
+          FROM axis LEFT JOIN ca ON ca.b = axis.t
+                    LEFT JOIN cb ON cb.b = axis.t + axis.lag),
+    m AS (SELECT lag, count(*)::BIGINT AS n,
+                 sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+                 sum(x * y)::BIGINT AS sum_xy,
+                 sum(x * x)::BIGINT AS sum_xx,
+                 sum(y * y)::BIGINT AS sum_yy
+          FROM j GROUP BY lag)
+    SELECT lag, n, sum_x, sum_y, sum_xy, sum_xx, sum_yy,
+           CASE WHEN n * sum_xx - sum_x * sum_x > 0
+                 AND n * sum_yy - sum_y * sum_y > 0
+                THEN (n * sum_xy - sum_x * sum_y)
+                     / sqrt(CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+                            * CAST(n * sum_yy - sum_y * sum_y AS DOUBLE))
+           END AS pearson_r
+    FROM m
+"""
+
+
+def _q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar link prediction: top-100 NON-edges of the sampled
+    co-part supplier graph by summed 1/ln(deg) over common neighbors
+    (1e-6-quantized BEFORE the sum — order-independent integers)."""
+    from spartan2_spark.operators.graph import adamic_adar
+
+    return adamic_adar(_sampled_copart_edges(spark, sf_dir), top_k=100)
+
+
+# the sampled co-part edge CTE — MUST mirror _sampled_copart_edges
+# (same construction as the e CTE inside _TRIANGLES_SQL / _KTRUSS_SQL)
+_COPART_E_CTE = """
+    li AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (SELECT l_partkey FROM li GROUP BY 1 HAVING count(*) <= 200),
+    lf AS (SELECT li.* FROM li JOIN ok USING (l_partkey)),
+    ep AS (SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+           FROM lf x JOIN lf y USING (l_partkey)
+           WHERE x.l_suppkey < y.l_suppkey),
+    rate AS (SELECT GREATEST(2, FLOOR(150 / sqrt(count(DISTINCT
+             l_suppkey)))::BIGINT) AS r FROM lf),
+    e AS MATERIALIZED (SELECT u, v FROM ep
+          WHERE (u::BIGINT * 48271 + v) * 48271 % 2147483647 % 100
+          < (SELECT r FROM rate))
+"""
+
+_ADAMIC_ADAR_SQL = f"""
+    WITH {_COPART_E_CTE},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS z, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+    wz AS (SELECT z, CAST(round(1000000.0 / ln(d)) AS BIGINT) AS w FROM deg),
+    wed AS (SELECT a.v AS u, b.v AS v, wz.w
+            FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+            JOIN wz ON wz.z = a.u),
+    ne AS (SELECT wed.u, wed.v, wed.w FROM wed
+           ANTI JOIN e ON e.u = wed.u AND e.v = wed.v),
+    sc AS (SELECT u, v, count(*)::BIGINT AS n_common,
+                  sum(w)::BIGINT AS score_q
+           FROM ne GROUP BY u, v)
+    SELECT u, v, n_common, score_q / 1000000.0 AS aa_score
+    FROM sc ORDER BY score_q DESC, u, v LIMIT 100
+"""
+
+
+def _q_theilsen(spark, sf_dir):
+    """Per-user Theil–Sen robust trend: median pairwise slope
+    (1e6-quantized exact integers) + median-residual intercept; the
+    breakdown-resistant twin of linear_trend."""
+    return TS.theilsen_trend(_events_series(spark, sf_dir),
+                             order_cols=("event_id",))
+
+
+_THEILSEN_SQL = """
+    WITH q AS (
+      SELECT user_id AS key,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - 1 AS i,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    p AS (SELECT a.key,
+                 CAST(round((b.y - a.y) * 1000000.0 / (b.i - a.i)) AS BIGINT)
+                   AS slope_q
+          FROM q a JOIN q b ON a.key = b.key AND a.i < b.i),
+    ms AS (SELECT key, count(*)::BIGINT AS n_pairs,
+                  quantile_cont(slope_q, 0.5) AS mslope
+           FROM p GROUP BY key),
+    r AS (SELECT q.key, n_pairs, mslope,
+                 q.y * 2000000 - CAST(2.0 * mslope AS BIGINT) * q.i AS r2
+          FROM q JOIN ms USING (key))
+    SELECT key, count(*)::BIGINT AS n, max(n_pairs) AS n_pairs,
+           max(mslope) / 100000000.0 AS slope,
+           quantile_cont(r2, 0.5) / 200000000.0 AS intercept
+    FROM r GROUP BY key
+"""
+
+
+def _q_changepoint(spark, sf_dir):
+    """Per-user single best level-shift (binary-segmentation step one):
+    argmax over split points of the between-segment prefix-sum score;
+    scores are IEEE ops on exact integers, tie-break on smaller t."""
+    return TS.changepoint_binary(_events_series(spark, sf_dir),
+                                 order_cols=("event_id",))
+
+
+_CHANGEPOINT_SQL = """
+    WITH q AS (
+      SELECT user_id AS key,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS t,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sl
+      FROM events),
+    tot AS (SELECT key, CAST(max(t) AS BIGINT) AS n, max_by(sl, t) AS s
+            FROM q GROUP BY key),
+    c AS (SELECT q.key, t, n,
+                 CAST(sl * sl AS DOUBLE) / t
+                   + CAST((s - sl) * (s - sl) AS DOUBLE) / (n - t) AS score,
+                 CAST(s * s AS DOUBLE) / n AS base
+          FROM q JOIN tot USING (key) WHERE t < n),
+    pick AS (SELECT key, n, CAST(t AS BIGINT) AS change_t,
+                    (score - base) / 10000.0 AS gain,
+                    row_number() OVER (PARTITION BY key
+                                       ORDER BY score DESC, t ASC) AS rk
+             FROM c)
+    SELECT key, n, change_t, gain FROM pick WHERE rk = 1
+"""
+
+
+def _q_source_mix(spark, sf_dir):
+    """Deterministic proportional source-mixing sample (training-data
+    mixture weights): 60 docs at 0.4/0.35/0.25 across src0/1/2 by
+    lowest-md5 rank per stratum — distributed global ranking, no
+    per-stratum window."""
+    from spartan2_spark.operators.partitioning import source_mix_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_mix_sample(
+        d, {"src0": 0.4, "src1": 0.35, "src2": 0.25}, total=60
+    )
+
+
+# quotas = allocate_quotas({src0: .4, src1: .35, src2: .25}, 60)
+# = {src0: 24, src1: 21, src2: 15} (all integral — no remainder seats)
+_SOURCE_MIX_SQL = """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || ':' || doc_id), doc_id) AS rank
+      FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+    SELECT source, doc_id, rank FROM ranked
+    WHERE (source = 'src0' AND rank <= 24)
+       OR (source = 'src1' AND rank <= 21)
+       OR (source = 'src2' AND rank <= 15)
+"""
+
+
+def _q_compaction_plan(spark, sf_dir):
+    """Iceberg binpack-style compaction PLAN over 1m-tier block
+    descriptors (per-(url, hour) point counts, 64B header + 16B/point):
+    order-preserving greedy byte-binning at 4 KiB via the two-phase
+    distributed cumsum — one row per planned rewrite group."""
+    from spartan2_spark.operators.compaction import compaction_plan
+
+    blocks = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("url"),
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                "start_s"
+            ),
+        )
+        .agg((F.lit(64) + F.lit(16) * F.count(F.lit(1))).alias("bytes"))
+        .withColumn("tier", F.lit("1m"))
+    )
+    return compaction_plan(
+        blocks,
+        bytes_col="bytes",
+        target_bytes=4096,
+        part_cols=("tier",),
+        order_cols=("url", "start_s"),
+    ).select("tier", "grp", "n_blocks", "total_bytes")
+
+
+_COMPACTION_PLAN_SQL = """
+    WITH b AS (
+      SELECT event_type AS url,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS start_s,
+             64 + 16 * count(*) AS bytes
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT url, start_s, bytes,
+                 sum(bytes) OVER (ORDER BY url, start_s
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b)
+    SELECT '1m' AS tier, (cum - bytes) // 4096 AS grp,
+           count(*)::BIGINT AS n_blocks, sum(bytes)::BIGINT AS total_bytes
+    FROM c GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -6575,6 +6797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_forecast": _q_holt_winters,
         "substring_dedup_spans": _q_substring_spans,
         "substring_dedup_clean": _q_substring_clean,
+        "xcorr_lagged": _q_xcorr,
+        "adamic_adar_linkpred": _q_adamic_adar,
+        "theilsen_trend": _q_theilsen,
+        "changepoint_binary": _q_changepoint,
+        "source_mix_sample": _q_source_mix,
+        "tier_compaction_plan": _q_compaction_plan,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6732,6 +6960,12 @@ def oracle_sql() -> dict[str, str]:
         "ses_forecast": _ses_forecast_sql(depth=16, horizon=3),
         "substring_dedup_spans": _SUBSTRING_SPANS_SQL,
         "substring_dedup_clean": _SUBSTRING_CLEAN_SQL,
+        "xcorr_lagged": _XCORR_SQL,
+        "adamic_adar_linkpred": _ADAMIC_ADAR_SQL,
+        "theilsen_trend": _THEILSEN_SQL,
+        "changepoint_binary": _CHANGEPOINT_SQL,
+        "source_mix_sample": _SOURCE_MIX_SQL,
+        "tier_compaction_plan": _COMPACTION_PLAN_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

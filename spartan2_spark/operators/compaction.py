@@ -91,3 +91,74 @@ def compact_tier(
         "dts": len(after),
         "verified": True,
     }
+
+
+def compaction_plan(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    target_bytes: int = 64 * 1024 * 1024,
+    part_cols: tuple[str, ...] = ("tier",),
+    order_cols: tuple[str, ...] = ("url", "start_ts"),
+) -> DataFrame:
+    """Plan compaction groups WITHOUT rewriting anything: the
+    `rewrite_data_files(strategy => binpack)` planning half. Within
+    each ``part_cols`` partition, walk the blocks in ``order_cols``
+    order and cut a new group whenever the running byte total crosses
+    ``target_bytes`` (group id = floor((cumsum - bytes)/target) — the
+    order-preserving greedy bin: locality-friendly, since neighbors in
+    (url, start_ts) order land in the same rewritten file). Returns one
+    row per planned group: n_blocks, total_bytes. `compact_tier` above
+    is the executor of such a plan; this operator makes the plan itself
+    a queryable, manifest-recordable artifact.
+
+    Exactness: pure integer cumsum + floor division — value-exact on
+    any engine.
+
+    Scale: the cumsum is NOT a per-partition-key window (a single tier
+    at 10^12 rows would serialize onto one reducer). Same two-phase
+    scheme as ``global_row_numbers``: range-repartition on
+    (part, order) — order-preserving across tasks — local cumsum per
+    task, then broadcast per-(task, part) offsets (a window over the
+    tiny task-count relation). One range shuffle + one broadcast join.
+    """
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) for c in (*part_cols, *order_cols)]
+    ranged = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("__pid", *part_cols).orderBy(*order_cols)
+    local = ranged.withColumn(
+        "__lc",
+        F.sum(bytes_col).over(w_local.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    offsets = (
+        ranged.groupBy("__pid", *part_cols)
+        .agg(F.sum(bytes_col).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.partitionBy(*part_cols)
+                    .orderBy("__pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", *part_cols, "__off")
+    )
+    cum = local.join(F.broadcast(offsets), ["__pid", *part_cols]).withColumn(
+        "__grp",
+        F.floor(
+            (F.col("__off") + F.col("__lc") - F.col(bytes_col))
+            / F.lit(target_bytes)
+        ),
+    )
+    return (
+        cum.groupBy(*part_cols, F.col("__grp").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(bytes_col).cast("long").alias("total_bytes"),
+        )
+    )

@@ -505,3 +505,69 @@ def ktruss(
     return cur.join(sup, ["u", "v"], "left").select(
         "u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    top_k: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Adamic–Adar link prediction on an undirected simple graph:
+    for every NON-edge pair (u, v) with at least one common neighbor,
+    score = sum over common neighbors z of 1/ln(deg(z)), returning the
+    top_k candidates. The missing-link dual of `triangle_counts` /
+    `clustering_coeff` (reference builds the co-occurrence graphs these
+    run on via graph.py:30-88's STGraph; link scoring itself is an
+    extension from Adamic & Adar 2003).
+
+    Exactness discipline (same as clustering_coeff / zipf_slope): each
+    1/ln(deg) term is quantized to round(1e6/ln(deg)) BIGINT BEFORE the
+    cross-wedge sum, so the reduction is an order-independent integer
+    sum; degree-1 nodes cannot be wedge centers (one neighbor => no
+    pair), so ln's argument is always >= 2.
+
+    Plan shape: symmetrize, one degree aggregate (broadcast onto the
+    wedge join), the wedge self-equi-join on the center z (shuffle on
+    z; fan-out is bounded upstream by the caller's degree cap, exactly
+    like triangle_counts), an anti-join against the existing edge set,
+    one hash aggregate on (u, v), and a global top-k (TakeOrdered —
+    no single-partition sort).
+    """
+    e = edges.select(src, dst).unionAll(
+        edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+    )
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("d"))
+    wz = deg.select(
+        F.col(src).alias("z"),
+        F.round(F.lit(1000000.0) / F.log(F.col("d"))).cast("long").alias(
+            "w"
+        ),
+    )
+    half = e.select(F.col(src).alias("z"), F.col(dst).alias("nbr"))
+    wedges = (
+        half.alias("a")
+        .join(half.alias("b"), "z")
+        .filter(F.col("a.nbr") < F.col("b.nbr"))
+        .join(F.broadcast(wz), "z")
+        .select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"), "w")
+    )
+    non_edges = wedges.join(
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        ),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = non_edges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("w").cast("long").alias("score_q"),
+    )
+    return (
+        scored.orderBy(F.desc("score_q"), F.asc("u"), F.asc("v"))
+        .limit(top_k)
+        .select(
+            "u", "v", "n_common", (F.col("score_q") / 1000000.0).alias("aa_score")
+        )
+    )

@@ -29,6 +29,8 @@ __all__ = [
     "zorder_key",
     "key_skew_profile",
     "gini_concentration",
+    "allocate_quotas",
+    "source_mix_sample",
 ]
 
 
@@ -322,4 +324,76 @@ def gini_concentration(df: DataFrame, key_col: str) -> DataFrame:
             / F.sum("cnt"),
             8,
         ).alias("gini"),
+    )
+
+
+def allocate_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
+    """Largest-remainder (Hamilton) apportionment of ``total`` slots to
+    the weighted strata: floor(w*total) each, leftover slots to the
+    largest fractional remainders, ties broken by stratum name. Pure
+    driver-side arithmetic over the (small) strata dict — deterministic,
+    so the same quota table can be embedded in a SQL twin or a manifest.
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0")
+    exact = {s: total * w / wsum for s, w in weights.items()}
+    base = {s: int(exact[s]) for s in weights}
+    left = total - sum(base.values())
+    order = sorted(weights, key=lambda s: (-(exact[s] - base[s]), s))
+    for s in order[:left]:
+        base[s] += 1
+    return base
+
+
+def source_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic proportional source-mixing sampler — the
+    training-data "mixture weights" primitive: pick ``total`` rows
+    split across strata by ``weights`` (largest-remainder quotas),
+    selecting within each stratum the lowest md5(key) ranks. Hash-rank
+    selection makes the sample a pure function of the data — stable
+    under reruns, partitioning, and cluster size, hence
+    manifest-pinnable like `hash_sample` / `weighted_sample`.
+
+    Strata with fewer rows than their quota contribute everything they
+    have (quotas are not redistributed — the SHORTFALL is the signal a
+    mixing pipeline must surface, not paper over; read it off the
+    output's per-stratum counts).
+
+    Scale: ranking within a stratum is NOT a per-stratum window (a
+    mega-stratum would serialize onto one reducer). Rows get a global
+    rank via `global_row_numbers` ordered by (stratum, hash, key) —
+    range-repartitioned, order-preserving — and the per-stratum rank is
+    the global rank minus the stratum's min rank (one tiny broadcast
+    aggregate). One range shuffle + one broadcast join total.
+    """
+    quotas = allocate_quotas(weights, total)
+    q_items = sorted(quotas.items())
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(q_items, f"{strata_col} string, __quota long")
+    )
+    hashed = df.filter(
+        F.col(strata_col).isin([s for s, _ in q_items])
+    ).withColumn(
+        "__h", F.md5(F.concat_ws(":", F.col(strata_col), F.col(key_col)))
+    )
+    ranked = global_row_numbers(
+        hashed, [strata_col, "__h", key_col], id_col="__rn"
+    )
+    base = ranked.groupBy(strata_col).agg(F.min("__rn").alias("__base"))
+    return (
+        ranked.join(F.broadcast(base), strata_col)
+        .withColumn("rank", (F.col("__rn") - F.col("__base") + 1))
+        .join(qdf, strata_col)
+        .filter(F.col("rank") <= F.col("__quota"))
+        .select(strata_col, key_col, "rank")
     )

@@ -59,6 +59,9 @@ __all__ = [
     "seasonal_profile",
     "m4_downsample",
     "stl_seasonal",
+    "cross_correlogram",
+    "theilsen_trend",
+    "changepoint_binary",
 ]
 
 
@@ -934,5 +937,253 @@ def stl_seasonal(
                 / (F.col("n") * F.lit(trend_window))
                 / F.lit(100.0)
             ).alias("seasonal"),
+        )
+    )
+
+
+def cross_correlogram(
+    df: DataFrame,
+    class_a: str,
+    class_b: str,
+    max_lag: int = 5,
+    class_col: str = "event_type",
+    time_col: str = "ts",
+    bucket: str = "minute",
+) -> DataFrame:
+    """Lagged cross-correlation between the per-bucket count series of
+    two event classes: for each lag 0..max_lag, align x(t) = count of
+    ``class_a`` in bucket t with y(t+lag) = count of ``class_b``,
+    zero-filled over the DENSE global bucket span, and report exact
+    BIGINT raw moments (n, sum_x, sum_y, sum_xy, sum_xx, sum_yy) plus
+    the Pearson r they imply. Extends the lag-1 autocovariance of
+    `autocorr_lag` (reference ``model/iat/iat.py`` measures only
+    within-series timing) to BETWEEN-series dependence — the
+    "did errors trail deploys?" probe.
+
+    Exactness: counts are integers, so every moment is an
+    order-independent integer sum; Pearson's closing divide/sqrt are
+    correctly-rounded IEEE ops on exact sub-2^53 integers, hence
+    bit-identical cross-engine.
+
+    Plan shape: two map-side-combinable count aggregations (one per
+    class), a 1-row bounds aggregate cross-joined onto the (max_lag+1)-
+    row lag frame, a `sequence` explode for the dense axis, and two
+    shuffle-free-after-AQE-broadcast equi-joins; the final reduce is one
+    hash aggregate keyed by lag. The dense axis is bounded by the time
+    SPAN (minutes between first and last event), not by row count, so
+    the explode stays small at any data scale.
+    """
+    t = F.date_trunc(bucket, F.col(time_col))
+    step = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
+    b = (F.unix_timestamp(t) / step).cast("long").alias("b")
+    ca = (
+        df.filter(F.col(class_col) == class_a)
+        .select(b)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    cb = (
+        df.filter(F.col(class_col) == class_b)
+        .select(b)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    bounds = (
+        ca.select(F.col("b").alias("bb"))
+        .unionAll(cb.select("b"))
+        .agg(F.min("bb").alias("lo"), F.max("bb").alias("hi"))
+    )
+    lags = df.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    axis = (
+        F.broadcast(bounds)
+        .crossJoin(lags)
+        # guard: Spark's sequence() runs DESCENDING when start > stop,
+        # so drop lags longer than the whole span instead
+        .filter(F.col("hi") - F.col("lag") >= F.col("lo"))
+        .select(
+            "lag",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi") - F.col("lag"))
+            ).alias("t"),
+        )
+    )
+    j = (
+        axis.join(ca, axis["t"] == ca["b"], "left")
+        .drop("b")
+        .join(cb, (axis["t"] + F.col("lag")) == cb["b"], "left")
+        .select(
+            "lag",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sum_yy"),
+    )
+    cov = m["n"] * m["sum_xy"] - m["sum_x"] * m["sum_y"]
+    vx = m["n"] * m["sum_xx"] - m["sum_x"] * m["sum_x"]
+    vy = m["n"] * m["sum_yy"] - m["sum_y"] * m["sum_y"]
+    return m.select(
+        "lag", "n", "sum_x", "sum_y", "sum_xy", "sum_xx", "sum_yy",
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov / F.sqrt(vx.cast("double") * vy.cast("double")),
+        ).alias("pearson_r"),
+    )
+
+
+def theilsen_trend(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+    max_points: int = 512,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(j - i) over the observation index, plus the
+    median-residual intercept median(y_i - slope*i). Breakdown point
+    ~29% vs OLS's 0 — the robust twin of `linear_trend` for crawl-rate
+    series polluted by scraper bursts.
+
+    Exactness: y is centi-quantized to BIGINT; each pairwise slope is
+    quantized to round(1e6 * dy/dx) (IEEE division of exact integers is
+    correctly rounded, so the quantized slope is bit-identical
+    cross-engine); medians interpolate integer slopes (exact halves).
+    Intercept terms y_i*1e6 - slope_q*i stay exact BIGINTs.
+
+    Scale: pairwise slopes are O(n^2) per key — deliberately so (that
+    IS Theil–Sen). ``max_points`` bounds the per-key cost: keys longer
+    than the cap are deterministically thinned to every ceil(n/cap)-th
+    observation BEFORE pairing (index stride, not random), keeping the
+    pair count under ~max_points^2/2 while preserving the full time
+    span. The pair join is a per-key self-equi-join — shuffle on the
+    key, quadratic only within a bounded group.
+    """
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    idx = df.select(
+        F.col(key_col).alias("key"),
+        (F.row_number().over(w) - 1).alias("i"),
+        F.round(F.col(value_col) * 100).cast("long").alias("y"),
+    )
+    n_per = idx.groupBy("key").agg(F.max("i").alias("mx"))
+    idx = (
+        idx.join(F.broadcast(n_per.filter(F.col("mx") >= max_points)
+                             .withColumn("stride",
+                                         F.ceil((F.col("mx") + 1)
+                                                / max_points)
+                                         .cast("long"))
+                             .select("key", "stride")),
+                 "key", "left")
+        .filter(
+            F.col("stride").isNull() | (F.col("i") % F.col("stride") == 0)
+        )
+        .select("key", "i", "y")
+    )
+    a, b_ = idx.alias("a"), idx.alias("b")
+    pairs = (
+        a.join(b_, "key")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(
+            "key",
+            F.round(
+                (F.col("b.y") - F.col("a.y"))
+                * F.lit(1000000.0)
+                / (F.col("b.i") - F.col("a.i"))
+            ).cast("long").alias("slope_q"),
+        )
+    )
+    med_slope = pairs.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(F.col("slope_q"), F.lit(0.5)).alias("mslope"),
+    )
+    # intercept: median of y_i - slope*i, held exact by doubling the
+    # 1e6-scaled terms so the even-count midpoint is an exact integer
+    resid = idx.join(F.broadcast(med_slope), "key").select(
+        "key", "n_pairs", "mslope",
+        (
+            (F.col("y") * F.lit(2000000) - (F.lit(2.0) * F.col("mslope")).cast("long") * F.col("i"))
+        ).alias("r2"),
+    )
+    return (
+        resid.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("n_pairs").alias("n_pairs"),
+            # slope_q = 1e6 * d(centi-y)/d(i) = 1e8 * d(value)/d(i)
+            (F.max("mslope") / 100000000.0).alias("slope"),
+            # r2 = 2e6 * (centi-y - slope_q*i/1e6) = 2e8 * residual(value)
+            (F.percentile(F.col("r2"), F.lit(0.5)) / 200000000.0).alias(
+                "intercept"
+            ),
+        )
+    )
+
+
+def changepoint_binary(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-key single best changepoint — the first step of binary
+    segmentation (Scott–Knott / CUSUM-style): the split index t that
+    minimizes SSE_left + SSE_right, i.e. maximizes the between-segment
+    score S_L(t)^2/t + S_R(t)^2/(n-t) over prefix sums of the
+    centi-quantized series. Complements `cusum_drift` (which flags
+    drift) by LOCATING the level shift.
+
+    Exactness: prefix/total sums are exact BIGINTs; each candidate
+    score is two correctly-rounded IEEE divisions of sub-2^53 exact
+    squares plus one rounded add — bit-identical cross-engine — and the
+    argmax tie-breaks on the smaller t. ``gain`` = score(t*) - S^2/n
+    (the variance-explained numerator), reported as a double.
+
+    Plan: one per-key sort window (cumsum + row_number), a broadcast
+    join of per-key totals, then a top-1-per-key window. Keys with
+    n < 2 have no interior split and drop out (documented).
+    """
+    w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    q = df.select(
+        F.col(key_col).alias("key"),
+        F.row_number().over(w).alias("t"),
+        F.sum(F.round(F.col(value_col) * 100).cast("long")).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        ).alias("sl"),
+    )
+    tot = q.groupBy("key").agg(
+        F.max("t").cast("long").alias("n"), F.max_by("sl", "t").alias("s")
+    )
+    cand = (
+        q.join(F.broadcast(tot), "key")
+        .filter(F.col("t") < F.col("n"))
+        .select(
+            "key", "t", "n",
+            (
+                (F.col("sl") * F.col("sl")).cast("double") / F.col("t")
+                + ((F.col("s") - F.col("sl")) * (F.col("s") - F.col("sl")))
+                .cast("double") / (F.col("n") - F.col("t"))
+            ).alias("score"),
+            ((F.col("s") * F.col("s")).cast("double") / F.col("n")).alias(
+                "base"
+            ),
+        )
+    )
+    pick = W.partitionBy("key").orderBy(F.desc("score"), F.asc("t"))
+    return (
+        cand.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "key", "n",
+            F.col("t").cast("long").alias("change_t"),
+            ((F.col("score") - F.col("base")) / 10000.0).alias("gain"),
         )
     )

@@ -327,3 +327,23 @@ def test_ktruss_k2_keeps_triangle_free_edges(spark):
     edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
     got = {(r.u, r.v): r.support for r in ktruss(edges, k=2).collect()}
     assert got == {("a", "b"): 0, ("b", "c"): 0}
+
+
+def test_adamic_adar_hand_graph(spark):
+    import math
+
+    from spartan2_spark.operators.graph import adamic_adar
+
+    # path graph 1-2-3 plus hub 0 connected to 1,2,3:
+    # non-edge (1,3): common neighbors {0 (deg 3), 2 (deg 3)}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    out = adamic_adar(edges, top_k=10).collect()
+    best = out[0]
+    assert (best.u, best.v) == (1, 3) and best.n_common == 2
+    want = 2 * round(1e6 / math.log(3)) / 1e6
+    assert abs(best.aa_score - want) < 1e-12
+    # existing edges never appear
+    got_pairs = {(r.u, r.v) for r in out}
+    assert (1, 2) not in got_pairs and (0, 1) not in got_pairs

@@ -160,3 +160,42 @@ def test_gini_concentration_planted(spark):
     )
     r2 = gini_concentration(skew, "k").collect()[0]
     assert r2.gini == 0.4
+
+
+def test_allocate_quotas_largest_remainder():
+    from spartan2_spark.operators.partitioning import allocate_quotas
+
+    # 7 seats at 1/3 each: floors give 2+2+2, last seat to the
+    # name-order tie-break winner
+    q = allocate_quotas({"a": 1.0, "b": 1.0, "c": 1.0}, 7)
+    assert q == {"a": 3, "b": 2, "c": 2}
+    q2 = allocate_quotas({"x": 0.5, "y": 0.3, "z": 0.2}, 10)
+    assert q2 == {"x": 5, "y": 3, "z": 2}
+    assert sum(allocate_quotas({"a": 0.123, "b": 0.877}, 99).values()) == 99
+
+
+def test_source_mix_sample_deterministic_and_shortfall(spark):
+    from spartan2_spark.operators.partitioning import source_mix_sample
+
+    rows = [(f"s{j}", i * 10 + j) for j in range(2) for i in range(20)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    w = {"s0": 0.8, "s1": 0.2}
+    out1 = {
+        (r.source, r.doc_id, r.rank)
+        for r in source_mix_sample(df, w, total=25).collect()
+    }
+    # partitioning must not change the pick (hash-rank is data-pure)
+    out2 = {
+        (r.source, r.doc_id, r.rank)
+        for r in source_mix_sample(
+            df.repartition(7, "doc_id"), w, total=25
+        ).collect()
+    }
+    assert out1 == out2 and len(out1) == 25
+    assert sum(1 for s, _, _ in out1 if s == "s0") == 20
+    # quota 40 for s0 but only 20 rows exist: shortfall surfaces as-is
+    short = source_mix_sample(df, w, total=50).collect()
+    per = {}
+    for r in short:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per == {"s0": 20, "s1": 10}

@@ -209,3 +209,45 @@ def test_vanished_upstream_dt_is_not_laundered_into_lineage(spark, tmp_path):
     done = completed_partitions(root, "t1m", None, crcs)
     assert victim not in done
     assert set(done) == set(dts) - {victim}
+
+
+def test_compaction_plan_greedy_groups_and_parallelism_invariance(spark):
+    from spartan2_spark.operators.compaction import compaction_plan
+
+    # blocks of 60 bytes at target 100: greedy cut by running total,
+    # cumsum-before-block // 100 -> groups (0,60),(120,180),(240,300)...
+    rows = [("1m", "u%02d" % i, 0, 60) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "tier string, url string, start_s long, bytes long"
+    )
+    plan = {
+        r.grp: (r.n_blocks, r.total_bytes)
+        for r in compaction_plan(
+            df, bytes_col="bytes", target_bytes=100,
+            part_cols=("tier",), order_cols=("url", "start_s"),
+        ).collect()
+    }
+    # grp = cumsum-before // 100 over 60-byte blocks: 0,0,1,1,2,3,3,4,4,5
+    assert plan == {0: (2, 120), 1: (2, 120), 2: (1, 60),
+                    3: (2, 120), 4: (2, 120), 5: (1, 60)}
+    # two-phase cumsum must not depend on the input partitioning
+    plan2 = {
+        r.grp: (r.n_blocks, r.total_bytes)
+        for r in compaction_plan(
+            df.repartition(8), bytes_col="bytes", target_bytes=100,
+            part_cols=("tier",), order_cols=("url", "start_s"),
+        ).collect()
+    }
+    assert plan2 == plan
+    # partition column isolates the walk: second tier restarts at grp 0
+    two = df.unionAll(
+        spark.createDataFrame(
+            [("1h", "u00", 0, 250)],
+            "tier string, url string, start_s long, bytes long",
+        )
+    )
+    p3 = compaction_plan(
+        two, bytes_col="bytes", target_bytes=100,
+        part_cols=("tier",), order_cols=("url", "start_s"),
+    )
+    assert {(r.tier, r.grp) for r in p3.collect()} >= {("1h", 0), ("1m", 0)}

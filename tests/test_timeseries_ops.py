@@ -361,3 +361,100 @@ def test_mad_outliers_planted(spark):
     )
     rc = mad_outliers(dfc).collect()[0]
     assert rc.mad == 0.0 and rc.n_outliers == 0
+
+
+def test_cross_correlogram_planted_lag(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import cross_correlogram
+
+    # b-events fire exactly 2 minutes after every a-event: the lag-2
+    # moments must show the perfect alignment, lag-0 must not
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in [0, 3, 5, 9, 14]:
+        rows.append((t0 + timedelta(minutes=i), "a"))
+        rows.append((t0 + timedelta(minutes=i + 2), "b"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        r.lag: r
+        for r in cross_correlogram(df, "a", "b", max_lag=3).collect()
+    }
+    assert out[2].sum_xy == 5 and out[2].pearson_r == 1.0
+    assert out[0].sum_xy < 5
+    # dense axis: n shrinks by exactly lag per step
+    assert out[0].n - out[3].n == 3
+
+
+def test_cross_correlogram_span_guard(spark):
+    from datetime import datetime
+
+    from spartan2_spark.operators.timeseries import cross_correlogram
+
+    # 1-bucket span: every lag > 0 exceeds the span and must drop out
+    # (not explode a descending sequence)
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), "a"), (datetime(2024, 1, 1), "b")],
+        "ts timestamp, event_type string",
+    )
+    out = cross_correlogram(df, "a", "b", max_lag=4).collect()
+    assert [r.lag for r in out] == [0]
+
+
+def test_theilsen_robust_vs_ols(spark):
+    from spartan2_spark.operators.timeseries import (
+        linear_trend,
+        theilsen_trend,
+    )
+
+    # clean slope 1.0 with one gross outlier: OLS bends, Theil-Sen holds
+    vals = [float(i) for i in range(21)]
+    vals[20] = 500.0
+    df = spark.createDataFrame(
+        [(1, float(i), v) for i, v in enumerate(vals)],
+        "key long, ts double, value double",
+    )
+    ts_row = theilsen_trend(df).collect()[0]
+    ols_row = linear_trend(df).collect()[0]
+    assert abs(ts_row.slope - 1.0) < 1e-9
+    assert abs(ts_row.intercept - 0.0) < 1e-9
+    assert ols_row.slope > 3.0  # dragged by the outlier
+    assert ts_row.n_pairs == 21 * 20 // 2
+
+
+def test_theilsen_thinning_cap(spark):
+    from spartan2_spark.operators.timeseries import theilsen_trend
+
+    # 100 points, cap 10 -> stride 10 keeps ceil(100/10)=10 points ->
+    # 45 pairs; slope estimate on the thinned exact line is still exact
+    df = spark.createDataFrame(
+        [(1, float(i), 2.0 * i + 3.0) for i in range(100)],
+        "key long, ts double, value double",
+    )
+    r = theilsen_trend(df, max_points=10).collect()[0]
+    assert r.n == 10 and r.n_pairs == 45
+    # slopes use the ORIGINAL indices, so thinning preserves the scale
+    assert abs(r.slope - 2.0) < 1e-9
+    assert abs(r.intercept - 3.0) < 1e-9
+
+
+def test_changepoint_binary_planted_shift(spark):
+    from spartan2_spark.operators.timeseries import changepoint_binary
+
+    # level 10.0 for 12 points then 20.0 for 8: best split is t=12
+    vals = [10.0] * 12 + [20.0] * 8
+    df = spark.createDataFrame(
+        [(7, float(i), v) for i, v in enumerate(vals)],
+        "key long, ts double, value double",
+    )
+    r = changepoint_binary(df).collect()[0]
+    assert r.change_t == 12 and r.n == 20
+    # gain = n_l*n_r/n * (mu_l - mu_r)^2 = 12*8/20 * 100 = 480
+    assert abs(r.gain - 480.0) < 1e-6
+    # constant series: zero gain, argmax tie-break picks t=1
+    dfc = spark.createDataFrame(
+        [(8, float(i), 5.0) for i in range(6)],
+        "key long, ts double, value double",
+    )
+    rc = changepoint_binary(dfc).collect()[0]
+    assert rc.change_t == 1 and abs(rc.gain) < 1e-12
