@@ -6725,6 +6725,73 @@ _COMPACTION_PLAN_SQL = """
 """
 
 
+def _q_counter_rate(spark, sf_dir):
+    """PromQL-style increase() with counter-reset detection per user:
+    negative deltas mark a restart and contribute the post-reset value.
+    Samples are deduplicated to one per (key, ts) via max so the lag
+    ordering is deterministic. Exact BIGINT arithmetic end-to-end."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("value"))
+    )
+    return TS.counter_rate(s)
+
+
+_COUNTER_RATE_SQL = """
+    WITH s AS (SELECT user_id AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT key, ts, v,
+                 lag(v) OVER (PARTITION BY key ORDER BY ts) AS pv
+          FROM s),
+    i AS (SELECT key, ts,
+                 CASE WHEN pv IS NULL THEN 0
+                      WHEN v - pv < 0 THEN v ELSE v - pv END AS inc,
+                 CASE WHEN pv IS NOT NULL AND v - pv < 0
+                      THEN 1 ELSE 0 END AS reset
+          FROM d)
+    SELECT key, CAST(sum(inc) AS BIGINT) AS increase,
+           CAST(sum(reset) AS BIGINT) AS n_resets,
+           count(*)::BIGINT AS n_samples,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+    FROM i GROUP BY key
+"""
+
+
+def _q_twa(spark, sf_dir):
+    """LOCF time-weighted average of the centi gauge per event class:
+    the honest mean for irregular sampling (arithmetic mean over-weights
+    burst periods). Exact decimal weighted sum; one correctly-rounded
+    double conversion at the end."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("key"), "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("value"))
+    )
+    return TS.time_weighted_avg(s)
+
+
+_TWA_SQL = """
+    WITH s AS (SELECT event_type AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT key, epoch_us(ts) AS t_us, v,
+                 lead(epoch_us(ts)) OVER (PARTITION BY key ORDER BY ts)
+                   AS nt
+          FROM s),
+    g AS (SELECT key, t_us, v * coalesce(nt - t_us, 0) AS wv FROM d)
+    SELECT key, count(*)::BIGINT AS n_samples,
+           CAST(max(t_us) - min(t_us) AS BIGINT) AS dur_us,
+           CAST(sum(wv) AS DOUBLE) AS wsum,
+           CASE WHEN max(t_us) - min(t_us) > 0
+                THEN CAST(sum(wv) AS DOUBLE)
+                     / CAST(max(t_us) - min(t_us) AS DOUBLE)
+           END AS twa_centi
+    FROM g GROUP BY key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -6803,6 +6870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint_binary": _q_changepoint,
         "source_mix_sample": _q_source_mix,
         "tier_compaction_plan": _q_compaction_plan,
+        "counter_rate": _q_counter_rate,
+        "time_weighted_avg": _q_twa,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -6966,6 +7035,8 @@ def oracle_sql() -> dict[str, str]:
         "changepoint_binary": _CHANGEPOINT_SQL,
         "source_mix_sample": _SOURCE_MIX_SQL,
         "tier_compaction_plan": _COMPACTION_PLAN_SQL,
+        "counter_rate": _COUNTER_RATE_SQL,
+        "time_weighted_avg": _TWA_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

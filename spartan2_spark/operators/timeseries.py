@@ -62,6 +62,8 @@ __all__ = [
     "cross_correlogram",
     "theilsen_trend",
     "changepoint_binary",
+    "counter_rate",
+    "time_weighted_avg",
 ]
 
 
@@ -1185,5 +1187,128 @@ def changepoint_binary(
             "key", "n",
             F.col("t").cast("long").alias("change_t"),
             ((F.col("score") - F.col("base")) / 10000.0).alias("gain"),
+        )
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus-style ``increase()`` over counter samples with
+    counter-reset detection: per key, order samples by time and take
+    delta = v_t - v_{t-1}; a NEGATIVE delta marks a counter reset
+    (process restart) and contributes the post-reset absolute value
+    v_t instead — exactly the PromQL extrapolation-free rule. Returns
+    per key: total ``increase``, ``n_resets``, ``n_samples``, and the
+    observation span ``dur_us`` so callers can derive rate =
+    increase/span. The production monitoring primitive the tier chain
+    needs for "requests served per url" style counters that the raw
+    rollups (plain sums of gauge samples) cannot express.
+
+    Exactness: ``value_col`` must already be an exact integer (centi
+    quantized upstream); deltas, reset substitutions, and the per-key
+    sums are then order-independent BIGINT arithmetic — bit-identical
+    on any engine.
+
+    Plan shape: one per-key window (lag over ts) followed by one hash
+    aggregate — a single shuffle on the key, both map-side combinable
+    after the window. Series length per key is bounded by retention,
+    not corpus size, so the per-key sort stays in-memory at any scale;
+    key count parallelizes.
+    """
+    w = W.partitionBy("key").orderBy("ts")
+    prev = F.lag("v").over(w)
+    delta = F.col("v") - prev
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(delta < 0, F.col("v")).otherwise(delta)
+    )
+    reset = F.when(delta < 0, 1).otherwise(0)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .select(
+            "key",
+            "ts",
+            inc.alias("inc"),
+            reset.alias("reset"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum("inc").cast("long").alias("increase"),
+            F.sum("reset").cast("long").alias("n_resets"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).alias("dur_us"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key time-weighted average under last-observation-carried-
+    forward weighting: each sample v_i holds until the next sample, so
+    TWA = sum(v_i * (t_{i+1} - t_i)) / (t_n - t_0) over the observed
+    span (the last sample carries no weight — the TimescaleDB
+    ``time_weight('LOCF')`` convention). The honest mean for
+    irregularly-sampled gauges, where the arithmetic mean over-weights
+    burst periods — exactly the crawl-snapshot shape (head urls
+    re-crawled hourly, tail urls monthly).
+
+    Exactness: ``value_col`` must be exact centi BIGINT; weights are
+    exact epoch-microsecond gaps. Each product v*dt stays under 2^63
+    (centi gauge x day-scale gap ~ 1e14) and the per-key sum is kept
+    EXACT by summing as DECIMAL(38,0) (DuckDB's SUM(BIGINT) widens to
+    HUGEINT the same way). The emitted ``wsum`` is that exact integer
+    cast to DOUBLE — one correctly-rounded conversion, bit-identical
+    cross-engine — and ``twa_centi = wsum / dur_us`` is one IEEE
+    divide of exact values. Single-sample keys emit NULL twa.
+
+    Plan shape: one per-key window (lead over ts) + one hash aggregate
+    — the same single-shuffle discipline as ``counter_rate``.
+    """
+    w = W.partitionBy("key").orderBy(time_col)
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    nxt = F.lead(us).over(w)
+    dt = nxt - us
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias(time_col),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .select(
+            "key",
+            us.alias("t_us"),
+            (F.col("v") * F.coalesce(dt, F.lit(0)))
+            .cast("decimal(38,0)")
+            .alias("wv"),
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            (F.max("t_us") - F.min("t_us")).alias("dur_us"),
+            F.sum("wv").cast("decimal(38,0)").alias("wsum_d"),
+        )
+        .select(
+            "key",
+            "n_samples",
+            "dur_us",
+            F.col("wsum_d").cast("double").alias("wsum"),
+            F.when(
+                F.col("dur_us") > 0,
+                F.col("wsum_d").cast("double") / F.col("dur_us"),
+            ).alias("twa_centi"),
         )
     )

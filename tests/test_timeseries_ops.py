@@ -458,3 +458,75 @@ def test_changepoint_binary_planted_shift(spark):
     )
     rc = changepoint_binary(dfc).collect()[0]
     assert rc.change_t == 1 and abs(rc.gain) < 1e-12
+
+
+def test_counter_rate_promql_increase(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import counter_rate
+
+    # monotone counter 10->25->40, reset, 5->30: PromQL increase =
+    # (25-10)+(40-25) + 5 (post-reset absolute) + (30-5) = 60, 1 reset
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=i), v)
+        for i, v in enumerate([10, 25, 40, 5, 30])
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value long")
+    r = counter_rate(df).collect()[0]
+    assert r.increase == 60
+    assert r.n_resets == 1
+    assert r.n_samples == 5
+    assert r.dur_us == 4 * 60 * 1_000_000
+
+
+def test_counter_rate_no_reset_is_span_delta(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import counter_rate
+
+    # strictly monotone counter: increase telescopes to last - first
+    t0 = datetime(2024, 1, 1)
+    vals = [3, 7, 7, 19, 100]
+    rows = [
+        (9, t0 + timedelta(seconds=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value long")
+    r = counter_rate(df).collect()[0]
+    assert r.increase == vals[-1] - vals[0]
+    assert r.n_resets == 0
+
+
+def test_time_weighted_avg_locf(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import time_weighted_avg
+
+    # v=100 holds 1s, v=200 holds 3s, v=0 closes the span (no weight):
+    # TWA = (100*1 + 200*3) / 4 = 175 — the arithmetic mean (100) of
+    # the same samples would misreport the level
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 100),
+        ("u", t0 + timedelta(seconds=1), 200),
+        ("u", t0 + timedelta(seconds=4), 0),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value long")
+    r = time_weighted_avg(df).collect()[0]
+    assert r.n_samples == 3
+    assert r.dur_us == 4_000_000
+    assert r.wsum == 100 * 1_000_000 + 200 * 3_000_000
+    assert r.twa_centi == 175.0
+
+
+def test_time_weighted_avg_single_sample_null(spark):
+    from datetime import datetime
+
+    from spartan2_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("s", datetime(2024, 1, 1), 42)],
+        "key string, ts timestamp, value long",
+    )
+    r = time_weighted_avg(df).collect()[0]
+    assert r.dur_us == 0 and r.twa_centi is None and r.wsum == 0.0
