@@ -6792,6 +6792,75 @@ _TWA_SQL = """
 """
 
 
+def _q_late_repair(spark, sf_dir):
+    """Out-of-order ingest repair plan: the (tier, url, bucket) work-
+    list dirtied by rows that arrived after the seal cut (last 20% of
+    a hash-derived ingest sequence — event_id itself is ts-ordered in
+    the testdata, so a real arrival log is modeled by the deterministic
+    LCG permutation (event_id*48271) % 99991) but whose event time
+    falls before the 7-day watermark."""
+    pts = _events(spark, sf_dir).select(
+        F.col("event_type").alias("url"),
+        "ts",
+        ((F.col("event_id") * 48271) % 99991).alias("seq"),
+    )
+    return R.late_repair_plan(pts, seq_col="seq")
+
+
+_LATE_REPAIR_SQL = """
+    WITH p AS (SELECT event_type AS url, ts,
+                      (event_id * 48271) % 99991 AS seq
+               FROM events),
+    b AS (SELECT max(seq) AS mseq,
+                 date_trunc('day', max(ts)) - INTERVAL 7 DAY AS wm
+          FROM p),
+    l AS (SELECT url, ts, seq FROM p, b
+          WHERE seq > (mseq * 8) // 10 AND ts < wm),
+    t AS (SELECT '1m' AS tier, url,
+                 CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+                   AS bucket_s, seq FROM l
+          UNION ALL
+          SELECT '1h', url,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT), seq FROM l
+          UNION ALL
+          SELECT '1d', url,
+                 CAST(epoch(date_trunc('day', ts)) AS BIGINT), seq FROM l)
+    SELECT tier, url, bucket_s, count(*)::BIGINT AS n_late,
+           min(seq)::BIGINT AS first_seq, max(seq)::BIGINT AS last_seq
+    FROM t GROUP BY 1, 2, 3
+"""
+
+
+def _q_url_churn(spark, sf_dir):
+    """Per-url content churn across crawl snapshots (distinct text
+    versions / fetches) on the pages shape derived from events — the
+    re-crawl scheduling signal; exact distinct counts + one IEEE
+    divide."""
+    pages = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("props").alias("text"),
+    )
+    return R.url_churn(pages)
+
+
+_URL_CHURN_SQL = """
+    WITH p AS (SELECT 'u' || user_id || '/' || event_type AS url,
+                      ts, props AS text
+               FROM events)
+    SELECT url, count(*)::BIGINT AS n_snapshots,
+           count(DISTINCT md5(text))::BIGINT AS n_versions,
+           epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us,
+           CASE WHEN count(*) > 1
+                THEN CAST(count(DISTINCT md5(text)) - 1 AS DOUBLE)
+                     / CAST(count(*) - 1 AS DOUBLE)
+           END AS churn
+    FROM p GROUP BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -6872,6 +6941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_compaction_plan": _q_compaction_plan,
         "counter_rate": _q_counter_rate,
         "time_weighted_avg": _q_twa,
+        "late_repair_plan": _q_late_repair,
+        "url_churn": _q_url_churn,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -7037,6 +7108,8 @@ def oracle_sql() -> dict[str, str]:
         "tier_compaction_plan": _COMPACTION_PLAN_SQL,
         "counter_rate": _COUNTER_RATE_SQL,
         "time_weighted_avg": _TWA_SQL,
+        "late_repair_plan": _LATE_REPAIR_SQL,
+        "url_churn": _URL_CHURN_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

@@ -239,3 +239,124 @@ def tier_view(state: DataFrame, q: float = 0.95, bin_mode: str = "int") -> DataF
         (F.col("vsum") / F.col("cnt")).alias("vmean"),
         p95_from_hist(F.col("vhist"), F.col("cnt"), q, bin_mode).alias("p95"),
     )
+
+
+def late_repair_plan(
+    points: DataFrame,
+    seq_col: str = "seq",
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    seal_num: int = 8,
+    seal_den: int = 10,
+    watermark_days: int = 7,
+) -> DataFrame:
+    """Plan the minimal tier repair after out-of-order ingest: a point
+    is LATE when its ingest sequence number lands past the seal cut
+    (``seq > (max_seq * seal_num) div seal_den`` — the most recently
+    ingested tail) while its EVENT time falls before the watermark
+    (``ts < date_trunc('day', max_ts) - watermark_days``), i.e. into
+    buckets every tier has already finalized. Returns one row per
+    (tier, url, bucket) that must be recomputed, with the late-row
+    count and the ingest-sequence range that dirtied it — exactly the
+    work-list the checkpoint-manifest recompute (``plans/pipeline.py``
+    manifest diff) consumes, but derived from the DATA rather than from
+    manifest bookkeeping, so it also audits the manifests themselves.
+
+    Exactness: the seal cut uses integer multiply-then-DIV (a double
+    ``0.8 * max_seq`` disagrees with exact arithmetic once max_seq
+    exceeds 2^53); bucket identity is calendar date_trunc; counts and
+    seq ranges are BIGINTs.
+
+    Plan shape: one 1-row bounds aggregate broadcast onto the scan, the
+    late filter (pushable past the broadcast join), a 3-way tier
+    explode of ONLY the late rows, and one hash aggregate — the explode
+    multiplies the (small) late set, never the corpus. Scale-safe: cost
+    is O(|late|), not O(|points|), after the filter.
+    """
+    unit_of = {"1m": "minute", "1h": "hour", "1d": "day"}
+    bounds = points.agg(
+        F.max(seq_col).alias("__max_seq"),
+        F.max("ts").alias("__max_ts"),
+    )
+    cut = F.expr(f"__max_seq * {seal_num} div {seal_den}")
+    wm = F.date_trunc("day", F.col("__max_ts")) - F.expr(
+        f"INTERVAL {watermark_days} DAYS"
+    )
+    late = (
+        points.crossJoin(F.broadcast(bounds))
+        .filter((F.col(seq_col) > cut) & (F.col("ts") < wm))
+        .select("url", "ts", F.col(seq_col).alias("seq"))
+    )
+    tier_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tier"),
+                F.unix_timestamp(
+                    F.date_trunc(unit_of[t], F.col("ts"))
+                ).alias("bucket_s"),
+            )
+            for t in tiers
+        ]
+    )
+    return (
+        late.select("url", "seq", F.explode(tier_buckets).alias("tb"))
+        .groupBy(
+            F.col("tb.tier").alias("tier"),
+            "url",
+            F.col("tb.bucket_s").alias("bucket_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_late"),
+            F.min("seq").cast("long").alias("first_seq"),
+            F.max("seq").cast("long").alias("last_seq"),
+        )
+    )
+
+
+def url_churn(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-url content churn across crawl snapshots: how many DISTINCT
+    text versions (md5 fingerprints) the crawler has observed vs how
+    many times it fetched the page, plus the observation span. The
+    re-crawl scheduling signal for a Common-Crawl-style corpus — a url
+    with churn ~0 can drop to the monthly tier, churn ~1 needs the
+    hourly tier — and the change-detection complement to
+    ``canonical_text`` (which keeps ONE version; this measures how
+    contested that choice was).
+
+    Exactness: counts are exact distinct BIGINTs (md5 is deterministic
+    on both engines); ``churn`` is one IEEE divide of exact sub-2^53
+    integers — bit-identical cross-engine; single-snapshot urls emit
+    NULL churn.
+
+    Plan shape: one hash aggregate keyed by url with a distinct-count
+    (Spark expands to the standard two-phase partial-distinct plan —
+    no window, no self-join). The md5 is computed in the scan
+    projection, so the wide text column dies before the shuffle.
+    """
+    n_snap = F.count(F.lit(1)).cast("long")
+    n_ver = F.countDistinct(F.md5(F.col(text_col))).cast("long")
+    return (
+        pages.groupBy(F.col(url_col).alias("url"))
+        .agg(
+            n_snap.alias("n_snapshots"),
+            n_ver.alias("n_versions"),
+            F.unix_micros(F.min(ts_col).cast("timestamp")).alias("first_us"),
+            F.unix_micros(F.max(ts_col).cast("timestamp")).alias("last_us"),
+        )
+        .select(
+            "url",
+            "n_snapshots",
+            "n_versions",
+            "first_us",
+            "last_us",
+            F.when(
+                F.col("n_snapshots") > 1,
+                (F.col("n_versions") - 1).cast("double")
+                / (F.col("n_snapshots") - 1).cast("double"),
+            ).alias("churn"),
+        )
+    )

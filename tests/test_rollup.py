@@ -145,3 +145,71 @@ def test_tdigest_quantile_column_names_round_correctly(spark):
     df = spark.range(100).selectExpr("'k' as k", "cast(id as double) as v")
     out = tdigest_quantiles(df, ["k"], "v", qs=(0.56, 0.57))
     assert set(out.columns) == {"k", "q56", "q57"}
+
+
+def test_late_repair_plan_planted(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import late_repair_plan
+
+    t_new = datetime(2024, 3, 1)  # max ts -> watermark = Feb 23
+    t_old = datetime(2024, 1, 5, 10, 30)  # well before the watermark
+    rows = [
+        # early-seq old row: sealed on time, NOT late
+        ("a", t_old, 1),
+        # pad the seq range so the seal cut (0.8 * max_seq) is meaningful
+        ("a", t_new, 50),
+        ("b", t_new - timedelta(days=1), 79),
+        # tail-seq rows: one truly late (old ts), one recent (not late)
+        ("a", t_old, 95),
+        ("b", t_new - timedelta(days=2), 100),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, seq long")
+    out = late_repair_plan(df, seq_col="seq").collect()
+    # only the (a, t_old, seq=95) row is late -> exactly one dirty
+    # bucket per tier
+    assert sorted(r.tier for r in out) == ["1d", "1h", "1m"]
+    for r in out:
+        assert r.url == "a" and r.n_late == 1
+        assert r.first_seq == 95 and r.last_seq == 95
+    by_tier = {r.tier: r.bucket_s for r in out}
+    assert by_tier["1d"] == int(datetime(2024, 1, 5).timestamp())
+    assert by_tier["1h"] == int(datetime(2024, 1, 5, 10).timestamp())
+    assert by_tier["1m"] == int(t_old.timestamp())
+
+
+def test_late_repair_plan_empty_when_ordered(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import late_repair_plan
+
+    # ingest order == event order: the seq tail is also the newest
+    # event times, so nothing is late
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", t0 + timedelta(days=i), i) for i in range(30)]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, seq long")
+    assert late_repair_plan(df, seq_col="seq").count() == 0
+
+
+def test_url_churn_versions(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import url_churn
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # 5 fetches, 3 distinct texts -> churn (3-1)/(5-1) = 0.5
+        *[("u1", t0 + timedelta(hours=i), txt)
+          for i, txt in enumerate(["x", "x", "y", "z", "y"])],
+        # stable page: 3 fetches, 1 version -> churn 0
+        *[("u2", t0 + timedelta(days=i), "same") for i in range(3)],
+        # single fetch -> NULL churn
+        ("u3", t0, "once"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = {r.url: r for r in url_churn(df).collect()}
+    assert out["u1"].n_snapshots == 5 and out["u1"].n_versions == 3
+    assert out["u1"].churn == 0.5
+    assert out["u2"].churn == 0.0
+    assert out["u3"].churn is None and out["u3"].first_us == out["u3"].last_us
+    assert out["u1"].last_us - out["u1"].first_us == 4 * 3600 * 1_000_000
