@@ -6861,6 +6861,152 @@ _URL_CHURN_SQL = """
 """
 
 
+def _q_ppr(spark, sf_dir):
+    """Personalized PageRank (6 rounds, d=0.85, integer fixed-point)
+    from the every-50th-customer seed set on the symmetrized
+    customer<->supplier purchase graph — the seed-neighborhood
+    expansion probe; value-exact fixed-unroll twin."""
+    from spartan2_spark.operators.graph import ppr_fixedpoint
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    eo = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = eo.unionAll(eo.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        o.filter(F.col("o_custkey") % 50 == 0)
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("node"))
+        .distinct()
+    )
+    return ppr_fixedpoint(e, seeds, rounds=6)
+
+
+def _ppr_sql(rounds: int = 6, num: int = 85, den: int = 100,
+             scale_bits: int = 30) -> str:
+    scale = 1 << scale_bits
+    parts = [
+        "eo AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS u, "
+        "'s' || l_suppkey AS v FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey)",
+        "e AS MATERIALIZED (SELECT u, v FROM eo UNION ALL SELECT v, u FROM eo)",
+        "nodes AS (SELECT DISTINCT u AS node FROM e)",
+        "od AS (SELECT u AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY 1)",
+        "sd AS (SELECT node, CASE WHEN node LIKE 'c%' AND "
+        "CAST(substr(node, 2) AS BIGINT) % 50 = 0 THEN 1 ELSE 0 END"
+        " AS is_seed FROM nodes)",
+        f"x0 AS (SELECT node, CAST(is_seed * {scale} AS BIGINT) AS rank_mass"
+        " FROM sd)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.v AS node, "
+            f"CAST(sum(x.rank_mass // od.outdeg) AS BIGINT) AS in_mass "
+            f"FROM e JOIN x{k-1} x ON x.node = e.u "
+            f"JOIN od ON od.node = e.u GROUP BY 1)"
+        )
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT sd.node, "
+            f"CAST((sd.is_seed * {(den - num) * scale}::BIGINT "
+            f"+ {num} * coalesce(c{k}.in_mass, 0)) // {den} AS BIGINT)"
+            f" AS rank_mass FROM sd LEFT JOIN c{k} USING (node))"
+        )
+    return ("WITH " + ",\n    ".join(parts)
+            + f"\n    SELECT node, rank_mass FROM x{rounds}"
+            " WHERE rank_mass > 0")
+
+
+def _q_hist_quantile(spark, sf_dir):
+    """PromQL histogram_quantile(0.9) served from a fixed-width centi
+    bucket histogram per event class — quantiles FROM the aggregated
+    tier, never from raw points. Integer bucket selection + one
+    fixed-order IEEE interpolation."""
+    from spartan2_spark.operators.histogram import histogram_quantile
+
+    v = F.round(F.col("value") * 100).cast("long")
+    hist = (
+        _events(spark, sf_dir)
+        .select(F.col("event_type").alias("key"), v.alias("v"))
+        .groupBy("key", F.expr("v div 5000").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "key",
+            (F.col("b") * 5000).cast("long").alias("lo"),
+            (F.col("b") * 5000 + 5000).cast("long").alias("hi"),
+            "cnt",
+        )
+    )
+    return histogram_quantile(hist, q_num=9, q_den=10)
+
+
+_HIST_QUANTILE_SQL = """
+    WITH h AS (SELECT event_type AS key,
+                      CAST(round(value * 100) AS BIGINT) // 5000 AS b,
+                      count(*)::BIGINT AS cnt
+               FROM events GROUP BY 1, 2),
+    c AS (SELECT key, b * 5000 AS lo, b * 5000 + 5000 AS hi, cnt,
+                 sum(cnt) OVER (PARTITION BY key ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY key) AS total
+          FROM h),
+    hit AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY lo)
+              AS rn
+            FROM c WHERE 10 * cum >= 9 * total AND total > 0)
+    SELECT key, CAST(total AS BIGINT) AS total,
+           lo AS bucket_lo, hi AS bucket_hi,
+           lo + (hi - lo) * (CAST(9 * total - 10 * (cum - cnt) AS DOUBLE)
+                             / CAST(10 * cnt AS DOUBLE)) AS quantile
+    FROM hit WHERE rn = 1
+"""
+
+
+def _q_shard_pack(spark, sf_dir):
+    """Training-shard packing plan: pack documents into fixed
+    token-budget shards per source in doc_id order — the same
+    order-preserving greedy binning kernel as tier_compaction_plan,
+    applied to the LLM-data axis (token budgets instead of file
+    bytes)."""
+    from spartan2_spark.operators.compaction import compaction_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), " +"))
+    dd = d.select("source", "doc_id", toks.cast("long").alias("n_tokens"))
+    out = compaction_plan(
+        dd,
+        bytes_col="n_tokens",
+        target_bytes=2000,
+        part_cols=("source",),
+        order_cols=("doc_id",),
+    )
+    return out.select(
+        "source",
+        F.col("grp").alias("shard"),
+        F.col("n_blocks").alias("n_docs"),
+        F.col("total_bytes").alias("total_tokens"),
+    )
+
+
+_SHARD_PACK_SQL = """
+    WITH d AS (SELECT source, doc_id,
+                      CAST(len(regexp_split_to_array(trim(lower(text)),
+                                                     ' +')) AS BIGINT)
+                        AS n_tokens
+               FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT source, (cum - n_tokens) // 2000 AS shard,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+    FROM c GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -6943,6 +7089,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": _q_twa,
         "late_repair_plan": _q_late_repair,
         "url_churn": _q_url_churn,
+        "ppr_fixedpoint": _q_ppr,
+        "histogram_quantile_p90": _q_hist_quantile,
+        "shard_pack_plan": _q_shard_pack,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -7110,6 +7259,9 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": _TWA_SQL,
         "late_repair_plan": _LATE_REPAIR_SQL,
         "url_churn": _URL_CHURN_SQL,
+        "ppr_fixedpoint": _ppr_sql(rounds=6),
+        "histogram_quantile_p90": _HIST_QUANTILE_SQL,
+        "shard_pack_plan": _SHARD_PACK_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

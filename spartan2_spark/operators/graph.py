@@ -32,6 +32,7 @@ __all__ = [
     "triangle_counts",
     "clustering_coeff",
     "pagerank_fixedpoint",
+    "ppr_fixedpoint",
     "label_propagation",
 ]
 
@@ -334,6 +335,85 @@ def pagerank_fixedpoint(
             .transform(barrier)
         )
     return x
+
+
+def ppr_fixedpoint(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 6,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale_bits: int = 30,
+) -> DataFrame:
+    """Personalized PageRank from a seed set, in the same pure-integer
+    fixed-point discipline as ``pagerank_fixedpoint``: rank mass starts
+    at 2^scale_bits on each SEED node (0 elsewhere) and the teleport
+    term re-injects (den-num)*2^scale_bits ONLY at seeds each round —
+    x'_v = ([v in S] * teleport + num * in_mass_v) div den. After
+    ``rounds`` rounds the mass concentrates in the seeds' neighborhood:
+    the "similar nodes to this fraud cluster" expansion probe
+    (HoloScope's reference seed-propagation, holoscopeFraudDect.py,
+    re-expressed as the standard PPR recurrence). Per-seed-uniform
+    normalization is a constant factor (n_seeds), irrelevant to ranking.
+
+    Exactness: identical to pagerank_fixedpoint — integer DIV per
+    round, so every round is bit-exact on any engine; a fixed-unroll
+    SQL twin replays it value-exactly.
+
+    Plan shape per round: one equi-join edges x ranks (only nodes with
+    mass > 0 carry rows after the first round filter), one hash
+    aggregate, one broadcast-able seed flag join; lineage truncated
+    through barrier() like every iterative op here.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).transform(barrier)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(barrier)
+    )
+    s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    seeded = nodes.join(
+        s.withColumn("__is_seed", F.lit(1)), "node", "left"
+    ).select("node", F.coalesce("__is_seed", F.lit(0)).alias("is_seed"))
+    seeded = seeded.transform(barrier)
+    outdeg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    scale = 1 << scale_bits
+    teleport = (damping_den - damping_num) * scale
+    x = seeded.select(
+        "node", (F.col("is_seed") * scale).cast("long").alias("rank_mass")
+    )
+    for _ in range(rounds):
+        contrib = (
+            e.join(
+                x.filter(F.col("rank_mass") > 0).withColumnRenamed("node", "u"),
+                "u",
+            )
+            .join(outdeg.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank_mass div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        x = (
+            seeded.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("is_seed") * F.lit(teleport).cast("long")
+                    + F.lit(damping_num) * F.coalesce("in_mass", F.lit(0))
+                ).alias("num"),
+            )
+            .select("node", F.expr(f"num div {damping_den}").alias("rank_mass"))
+            .transform(barrier)
+        )
+    return x.filter(F.col("rank_mass") > 0)
 
 
 def label_propagation(

@@ -28,6 +28,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spartan2_spark.operators.barrier import barrier
 
@@ -45,6 +46,7 @@ __all__ = [
     "gof_islands",
     "gof_accept_tree",
     "JB_CHI2_4DOF_5PCT",
+    "histogram_quantile",
 ]
 
 # chi-square critical value, 4 dof at alpha=0.05 — the acceptance bar
@@ -1054,4 +1056,64 @@ def gof_accept_tree(
     )
     return st.join(flags, ["level", "node"]).select(
         "level", "node", "mass", "gof_stat", "accepted", "visited", "selected"
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q_num: int = 9,
+    q_den: int = 10,
+    key_col: str = "key",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """PromQL-style ``histogram_quantile(q, ...)`` over pre-bucketed
+    counts: per key, walk the buckets in ``lo`` order, find the first
+    bucket whose cumulative count reaches q * total, and linearly
+    interpolate within it — quantiles served FROM the aggregated tier
+    (the sparse value histogram the rollup ladder already stores)
+    without touching raw points. Requires 0 < q_num/q_den <= 1.
+
+    Exactness: the selection predicate is kept in INTEGERS —
+    ``q_den * cum >= q_num * total`` — so which bucket wins never
+    depends on float rounding; only the closing interpolation
+    ``lo + (hi - lo) * (q_num*total - q_den*cum_before) / (q_den*cnt)``
+    performs IEEE ops, each on exact sub-2^53 integers and in a fixed
+    order, hence bit-identical cross-engine.
+
+    Plan shape: two window passes over the per-key bucket list (bucket
+    count per key is fixed by the binning, not by data volume) + one
+    filter; a single shuffle on the key.
+    """
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num/q_den <= 1")
+    w_ord = W.partitionBy(key_col).orderBy(lo_col)
+    w_all = W.partitionBy(key_col)
+    c = (
+        hist.withColumn(
+            "__cum",
+            F.sum(cnt_col).over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .withColumn("__total", F.sum(cnt_col).over(w_all))
+        .filter(F.col("__total") > 0)
+    )
+    hit = c.filter(
+        F.lit(q_den) * F.col("__cum") >= F.lit(q_num) * F.col("__total")
+    ).withColumn("__rn", F.row_number().over(w_ord))
+    sel = hit.filter(F.col("__rn") == 1)
+    tn = F.lit(q_num) * F.col("__total")
+    cum_before = F.col("__cum") - F.col(cnt_col)
+    frac = (tn - F.lit(q_den) * cum_before).cast("double") / (
+        F.lit(q_den) * F.col(cnt_col)
+    ).cast("double")
+    return sel.select(
+        F.col(key_col).alias("key"),
+        F.col("__total").cast("long").alias("total"),
+        F.col(lo_col).alias("bucket_lo"),
+        F.col(hi_col).alias("bucket_hi"),
+        (
+            F.col(lo_col)
+            + (F.col(hi_col) - F.col(lo_col)) * frac
+        ).alias("quantile"),
     )

@@ -347,3 +347,37 @@ def test_adamic_adar_hand_graph(spark):
     # existing edges never appear
     got_pairs = {(r.u, r.v) for r in out}
     assert (1, 2) not in got_pairs and (0, 1) not in got_pairs
+
+
+def test_ppr_mass_stays_in_seed_component(spark):
+    from spartan2_spark.operators.graph import ppr_fixedpoint
+
+    # two disconnected 3-cycles; seed in component A only: B must end
+    # with zero mass (filtered out), A's seed must rank highest
+    edges = []
+    for a, b in [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+                 ("b1", "b2"), ("b2", "b3"), ("b3", "b1")]:
+        edges += [(a, b), (b, a)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a1",)], "node string")
+    out = {r.node: r.rank_mass for r in ppr_fixedpoint(e, seeds, rounds=6).collect()}
+    assert all(n.startswith("a") for n in out)
+    assert max(out, key=out.get) == "a1"
+
+
+def test_ppr_all_seeds_equals_pagerank(spark):
+    from spartan2_spark.operators.graph import (
+        pagerank_fixedpoint,
+        ppr_fixedpoint,
+    )
+
+    # seeding EVERY node makes the PPR recurrence identical to global
+    # PageRank — bit-exact, round for round
+    edges = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x"), ("x", "z")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("x",), ("y",), ("z",)], "node string")
+    pr = {r.node: r.rank_mass for r in pagerank_fixedpoint(edges, rounds=4).collect()}
+    ppr = {r.node: r.rank_mass for r in ppr_fixedpoint(edges, seeds, rounds=4).collect()}
+    assert pr == ppr

@@ -539,3 +539,32 @@ def test_std_normal_cdf_matches_scipy_free_reference(spark):
     for z in zs:
         exact = 0.5 * (1 + _math.erf(z / _math.sqrt(2)))
         assert abs(got[z] - exact) < 1.5e-7, z
+
+
+def test_histogram_quantile_interpolation(spark):
+    from spartan2_spark.operators.histogram import histogram_quantile
+
+    hist = spark.createDataFrame(
+        [("k", 0, 10, 9), ("k", 10, 20, 1)],
+        "key string, lo long, hi long, cnt long",
+    )
+    # p90: cumulative hits 9/10 exactly at bucket-1's upper edge
+    r = histogram_quantile(hist, 9, 10).collect()[0]
+    assert r.total == 10 and r.bucket_lo == 0 and r.quantile == 10.0
+    # p50: interpolates 10/18 of the way through bucket 1
+    r = histogram_quantile(hist, 1, 2).collect()[0]
+    assert r.quantile == 0 + 10 * (10 / 18.0)
+    # p99: lands in the last bucket, 8/10 of the way through
+    r = histogram_quantile(hist, 99, 100).collect()[0]
+    assert r.bucket_lo == 10 and r.quantile == 10 + 10 * ((99 * 10 - 100 * 9) / (100 * 1 * 1.0))
+
+
+def test_histogram_quantile_skips_empty_total(spark):
+    from spartan2_spark.operators.histogram import histogram_quantile
+
+    hist = spark.createDataFrame(
+        [("dead", 0, 10, 0), ("live", 0, 10, 4)],
+        "key string, lo long, hi long, cnt long",
+    )
+    out = {r.key: r for r in histogram_quantile(hist, 9, 10).collect()}
+    assert set(out) == {"live"}
