@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "minhash_dedup_pairs",
     # round-4: exact-substring dedup (positional-gram suffix-array analogue)
     "substring_dedup_spans",
+    # round-4 late: counter monitoring, tier serving, repair planning,
+    # webtext churn, shard packing
+    "counter_rate",
+    "time_weighted_avg",
+    "histogram_quantile_p90",
+    "late_repair_plan",
+    "url_churn",
+    "shard_pack_plan",
 ]
 
 

@@ -114,6 +114,20 @@ AUDIT_QUERIES = [
     # are audited through the shared kcore/peel discipline instead)
     "benchmark_decontaminate",
     "sorted_neighborhood_pairs",
+    # round-4 late additions (ppr_fixedpoint is iterative — audited
+    # through the shared pagerank discipline)
+    "xcorr_lagged",
+    "adamic_adar_linkpred",
+    "theilsen_trend",
+    "changepoint_binary",
+    "source_mix_sample",
+    "tier_compaction_plan",
+    "counter_rate",
+    "time_weighted_avg",
+    "late_repair_plan",
+    "url_churn",
+    "histogram_quantile_p90",
+    "shard_pack_plan",
 ]
 
 
@@ -214,3 +228,29 @@ def test_read_points_prunes_blocks_at_the_scan(spark, tmp_path):
         "end_ts" in l and "start_ts" in l and "GreaterThanOrEqual" in l
         for l in pushed
     ), plan
+
+
+def test_late_repair_bounds_broadcast_and_single_agg(spark, sf_dir):
+    """The 1-row bounds aggregate must BROADCAST onto the scan (never
+    shuffle the corpus against it) and the work-list reduce must be one
+    partial+final hash aggregation over the exploded late set."""
+    plan = plan_of(E.queries()["late_repair_plan"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_counter_rate_single_key_shuffle(spark, sf_dir):
+    """counter_rate = one per-key window + one agg on the SAME key:
+    the plan must hashpartition on the key exactly once (AQE reuses
+    the window exchange for the aggregate)."""
+    plan = plan_of(E.queries()["counter_rate"](spark, sf_dir), "simple")
+    assert plan.count("hashpartitioning(key") <= 2, plan
+
+
+def test_url_churn_is_agg_only_and_prunes_scan(spark, sf_dir):
+    """url_churn must be windowless (pure hash aggregation with the
+    two-phase distinct expansion) and must not drag event columns it
+    never reads through the scan."""
+    plan = plan_of(E.queries()["url_churn"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "event_id" not in plan.split("ReadSchema")[-1]
