@@ -7007,6 +7007,91 @@ _SHARD_PACK_SQL = """
 """
 
 
+def _q_uptime(spark, sf_dir):
+    """SLA availability per event class: gaps > 1h between consecutive
+    heartbeats are outages, the whole gap is downtime; exact BIGINT gap
+    arithmetic + one IEEE ratio."""
+    s = _events(spark, sf_dir).select(F.col("event_type").alias("key"), "ts")
+    return TS.uptime_sla(s, gap_threshold_us=3_600_000_000)
+
+
+_UPTIME_SQL = """
+    WITH s AS (SELECT event_type AS key, epoch_us(ts) AS t_us FROM events),
+    g AS (SELECT key, t_us,
+                 t_us - lag(t_us) OVER (PARTITION BY key ORDER BY t_us)
+                   AS gap
+          FROM s)
+    SELECT key, count(*)::BIGINT AS n_samples,
+           CAST(sum(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outages,
+           CAST(sum(CASE WHEN gap > 3600000000 THEN gap ELSE 0 END)
+                AS BIGINT) AS downtime_us,
+           max(gap) AS longest_gap_us,
+           CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+           CASE WHEN max(t_us) - min(t_us) > 0
+                THEN 1.0 - CAST(sum(CASE WHEN gap > 3600000000
+                                         THEN gap ELSE 0 END) AS DOUBLE)
+                           / CAST(max(t_us) - min(t_us) AS DOUBLE)
+           END AS uptime_ratio
+    FROM g GROUP BY key
+"""
+
+
+def _q_dod_stats(spark, sf_dir):
+    """Gorilla timestamp-track compression planning: classify every
+    delta-of-delta of the per-url 1m bucket grid into the codec's code
+    classes and report implied bits/point — decides the 1-bit fast
+    path BEFORE paying the encode."""
+    from spartan2_spark.operators.gorilla import dod_bitwidth_stats
+
+    b = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("url"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .distinct()
+    )
+    return dod_bitwidth_stats(b)
+
+
+_DOD_STATS_SQL = """
+    WITH b AS (SELECT DISTINCT event_type AS key,
+                      CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+                        AS t_s
+               FROM events),
+    d AS (SELECT key, t_s,
+                 t_s - lag(t_s) OVER (PARTITION BY key ORDER BY t_s)
+                   AS delta
+          FROM b),
+    dd AS (SELECT key,
+                  delta - lag(delta) OVER (PARTITION BY key ORDER BY t_s)
+                    AS dod
+           FROM d),
+    c AS (SELECT key,
+                 CASE WHEN dod = 0 THEN 0
+                      WHEN dod BETWEEN -63 AND 64 THEN 1
+                      WHEN dod BETWEEN -255 AND 256 THEN 2
+                      WHEN dod BETWEEN -2047 AND 2048 THEN 3
+                      ELSE 4 END AS c
+          FROM dd WHERE dod IS NOT NULL),
+    w AS (SELECT key, c,
+                 CASE c WHEN 0 THEN 1 WHEN 1 THEN 9 WHEN 2 THEN 12
+                        WHEN 3 THEN 16 ELSE 68 END AS b
+          FROM c)
+    SELECT key, count(*)::BIGINT AS n_dod,
+           CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_zero,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_7b,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c_9b,
+           CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c_12b,
+           CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c_64b,
+           CAST(sum(b) AS BIGINT) AS bits_total,
+           CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS bits_per_point
+    FROM w GROUP BY key
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -7092,6 +7177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_fixedpoint": _q_ppr,
         "histogram_quantile_p90": _q_hist_quantile,
         "shard_pack_plan": _q_shard_pack,
+        "uptime_sla": _q_uptime,
+        "dod_bitwidth_stats": _q_dod_stats,
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
@@ -7262,6 +7349,8 @@ def oracle_sql() -> dict[str, str]:
         "ppr_fixedpoint": _ppr_sql(rounds=6),
         "histogram_quantile_p90": _HIST_QUANTILE_SQL,
         "shard_pack_plan": _SHARD_PACK_SQL,
+        "uptime_sla": _UPTIME_SQL,
+        "dod_bitwidth_stats": _DOD_STATS_SQL,
         "linear_counting": _LINEAR_COUNT_SQL,
         "label_propagation": _lpa_sql(rounds=4),
         "exact_percentiles": _PERCENTILES_SQL,

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from spartan2_spark.functions import gorilla_codec as C
 from spartan2_spark.schemas import GORILLA_BLOCKS
 
-__all__ = ["encode_tier_blocks", "decode_blocks", "read_points"]
+__all__ = ["encode_tier_blocks", "decode_blocks", "read_points", "dod_bitwidth_stats"]
 
 
 def encode_tier_blocks(
@@ -246,3 +246,71 @@ def read_points(
     if t1 is not None:
         pts = pts.filter(F.col("ts") <= F.lit(int(t1)))
     return pts
+
+
+def dod_bitwidth_stats(
+    points: DataFrame,
+    key_col: str = "url",
+    time_col: str = "bucket_ts",
+) -> DataFrame:
+    """Compression PLANNING for the Gorilla timestamp track: per key,
+    classify every delta-of-delta of the sorted epoch-second timestamps
+    into the codec's code classes ('0' 1 bit; '10'+7; '110'+9;
+    '1110'+12; '1111'+64 — spartan2_spark.functions.gorilla_codec) and
+    report the class counts plus the implied bits/point — the query
+    that decides, per tier, whether a series is regular enough for the
+    1-bit fast path BEFORE paying the encode, and the audit that a
+    tier's bucket grid is actually regular (a healthy 1m tier should be
+    ~all dod=0).
+
+    Exactness: deltas, dods, class counts, and total bits are pure
+    BIGINT; the closing bits/point is one IEEE divide. Keys with fewer
+    than 3 samples have no dod and are dropped (nothing to plan).
+
+    Plan shape: two stacked lag windows on the same (key, ts) ordering
+    (one sort, Spark folds both into a single Window node) + one hash
+    aggregate — single shuffle on the key.
+    """
+    from pyspark.sql import Window as W
+
+    ww = W.partitionBy("key").orderBy("t_s")
+    t = points.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(time_col).cast("timestamp")).alias("t_s"),
+    )
+    d = t.withColumn("delta", F.col("t_s") - F.lag("t_s").over(ww))
+    dd = d.withColumn("dod", F.col("delta") - F.lag("delta").over(ww)).filter(
+        F.col("dod").isNotNull()
+    )
+    cls = (
+        F.when(F.col("dod") == 0, F.lit(0))
+        .when((F.col("dod") >= -63) & (F.col("dod") <= 64), F.lit(1))
+        .when((F.col("dod") >= -255) & (F.col("dod") <= 256), F.lit(2))
+        .when((F.col("dod") >= -2047) & (F.col("dod") <= 2048), F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    bits = F.element_at(
+        F.array(F.lit(1), F.lit(9), F.lit(12), F.lit(16), F.lit(68)),
+        cls + 1,
+    )
+    return (
+        dd.select("key", cls.alias("c"), bits.alias("b"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dod"),
+            F.sum(F.when(F.col("c") == 0, 1).otherwise(0)).cast("long").alias("c_zero"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("c_7b"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("c_9b"),
+            F.sum(F.when(F.col("c") == 3, 1).otherwise(0)).cast("long").alias("c_12b"),
+            F.sum(F.when(F.col("c") == 4, 1).otherwise(0)).cast("long").alias("c_64b"),
+            F.sum("b").cast("long").alias("bits_total"),
+        )
+        .select(
+            "key", "n_dod", "c_zero", "c_7b", "c_9b", "c_12b", "c_64b",
+            "bits_total",
+            (
+                F.col("bits_total").cast("double")
+                / F.col("n_dod").cast("double")
+            ).alias("bits_per_point"),
+        )
+    )

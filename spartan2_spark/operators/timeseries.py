@@ -64,6 +64,7 @@ __all__ = [
     "changepoint_binary",
     "counter_rate",
     "time_weighted_avg",
+    "uptime_sla",
 ]
 
 
@@ -1310,5 +1311,65 @@ def time_weighted_avg(
                 F.col("dur_us") > 0,
                 F.col("wsum_d").cast("double") / F.col("dur_us"),
             ).alias("twa_centi"),
+        )
+    )
+
+
+def uptime_sla(
+    df: DataFrame,
+    gap_threshold_us: int = 3_600_000_000,
+    key_col: str = "key",
+    time_col: str = "ts",
+) -> DataFrame:
+    """SLA availability from heartbeat timestamps: per key, any gap
+    between consecutive observations longer than ``gap_threshold_us``
+    counts as an outage, and the whole gap is downtime. Returns per
+    key: n_outages, downtime_us, longest_gap_us, span_us, and
+    uptime_ratio = 1 - downtime/span — the serving-side "is this url's
+    crawl feed healthy" monitor, the thresholded complement of
+    ``iat_diffs`` (which describes the gap DISTRIBUTION; this scores it
+    against a contract).
+
+    Exactness: gaps are exact epoch-microsecond BIGINT diffs; sums and
+    maxima are integer; the closing ratio is one IEEE divide of exact
+    sub-2^53 integers. Keys with fewer than two samples emit NULL
+    uptime (no observable span).
+
+    Plan shape: one per-key lag window + one hash aggregate on the same
+    key — single shuffle.
+    """
+    w = W.partitionBy("key").orderBy("t_us")
+    gap = F.col("t_us") - F.lag("t_us").over(w)
+    g = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("t_us"),
+    ).select("key", "t_us", gap.alias("gap"))
+    down = F.when(F.col("gap") > gap_threshold_us, F.col("gap")).otherwise(
+        F.lit(0)
+    )
+    return (
+        g.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum(F.when(F.col("gap") > gap_threshold_us, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outages"),
+            F.sum(down).cast("long").alias("downtime_us"),
+            F.max("gap").alias("longest_gap_us"),
+            (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        )
+        .select(
+            "key",
+            "n_samples",
+            "n_outages",
+            "downtime_us",
+            "longest_gap_us",
+            "span_us",
+            F.when(
+                F.col("span_us") > 0,
+                F.lit(1.0)
+                - F.col("downtime_us").cast("double")
+                / F.col("span_us").cast("double"),
+            ).alias("uptime_ratio"),
         )
     )

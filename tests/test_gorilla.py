@@ -294,3 +294,34 @@ def test_decode_pass_budget_scales_to_slots():
             raise RuntimeError
 
     assert _decode_pass_budget(Boom()) == 64 << 20
+
+
+def test_dod_bitwidth_stats_regular_grid_is_one_bit(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.gorilla import dod_bitwidth_stats
+
+    # perfectly regular 1m grid -> every dod = 0 -> 1 bit/point
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", t0 + timedelta(minutes=i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "url string, bucket_ts timestamp")
+    r = dod_bitwidth_stats(df).collect()[0]
+    assert r.n_dod == 18 and r.c_zero == 18
+    assert r.bits_total == 18 and r.bits_per_point == 1.0
+
+
+def test_dod_bitwidth_stats_class_boundaries(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.gorilla import dod_bitwidth_stats
+
+    # deltas 60, 124, 60: dods are +64 (7-bit class edge) and -64
+    # (also 7-bit: range is [-63,64]? no — -64 < -63 -> 9-bit class)
+    t0 = datetime(2024, 1, 1)
+    secs = [0, 60, 184, 244]
+    rows = [("u", t0 + timedelta(seconds=s)) for s in secs]
+    df = spark.createDataFrame(rows, "url string, bucket_ts timestamp")
+    r = dod_bitwidth_stats(df).collect()[0]
+    assert r.n_dod == 2
+    assert r.c_7b == 1 and r.c_9b == 1
+    assert r.bits_total == 9 + 12

@@ -128,6 +128,8 @@ AUDIT_QUERIES = [
     "url_churn",
     "histogram_quantile_p90",
     "shard_pack_plan",
+    "uptime_sla",
+    "dod_bitwidth_stats",
 ]
 
 

@@ -530,3 +530,37 @@ def test_time_weighted_avg_single_sample_null(spark):
     )
     r = time_weighted_avg(df).collect()[0]
     assert r.dur_us == 0 and r.twa_centi is None and r.wsum == 0.0
+
+
+def test_uptime_sla_planted_outage(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import uptime_sla
+
+    # heartbeats every minute for 10 min, then a 2h hole, then 10 more
+    t0 = datetime(2024, 1, 1)
+    rows = [("svc", t0 + timedelta(minutes=i)) for i in range(10)]
+    rows += [
+        ("svc", t0 + timedelta(minutes=9) + timedelta(hours=2, minutes=i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    r = uptime_sla(df, gap_threshold_us=3_600_000_000).collect()[0]
+    assert r.n_outages == 1
+    assert r.downtime_us == 2 * 3600 * 1_000_000
+    assert r.longest_gap_us == r.downtime_us
+    span = (9 + 120 + 9) * 60 * 1_000_000
+    assert r.span_us == span
+    assert r.uptime_ratio == 1.0 - r.downtime_us / span
+
+
+def test_uptime_sla_single_sample_null(spark):
+    from datetime import datetime
+
+    from spartan2_spark.operators.timeseries import uptime_sla
+
+    df = spark.createDataFrame(
+        [("s", datetime(2024, 1, 1))], "key string, ts timestamp"
+    )
+    r = uptime_sla(df).collect()[0]
+    assert r.uptime_ratio is None and r.longest_gap_us is None
