@@ -429,3 +429,72 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+_CR_STATE = T.StructType(
+    [
+        T.StructField("last_v", T.LongType()),
+        T.StructField("increase", T.LongType()),
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+_CR_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("increase", T.LongType()),
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def _counter_rate_fn(key, pdfs, state: GroupState):
+    last_v, inc, resets, n = (
+        state.get if state.exists else (0, 0, 0, 0)
+    )
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("ts", kind="mergesort")
+        for v in pdf["value"].to_numpy():
+            v = int(v)
+            if n > 0:
+                d = v - last_v
+                if d < 0:
+                    inc += v
+                    resets += 1
+                else:
+                    inc += d
+            last_v = v
+            n += 1
+    state.update((last_v, inc, resets, n))
+    yield pd.DataFrame(
+        {
+            "key": [str(key[0])],
+            "increase": [inc],
+            "n_resets": [resets],
+            "n_samples": [n],
+        }
+    )
+
+
+def stream_counter_rate(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming twin of ``operators.timeseries.counter_rate``: the
+    PromQL increase()-with-reset state machine carried across
+    micro-batches via ``applyInPandasWithState`` (update mode). State
+    per key is four scalars — bounded regardless of stream length; a
+    restarted counter (negative delta) contributes its post-reset
+    absolute value, exactly the batch rule, so the final update row
+    equals the batch operator's output on the same data (parity
+    pytest). Requires columns (key, ts, value:int-exact)."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _counter_rate_fn,
+        outputStructType=_CR_OUT,
+        stateStructType=_CR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -484,3 +484,46 @@ def test_stream_zero_out_cfd_matches_batch_replay(spark, tmp_path):
         for c in ("n_events", "n_zero_outs", "n_credits_in"):
             assert got.loc[key, c] == batch.loc[key, c], (key, c)
         assert abs(got.loc[key, "balance"] - batch.loc[key, "final_balance"]) < 1e-9
+
+
+def test_stream_counter_rate_matches_batch(spark, tmp_path):
+    """The streaming counter state machine must land on exactly the
+    batch counter_rate totals — including a reset mid-stream."""
+    from spartan2_spark.operators.timeseries import counter_rate
+    from spartan2_spark.streaming.rollup_stream import stream_counter_rate
+
+    vals = {"c1": [10, 25, 40, 5, 30], "c2": [7, 7, 100]}
+    rows = []
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((k, pd.Timestamp(f"2024-01-01 00:00:{i:02d}"), v))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    d = str(tmp_path / "cr_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+
+    batch = (
+        counter_rate(spark.read.parquet(d))
+        .toPandas()
+        .set_index("key")
+        .sort_index()
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, d, schema, fmt="parquet")
+    run_stream_to_memory(stream_counter_rate(stream, "key"), "cr_out", "update")
+    got = spark.sql(
+        """select * from (
+             select *, row_number() over (partition by key order by n_samples desc) rn
+             from cr_out) where rn = 1"""
+    ).toPandas().set_index("key").sort_index()
+
+    for k in vals:
+        for col in ("increase", "n_resets", "n_samples"):
+            assert got.loc[k, col] == batch.loc[k, col], (k, col)
+    assert batch.loc["c1", "increase"] == 60 and batch.loc["c1", "n_resets"] == 1
