@@ -618,7 +618,10 @@ def adamic_adar(
         edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
     )
     deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("d"))
-    wz = deg.select(
+    # degree-1 nodes cannot be wedge centers (one neighbor => no pair),
+    # but under ANSI mode the 1/ln(d) expression must never be
+    # EVALUATED at d=1 either — filter before projecting the weight
+    wz = deg.filter(F.col("d") >= 2).select(
         F.col(src).alias("z"),
         F.round(F.lit(1000000.0) / F.log(F.col("d"))).cast("long").alias(
             "w"

@@ -381,3 +381,16 @@ def test_ppr_all_seeds_equals_pagerank(spark):
     pr = {r.node: r.rank_mass for r in pagerank_fixedpoint(edges, rounds=4).collect()}
     ppr = {r.node: r.rank_mass for r in ppr_fixedpoint(edges, seeds, rounds=4).collect()}
     assert pr == ppr
+
+
+def test_adamic_adar_tolerates_degree_one_nodes(spark):
+    from spartan2_spark.operators.graph import adamic_adar
+
+    # pendant node p (degree 1) must not blow up the 1/ln(deg) weight
+    # under ANSI mode; wedge centers are the deg>=2 nodes only
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 9)], "src long, dst long"
+    )
+    out = adamic_adar(edges, top_k=10).collect()
+    pairs = {(r.u, r.v) for r in out}
+    assert (1, 9) in pairs and (2, 9) in pairs
