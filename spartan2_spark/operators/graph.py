@@ -192,6 +192,11 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        # partition the (static) edge relation on its join key ONCE:
+        # the checkpoint preserves the hash partitioning, so the
+        # per-round propagate join reshuffles only the (small, moving)
+        # label relation — at web scale the edge side is the bulk
+        .repartition(F.col("v"))
         .transform(barrier)
     )
     labels = (
@@ -206,23 +211,46 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("nbr"))
         )
-        nxt = (
+        stepped = (
             labels.join(prop, "node", "left")
             .select(
                 "node",
                 F.least(F.col("component"), F.coalesce("nbr", "component")).alias(
                     "component"
                 ),
+                F.col("component").alias("prev"),
             )
+            # consumed twice below (label side + parent side of the
+            # jump join) — materialize once
             .transform(barrier)
         )
-        changed = (
-            nxt.withColumnRenamed("component", "c2")
-            .join(labels, "node")
-            .filter(F.col("c2") != F.col("component"))
-            .count()
+        # pointer jumping: component <- label(component). Labels are
+        # always node ids, so the self-join resolves each node's label
+        # one hop further — the frontier doubles per round and the
+        # loop converges in O(log diameter) rounds instead of
+        # O(diameter). Min semantics are unchanged (labels only ever
+        # decrease toward the component min), so the fixpoint — and
+        # the recursive-CTE oracle twin — is identical.
+        parents = stepped.select(
+            F.col("node").alias("component"), F.col("component").alias("pcomp")
         )
-        labels = nxt
+        nxt = (
+            stepped.join(parents, "component", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("pcomp", "component")
+                ).alias("component"),
+                "prev",
+            )
+            .withColumn("chg", F.col("component") != F.col("prev"))
+            .drop("prev")
+            .transform(barrier)
+        )
+        # convergence check is a scan of the just-checkpointed result
+        # (no join, no extra shuffle)
+        changed = nxt.filter(F.col("chg")).count()
+        labels = nxt.drop("chg")
         if changed == 0:
             return labels
     raise RuntimeError(
