@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "late_repair_plan",
     "url_churn",
     "shard_pack_plan",
+    # round-4 wrap: SLA scoring, compression planning
+    "uptime_sla",
+    "dod_bitwidth_stats",
 ]
 
 
