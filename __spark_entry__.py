@@ -7092,6 +7092,97 @@ _DOD_STATS_SQL = """
 """
 
 
+def _q_purge_plan(spark, sf_dir):
+    """Right-to-be-forgotten work-list across the retention tiers
+    (rollup.purge_plan): for a deterministic ~2/16 url forget set
+    (md5 hex prefix '0'/'1' on the pages-shape url), one row per
+    (tier, url) with the state rows to delete, buckets spanned, raw
+    points represented, and the bucket span — the Iceberg
+    equality-delete planning input. n_points is tier-invariant per
+    url, so the plan cross-checks the tier chain while planning."""
+    pts = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).alias("value"),
+    )
+    forget = F.substring(F.md5(F.col("url")), 1, 1).isin("0", "1")
+    return R.purge_plan(pts, forget)
+
+
+_PURGE_PLAN_SQL = """
+    WITH p AS (SELECT 'u' || user_id || '/' || event_type AS url, ts,
+                      round(value * 100) AS v
+               FROM events
+               WHERE substr(md5('u' || user_id || '/' || event_type),
+                            1, 1) IN ('0', '1')),
+    s1m AS (SELECT url, date_trunc('minute', ts) AS b,
+                   CAST(v AS BIGINT) AS bin, count(*)::BIGINT AS cnt
+            FROM p WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+    s1h AS (SELECT url, date_trunc('hour', b) AS b, bin,
+                   sum(cnt)::BIGINT AS cnt
+            FROM s1m GROUP BY 1, 2, 3),
+    s1d AS (SELECT url, date_trunc('day', b) AS b, bin,
+                   sum(cnt)::BIGINT AS cnt
+            FROM s1h GROUP BY 1, 2, 3),
+    t AS (SELECT '1m' AS tier, * FROM s1m
+          UNION ALL SELECT '1h', * FROM s1h
+          UNION ALL SELECT '1d', * FROM s1d)
+    SELECT tier, url,
+           count(*)::BIGINT AS n_state_rows,
+           count(DISTINCT b)::BIGINT AS n_buckets,
+           sum(cnt)::BIGINT AS n_points,
+           CAST(epoch(min(b)) AS BIGINT) AS first_bucket_s,
+           CAST(epoch(max(b)) AS BIGINT) AS last_bucket_s
+    FROM t GROUP BY 1, 2
+"""
+
+
+def _q_tier_audit(spark, sf_dir):
+    """Continuous-aggregate re-aggregability audit
+    (rollup.consistency_audit): the 1h tier recomputed directly from
+    raw vs tiered-up from stored 1m state, full-outer-joined on
+    (url, bucket, bin) with null-safe field comparison; per url the
+    audit reports keys checked, keys disagreeing (healthy chain: 0
+    everywhere — proven here against an independent engine), and
+    points covered."""
+    return R.consistency_audit(
+        _event_points(spark, sf_dir), "1m", "1h", bin_mode="int"
+    )
+
+
+_TIER_AUDIT_SQL = """
+    WITH p AS (SELECT event_type AS url, ts, round(value * 100) AS v
+               FROM events WHERE value IS NOT NULL),
+    d AS (SELECT url, date_trunc('hour', ts) AS b,
+                 CAST(v AS BIGINT) AS bin, count(*)::BIGINT AS cnt,
+                 sum(v) AS vsum, min(v) AS vmin, max(v) AS vmax
+          FROM p GROUP BY 1, 2, 3),
+    m AS (SELECT url, date_trunc('minute', ts) AS b,
+                 CAST(v AS BIGINT) AS bin, count(*)::BIGINT AS cnt,
+                 sum(v) AS vsum, min(v) AS vmin, max(v) AS vmax
+          FROM p GROUP BY 1, 2, 3),
+    t AS (SELECT url, date_trunc('hour', b) AS b, bin,
+                 sum(cnt)::BIGINT AS cnt, sum(vsum) AS vsum,
+                 min(vmin) AS vmin, max(vmax) AS vmax
+          FROM m GROUP BY 1, 2, 3),
+    j AS (SELECT coalesce(d.url, t.url) AS url,
+                 CASE WHEN d.cnt IS DISTINCT FROM t.cnt
+                        OR d.vsum IS DISTINCT FROM t.vsum
+                        OR d.vmin IS DISTINCT FROM t.vmin
+                        OR d.vmax IS DISTINCT FROM t.vmax
+                      THEN 1 ELSE 0 END AS mm,
+                 coalesce(d.cnt, 0) AS cnt
+          FROM d FULL JOIN t
+            ON d.url = t.url AND d.b = t.b AND d.bin = t.bin)
+    SELECT url, count(*)::BIGINT AS n_keys,
+           sum(mm)::BIGINT AS n_mismatch,
+           sum(cnt)::BIGINT AS n_points
+    FROM j GROUP BY url
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -7155,6 +7246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
+        "tier_purge_plan": _q_purge_plan,
+        "tier_consistency_audit": _q_tier_audit,
         "monlad_cfd": _q_monlad_cfd,
         "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
         "eaglemine_describe_dtm": _q_eaglemine_describe_dtm,
@@ -7440,6 +7533,8 @@ def oracle_sql() -> dict[str, str]:
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         "monlad_cfd": _MONLAD_CFD_SQL,
+        "tier_purge_plan": _PURGE_PLAN_SQL,
+        "tier_consistency_audit": _TIER_AUDIT_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the
         # Spark side raises if unconverged by then, so a converged Spark
         # result is always compared against a >=-fixpoint-depth oracle

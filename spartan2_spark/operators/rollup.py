@@ -53,6 +53,8 @@ __all__ = [
     "bin_col",
     "unbin_col",
     "p95_from_hist",
+    "purge_plan",
+    "consistency_audit",
 ]
 
 # tier name -> date_trunc unit
@@ -358,5 +360,114 @@ def url_churn(
                 (F.col("n_versions") - 1).cast("double")
                 / (F.col("n_snapshots") - 1).cast("double"),
             ).alias("churn"),
+        )
+    )
+
+
+def purge_plan(
+    points: DataFrame,
+    forget: Column,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    bin_mode: str = "int",
+) -> DataFrame:
+    """Right-to-be-forgotten work-list across retention tiers: for the
+    urls marked by the ``forget`` predicate, one row per (tier, url)
+    with the state rows that must be deleted, the buckets they span,
+    and the raw points they represent — exactly the per-partition input
+    an Iceberg equality-delete / rewrite-files pass consumes (the row
+    analogue of ``retention.apply_retention``'s partition drops: purge
+    removes a URL everywhere, retention removes a dt everywhere).
+
+    ``n_points`` is invariant across tiers for a url (every tier
+    represents the same raw points), so the plan double-checks the tier
+    chain while it plans the delete.
+
+    Plan shape: the forget predicate is applied at the scan (pushable —
+    it references only scan columns), then the 1m state is built once
+    and tiered up; the three per-tier aggregates hang off the SAME 1m
+    aggregation exchange, which Spark de-duplicates via ReusedExchange,
+    so the raw points are read and bucketed exactly once. Cost is
+    O(|victim points|), not O(|corpus|). At web scale the forget set
+    usually arrives as a table — pass
+    ``forget=F.col("url").isin(...)`` for tiny literal sets or
+    semi-join the points upstream for large ones; the tier math is
+    unchanged either way.
+    """
+    state = rollup_from_points(points.filter(forget), tiers[0], bin_mode)
+    out = None
+    for i, tier in enumerate(tiers):
+        if i > 0:
+            state = rollup_tier_up(state, tier)
+        g = (
+            state.groupBy("url")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_state_rows"),
+                F.countDistinct("bucket_ts").cast("long").alias("n_buckets"),
+                F.sum("cnt").cast("long").alias("n_points"),
+                F.unix_timestamp(F.min("bucket_ts")).alias("first_bucket_s"),
+                F.unix_timestamp(F.max("bucket_ts")).alias("last_bucket_s"),
+            )
+            .select(
+                F.lit(tier).alias("tier"),
+                "url",
+                "n_state_rows",
+                "n_buckets",
+                "n_points",
+                "first_bucket_s",
+                "last_bucket_s",
+            )
+        )
+        out = g if out is None else out.unionAll(g)
+    return out
+
+
+def consistency_audit(
+    points: DataFrame,
+    from_tier: str = "1m",
+    to_tier: str = "1h",
+    bin_mode: str = "int",
+) -> DataFrame:
+    """Continuous-aggregate re-aggregability audit: recompute the
+    coarse tier DIRECTLY from raw points and TIERED-UP from the fine
+    tier's stored state, full-outer-join the two on (url, bucket, bin),
+    and report per url how many state keys disagree in any of
+    cnt/vsum/vmin/vmax (null-safe, so a key present on only one side
+    counts as a mismatch). A healthy ladder returns ``n_mismatch = 0``
+    everywhere — this is the production invariant the tier chain rests
+    on (every state field is a commutative monoid, so tier-up must be
+    exact), and the check a pipeline runs after a manifest-driven
+    partial recompute to prove the repair seam is invisible.
+
+    Plan shape: two partial+final hash aggregations over the same scan
+    (Spark reuses the scan; the minute->hour tier-up re-aggregates the
+    SMALL state, not raw), then a full outer sort-merge join whose keys
+    equal both aggregations' grouping keys — the agg output
+    partitioning satisfies the join, so no third shuffle is planned.
+    Scale-safe: audit cost ~ 2x the rollup itself, run per dt-partition
+    in practice.
+    """
+    direct = rollup_from_points(points, to_tier, bin_mode)
+    tiered = rollup_tier_up(
+        rollup_from_points(points, from_tier, bin_mode), to_tier
+    )
+    d, t = direct.alias("d"), tiered.alias("t")
+    j = d.join(t, on=["url", "bucket_ts", "bin"], how="full_outer")
+    agree = (
+        F.col("d.cnt").eqNullSafe(F.col("t.cnt"))
+        & F.col("d.vsum").eqNullSafe(F.col("t.vsum"))
+        & F.col("d.vmin").eqNullSafe(F.col("t.vmin"))
+        & F.col("d.vmax").eqNullSafe(F.col("t.vmax"))
+    )
+    return (
+        j.select(
+            "url",
+            F.when(~agree, F.lit(1)).otherwise(F.lit(0)).alias("mm"),
+            F.coalesce(F.col("d.cnt"), F.lit(0)).alias("cnt"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("mm").cast("long").alias("n_mismatch"),
+            F.sum("cnt").cast("long").alias("n_points"),
         )
     )

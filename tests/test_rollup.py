@@ -213,3 +213,97 @@ def test_url_churn_versions(spark):
     assert out["u2"].churn == 0.0
     assert out["u3"].churn is None and out["u3"].first_us == out["u3"].last_us
     assert out["u1"].last_us - out["u1"].first_us == 4 * 3600 * 1_000_000
+
+
+# ----------------------------------------------------- purge / audit
+
+
+def test_purge_plan_points_invariant_across_tiers(spark):
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 4000, n_urls=30, days=3)
+    pts = R.raw_points(pages)
+    forget = F.substring(F.md5(F.col("url")), 1, 1).isin(
+        "0", "1", "2", "3"
+    )
+    plan = R.purge_plan(pts, forget).toPandas()
+    assert set(plan["tier"]) == {"1m", "1h", "1d"}
+    # every tier of a url represents the same raw points
+    per_url = plan.groupby("url")["n_points"].nunique()
+    assert (per_url == 1).all()
+    # coarser tiers never have more state rows or buckets than finer
+    wide = plan.pivot(index="url", columns="tier", values="n_state_rows")
+    assert (wide["1h"] <= wide["1m"]).all()
+    assert (wide["1d"] <= wide["1h"]).all()
+    # the plan covers exactly the victim urls
+    victims = (
+        pts.filter(forget).select("url").distinct().toPandas()["url"]
+    )
+    assert set(plan["url"]) == set(victims)
+    # and total points == non-null victim rows (NULL-text crawl rows
+    # are dropped by the rollup's null guard)
+    one_tier = plan[plan["tier"] == "1m"]
+    n_victims = pts.filter(forget).filter("value IS NOT NULL").count()
+    assert one_tier["n_points"].sum() == n_victims
+
+
+def test_purge_plan_empty_forget_set(spark):
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 500, n_urls=5, days=1)
+    plan = R.purge_plan(R.raw_points(pages), F.lit(False))
+    assert plan.count() == 0
+
+
+def test_consistency_audit_healthy_chain_is_clean(spark):
+    pages = synth_pages(spark, 4000, n_urls=30, days=3)
+    pts = R.raw_points(pages)
+    audit = R.consistency_audit(pts, "1m", "1h").toPandas()
+    assert (audit["n_mismatch"] == 0).all()
+    # NULL-text crawl rows are dropped by the rollup's null guard on
+    # both paths, so the audit covers exactly the non-null points
+    assert audit["n_points"].sum() == pts.filter("value IS NOT NULL").count()
+
+
+def test_consistency_audit_detects_injected_drift(spark):
+    """The audit is only worth shipping if it FLAGS a broken tier-up.
+    Corrupt one stored 1m state row (the resume-seam failure mode: a
+    partially rewritten partition) and assert exactly the touched
+    url/buckets go red while every other url stays green."""
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 4000, n_urls=30, days=3)
+    pts = R.raw_points(pages)
+    direct = R.rollup_from_points(pts, "1h")
+    t1m = R.rollup_from_points(pts, "1m")
+    victim = t1m.orderBy("url", "bucket_ts", "bin").limit(1).collect()[0]
+    corrupted = t1m.withColumn(
+        "cnt",
+        F.when(
+            (F.col("url") == victim.url)
+            & (F.col("bucket_ts") == victim.bucket_ts)
+            & (F.col("bin") == victim.bin),
+            F.col("cnt") + 1,
+        ).otherwise(F.col("cnt")),
+    )
+    tiered = R.rollup_tier_up(corrupted, "1h")
+    d, t = direct.alias("d"), tiered.alias("t")
+    j = d.join(t, on=["url", "bucket_ts", "bin"], how="full_outer")
+    agree = (
+        F.col("d.cnt").eqNullSafe(F.col("t.cnt"))
+        & F.col("d.vsum").eqNullSafe(F.col("t.vsum"))
+        & F.col("d.vmin").eqNullSafe(F.col("t.vmin"))
+        & F.col("d.vmax").eqNullSafe(F.col("t.vmax"))
+    )
+    audit = (
+        j.select(
+            "url",
+            F.when(~agree, F.lit(1)).otherwise(F.lit(0)).alias("mm"),
+        )
+        .groupBy("url")
+        .agg(F.sum("mm").alias("n_mismatch"))
+        .toPandas()
+        .set_index("url")["n_mismatch"]
+    )
+    assert audit[victim.url] == 1
+    assert audit.drop(victim.url).sum() == 0
