@@ -7183,6 +7183,214 @@ _TIER_AUDIT_SQL = """
 """
 
 
+def _q_gauge_delta(spark, sf_dir):
+    """PromQL gauge family delta()/idelta()/changes() per user: last -
+    first, last - second-to-last, and flap count over time-ordered
+    centi-quantized samples (timeseries.gauge_delta) — the gauge
+    complement of counter_rate. Samples deduplicated to one per
+    (key, ts) via max so the lag ordering is deterministic. Pure
+    BIGINT end-to-end."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("value"))
+    )
+    return TS.gauge_delta(s)
+
+
+_GAUGE_DELTA_SQL = """
+    WITH s AS (SELECT user_id AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT key, epoch_us(ts) AS t_us, v,
+                 lag(v) OVER (PARTITION BY key ORDER BY ts) AS pv
+          FROM s)
+    SELECT key, count(*)::BIGINT AS n_samples,
+           CAST(max_by(v, t_us) - min_by(v, t_us) AS BIGINT) AS delta,
+           CAST(max_by(v, t_us) - max_by(pv, t_us) AS BIGINT) AS idelta,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v <> pv
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           max(t_us) - min(t_us) AS span_us
+    FROM g GROUP BY key
+"""
+
+
+def _q_predict_linear(spark, sf_dir):
+    """PromQL predict_linear()/deriv() per user: exact-integer OLS over
+    (epoch-second, centi value) with per-key centered timestamps (all
+    five regression sums DECIMAL(38,0); DuckDB twin widens to HUGEINT
+    identically) and the value extrapolated 1 hour past the last
+    sample. Only the closing slope/predict arithmetic is float, in one
+    fixed expression order mirrored by the twin."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("value"))
+    )
+    return TS.predict_linear(s, horizon_s=3600)
+
+
+_PREDICT_LINEAR_SQL = """
+    WITH s AS (SELECT user_id AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT key, CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                        AS t_s, v FROM s),
+    c AS (SELECT key, t_s, v,
+                 t_s - min(t_s) OVER (PARTITION BY key) AS tc
+          FROM g),
+    a AS (SELECT key,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 sum(CAST(tc AS HUGEINT)) AS st,
+                 sum(CAST(v AS HUGEINT)) AS sv,
+                 sum(CAST(tc AS HUGEINT) * CAST(tc AS HUGEINT)) AS stt,
+                 sum(CAST(tc AS HUGEINT) * CAST(v AS HUGEINT)) AS stv,
+                 CAST(max(tc) AS HUGEINT) AS tc_last,
+                 max(t_s) AS last_t_s
+          FROM c GROUP BY key)
+    SELECT key, CAST(n AS BIGINT) AS n_samples, last_t_s,
+           CASE WHEN n * stt - st * st <> 0 THEN
+             CAST(n * stv - st * sv AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE)
+           END AS slope_per_s,
+           CASE WHEN n * stt - st * st <> 0 THEN
+             CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+             + (CAST(n * stv - st * sv AS DOUBLE)
+                  / CAST(n * stt - st * st AS DOUBLE))
+               * ((CAST(tc_last AS DOUBLE) + 3600.0)
+                    - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+           END AS predicted
+    FROM a
+"""
+
+
+def _q_xor_stats(spark, sf_dir):
+    """Gorilla VALUE-track compression planning: per event_type, XOR
+    consecutive per-minute vsum values of the 1m tier and report the
+    meaningful-bit histogram and the codec's no-reuse upper bound
+    bits/point (gorilla.xor_bitwidth_stats) — the value-plane
+    companion of dod_bitwidth_stats."""
+    from spartan2_spark.operators.gorilla import xor_bitwidth_stats
+
+    b = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("url"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("v")
+        )
+    )
+    return xor_bitwidth_stats(b, value_col="v")
+
+
+_XOR_STATS_SQL = """
+    WITH b AS (SELECT event_type AS key,
+                      date_trunc('minute', ts) AS bt,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT))
+                           AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT key, CAST(epoch(bt) AS BIGINT) AS t_s, v FROM b),
+    l AS (SELECT key, v,
+                 lag(v) OVER (PARTITION BY key ORDER BY t_s, v) AS pv
+          FROM g),
+    x AS (SELECT key, xor(v, pv) AS x FROM l WHERE pv IS NOT NULL),
+    m AS (SELECT key, x,
+                 CASE WHEN x = 0 THEN 0
+                      ELSE 64
+                        - (CASE WHEN x < 0 THEN 0
+                                ELSE 64 - length(bin(x)) END)
+                        - (length(bin(x))
+                             - length(regexp_replace(bin(x), '0+$', '')))
+                 END AS mbits
+          FROM x)
+    SELECT key, count(*)::BIGINT AS n_xor,
+           CAST(sum(CASE WHEN mbits = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_zero,
+           CAST(max(mbits) AS BIGINT) AS max_mbits,
+           CAST(sum(mbits) AS BIGINT) AS mbits_total,
+           CAST(sum(CASE WHEN mbits = 0 THEN 1
+                         ELSE 13 + mbits END) AS BIGINT) AS bits_total,
+           CAST(sum(CASE WHEN mbits = 0 THEN 1 ELSE 13 + mbits END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bits_per_point
+    FROM m GROUP BY key
+"""
+
+
+def _q_tier_freshness(spark, sf_dir):
+    """Continuous-aggregate watermark audit (rollup.tier_freshness):
+    per retention tier, how far behind the per-url raw frontier the
+    last SEALED bucket is, under a 90-minute ingest watermark — urls
+    tracked, urls too young to serve from the tier, sealed state
+    buckets, max/total serving lag. Exact epoch-microsecond BIGINTs."""
+    pts = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url"),
+        F.col("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    return R.tier_freshness(pts, watermark_lag_s=5400)
+
+
+_TIER_FRESHNESS_SQL = """
+    WITH p AS (SELECT 'u' || user_id || '/' || event_type AS url, ts
+               FROM events),
+    f AS (SELECT url, epoch_us(max(ts)) AS raw_max_us FROM p GROUP BY 1),
+    gb AS (SELECT epoch_us(max(ts)) - 5400000000 AS wm_us FROM p),
+    b1m AS (SELECT DISTINCT url, date_trunc('minute', ts) AS b FROM p),
+    b1h AS (SELECT DISTINCT url, date_trunc('hour', b) AS b FROM b1m),
+    b1d AS (SELECT DISTINCT url, date_trunc('day', b) AS b FROM b1m),
+    s1m AS (SELECT url, count(*)::BIGINT AS n_sealed,
+                   max(epoch_us(b) + 60000000) AS mat
+            FROM b1m, gb WHERE epoch_us(b) + 60000000 <= wm_us
+            GROUP BY url),
+    s1h AS (SELECT url, count(*)::BIGINT AS n_sealed,
+                   max(epoch_us(b) + 3600000000) AS mat
+            FROM b1h, gb WHERE epoch_us(b) + 3600000000 <= wm_us
+            GROUP BY url),
+    s1d AS (SELECT url, count(*)::BIGINT AS n_sealed,
+                   max(epoch_us(b) + 86400000000) AS mat
+            FROM b1d, gb WHERE epoch_us(b) + 86400000000 <= wm_us
+            GROUP BY url)
+    SELECT '1m' AS tier, count(*)::BIGINT AS n_urls,
+           CAST(sum(CASE WHEN s.n_sealed IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmaterialized,
+           CAST(sum(coalesce(s.n_sealed, 0)) AS BIGINT)
+             AS n_sealed_buckets,
+           max(CASE WHEN s.mat IS NOT NULL
+                    THEN greatest(0, f.raw_max_us - s.mat) END)
+             AS max_lag_us,
+           CAST(sum(CASE WHEN s.mat IS NOT NULL
+                         THEN greatest(0, f.raw_max_us - s.mat) END)
+                AS BIGINT) AS sum_lag_us
+    FROM f LEFT JOIN s1m s USING (url)
+    UNION ALL
+    SELECT '1h', count(*)::BIGINT,
+           CAST(sum(CASE WHEN s.n_sealed IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(coalesce(s.n_sealed, 0)) AS BIGINT),
+           max(CASE WHEN s.mat IS NOT NULL
+                    THEN greatest(0, f.raw_max_us - s.mat) END),
+           CAST(sum(CASE WHEN s.mat IS NOT NULL
+                         THEN greatest(0, f.raw_max_us - s.mat) END)
+                AS BIGINT)
+    FROM f LEFT JOIN s1h s USING (url)
+    UNION ALL
+    SELECT '1d', count(*)::BIGINT,
+           CAST(sum(CASE WHEN s.n_sealed IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(sum(coalesce(s.n_sealed, 0)) AS BIGINT),
+           max(CASE WHEN s.mat IS NOT NULL
+                    THEN greatest(0, f.raw_max_us - s.mat) END),
+           CAST(sum(CASE WHEN s.mat IS NOT NULL
+                         THEN greatest(0, f.raw_max_us - s.mat) END)
+                AS BIGINT)
+    FROM f LEFT JOIN s1d s USING (url)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -7246,6 +7454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
+        "gauge_delta": _q_gauge_delta,
+        "predict_linear": _q_predict_linear,
+        "xor_bitwidth_stats": _q_xor_stats,
+        "tier_freshness": _q_tier_freshness,
         "tier_purge_plan": _q_purge_plan,
         "tier_consistency_audit": _q_tier_audit,
         "monlad_cfd": _q_monlad_cfd,
@@ -7533,6 +7745,10 @@ def oracle_sql() -> dict[str, str]:
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         "monlad_cfd": _MONLAD_CFD_SQL,
+        "gauge_delta": _GAUGE_DELTA_SQL,
+        "predict_linear": _PREDICT_LINEAR_SQL,
+        "xor_bitwidth_stats": _XOR_STATS_SQL,
+        "tier_freshness": _TIER_FRESHNESS_SQL,
         "tier_purge_plan": _PURGE_PLAN_SQL,
         "tier_consistency_audit": _TIER_AUDIT_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the

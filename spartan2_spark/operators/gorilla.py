@@ -314,3 +314,80 @@ def dod_bitwidth_stats(
             ).alias("bits_per_point"),
         )
     )
+
+
+def xor_bitwidth_stats(
+    points: DataFrame,
+    key_col: str = "url",
+    time_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Compression PLANNING for the Gorilla VALUE track — the
+    value-plane companion of :func:`dod_bitwidth_stats`: per key,
+    XOR every consecutive pair of the sorted centi-quantized BIGINT
+    values and report how compressible the stream is. For each nonzero
+    XOR the meaningful-bit window is 64 - leading - trailing zeros and
+    the codec pays at most '11' + 5b leading + 6b length + meaningful
+    = 13 + meaningful bits (functions/gorilla_codec value track; the
+    real encoder only does BETTER via window reuse, so ``bits_total``
+    is a certified upper bound); a zero XOR is the 1-bit '0' fast
+    path. The query that ranks series by value-plane compressibility
+    before paying an encode pass, and the audit that a tier's value
+    stream is as smooth as its bucket grid is regular.
+
+    Exactness: XORs are BIGINT; leading/trailing zero counts come from
+    the two's-complement ``bin()`` string (identical 64-char negative
+    rendering in Spark and DuckDB); all counts and bit totals are
+    integers, the closing bits/point is one IEEE divide.
+
+    Plan shape: one per-key lag window + one hash aggregate on the
+    same key — single shuffle; series length per key is
+    retention-bounded, key count parallelizes.
+    """
+    from pyspark.sql import Window as W
+
+    ww = W.partitionBy("key").orderBy("t_s", "v")
+    s = points.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(time_col).cast("timestamp")).alias("t_s"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    x = (
+        s.withColumn("pv", F.lag("v").over(ww))
+        .filter(F.col("pv").isNotNull())
+        .select("key", (F.col("v").bitwiseXOR(F.col("pv"))).alias("x"))
+    )
+    b = F.bin(F.col("x"))
+    lead = F.when(F.col("x") == 0, F.lit(64)).otherwise(
+        F.lit(64) - F.length(b)
+    )
+    trail = F.when(F.col("x") == 0, F.lit(0)).otherwise(
+        F.length(b) - F.length(F.regexp_replace(b, "0+$", ""))
+    )
+    return x.select("key", "x", lead.alias("lz"), trail.alias("tz")).select(
+        "key",
+        "x",
+        F.when(F.col("x") == 0, F.lit(0))
+        .otherwise(F.lit(64) - F.col("lz") - F.col("tz"))
+        .alias("mbits"),
+    ).select(
+        "key",
+        "mbits",
+        F.when(F.col("mbits") == 0, F.lit(1))
+        .otherwise(F.lit(13) + F.col("mbits"))
+        .alias("bits"),
+    ).groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xor"),
+        F.sum(F.when(F.col("mbits") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("c_zero"),
+        F.max("mbits").cast("long").alias("max_mbits"),
+        F.sum("mbits").cast("long").alias("mbits_total"),
+        F.sum("bits").cast("long").alias("bits_total"),
+    ).select(
+        "key", "n_xor", "c_zero", "max_mbits", "mbits_total", "bits_total",
+        (
+            F.col("bits_total").cast("double")
+            / F.col("n_xor").cast("double")
+        ).alias("bits_per_point"),
+    )

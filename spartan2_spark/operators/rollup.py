@@ -55,6 +55,7 @@ __all__ = [
     "p95_from_hist",
     "purge_plan",
     "consistency_audit",
+    "tier_freshness",
 ]
 
 # tier name -> date_trunc unit
@@ -471,3 +472,95 @@ def consistency_audit(
             F.sum("cnt").cast("long").alias("n_points"),
         )
     )
+
+
+def tier_freshness(
+    points: DataFrame,
+    watermark_lag_s: int = 5400,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+) -> DataFrame:
+    """Continuous-aggregate watermark audit — "how far behind the raw
+    frontier is each retention tier?": a tier materializes only SEALED
+    buckets (bucket end <= the ingest watermark, here frontier -
+    ``watermark_lag_s``), so per url and tier the freshest served point
+    is the last sealed bucket's end, and the serving lag is
+    ``url raw frontier - materialized-through`` (clamped at 0 when the
+    watermark has already sealed the frontier's own bucket). Emits one
+    row per tier: urls tracked, urls with NO sealed bucket yet
+    (too young to serve from that tier), sealed state buckets, and the
+    max/total lag — the monitor that tells an operator the 1d tier is
+    (correctly) up to a day staler than 1m, and catches a stuck
+    materializer when lag grows past tier width + watermark.
+
+    Exactness: all lags are exact epoch-microsecond BIGINT arithmetic
+    on calendar-truncated buckets; no floats anywhere.
+
+    Plan shape: the (url, minute-bucket) state keys are distinct-ed
+    ONCE from raw (the 1m tier's own aggregation key — this relation is
+    tier state, not corpus), coarser tiers re-distinct that small
+    relation; each tier's per-url aggregate joins the per-url frontier
+    on url (all shuffles keyed on url); the 3 tier branches union.
+    Cost is O(|state|), not O(|points|), after the first distinct.
+    """
+    unit_of = {"1m": "minute", "1h": "hour", "1d": "day"}
+    width_of = {"1m": 60, "1h": 3600, "1d": 86400}
+    frontier = points.groupBy("url").agg(
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("raw_max_us")
+    )
+    # global watermark: frontier of the whole corpus minus the lag
+    gbounds = points.agg(
+        (
+            F.unix_micros(F.max("ts").cast("timestamp"))
+            - F.lit(watermark_lag_s * 1_000_000)
+        ).alias("__wm_us")
+    )
+    b1m = points.select(
+        "url", F.date_trunc("minute", F.col("ts")).alias("b")
+    ).distinct()
+    out = None
+    for t in tiers:
+        wid_us = width_of[t] * 1_000_000
+        bt = (
+            b1m
+            if t == "1m"
+            else b1m.select(
+                "url", F.date_trunc(unit_of[t], F.col("b")).alias("b")
+            ).distinct()
+        )
+        sealed = (
+            bt.crossJoin(F.broadcast(gbounds))
+            .withColumn("end_us", F.unix_micros(F.col("b")) + F.lit(wid_us))
+            .filter(F.col("end_us") <= F.col("__wm_us"))
+            .groupBy("url")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sealed"),
+                F.max("end_us").alias("mat_through_us"),
+            )
+        )
+        lag = F.greatest(
+            F.lit(0).cast("long"),
+            F.col("raw_max_us") - F.col("mat_through_us"),
+        )
+        per_url = frontier.join(sealed, "url", "left").select(
+            "url",
+            F.coalesce(F.col("n_sealed"), F.lit(0)).alias("n_sealed"),
+            F.when(F.col("mat_through_us").isNotNull(), lag).alias("lag_us"),
+        )
+        row = per_url.agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("n_sealed") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmaterialized"),
+            F.sum("n_sealed").cast("long").alias("n_sealed_buckets"),
+            F.max("lag_us").alias("max_lag_us"),
+            F.sum("lag_us").cast("long").alias("sum_lag_us"),
+        ).select(
+            F.lit(t).alias("tier"),
+            "n_urls",
+            "n_unmaterialized",
+            "n_sealed_buckets",
+            "max_lag_us",
+            "sum_lag_us",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1315,6 +1315,129 @@ def time_weighted_avg(
     )
 
 
+def gauge_delta(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL gauge family ``delta()`` / ``idelta()`` / ``changes()``
+    in one pass: per key over time-ordered samples report
+    ``delta`` = last - first value, ``idelta`` = last - second-to-last
+    (instantaneous), ``n_changes`` = number of consecutive pairs whose
+    value differs, plus ``n_samples`` and the observation ``span_us``.
+    The gauge complement of :func:`counter_rate` (which is the
+    monotonic-counter side of the PromQL family): delta for drift,
+    idelta for the freshest movement, changes for flap detection on
+    tier health series.
+
+    Exactness: ``value_col`` must be an exact integer (centi-quantized
+    upstream); nothing here is float — deltas, counts, and the span are
+    pure BIGINT, bit-identical on any engine. Keys with one sample emit
+    delta=0 and NULL idelta (no pair to difference).
+
+    Plan shape: one per-key lag window + one hash aggregate on the same
+    key (``max_by(ts)`` picks the last pair) — single shuffle; per-key
+    series length is retention-bounded, key count parallelizes.
+    """
+    w = W.partitionBy("key").orderBy("t_us")
+    prev = F.lag("v").over(w)
+    g = df.select(
+        F.col(key_col).alias("key"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("t_us"),
+        F.col(value_col).cast("long").alias("v"),
+    ).select("key", "t_us", "v", prev.alias("pv"))
+    return g.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        (F.max_by("v", "t_us") - F.min_by("v", "t_us"))
+        .cast("long")
+        .alias("delta"),
+        (F.max_by("v", "t_us") - F.max_by("pv", "t_us"))
+        .cast("long")
+        .alias("idelta"),
+        F.sum(
+            F.when(F.col("pv").isNotNull() & (F.col("v") != F.col("pv")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+    )
+
+
+def predict_linear(
+    df: DataFrame,
+    horizon_s: int = 3600,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL ``predict_linear()`` / ``deriv()``: per key, ordinary
+    least-squares over (epoch-second, value) and the extrapolated value
+    ``horizon_s`` seconds past the last sample — the capacity-planning
+    primitive ("when does this url's crawl backlog hit the ceiling")
+    served from tier state.
+
+    Exactness: timestamps are centered per key (t' = t - min t, epoch
+    SECONDS so squares stay small) and all five regression sums
+    (n, St, Sv, Stt, Stv) are exact DECIMAL(38,0) integers — at
+    retention-bounded per-key series lengths the largest term
+    n*Stt stays under 10^27, well inside 38 digits (DuckDB widens to
+    HUGEINT identically). The only float work is the closing
+    conversions and the slope/predict arithmetic, written in one fixed
+    expression order mirrored by the SQL twin. den == 0 (single sample
+    or coincident timestamps) emits NULL slope/predict.
+
+    Plan shape: a per-key min window (same partitioning as the final
+    aggregate — Catalyst plans ONE shuffle on the key) + one hash
+    aggregate; no joins, no iteration.
+    """
+    d38 = "decimal(38,0)"
+    w = W.partitionBy("key")
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_timestamp(F.col(time_col).cast("timestamp")).alias("t_s"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .withColumn("tc", F.col("t_s") - F.min("t_s").over(w))
+        .select(
+            "key",
+            F.col("tc").cast(d38).alias("tc"),
+            F.col("v").cast(d38).alias("vd"),
+            "t_s",
+        )
+    )
+    a = g.groupBy("key").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("tc").alias("st"),
+        F.sum("vd").alias("sv"),
+        F.sum(F.col("tc") * F.col("tc")).alias("stt"),
+        F.sum(F.col("tc") * F.col("vd")).alias("stv"),
+        F.max("tc").alias("tc_last"),
+        F.max("t_s").alias("last_t_s"),
+    )
+    num = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(
+        "double"
+    )
+    slope = F.when(den != 0.0, num / den)
+    mean_t = F.col("st").cast("double") / F.col("n").cast("double")
+    mean_v = F.col("sv").cast("double") / F.col("n").cast("double")
+    x_pred = F.col("tc_last").cast("double") + F.lit(float(horizon_s))
+    return a.select(
+        "key",
+        F.col("n").cast("long").alias("n_samples"),
+        F.col("last_t_s").alias("last_t_s"),
+        slope.alias("slope_per_s"),
+        F.when(den != 0.0, mean_v + (num / den) * (x_pred - mean_t)).alias(
+            "predicted"
+        ),
+    )
+
+
 def uptime_sla(
     df: DataFrame,
     gap_threshold_us: int = 3_600_000_000,

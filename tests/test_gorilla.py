@@ -325,3 +325,43 @@ def test_dod_bitwidth_stats_class_boundaries(spark):
     assert r.n_dod == 2
     assert r.c_7b == 1 and r.c_9b == 1
     assert r.bits_total == 9 + 12
+
+
+def test_xor_bitwidth_stats_constant_series_is_one_bit(spark):
+    """A constant value stream XORs to all-zero: every point is the
+    1-bit '0' fast path, bits/point == 1."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.gorilla import xor_bitwidth_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", t0 + timedelta(minutes=i), 777) for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, bucket_ts timestamp, value long")
+    r = xor_bitwidth_stats(df).collect()[0]
+    assert r.n_xor == 9
+    assert r.c_zero == 9
+    assert r.mbits_total == 0
+    assert r.bits_total == 9
+    assert r.bits_per_point == 1.0
+
+
+def test_xor_bitwidth_stats_known_windows(spark):
+    """Hand-computed XOR windows: 0b1000 -> 0b1010 XORs to 0b0010
+    (62 leading + 1 trailing zero -> 1 meaningful bit), and a sign flip
+    makes the XOR negative (two's complement, lead=0)."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.gorilla import xor_bitwidth_stats
+
+    t0 = datetime(2024, 1, 1)
+    vals = [8, 10, -10]
+    rows = [("u", t0 + timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "url string, bucket_ts timestamp, value long")
+    r = xor_bitwidth_stats(df).collect()[0]
+    # 8^10 = 2: bin '10', lead 62, trail 1 -> mbits 1, bits 13+1
+    # 10^-10 = -4 (two's complement ...11100): lead 0, trail 2 -> mbits 62
+    assert r.n_xor == 2
+    assert r.c_zero == 0
+    assert r.max_mbits == 62
+    assert r.mbits_total == 63
+    assert r.bits_total == (13 + 1) + (13 + 62)

@@ -130,6 +130,11 @@ AUDIT_QUERIES = [
     "shard_pack_plan",
     "uptime_sla",
     "dod_bitwidth_stats",
+    # round-4 wrap additions
+    "gauge_delta",
+    "predict_linear",
+    "xor_bitwidth_stats",
+    "tier_freshness",
 ]
 
 

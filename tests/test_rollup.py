@@ -307,3 +307,47 @@ def test_consistency_audit_detects_injected_drift(spark):
     )
     assert audit[victim.url] == 1
     assert audit.drop(victim.url).sum() == 0
+
+
+def test_tier_freshness_planted_lags(spark):
+    """One url with points every minute from 00:00 to 02:00 (frontier
+    02:00), watermark lag 30 min -> wm 01:30. 1m tier: last sealed
+    minute bucket is 01:29 (ends 01:30), lag = 30 min. 1h tier: hour
+    bucket 00:00 ends 01:00 <= wm, bucket 01:00 ends 02:00 > wm ->
+    materialized through 01:00, lag = 60 min. 1d tier: nothing sealed."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import tier_freshness
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0 + timedelta(minutes=i), 1.0) for i in range(121)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, value double")
+    out = {r.tier: r for r in tier_freshness(df, watermark_lag_s=1800).collect()}
+    assert out["1m"].n_urls == 1
+    assert out["1m"].n_sealed_buckets == 90  # minutes 00:00 .. 01:29
+    assert out["1m"].max_lag_us == 30 * 60 * 1_000_000
+    assert out["1h"].n_sealed_buckets == 1
+    assert out["1h"].max_lag_us == 60 * 60 * 1_000_000
+    assert out["1d"].n_sealed_buckets == 0
+    assert out["1d"].n_unmaterialized == 1
+    assert out["1d"].max_lag_us is None
+
+
+def test_tier_freshness_caught_up_clamps_to_zero(spark):
+    """Watermark lag 0: the frontier minute's own bucket never seals
+    (its end is past the frontier), but a point exactly ON a bucket
+    boundary makes the PREVIOUS bucket's lag 0 — clamped, never
+    negative."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import tier_freshness
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("u", t0 + timedelta(minutes=i), 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, value double")
+    out = {r.tier: r for r in tier_freshness(df, watermark_lag_s=0).collect()}
+    # frontier 00:02 == end of minute bucket 00:01 -> sealed, lag 0
+    assert out["1m"].n_sealed_buckets == 2
+    assert out["1m"].max_lag_us == 0

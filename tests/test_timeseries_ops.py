@@ -564,3 +564,75 @@ def test_uptime_sla_single_sample_null(spark):
     )
     r = uptime_sla(df).collect()[0]
     assert r.uptime_ratio is None and r.longest_gap_us is None
+
+
+def test_gauge_delta_promql_family(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import gauge_delta
+
+    # gauge 10 -> 25 -> 25 -> 40 -> 30: delta = 30-10 = 20,
+    # idelta = 30-40 = -10, changes = 3 (the 25->25 pair is not a change)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(minutes=i), v)
+        for i, v in enumerate([10, 25, 25, 40, 30])
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value long")
+    r = gauge_delta(df).collect()[0]
+    assert r.n_samples == 5
+    assert r.delta == 20
+    assert r.idelta == -10
+    assert r.n_changes == 3
+    assert r.span_us == 4 * 60 * 1_000_000
+
+
+def test_gauge_delta_single_sample(spark):
+    from datetime import datetime
+
+    from spartan2_spark.operators.timeseries import gauge_delta
+
+    df = spark.createDataFrame(
+        [(7, datetime(2024, 1, 1), 42)], "key long, ts timestamp, value long"
+    )
+    r = gauge_delta(df).collect()[0]
+    assert r.delta == 0
+    assert r.idelta is None
+    assert r.n_changes == 0
+    assert r.span_us == 0
+
+
+def test_predict_linear_exact_line(spark):
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.timeseries import predict_linear
+
+    # v = 100 + 3 * t_seconds: slope recovers exactly (integer sums),
+    # prediction extrapolates the same line
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=10 * i), 100 + 3 * 10 * i)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "key long, ts timestamp, value long")
+    r = predict_linear(df, horizon_s=60).collect()[0]
+    assert r.n_samples == 8
+    assert abs(r.slope_per_s - 3.0) < 1e-12
+    # last sample at tc=70, v=310; prediction at tc=130 -> 100+3*130=490
+    assert abs(r.predicted - 490.0) < 1e-9
+
+
+def test_predict_linear_degenerate_null(spark):
+    from datetime import datetime
+
+    from spartan2_spark.operators.timeseries import predict_linear
+
+    # single sample and coincident timestamps both have den == 0
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, 5), (2, t0, 10), (2, t0, 20)],
+        "key long, ts timestamp, value long",
+    )
+    out = {r.key: r for r in predict_linear(df).collect()}
+    assert out[1].slope_per_s is None and out[1].predicted is None
+    assert out[2].slope_per_s is None and out[2].predicted is None
