@@ -7318,6 +7318,83 @@ _XOR_STATS_SQL = """
 """
 
 
+def _q_heavy_change(spark, sf_dir):
+    """Heavy-change top-k (anomaly.heavy_change_topk): split the span
+    at its integer-µs midpoint, count per-url events in each half, and
+    return the 25 urls whose absolute count change is largest under a
+    total (abs delta, delta, key) order — drift triage that localizes
+    psi_drift's distribution movement to keys."""
+    from spartan2_spark.operators.anomaly import heavy_change_topk
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("key"),
+        F.col("ts"),
+    )
+    return heavy_change_topk(ev, k=25)
+
+
+_HEAVY_CHANGE_SQL = """
+    WITH p AS (SELECT 'u' || user_id || '/' || event_type AS key,
+                      epoch_us(ts) AS t_us
+               FROM events),
+    b AS (SELECT (min(t_us) + max(t_us)) // 2 AS mid FROM p),
+    c AS (SELECT key,
+                 sum(CASE WHEN t_us < mid THEN 1 ELSE 0 END)::BIGINT
+                   AS cnt_before,
+                 sum(CASE WHEN t_us >= mid THEN 1 ELSE 0 END)::BIGINT
+                   AS cnt_after
+          FROM p, b GROUP BY key)
+    SELECT key, cnt_before, cnt_after,
+           cnt_after - cnt_before AS delta
+    FROM c
+    ORDER BY abs(cnt_after - cnt_before) DESC,
+             cnt_after - cnt_before DESC, key ASC
+    LIMIT 25
+"""
+
+
+def _q_tier_serving_plan(spark, sf_dir):
+    """Error-budget tier selection (rollup.tier_serving_plan): per url
+    the worst per-bucket value spread at 1m/1h/1d and the coarsest
+    tier whose spread stays within eps=500 centi-units — the dashboard
+    router's 'touch 1/1440th of the data' decision."""
+    pts = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).alias("value"),
+    )
+    return R.tier_serving_plan(pts, eps=500.0)
+
+
+_TIER_SERVING_SQL = """
+    WITH p AS (SELECT 'u' || user_id || '/' || event_type AS url, ts,
+                      round(value * 100) AS v
+               FROM events WHERE value IS NOT NULL),
+    m AS (SELECT url, max(sp) AS spread_1m
+          FROM (SELECT url, date_trunc('minute', ts) AS b,
+                       max(v) - min(v) AS sp
+                FROM p GROUP BY 1, 2) GROUP BY url),
+    h AS (SELECT url, max(sp) AS spread_1h
+          FROM (SELECT url, date_trunc('hour', ts) AS b,
+                       max(v) - min(v) AS sp
+                FROM p GROUP BY 1, 2) GROUP BY url),
+    d AS (SELECT url, max(sp) AS spread_1d
+          FROM (SELECT url, date_trunc('day', ts) AS b,
+                       max(v) - min(v) AS sp
+                FROM p GROUP BY 1, 2) GROUP BY url)
+    SELECT url, spread_1m, spread_1h, spread_1d,
+           CASE WHEN spread_1d <= 500 THEN '1d'
+                WHEN spread_1h <= 500 THEN '1h'
+                WHEN spread_1m <= 500 THEN '1m'
+                ELSE 'raw' END AS serve_tier
+    FROM m JOIN h USING (url) JOIN d USING (url)
+"""
+
+
 def _q_tier_freshness(spark, sf_dir):
     """Continuous-aggregate watermark audit (rollup.tier_freshness):
     per retention tier, how far behind the per-url raw frontier the
@@ -7458,6 +7535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predict_linear": _q_predict_linear,
         "xor_bitwidth_stats": _q_xor_stats,
         "tier_freshness": _q_tier_freshness,
+        "heavy_change_topk": _q_heavy_change,
+        "tier_serving_plan": _q_tier_serving_plan,
         "tier_purge_plan": _q_purge_plan,
         "tier_consistency_audit": _q_tier_audit,
         "monlad_cfd": _q_monlad_cfd,
@@ -7749,6 +7828,8 @@ def oracle_sql() -> dict[str, str]:
         "predict_linear": _PREDICT_LINEAR_SQL,
         "xor_bitwidth_stats": _XOR_STATS_SQL,
         "tier_freshness": _TIER_FRESHNESS_SQL,
+        "heavy_change_topk": _HEAVY_CHANGE_SQL,
+        "tier_serving_plan": _TIER_SERVING_SQL,
         "tier_purge_plan": _PURGE_PLAN_SQL,
         "tier_consistency_audit": _TIER_AUDIT_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the

@@ -646,3 +646,61 @@ def burst_islands(
         F.max("n_events").cast("long").alias("max_burst_events"),
         F.min("start_bidx").cast("long").alias("first_burst_bidx"),
     )
+
+
+def heavy_change_topk(
+    df: DataFrame,
+    k: int = 20,
+    key_col: str = "key",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Heavy-CHANGE detection (the deltoid complement of heavy-hitter
+    queries): split the observation span at its midpoint, count each
+    key's events in the before/after halves, and return the k keys
+    whose absolute count change is largest — "which urls' crawl volume
+    moved most", the drift TRIAGE query that psi_drift's distribution
+    score doesn't localize to keys.
+
+    Exactness: the midpoint is integer epoch-microsecond arithmetic
+    ((min+max) DIV 2 on exact BIGINTs); counts and deltas are BIGINT;
+    the top-k order is total (abs delta DESC, delta DESC, key ASC) so
+    the cut is deterministic on any engine.
+
+    Plan shape: one 1-row bounds aggregate broadcast onto the scan,
+    one hash aggregate on the key, then a global TakeOrderedAndProject
+    (k rows per partition shuffle to one reducer — never a full sort).
+    """
+    bounds = df.agg(
+        F.min(F.unix_micros(F.col(time_col).cast("timestamp"))).alias(
+            "__lo"
+        ),
+        F.max(F.unix_micros(F.col(time_col).cast("timestamp"))).alias(
+            "__hi"
+        ),
+    )
+    mid = F.expr("(__lo + __hi) div 2")
+    counted = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t_us"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("key")
+        .agg(
+            F.sum(F.when(F.col("t_us") < mid, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_before"),
+            F.sum(F.when(F.col("t_us") >= mid, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_after"),
+        )
+        .withColumn("delta", F.col("cnt_after") - F.col("cnt_before"))
+    )
+    return (
+        counted.orderBy(
+            F.abs(F.col("delta")).desc(), F.col("delta").desc(),
+            F.col("key").asc(),
+        )
+        .limit(k)
+        .select("key", "cnt_before", "cnt_after", "delta")
+    )

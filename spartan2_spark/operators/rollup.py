@@ -56,6 +56,7 @@ __all__ = [
     "purge_plan",
     "consistency_audit",
     "tier_freshness",
+    "tier_serving_plan",
 ]
 
 # tier name -> date_trunc unit
@@ -564,3 +565,59 @@ def tier_freshness(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def tier_serving_plan(
+    points: DataFrame,
+    eps: float = 50.0,
+    bin_mode: str = "int",
+) -> DataFrame:
+    """Error-budget tier selection — "serve each url from the COARSEST
+    retention tier that stays inside the error budget": a tier's
+    serving error for a url is its worst per-bucket value spread
+    (max over buckets of bucket vmax - vmin; any point served as its
+    bucket aggregate is off by at most the spread), and the plan picks
+    per url the coarsest of 1d/1h/1m whose spread <= ``eps``, falling
+    back to raw. Spread is monotone in bucket width, so the choice is
+    well-defined; the planner is how a dashboard query router decides
+    to touch 1/1440th of the data when the series is smooth enough.
+
+    Exactness: spreads are max/min aggregates of the (exact) metric —
+    integral for int/centi-quantized metrics — and the tier pick is a
+    pure threshold CASE; no floats beyond the metric itself.
+
+    Plan shape: the 1m state is aggregated ONCE from raw, coarser
+    tiers re-aggregate the state (never raw); each tier branch then
+    collapses bins per (url, bucket) and takes a per-url max — all
+    shuffles keyed on url — and the three 1-row-per-url branches join
+    on url. Cost is O(|state|), not O(|points|), past the first hop.
+    """
+    s1m = rollup_from_points(points, "1m", bin_mode)
+    s1h = rollup_tier_up(s1m, "1h")
+    s1d = rollup_tier_up(s1h, "1d")
+
+    def spread(state: DataFrame, name: str) -> DataFrame:
+        return (
+            state.groupBy("url", "bucket_ts")
+            .agg(
+                (F.max("vmax") - F.min("vmin")).alias("sp"),
+            )
+            .groupBy("url")
+            .agg(F.max("sp").alias(name))
+        )
+
+    j = (
+        spread(s1m, "spread_1m")
+        .join(spread(s1h, "spread_1h"), "url")
+        .join(spread(s1d, "spread_1d"), "url")
+    )
+    pick = (
+        F.when(F.col("spread_1d") <= F.lit(eps), F.lit("1d"))
+        .when(F.col("spread_1h") <= F.lit(eps), F.lit("1h"))
+        .when(F.col("spread_1m") <= F.lit(eps), F.lit("1m"))
+        .otherwise(F.lit("raw"))
+    )
+    return j.select(
+        "url", "spread_1m", "spread_1h", "spread_1d",
+        pick.alias("serve_tier"),
+    )

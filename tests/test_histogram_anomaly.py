@@ -568,3 +568,30 @@ def test_histogram_quantile_skips_empty_total(spark):
     )
     out = {r.key: r for r in histogram_quantile(hist, 9, 10).collect()}
     assert set(out) == {"live"}
+
+
+def test_heavy_change_topk_planted_shift(spark):
+    """Keys: 'grow' 2 events before, 10 after (delta +8); 'shrink' 9
+    before, 1 after (delta -8); 'flat' 5/5 (delta 0). k=2 keeps the two
+    movers; the +8 outranks the -8 via the delta DESC tie-break."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.anomaly import heavy_change_topk
+
+    t0 = datetime(2024, 1, 1)
+    span = timedelta(hours=10)
+    rows = []
+    for i in range(2):
+        rows.append(("grow", t0 + timedelta(hours=i)))
+    for i in range(10):
+        rows.append(("grow", t0 + span - timedelta(minutes=i + 1)))
+    for i in range(9):
+        rows.append(("shrink", t0 + timedelta(minutes=i)))
+    rows.append(("shrink", t0 + span - timedelta(minutes=30)))
+    for i in range(5):
+        rows.append(("flat", t0 + timedelta(hours=i)))
+        rows.append(("flat", t0 + span - timedelta(hours=i + 1)))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    out = heavy_change_topk(df, k=2).collect()
+    assert [r.key for r in out] == ["grow", "shrink"]
+    assert out[0].delta == 8 and out[1].delta == -8

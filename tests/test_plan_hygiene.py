@@ -135,6 +135,8 @@ AUDIT_QUERIES = [
     "predict_linear",
     "xor_bitwidth_stats",
     "tier_freshness",
+    "heavy_change_topk",
+    "tier_serving_plan",
 ]
 
 

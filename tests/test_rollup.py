@@ -351,3 +351,29 @@ def test_tier_freshness_caught_up_clamps_to_zero(spark):
     # frontier 00:02 == end of minute bucket 00:01 -> sealed, lag 0
     assert out["1m"].n_sealed_buckets == 2
     assert out["1m"].max_lag_us == 0
+
+
+def test_tier_serving_plan_monotone_and_picks_coarsest(spark):
+    """Planted spreads: url A constant (all spreads 0 -> 1d), url B
+    varies within each hour but not each minute-pair... construct: B
+    emits v=0 at :00 and v=10 at :30 of each hour -> minute spread 0,
+    hour spread 10, day spread 10: eps=5 picks 1m."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import tier_serving_plan
+
+    t0 = datetime(2024, 1, 1)
+    rows = [("A", t0 + timedelta(hours=i), 7.0) for i in range(48)]
+    for i in range(48):
+        rows.append(("B", t0 + timedelta(hours=i), 0.0))
+        rows.append(("B", t0 + timedelta(hours=i, minutes=30), 10.0))
+    df = spark.createDataFrame(rows, "url string, ts timestamp, value double")
+    out = {r.url: r for r in tier_serving_plan(df, eps=5.0).collect()}
+    assert out["A"].serve_tier == "1d"
+    assert out["A"].spread_1d == 0.0
+    assert out["B"].serve_tier == "1m"
+    assert out["B"].spread_1m == 0.0
+    assert out["B"].spread_1h == 10.0
+    # spreads are monotone in bucket width
+    for r in out.values():
+        assert r.spread_1m <= r.spread_1h <= r.spread_1d
