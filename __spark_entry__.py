@@ -7318,6 +7318,47 @@ _XOR_STATS_SQL = """
 """
 
 
+def _q_tier_mode(spark, sf_dir):
+    """Per-bucket mode served FROM the 1h rollup tier's sparse
+    histogram (rollup.tier_mode): highest count wins, ties toward the
+    smallest bin — one scalar hash aggregate over state, the
+    categorical complement of histogram_quantile on the same rows."""
+    pts = _events(spark, sf_dir).select(
+        F.col("event_type").alias("url"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).alias("value"),
+    )
+    s1m = R.rollup_from_points(pts, "1m", "int")
+    s1h = R.rollup_tier_up(s1m, "1h")
+    return R.tier_mode(s1h).select(
+        "url",
+        F.unix_timestamp(F.col("bucket_ts").cast("timestamp")).alias(
+            "bucket_s"
+        ),
+        "cnt_total",
+        "mode_bin",
+        "mode_cnt",
+    )
+
+
+_TIER_MODE_SQL = """
+    WITH p AS (SELECT event_type AS url, ts, round(value * 100) AS v
+               FROM events WHERE value IS NOT NULL),
+    s AS (SELECT url, date_trunc('hour', ts) AS b,
+                 CAST(v AS BIGINT) AS bin, count(*)::BIGINT AS cnt
+          FROM p GROUP BY 1, 2, 3),
+    r AS (SELECT url, b, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY url, b) AS total,
+                 row_number() OVER (PARTITION BY url, b
+                                    ORDER BY cnt DESC, bin ASC) AS rk
+          FROM s)
+    SELECT url, CAST(epoch(b) AS BIGINT) AS bucket_s,
+           CAST(total AS BIGINT) AS cnt_total,
+           bin AS mode_bin, cnt AS mode_cnt
+    FROM r WHERE rk = 1
+"""
+
+
 def _q_heavy_change(spark, sf_dir):
     """Heavy-change top-k (anomaly.heavy_change_topk): split the span
     at its integer-µs midpoint, count per-url events in each half, and
@@ -7537,6 +7578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_freshness": _q_tier_freshness,
         "heavy_change_topk": _q_heavy_change,
         "tier_serving_plan": _q_tier_serving_plan,
+        "tier_mode": _q_tier_mode,
         "tier_purge_plan": _q_purge_plan,
         "tier_consistency_audit": _q_tier_audit,
         "monlad_cfd": _q_monlad_cfd,
@@ -7830,6 +7872,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_freshness": _TIER_FRESHNESS_SQL,
         "heavy_change_topk": _HEAVY_CHANGE_SQL,
         "tier_serving_plan": _TIER_SERVING_SQL,
+        "tier_mode": _TIER_MODE_SQL,
         "tier_purge_plan": _PURGE_PLAN_SQL,
         "tier_consistency_audit": _TIER_AUDIT_SQL,
         # unroll depth == the Spark kcore's max_rounds (graph.py:88): the

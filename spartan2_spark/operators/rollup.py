@@ -57,6 +57,7 @@ __all__ = [
     "consistency_audit",
     "tier_freshness",
     "tier_serving_plan",
+    "tier_mode",
 ]
 
 # tier name -> date_trunc unit
@@ -620,4 +621,41 @@ def tier_serving_plan(
     return j.select(
         "url", "spread_1m", "spread_1h", "spread_1d",
         pick.alias("serve_tier"),
+    )
+
+
+def tier_mode(state: DataFrame, bin_mode: str = "int") -> DataFrame:
+    """Serve the per-bucket MODE from tier state without touching raw:
+    the long-format sparse histogram already holds (bin, cnt) rows, so
+    the most frequent value per (url, bucket) is one scalar hash
+    aggregate — ``max(struct(cnt, -bin))`` picks the highest count
+    with ties broken toward the SMALLEST bin, deterministically on any
+    engine and at any parallelism. The categorical complement of
+    ``p95_from_hist``/``histogram_quantile`` on the same state: "the
+    typical page size this hour", served from 1/1440th of the data.
+
+    Exactness: counts and bins are BIGINT; only the closing
+    representative ``mode_value`` goes through the bin midpoint
+    (exact for int/centi modes).
+
+    Plan shape: ONE hash aggregate on (url, bucket_ts) — partial
+    map-side combine applies, no window, no join, single shuffle.
+    """
+    picked = F.max(
+        F.struct(F.col("cnt").alias("c"), (-F.col("bin")).alias("nb"))
+    )
+    return (
+        state.groupBy("url", "bucket_ts")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt_total"),
+            picked.alias("__m"),
+        )
+        .select(
+            "url",
+            "bucket_ts",
+            "cnt_total",
+            (-F.col("__m.nb")).cast("long").alias("mode_bin"),
+            F.col("__m.c").cast("long").alias("mode_cnt"),
+            unbin_col(-F.col("__m.nb"), bin_mode).alias("mode_value"),
+        )
     )

@@ -137,6 +137,7 @@ AUDIT_QUERIES = [
     "tier_freshness",
     "heavy_change_topk",
     "tier_serving_plan",
+    "tier_mode",
 ]
 
 

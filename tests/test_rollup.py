@@ -377,3 +377,27 @@ def test_tier_serving_plan_monotone_and_picks_coarsest(spark):
     # spreads are monotone in bucket width
     for r in out.values():
         assert r.spread_1m <= r.spread_1h <= r.spread_1d
+
+
+def test_tier_mode_tie_breaks_to_smallest_bin(spark):
+    """Bucket with counts {5:2, 3:2, 9:1}: mode is 3 (tie 2-2 broken
+    toward the smaller bin); a second bucket with a clear winner."""
+    from datetime import datetime, timedelta
+
+    from spartan2_spark.operators.rollup import rollup_from_points, tier_mode
+
+    t0 = datetime(2024, 1, 1)
+    vals0 = [5.0, 5.0, 3.0, 3.0, 9.0]
+    vals1 = [7.0, 7.0, 7.0, 2.0]
+    rows = [("u", t0 + timedelta(seconds=i), v) for i, v in enumerate(vals0)]
+    rows += [
+        ("u", t0 + timedelta(minutes=5, seconds=i), v)
+        for i, v in enumerate(vals1)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, value double")
+    s1m = rollup_from_points(df, "1m", "int")
+    out = sorted(tier_mode(s1m).collect(), key=lambda r: r.bucket_ts)
+    assert out[0].mode_bin == 3 and out[0].mode_cnt == 2
+    assert out[0].cnt_total == 5
+    assert out[1].mode_bin == 7 and out[1].mode_cnt == 3
+    assert out[1].mode_value == 7.0
