@@ -7318,6 +7318,24 @@ _XOR_STATS_SQL = """
 """
 
 
+def _q_matrix_profile(spark, sf_dir):
+    """STOMP matrix-profile discords (timeseries.matrix_profile_discords):
+    per event_type, the 3 most anomalous day-length (m=24) windows of
+    the hourly event-count series by z-normalized nearest-neighbor
+    distance. Float-iterative kernel -> rows-only oracle by contract;
+    exactness evidence is the brute-force-parity + planted-discord
+    pytests (tests/test_timeseries_ops.py)."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return TS.matrix_profile_discords(s, m=24, k=3)
+
+
 def _q_tier_mode(spark, sf_dir):
     """Per-bucket mode served FROM the 1h rollup tier's sparse
     histogram (rollup.tier_mode): highest count wins, ties toward the
@@ -7579,6 +7597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_change_topk": _q_heavy_change,
         "tier_serving_plan": _q_tier_serving_plan,
         "tier_mode": _q_tier_mode,
+        "matrix_profile_discords": _q_matrix_profile,
         "tier_purge_plan": _q_purge_plan,
         "tier_consistency_audit": _q_tier_audit,
         "monlad_cfd": _q_monlad_cfd,

@@ -65,6 +65,9 @@ __all__ = [
     "counter_rate",
     "time_weighted_avg",
     "uptime_sla",
+    "gauge_delta",
+    "predict_linear",
+    "matrix_profile_discords",
 ]
 
 
@@ -1435,6 +1438,78 @@ def predict_linear(
         F.when(den != 0.0, mean_v + (num / den) * (x_pred - mean_t)).alias(
             "predicted"
         ),
+    )
+
+
+def matrix_profile_discords(
+    df: DataFrame,
+    m: int = 24,
+    k: int = 3,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k DISCORDS per key via the STOMP matrix profile
+    (functions/matrix_profile.py): the k subsequences of length ``m``
+    whose z-normalized distance to their nearest non-trivial neighbor
+    is largest — the assumption-free anomaly detector (no seasonality
+    model, no threshold tuning; the complement of seasonal_anomaly's
+    model-based scoring). Returns per key: the discord's start index
+    in the time-sorted series, its start time (epoch seconds), the
+    nearest-neighbor index, and the profile distance.
+
+    Float-iterative kernel — rows-only oracle by contract; exactness
+    evidenced by the planted-discord and brute-force-parity pytests.
+
+    Plan shape: one grouped Arrow kernel per key
+    (partition-batched grouped apply), O(n^2) per series with O(n)
+    memory — sized for retention-bounded tier serving windows (a
+    90-day 1h series is 2160 points), never raw corpora. Key count
+    parallelizes; series length does not, by design.
+    """
+    from spartan2_spark.functions.matrix_profile import top_discords
+    from spartan2_spark.operators.grouped import batched_group_apply
+
+    tt = df.schema[time_col].dataType
+    if isinstance(tt, (T.TimestampType, T.TimestampNTZType)):
+        df = df.withColumn(
+            time_col,
+            F.unix_micros(F.col(time_col).cast("timestamp")) / F.lit(1e6),
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField("idx", T.LongType()),
+            T.StructField("start_s", T.DoubleType()),
+            T.StructField("nn_idx", T.LongType()),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        x = pdf[value_col].to_numpy(np.float64)
+        t = pdf[time_col].to_numpy(np.float64)
+        ds = top_discords(x, m, k)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]] * len(ds),
+                "idx": [d[0] for d in ds],
+                "start_s": [t[d[0]] for d in ds],
+                "nn_idx": [d[1] for d in ds],
+                "dist": [d[2] for d in ds],
+            }
+        )
+
+    return batched_group_apply(
+        df.select(key_col, time_col, value_col),
+        [key_col],
+        kernel,
+        schema,
+        order=(time_col,),
     )
 
 

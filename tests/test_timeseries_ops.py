@@ -636,3 +636,57 @@ def test_predict_linear_degenerate_null(spark):
     out = {r.key: r for r in predict_linear(df).collect()}
     assert out[1].slope_per_s is None and out[1].predicted is None
     assert out[2].slope_per_s is None and out[2].predicted is None
+
+
+def test_stomp_profile_matches_brute_force():
+    """Kernel-level: STOMP recurrence equals the O(n^2 m) brute-force
+    z-normalized profile to float tolerance, indices identical."""
+    import numpy as np
+
+    from spartan2_spark.functions.matrix_profile import stomp_profile
+
+    rng = np.random.RandomState(7)
+    x = np.sin(np.arange(240) * 0.21) + 0.05 * rng.randn(240)
+    m = 16
+    prof, idx = stomp_profile(x, m)
+    l = len(x) - m + 1
+    excl = m // 2
+
+    def zn(a):
+        s = a.std()
+        return (a - a.mean()) / s if s > 1e-12 else np.zeros_like(a)
+
+    for i in range(0, l, 7):
+        best, bj = np.inf, -1
+        zi = zn(x[i : i + m])
+        for j in range(l):
+            if abs(i - j) < excl:
+                continue
+            d = float(np.linalg.norm(zi - zn(x[j : j + m])))
+            if d < best:
+                best, bj = d, j
+        assert abs(best - prof[i]) < 1e-9
+        assert bj == idx[i]
+
+
+def test_matrix_profile_discords_finds_plant(spark):
+    """A clean sinusoid with one injected level-shift window: the top
+    discord's start index lands inside the planted window (+- one
+    exclusion zone)."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from spartan2_spark.operators.timeseries import matrix_profile_discords
+
+    t0 = datetime(2024, 1, 1)
+    y = np.sin(np.arange(400) * 2 * np.pi / 40)
+    y[180:195] += 3.0
+    rows = [
+        ("s", t0 + timedelta(hours=i), float(v)) for i, v in enumerate(y)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = matrix_profile_discords(df, m=20, k=1).collect()
+    assert len(out) == 1
+    assert abs(out[0].idx - 180) <= 20
+    assert out[0].dist > 3.0
