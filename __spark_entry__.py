@@ -7336,6 +7336,23 @@ def _q_matrix_profile(spark, sf_dir):
     return TS.matrix_profile_discords(s, m=24, k=3)
 
 
+def _q_matrix_motifs(spark, sf_dir):
+    """STOMP matrix-profile motifs (timeseries.matrix_profile_motifs):
+    per event_type, the 3 most similar day-length (m=24) window pairs
+    of the hourly event-count series — the repeated-pattern complement
+    of the discord query on the same profile. Rows-only oracle by
+    contract; planted-motif pytest is the exactness evidence."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("ts"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    return TS.matrix_profile_motifs(s, m=24, k=3)
+
+
 def _q_tier_mode(spark, sf_dir):
     """Per-bucket mode served FROM the 1h rollup tier's sparse
     histogram (rollup.tier_mode): highest count wins, ties toward the
@@ -7598,6 +7615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_serving_plan": _q_tier_serving_plan,
         "tier_mode": _q_tier_mode,
         "matrix_profile_discords": _q_matrix_profile,
+        "matrix_profile_motifs": _q_matrix_motifs,
         "tier_purge_plan": _q_purge_plan,
         "tier_consistency_audit": _q_tier_audit,
         "monlad_cfd": _q_monlad_cfd,

@@ -73,6 +73,16 @@ BENCH_QUERIES = [
     # round-4 wrap: SLA scoring, compression planning
     "uptime_sla",
     "dod_bitwidth_stats",
+    # round-4 wrap 2: gauge monitoring, value-track planning, tier
+    # freshness/routing/mode serving, drift triage (all lazily
+    # constructed — safe for the end-to-end per-query timer)
+    "gauge_delta",
+    "predict_linear",
+    "xor_bitwidth_stats",
+    "tier_freshness",
+    "tier_serving_plan",
+    "tier_mode",
+    "heavy_change_topk",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["stomp_profile", "top_discords"]
+__all__ = ["stomp_profile", "top_discords", "top_motifs"]
 
 _EPS = 1e-12
 
@@ -113,4 +113,31 @@ def top_discords(
         out.append((i, int(idx[i]), float(prof[i])))
         lo, hi = max(0, i - excl + 1), min(l, i + excl)
         p[lo:hi] = -np.inf
+    return out
+
+
+def top_motifs(
+    x: np.ndarray, m: int, k: int = 3
+) -> list[tuple[int, int, float]]:
+    """Top-k motif pairs of ``x``: the k subsequence pairs with the
+    SMALLEST nearest-neighbor distance, greedily selected with an
+    m//2 exclusion zone around both members of each pick. Returns
+    [(idx, nn_idx, dist)] in increasing dist order — the repeated-
+    pattern complement of :func:`top_discords` on the same profile.
+    """
+    prof, idx = stomp_profile(x, m)
+    l = len(prof)
+    excl = max(m // 2, 1)
+    p = prof.copy()
+    p[~np.isfinite(p)] = np.inf
+    out: list[tuple[int, int, float]] = []
+    for _ in range(min(k, l)):
+        i = int(np.argmin(p))
+        if not np.isfinite(p[i]):
+            break
+        j = int(idx[i])
+        out.append((i, j, float(prof[i])))
+        for c in (i, j):
+            lo, hi = max(0, c - excl + 1), min(l, c + excl)
+            p[lo:hi] = np.inf
     return out

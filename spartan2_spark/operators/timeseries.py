@@ -68,6 +68,7 @@ __all__ = [
     "gauge_delta",
     "predict_linear",
     "matrix_profile_discords",
+    "matrix_profile_motifs",
 ]
 
 
@@ -1468,6 +1469,42 @@ def matrix_profile_discords(
     parallelizes; series length does not, by design.
     """
     from spartan2_spark.functions.matrix_profile import top_discords
+
+    return _matrix_profile_pick(
+        df, top_discords, m, k, key_col, time_col, value_col
+    )
+
+
+def matrix_profile_motifs(
+    df: DataFrame,
+    m: int = 24,
+    k: int = 3,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Top-k MOTIF pairs per key — the repeated-pattern complement of
+    :func:`matrix_profile_discords` on the same STOMP profile: the k
+    subsequence pairs with the smallest z-normalized distance, greedy
+    with exclusion zones around both members. Same grouped-kernel plan
+    shape and rows-only contract as the discord query.
+    """
+    from spartan2_spark.functions.matrix_profile import top_motifs
+
+    return _matrix_profile_pick(
+        df, top_motifs, m, k, key_col, time_col, value_col
+    )
+
+
+def _matrix_profile_pick(
+    df: DataFrame,
+    picker,
+    m: int,
+    k: int,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
     from spartan2_spark.operators.grouped import batched_group_apply
 
     tt = df.schema[time_col].dataType
@@ -1493,7 +1530,7 @@ def matrix_profile_discords(
         pdf = pdf.sort_values(time_col, kind="mergesort")
         x = pdf[value_col].to_numpy(np.float64)
         t = pdf[time_col].to_numpy(np.float64)
-        ds = top_discords(x, m, k)
+        ds = picker(x, m, k)
         return pd.DataFrame(
             {
                 key_col: [pdf[key_col].iloc[0]] * len(ds),

@@ -498,3 +498,78 @@ def stream_counter_rate(stream: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_GD_STATE = T.StructType(
+    [
+        T.StructField("first_v", T.LongType()),
+        T.StructField("last_v", T.LongType()),
+        T.StructField("prev_v", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("first_t_us", T.LongType()),
+        T.StructField("last_t_us", T.LongType()),
+    ]
+)
+_GD_OUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("delta", T.LongType()),
+        T.StructField("idelta", T.LongType()),
+        T.StructField("n_changes", T.LongType()),
+        T.StructField("span_us", T.LongType()),
+    ]
+)
+
+
+def _gauge_delta_fn(key, pdfs, state: GroupState):
+    first_v, last_v, prev_v, changes, n, first_t, last_t = (
+        state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+    )
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("ts", kind="mergesort")
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        for t, v in zip(ts_us, pdf["value"].to_numpy()):
+            t, v = int(t), int(v)
+            if n == 0:
+                first_v, first_t = v, t
+            else:
+                prev_v = last_v
+                if v != last_v:
+                    changes += 1
+            last_v, last_t = v, t
+            n += 1
+    state.update((first_v, last_v, prev_v, changes, n, first_t, last_t))
+    yield pd.DataFrame(
+        {
+            "key": [str(key[0])],
+            "n_samples": [n],
+            "delta": [last_v - first_v],
+            "idelta": [last_v - prev_v if n >= 2 else None],
+            "n_changes": [changes],
+            "span_us": [last_t - first_t],
+        }
+    )
+
+
+def stream_gauge_delta(stream: DataFrame, key_col: str = "key") -> DataFrame:
+    """Streaming twin of ``operators.timeseries.gauge_delta``: the
+    PromQL gauge delta()/idelta()/changes() family carried across
+    micro-batches via ``applyInPandasWithState`` (update mode). State
+    per key is seven scalars — bounded regardless of stream length;
+    the final update row equals the batch operator's output on the
+    same in-order data (parity pytest, incl. a value that flaps and
+    returns). Requires columns (key, ts, value:int-exact)."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _gauge_delta_fn,
+        outputStructType=_GD_OUT,
+        stateStructType=_GD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

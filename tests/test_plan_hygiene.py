@@ -138,6 +138,8 @@ AUDIT_QUERIES = [
     "heavy_change_topk",
     "tier_serving_plan",
     "tier_mode",
+    "matrix_profile_discords",
+    "matrix_profile_motifs",
 ]
 
 

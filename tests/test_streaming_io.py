@@ -527,3 +527,50 @@ def test_stream_counter_rate_matches_batch(spark, tmp_path):
         for col in ("increase", "n_resets", "n_samples"):
             assert got.loc[k, col] == batch.loc[k, col], (k, col)
     assert batch.loc["c1", "increase"] == 60 and batch.loc["c1", "n_resets"] == 1
+
+
+def test_stream_gauge_delta_matches_batch(spark, tmp_path):
+    """The streaming gauge state machine must land on exactly the batch
+    gauge_delta outputs — delta, idelta, changes (incl. a flap that
+    returns to its old value) and the span."""
+    from spartan2_spark.operators.timeseries import gauge_delta
+    from spartan2_spark.streaming.rollup_stream import stream_gauge_delta
+
+    vals = {"g1": [10, 25, 25, 40, 30], "g2": [7, 9, 7]}
+    rows = []
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((k, pd.Timestamp(f"2024-01-01 00:00:{i:02d}"), v))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    d = str(tmp_path / "gd_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+
+    batch = (
+        gauge_delta(spark.read.parquet(d))
+        .toPandas()
+        .set_index("key")
+        .sort_index()
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.LongType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, d, schema, fmt="parquet")
+    run_stream_to_memory(stream_gauge_delta(stream, "key"), "gd_out", "update")
+    got = spark.sql(
+        """select * from (
+             select *, row_number() over (partition by key order by n_samples desc) rn
+             from gd_out) where rn = 1"""
+    ).toPandas().set_index("key").sort_index()
+
+    for k in vals:
+        for col in ("n_samples", "delta", "idelta", "n_changes", "span_us"):
+            assert got.loc[k, col] == batch.loc[k, col], (k, col)
+    assert batch.loc["g1", "delta"] == 20
+    assert batch.loc["g1", "idelta"] == -10
+    assert batch.loc["g1", "n_changes"] == 3
+    assert batch.loc["g2", "n_changes"] == 2

@@ -690,3 +690,28 @@ def test_matrix_profile_discords_finds_plant(spark):
     assert len(out) == 1
     assert abs(out[0].idx - 180) <= 20
     assert out[0].dist > 3.0
+
+
+def test_matrix_profile_motifs_finds_planted_pair(spark):
+    """Two identical pattern injections into a random walk: the top
+    motif pair is exactly the two planted windows at distance ~0."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from spartan2_spark.operators.timeseries import matrix_profile_motifs
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(400).cumsum()
+    pat = np.sin(np.arange(25) * 0.7) * 4
+    x[50:75] = pat
+    x[300:325] = pat
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("s", t0 + timedelta(hours=i), float(v)) for i, v in enumerate(x)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+    out = matrix_profile_motifs(df, m=25, k=1).collect()
+    assert len(out) == 1
+    assert sorted([out[0].idx, out[0].nn_idx]) == [50, 300]
+    assert out[0].dist < 1e-9
