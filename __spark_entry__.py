@@ -26,6 +26,7 @@ from spartan2_spark.operators import gapfill as G
 from spartan2_spark.operators import timeseries as TS
 from spartan2_spark.operators import windows as WD
 from spartan2_spark.operators import graph as GR
+from spartan2_spark.operators import compaction as CP
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6792,6 +6793,179 @@ _TWA_SQL = """
 """
 
 
+def _q_counter_rate_buckets(spark, sf_dir):
+    """The tier form of counter_rate (timeseries.counter_rate_buckets):
+    reset-aware PromQL increase() per (user, hour bucket), with
+    cross-bucket deltas attributed to the later sample's bucket so the
+    buckets re-aggregate exactly to the whole-series increase — the
+    continuous-aggregate discipline applied to counters. Exact BIGINT
+    end-to-end; single shuffle (the hour grouping reuses the lag
+    window's hash(key) partitioning)."""
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("value"))
+    )
+    return TS.counter_rate_buckets(s, bucket="hour").select(
+        "key",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "increase",
+        "n_resets",
+        "n_samples",
+    )
+
+
+_COUNTER_RATE_BUCKETS_SQL = """
+    WITH s AS (SELECT user_id AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT key, ts, v,
+                 lag(v) OVER (PARTITION BY key ORDER BY ts) AS pv
+          FROM s),
+    i AS (SELECT key, date_trunc('hour', ts) AS bucket,
+                 CASE WHEN pv IS NULL THEN 0
+                      WHEN v - pv < 0 THEN v ELSE v - pv END AS inc,
+                 CASE WHEN pv IS NOT NULL AND v - pv < 0
+                      THEN 1 ELSE 0 END AS reset
+          FROM d)
+    SELECT key, epoch_us(bucket) AS bucket_us,
+           CAST(sum(inc) AS BIGINT) AS increase,
+           CAST(sum(reset) AS BIGINT) AS n_resets,
+           count(*)::BIGINT AS n_samples
+    FROM i GROUP BY key, bucket
+"""
+
+
+def _q_peak_window(spark, sf_dir):
+    """Crawl-politeness audit (timeseries.peak_window_count): per
+    derived domain, the max number of fetches in ANY trailing sliding
+    24h window (window ends anchored at event times — where every
+    sliding maximum is attained), flagged against a 30-fetch daily
+    quota. Exact-integer RANGE frame — tumbling day buckets would miss
+    boundary-straddling peaks, and at sf0.01 the quota splits domains
+    into both flag branches."""
+    reqs = _events(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("user_id") % 20).alias("key"), "ts"
+    )
+    return TS.peak_window_count(reqs, window_us=86_400_000_000, limit=30)
+
+
+_PEAK_WINDOW_SQL = """
+    WITH r AS (SELECT 'd' || (user_id % 20) AS key, epoch_us(ts) AS t_us
+               FROM events),
+    w AS (SELECT key,
+                 count(*) OVER (PARTITION BY key ORDER BY t_us
+                                RANGE BETWEEN 86399999999 PRECEDING
+                                AND CURRENT ROW) AS wc
+          FROM r)
+    SELECT key, count(*)::BIGINT AS n_events,
+           CAST(max(wc) AS BIGINT) AS peak_count,
+           CAST(max(wc) > 30 AS INT) AS over_limit
+    FROM w GROUP BY key
+"""
+
+
+def _q_burn_rate(spark, sf_dir):
+    """Multi-window multi-burn-rate SLO alerting (timeseries.
+    burn_rate_alerts, the Google SRE workbook pattern): per event
+    class, hourly error counts re-aggregated into aligned 6h windows;
+    alert when BOTH burn faster than 6x a 2% error budget. The error
+    bit is a deterministic synthetic burst (every-3rd event in hours
+    divisible by 5, every-50th otherwise) so both the fire and the
+    long-window-suppression branches are exercised. Cross-multiplied
+    BIGINT comparisons — no float."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        "ts",
+        F.when(
+            F.hour("ts") % 5 == 0, (F.col("event_id") % 3 == 0).cast("int")
+        )
+        .otherwise((F.col("event_id") % 50 == 0).cast("int"))
+        .alias("is_error"),
+    )
+    return TS.burn_rate_alerts(
+        ev, budget_ppm=20_000, short_bucket="hour", long_factor=6,
+        burn_threshold=6,
+    ).select(
+        "key",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "err_s",
+        "tot_s",
+        "err_l",
+        "tot_l",
+        "alert",
+    )
+
+
+_BURN_RATE_SQL = """
+    WITH e AS (SELECT event_type AS key, ts,
+                      CASE WHEN hour(ts) % 5 = 0
+                           THEN CAST(event_id % 3 = 0 AS INT)
+                           ELSE CAST(event_id % 50 = 0 AS INT) END
+                        AS is_error
+               FROM events),
+    s AS (SELECT key, date_trunc('hour', ts) AS bucket,
+                 CAST(sum(is_error) AS BIGINT) AS err_s,
+                 count(*)::BIGINT AS tot_s
+          FROM e GROUP BY 1, 2),
+    s2 AS (SELECT *, to_timestamp((epoch(bucket)::BIGINT // 21600)
+                                  * 21600) AS lbucket
+           FROM s),
+    l AS (SELECT key, lbucket, CAST(sum(err_s) AS BIGINT) AS err_l,
+                 CAST(sum(tot_s) AS BIGINT) AS tot_l
+          FROM s2 GROUP BY 1, 2)
+    SELECT s2.key, epoch_us(s2.bucket) AS bucket_us,
+           s2.err_s, s2.tot_s, l.err_l, l.tot_l,
+           CAST(s2.err_s * 1000000 > 120000 * s2.tot_s
+                AND l.err_l * 1000000 > 120000 * l.tot_l AS INT) AS alert
+    FROM s2 JOIN l ON s2.key = l.key AND s2.lbucket = l.lbucket
+"""
+
+
+def _q_frontcode(spark, sf_dir):
+    """Front-coding savings plan for sorted url keys (compaction.
+    url_frontcode_plan — the Parquet DELTA_BYTE_ARRAY decision): per
+    derived domain, bytes saved by storing each url as its suffix
+    after the longest common prefix with its sorted predecessor.
+    Prefix length via the monotone count-of-matching-prefixes trick —
+    exact BIGINT byte accounting on both engines."""
+    pages = _events(spark, sf_dir).select(
+        F.concat(F.lit("d"), F.col("user_id") % 50, F.lit(".example"))
+        .alias("domain"),
+        F.concat(
+            F.lit("d"), F.col("user_id") % 50, F.lit(".example/"),
+            F.col("event_type"), F.lit("/"), F.col("event_id"),
+        ).alias("url"),
+    )
+    return CP.url_frontcode_plan(pages)
+
+
+_FRONTCODE_SQL = """
+    WITH p AS (SELECT DISTINCT
+                 'd' || (user_id % 50) || '.example' AS domain,
+                 'd' || (user_id % 50) || '.example/' || event_type
+                   || '/' || event_id AS url
+               FROM events),
+    d AS (SELECT domain, url,
+                 lag(url) OVER (PARTITION BY domain ORDER BY url) AS pu
+          FROM p),
+    g AS (SELECT domain, strlen(url)::BIGINT AS len,
+                 CASE WHEN pu IS NULL
+                        OR least(strlen(url), strlen(pu)) < 1 THEN 0
+                      ELSE len(list_filter(
+                             range(1, 1 + least(strlen(url), strlen(pu))),
+                             i -> url[1:i] = pu[1:i]))
+                 END::BIGINT AS lcp
+          FROM d)
+    SELECT domain, count(*)::BIGINT AS n_urls,
+           sum(len)::BIGINT AS raw_bytes, sum(lcp)::BIGINT AS saved_bytes,
+           (sum(len) - sum(lcp))::BIGINT AS coded_bytes,
+           CAST(sum(lcp) AS DOUBLE) / CAST(sum(len) AS DOUBLE)
+             AS saved_ratio
+    FROM g GROUP BY domain
+"""
+
+
 def _q_late_repair(spark, sf_dir):
     """Out-of-order ingest repair plan: the (tier, url, bucket) work-
     list dirtied by rows that arrived after the seal cut (last 20% of
@@ -7634,6 +7808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix_sample": _q_source_mix,
         "tier_compaction_plan": _q_compaction_plan,
         "counter_rate": _q_counter_rate,
+        "counter_rate_buckets": _q_counter_rate_buckets,
+        "peak_window_count": _q_peak_window,
+        "burn_rate_alerts": _q_burn_rate,
+        "url_frontcode_plan": _q_frontcode,
         "time_weighted_avg": _q_twa,
         "late_repair_plan": _q_late_repair,
         "url_churn": _q_url_churn,
@@ -7806,6 +7984,10 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": _SOURCE_MIX_SQL,
         "tier_compaction_plan": _COMPACTION_PLAN_SQL,
         "counter_rate": _COUNTER_RATE_SQL,
+        "counter_rate_buckets": _COUNTER_RATE_BUCKETS_SQL,
+        "peak_window_count": _PEAK_WINDOW_SQL,
+        "burn_rate_alerts": _BURN_RATE_SQL,
+        "url_frontcode_plan": _FRONTCODE_SQL,
         "time_weighted_avg": _TWA_SQL,
         "late_repair_plan": _LATE_REPAIR_SQL,
         "url_churn": _URL_CHURN_SQL,

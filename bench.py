@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     "tier_serving_plan",
     "tier_mode",
     "heavy_change_topk",
+    # round-4 wrap 3: counter tier, SLO burn alerts, quota audit,
+    # front-coding storage plan (all lazily constructed)
+    "counter_rate_buckets",
+    "peak_window_count",
+    "burn_rate_alerts",
+    "url_frontcode_plan",
 ]
 
 

@@ -30,10 +30,11 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from spartan2_spark.operators import manifest as M
 
-__all__ = ["compact_tier"]
+__all__ = ["compact_tier", "compaction_plan", "url_frontcode_plan"]
 
 
 def _total_files(table_dir: str) -> int:
@@ -160,5 +161,70 @@ def compaction_plan(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
             F.sum(bytes_col).cast("long").alias("total_bytes"),
+        )
+    )
+
+
+def url_frontcode_plan(
+    df: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Front-coding savings plan for sorted URL key columns — the
+    Iceberg/Parquet DELTA_BYTE_ARRAY encoding decision, computed per
+    domain: with distinct urls sorted within their domain, each url
+    stores only its suffix after the longest common prefix with its
+    predecessor. Reports per domain ``n_urls``, ``raw_bytes``,
+    ``saved_bytes`` (sum of shared-prefix lengths), ``coded_bytes``
+    and the ``saved_ratio`` — the planner input for "which domains'
+    key columns are worth front-coding in the tier files".
+
+    Exactness: prefix length is computed as the count of i in
+    [1, min(len)] where the two 1..i prefixes compare equal — the
+    prefix property is monotone, so the count IS the longest-common-
+    prefix length; all byte counts are exact BIGINT over ASCII urls
+    (``length`` counts codepoints; canonicalized urls are ASCII).
+
+    Plan shape: a distinct on (domain, url), one per-domain lag window
+    ordered by url, one hash aggregate on domain — the window's
+    hash(domain) partitioning satisfies the final grouping, so a
+    single shuffle after the distinct. Per-domain url counts are
+    web-graph sized (bounded by a site's page count), not corpus
+    sized; domain count parallelizes.
+    """
+    w = W.partitionBy("domain").orderBy("url")
+    prev = F.lag("url").over(w)
+    minlen = F.least(F.length("url"), F.length(prev))
+    lcp = F.when(prev.isNull() | (minlen < 1), F.lit(0)).otherwise(
+        F.expr(
+            "size(filter(sequence(1, int(least(length(url), "
+            "length(prev_url)))), "
+            "i -> substring(url, 1, i) = substring(prev_url, 1, i)))"
+        )
+    )
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"), F.col(url_col).alias("url")
+        )
+        .distinct()
+        .select("domain", "url", prev.alias("prev_url"))
+        .select(
+            "domain",
+            F.length("url").cast("long").alias("len"),
+            lcp.cast("long").alias("lcp"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("len").cast("long").alias("raw_bytes"),
+            F.sum("lcp").cast("long").alias("saved_bytes"),
+            (F.sum("len") - F.sum("lcp")).cast("long").alias("coded_bytes"),
+        )
+        .select(
+            "*",
+            (
+                F.col("saved_bytes").cast("double")
+                / F.col("raw_bytes").cast("double")
+            ).alias("saved_ratio"),
         )
     )

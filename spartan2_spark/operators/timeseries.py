@@ -63,6 +63,9 @@ __all__ = [
     "theilsen_trend",
     "changepoint_binary",
     "counter_rate",
+    "counter_rate_buckets",
+    "peak_window_count",
+    "burn_rate_alerts",
     "time_weighted_avg",
     "uptime_sla",
     "gauge_delta",
@@ -1607,4 +1610,180 @@ def uptime_sla(
                 / F.col("span_us").cast("double"),
             ).alias("uptime_ratio"),
         )
+    )
+
+
+def counter_rate_buckets(
+    df: DataFrame,
+    bucket: str = "hour",
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The TIER form of :func:`counter_rate`: PromQL-style counter
+    ``increase()`` per (key, tumbling time bucket), reset-aware. Each
+    sample's delta from its previous sample (series-wide lag, so
+    cross-bucket deltas are attributed to the LATER sample's bucket)
+    contributes ``v - prev``, or the post-reset value ``v`` when the
+    delta is negative; the first sample of a series contributes 0.
+    That attribution makes the output RE-AGGREGABLE — summing bucket
+    increases over any bucket range reproduces :func:`counter_rate`'s
+    whole-series increase exactly (the continuous-aggregate invariant
+    the rollup chain needs to store counter tiers at 1m/1h/1d).
+
+    Exactness: ``value_col`` must be an exact integer (centi-quantized
+    upstream); every delta, substitution, and sum is BIGINT.
+
+    Plan shape: one per-key lag window, then a hash aggregate on
+    (key, bucket) — the window's hash(key) partitioning already
+    satisfies the (key, bucket) clustering, so Catalyst plans NO second
+    exchange: single shuffle end-to-end.
+    """
+    w = W.partitionBy("key").orderBy("ts")
+    prev = F.lag("v").over(w)
+    delta = F.col("v") - prev
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(delta < 0, F.col("v")).otherwise(delta)
+    )
+    reset = F.when(delta < 0, 1).otherwise(0)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .select(
+            "key",
+            F.date_trunc(bucket, F.col("ts").cast("timestamp")).alias(
+                "bucket"
+            ),
+            inc.alias("inc"),
+            reset.alias("reset"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("inc").cast("long").alias("increase"),
+            F.sum("reset").cast("long").alias("n_resets"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+        )
+    )
+
+
+def peak_window_count(
+    df: DataFrame,
+    window_us: int = 60_000_000,
+    key_col: str = "key",
+    time_col: str = "ts",
+    limit: int | None = None,
+) -> DataFrame:
+    """Per-key PEAK sliding-window event count: the maximum number of
+    events falling in any trailing ``window_us`` interval (window ends
+    anchored at event times — where every sliding maximum is attained).
+    The crawl-politeness / rate-limit audit: "did any 60-second window
+    see more than L fetches to this domain", answered exactly rather
+    than via tumbling-bucket approximation (tumbling counts miss peaks
+    straddling a boundary). ``limit`` adds an ``over_limit`` flag.
+
+    Exactness: pure BIGINT — an exact-integer RANGE frame count over
+    epoch-microseconds, then an integer max.
+
+    Plan shape: one per-key RANGE window + one hash aggregate on the
+    same key — single shuffle. The frame is trailing-only (never
+    ``unboundedFollowing``), so evaluation is the streaming two-pointer
+    pass, O(n) per key.
+    """
+    wspec = (
+        W.partitionBy("key")
+        .orderBy("t_us")
+        .rangeBetween(-(int(window_us) - 1), 0)
+    )
+    g = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t_us"),
+        )
+        .select("key", F.count(F.lit(1)).over(wspec).alias("wc"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("wc").cast("long").alias("peak_count"),
+        )
+    )
+    if limit is not None:
+        g = g.select(
+            "*",
+            (F.col("peak_count") > F.lit(int(limit)))
+            .cast("int")
+            .alias("over_limit"),
+        )
+    return g
+
+
+def burn_rate_alerts(
+    df: DataFrame,
+    budget_ppm: int = 20_000,
+    short_bucket: str = "hour",
+    long_factor: int = 6,
+    burn_threshold: int = 6,
+    key_col: str = "key",
+    time_col: str = "ts",
+    error_col: str = "is_error",
+) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the Google SRE
+    workbook pattern) over an event stream with a 0/1 ``error_col``:
+    per (key, short bucket) compute the error count and total; derive
+    the enclosing long window (``long_factor`` short buckets,
+    aligned) by RE-AGGREGATING the short tier — the same
+    continuous-aggregate discipline as the rollup chain, so the raw
+    events are scanned exactly once. An ``alert`` fires when BOTH
+    windows burn faster than ``burn_threshold`` x the error budget
+    (``budget_ppm`` errors per million events): the short window gives
+    detection latency, the long window suppresses blips.
+
+    Exactness: the burn comparison err/tot > thr*budget is evaluated by
+    cross-multiplication ``err * 1_000_000 > thr * budget_ppm * tot``
+    in BIGINT — no float division anywhere.
+
+    Plan shape: one hash aggregate on (key, short bucket); the long
+    tier re-aggregates those rows on (key, long bucket) — hash(key,...)
+    re-shuffle of the already-tiny short tier; the closing join back to
+    short rows is keyed on the same (key, long bucket). Raw data moves
+    through exactly one shuffle.
+    """
+    sec_per_short = {"minute": 60, "hour": 3600, "day": 86400}[short_bucket]
+    span = int(sec_per_short) * int(long_factor)
+    shorts = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(short_bucket, F.col(time_col).cast("timestamp"))
+            .alias("bucket"),
+            F.col(error_col).cast("long").alias("err"),
+        )
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("err").cast("long").alias("err_s"),
+            F.count(F.lit(1)).cast("long").alias("tot_s"),
+        )
+        .select(
+            "*",
+            F.timestamp_seconds(
+                (F.unix_seconds(F.col("bucket")) / span).cast("long") * span
+            ).alias("lbucket"),
+        )
+    )
+    longs = shorts.groupBy("key", "lbucket").agg(
+        F.sum("err_s").cast("long").alias("err_l"),
+        F.sum("tot_s").cast("long").alias("tot_l"),
+    )
+    thr = int(burn_threshold) * int(budget_ppm)
+    burn_s = F.col("err_s") * 1_000_000 > F.lit(thr) * F.col("tot_s")
+    burn_l = F.col("err_l") * 1_000_000 > F.lit(thr) * F.col("tot_l")
+    return shorts.join(longs, ["key", "lbucket"]).select(
+        "key",
+        "bucket",
+        "err_s",
+        "tot_s",
+        "err_l",
+        "tot_l",
+        (burn_s & burn_l).cast("int").alias("alert"),
     )

@@ -140,6 +140,10 @@ AUDIT_QUERIES = [
     "tier_mode",
     "matrix_profile_discords",
     "matrix_profile_motifs",
+    "counter_rate_buckets",
+    "peak_window_count",
+    "burn_rate_alerts",
+    "url_frontcode_plan",
 ]
 
 

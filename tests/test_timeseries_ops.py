@@ -715,3 +715,135 @@ def test_matrix_profile_motifs_finds_planted_pair(spark):
     assert len(out) == 1
     assert sorted([out[0].idx, out[0].nn_idx]) == [50, 300]
     assert out[0].dist < 1e-9
+
+
+def test_counter_rate_buckets_reaggregates_to_whole_series(spark):
+    """Bucket increases must sum exactly to counter_rate's whole-series
+    increase (cross-bucket deltas attributed to the later bucket), with
+    resets landing in the bucket of the post-reset sample."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import (
+        counter_rate,
+        counter_rate_buckets,
+    )
+
+    rows = [
+        ("k1", pd.Timestamp(f"2024-01-01 {h:02d}:{mi:02d}:00"), v)
+        for (h, mi, v) in [(0, 0, 10), (0, 30, 25), (1, 0, 40), (1, 30, 5), (2, 0, 20)]
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "ts", "value"])
+    )
+    b = (
+        counter_rate_buckets(df, "hour")
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert list(b["increase"]) == [15, 20, 15]
+    assert list(b["n_resets"]) == [0, 1, 0]
+    tot = counter_rate(df).collect()[0]
+    assert b["increase"].sum() == tot.increase == 50
+    assert b["n_resets"].sum() == tot.n_resets == 1
+
+
+def test_peak_window_count_straddles_bucket_boundary(spark):
+    """A burst straddling a minute boundary must be seen by the sliding
+    window (a tumbling count would split it)."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import peak_window_count
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    secs = [30, 50, 55, 58, 62, 65, 70, 200]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("d", t0 + pd.Timedelta(seconds=s)) for s in secs],
+            columns=["key", "ts"],
+        )
+    )
+    out = peak_window_count(df, window_us=60_000_000, limit=5).collect()[0]
+    # window (10s, 70s] holds 30,50,55,58,62,65,70 -> 7; straddles :00/:01
+    # (a tumbling minute count sees at most 4: {30,50,55,58} | {62,65,70})
+    assert out.peak_count == 7
+    assert out.n_events == 8
+    assert out.over_limit == 1
+
+
+def test_burn_rate_alerts_short_fires_long_suppresses(spark):
+    """A one-hour error burst trips the short window but is suppressed
+    by the 6h window; a sustained burn trips both -> alert."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import burn_rate_alerts
+
+    rows = []
+    # key "blip": 30% errors in hour 0 only, clean for hours 1..5
+    for i in range(360):
+        rows.append(
+            (
+                "blip",
+                pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                1 if (i < 60 and i % 3 == 0) else 0,
+            )
+        )
+    # key "burn": 30% errors every hour
+    for i in range(360):
+        rows.append(
+            (
+                "burn",
+                pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                1 if i % 3 == 0 else 0,
+            )
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "ts", "is_error"])
+    )
+    out = (
+        burn_rate_alerts(
+            df,
+            budget_ppm=20_000,
+            short_bucket="hour",
+            long_factor=6,
+            burn_threshold=6,
+        )
+        .toPandas()
+        .set_index(["key", "bucket"])
+        .sort_index()
+    )
+    blip = out.loc["blip"]
+    assert blip["alert"].sum() == 0  # long window suppresses the blip
+    assert (blip["err_s"] * 1_000_000 > 120_000 * blip["tot_s"]).sum() == 1
+    burn = out.loc["burn"]
+    assert (burn["alert"] == 1).all()  # sustained burn fires everywhere
+
+
+def test_url_frontcode_plan_exact_lcp_bytes(spark):
+    """Hand-computed longest-common-prefix byte savings on a sorted
+    url run, duplicates collapsed first."""
+    import pandas as pd
+
+    from spartan2_spark.operators.compaction import url_frontcode_plan
+
+    urls = [
+        ("a.com", "a.com/x/1"),
+        ("a.com", "a.com/x/10"),
+        ("a.com", "a.com/x/2"),
+        ("a.com", "a.com/y"),
+        ("a.com", "a.com/x/1"),  # duplicate -> dropped by distinct
+        ("b.com", "b.com/solo"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(urls, columns=["domain", "url"]))
+    out = (
+        url_frontcode_plan(df)
+        .toPandas()
+        .set_index("domain")
+        .sort_index()
+    )
+    # sorted: /x/1 (lcp 0), /x/10 (lcp 9), /x/2 (lcp 8), /y (lcp 6)
+    assert out.loc["a.com", "n_urls"] == 4
+    assert out.loc["a.com", "saved_bytes"] == 23
+    assert out.loc["a.com", "raw_bytes"] == 35
+    assert out.loc["a.com", "coded_bytes"] == 12
+    assert out.loc["b.com", "saved_bytes"] == 0
