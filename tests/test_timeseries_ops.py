@@ -847,3 +847,50 @@ def test_url_frontcode_plan_exact_lcp_bytes(spark):
     assert out.loc["a.com", "raw_bytes"] == 35
     assert out.loc["a.com", "coded_bytes"] == 12
     assert out.loc["b.com", "saved_bytes"] == 0
+
+
+def test_counter_rate_buckets_reaggregation_property(spark):
+    """Randomized (seeded) property check at width: for 60 keys of
+    random counter series with resets, per-key bucket sums must equal
+    counter_rate's whole-series outputs exactly — increase, resets,
+    and sample counts."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.timeseries import (
+        counter_rate,
+        counter_rate_buckets,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = []
+    t0 = pd.Timestamp("2024-03-01")
+    for k in range(60):
+        v = 0
+        t = t0
+        for _ in range(rng.randint(2, 40)):
+            t = t + pd.Timedelta(minutes=int(rng.randint(1, 300)))
+            v = int(rng.randint(0, 50)) if rng.rand() < 0.1 else v + int(
+                rng.randint(0, 1000)
+            )
+            rows.append((f"k{k}", t, v))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "ts", "value"])
+    )
+    whole = counter_rate(df).toPandas().set_index("key").sort_index()
+    bucketed = (
+        counter_rate_buckets(df, "hour")
+        .groupBy("key")
+        .agg(
+            F.sum("increase").alias("increase"),
+            F.sum("n_resets").alias("n_resets"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+        .toPandas()
+        .set_index("key")
+        .sort_index()
+    )
+    for col in ("increase", "n_resets", "n_samples"):
+        assert (whole[col] == bucketed[col]).all(), col
