@@ -6966,6 +6966,52 @@ _FRONTCODE_SQL = """
 """
 
 
+def _q_recrawl_plan(spark, sf_dir):
+    """Re-crawl scheduler work list (rollup.recrawl_plan): top-3 urls
+    per domain by expected missed changes — observed change rate
+    (distinct text versions per span) x staleness against a pinned
+    'now'. Exact integer numerator/denominator, one IEEE divide,
+    deterministic (cold, -score, url) ranking; WindowGroupLimit keeps
+    the per-domain shuffle at ~k rows."""
+    pages = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.col("props").alias("text"),
+    )
+    now_us = 1735689600000000  # 2025-01-01 UTC, after every testdata ts
+    return R.recrawl_plan(pages, now_us=now_us, k_per_domain=3)
+
+
+_RECRAWL_PLAN_SQL = """
+    WITH p AS (SELECT 'u' || user_id || '/' || event_type AS url,
+                      ts, props AS text
+               FROM events),
+    c AS (SELECT url, count(*)::BIGINT AS n_snapshots,
+                 count(DISTINCT md5(text))::BIGINT AS n_versions,
+                 epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+          FROM p GROUP BY url),
+    s AS (SELECT split_part(url, '/', 1) AS domain, url, n_versions,
+                 1735689600000000 - last_us AS staleness_us,
+                 last_us - first_us AS span_us,
+                 CASE WHEN n_snapshots > 1 AND last_us > first_us
+                      THEN CAST((n_versions - 1)
+                                * (1735689600000000 - last_us) AS DOUBLE)
+                           / CAST(last_us - first_us AS DOUBLE)
+                 END AS score
+          FROM c),
+    s2 AS (SELECT *, CASE WHEN score IS NULL THEN 1 ELSE 0 END AS cold
+           FROM s),
+    r AS (SELECT *, row_number() OVER (PARTITION BY domain
+                   ORDER BY cold ASC, score DESC, url ASC) AS rnk
+          FROM s2)
+    SELECT domain, url, n_versions, staleness_us, span_us, score, cold,
+           CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+"""
+
+
 def _q_late_repair(spark, sf_dir):
     """Out-of-order ingest repair plan: the (tier, url, bucket) work-
     list dirtied by rows that arrived after the seal cut (last 20% of
@@ -7812,6 +7858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_window_count": _q_peak_window,
         "burn_rate_alerts": _q_burn_rate,
         "url_frontcode_plan": _q_frontcode,
+        "recrawl_plan": _q_recrawl_plan,
         "time_weighted_avg": _q_twa,
         "late_repair_plan": _q_late_repair,
         "url_churn": _q_url_churn,
@@ -7988,6 +8035,7 @@ def oracle_sql() -> dict[str, str]:
         "peak_window_count": _PEAK_WINDOW_SQL,
         "burn_rate_alerts": _BURN_RATE_SQL,
         "url_frontcode_plan": _FRONTCODE_SQL,
+        "recrawl_plan": _RECRAWL_PLAN_SQL,
         "time_weighted_avg": _TWA_SQL,
         "late_repair_plan": _LATE_REPAIR_SQL,
         "url_churn": _URL_CHURN_SQL,

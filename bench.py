@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "peak_window_count",
     "burn_rate_alerts",
     "url_frontcode_plan",
+    "recrawl_plan",
 ]
 
 

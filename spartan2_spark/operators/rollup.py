@@ -53,6 +53,7 @@ __all__ = [
     "bin_col",
     "unbin_col",
     "p95_from_hist",
+    "recrawl_plan",
     "purge_plan",
     "consistency_audit",
     "tier_freshness",
@@ -364,6 +365,71 @@ def url_churn(
                 / (F.col("n_snapshots") - 1).cast("double"),
             ).alias("churn"),
         )
+    )
+
+
+def recrawl_plan(
+    pages: DataFrame,
+    now_us: int,
+    k_per_domain: int = 10,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """The crawl scheduler's work list: top-``k_per_domain`` urls to
+    re-fetch next, ranked by EXPECTED MISSED CHANGES since the last
+    crawl — observed change rate x staleness:
+
+        score = (n_versions - 1) * (now - last_crawl) / observed_span
+
+    (n_versions from distinct text fingerprints, the :func:`url_churn`
+    signal). A url that changed 9 times over 9 days and is 2 days
+    stale scores 2.0 — two expected missed versions; a dead page
+    scores 0 and drops off the schedule. Urls with a single snapshot
+    have no observable rate: they rank BELOW scored urls (cold-start
+    belongs to the discovery crawler, not the re-crawl scheduler) but
+    are kept, flagged ``cold=1``, so the caller can route them.
+    ``now_us`` is an explicit epoch-microsecond pin — the plan is a
+    pure function of (corpus, now), re-runnable byte-identically.
+
+    Exactness: the score numerator (n_versions-1) * staleness_us and
+    denominator span_us are exact BIGINTs; score is ONE IEEE divide —
+    bit-identical cross-engine. Ranking orders by (cold, -score, url):
+    float ties (same exact num/den ratio) break on the url string, so
+    the emitted rank is deterministic everywhere.
+
+    Plan shape: the url_churn hash aggregate (text dies at the scan —
+    only its md5 crosses the shuffle), then one per-domain
+    row_number window; Spark's WindowGroupLimit pushes the top-k
+    below the exchange, so at web scale each domain ships only
+    ~k candidate rows, not its whole url set.
+    """
+    churn = url_churn(pages, url_col=url_col, ts_col=ts_col, text_col=text_col)
+    dom = F.substring_index(F.col("url"), "/", 1)
+    staleness = F.lit(int(now_us)) - F.col("last_us")
+    span = F.col("last_us") - F.col("first_us")
+    scored = churn.select(
+        dom.alias("domain"),
+        "url",
+        "n_versions",
+        staleness.alias("staleness_us"),
+        span.alias("span_us"),
+        F.when(
+            (F.col("n_snapshots") > 1) & (F.col("last_us") > F.col("first_us")),
+            (
+                (F.col("n_versions") - 1) * staleness
+            ).cast("double")
+            / span.cast("double"),
+        ).alias("score"),
+    ).select(
+        "*", F.when(F.col("score").isNull(), 1).otherwise(0).alias("cold")
+    )
+    w = W.partitionBy("domain").orderBy(
+        F.col("cold").asc(), F.col("score").desc(), F.col("url").asc()
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= int(k_per_domain))
     )
 
 

@@ -144,6 +144,7 @@ AUDIT_QUERIES = [
     "peak_window_count",
     "burn_rate_alerts",
     "url_frontcode_plan",
+    "recrawl_plan",
 ]
 
 
