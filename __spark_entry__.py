@@ -7012,6 +7012,225 @@ _RECRAWL_PLAN_SQL = """
 """
 
 
+def _q_rle_plan(spark, sf_dir):
+    """RLE codec decision for status channels (gorilla.rle_plan): the
+    per-minute error-count series per key is collapsed into
+    gaps-and-islands runs; sparse error channels report runs_per_point
+    near 0 (store RLE), dense gauges near 1 (store XOR track). Pure
+    BIGINT run accounting, one IEEE ratio; single shuffle on the key
+    (both downstream aggregates reuse the window's hash(key)
+    partitioning)."""
+    from spartan2_spark.operators.gorilla import rle_plan
+
+    pts = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("url"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum((F.col("event_id") % 50 == 0).cast("int"))
+            .cast("double")
+            .alias("value")
+        )
+    )
+    return rle_plan(pts, quantize=1).withColumnRenamed("key", "url")
+
+
+_RLE_PLAN_SQL = """
+    WITH p AS (SELECT event_type AS key,
+                      CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+                        AS t_s,
+                      CAST(round(CAST(sum(CAST(event_id % 50 = 0 AS INT))
+                                      AS DOUBLE) * 1) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT key, t_s, v,
+                 CASE WHEN lag(v) OVER w IS NULL
+                        OR v != lag(v) OVER w THEN 1 ELSE 0 END AS chg
+          FROM p WINDOW w AS (PARTITION BY key ORDER BY t_s, v)),
+    r AS (SELECT key,
+                 sum(chg) OVER (PARTITION BY key ORDER BY t_s, v
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM d),
+    g AS (SELECT key, run_id, count(*)::BIGINT AS run_len
+          FROM r GROUP BY 1, 2)
+    SELECT key AS url, sum(run_len)::BIGINT AS n_points,
+           count(*)::BIGINT AS n_runs,
+           max(run_len)::BIGINT AS longest_run,
+           CAST(count(*) AS DOUBLE) / CAST(sum(run_len) AS DOUBLE)
+             AS runs_per_point
+    FROM g GROUP BY key
+"""
+
+
+def _q_roaring_plan(spark, sf_dir):
+    """Roaring container sizing for position-delete vectors
+    (compaction.roaring_container_plan): three synthetic delete-vector
+    shapes derived from event ids — 'dv_run' (dense ids with periodic
+    holes: run containers win), 'dv_array' (ids scattered across many
+    containers: sorted-short arrays win), 'dv_bitmap' (one container
+    saturated with scattered ids: the 8 KiB bitmap wins). Container
+    keys, run breaks and the three RoaringBitmap byte formulas are
+    exact BIGINT on both engines."""
+    from spartan2_spark.operators.compaction import roaring_container_plan
+
+    e = _events(spark, sf_dir)
+    dv = (
+        e.filter(F.col("event_id") % 7 != 0)
+        .select(F.lit("dv_run").alias("table_name"),
+                F.col("event_id").alias("pos"))
+        .unionAll(
+            e.select(F.lit("dv_array").alias("table_name"),
+                     (F.col("event_id") * 131).alias("pos"))
+        )
+        .unionAll(
+            e.select(
+                F.lit("dv_bitmap").alias("table_name"),
+                ((F.col("event_id") * 2654435761) % 65536).alias("pos"),
+            )
+        )
+    )
+    return roaring_container_plan(dv)
+
+
+_ROARING_PLAN_SQL = """
+    WITH dv AS (
+      SELECT 'dv_run' AS grp, event_id AS id FROM events
+      WHERE event_id % 7 != 0
+      UNION ALL
+      SELECT 'dv_array', event_id * 131 FROM events
+      UNION ALL
+      SELECT 'dv_bitmap', (event_id * 2654435761) % 65536 FROM events
+    ),
+    ids AS (SELECT DISTINCT grp, id // 65536 AS cont, id % 65536 AS low
+            FROM dv),
+    d AS (SELECT grp, cont, low,
+                 CASE WHEN lag(low) OVER w IS NULL
+                        OR low != lag(low) OVER w + 1 THEN 1 ELSE 0 END
+                   AS brk
+          FROM ids WINDOW w AS (PARTITION BY grp, cont ORDER BY low)),
+    c AS (SELECT grp, cont, count(*)::BIGINT AS n,
+                 sum(brk)::BIGINT AS n_runs
+          FROM d GROUP BY 1, 2),
+    e AS (SELECT grp, n,
+                 CASE WHEN n <= 4096 THEN n * 2 ELSE 8192 END AS bytes_ab,
+                 2 + n_runs * 4 AS bytes_run
+          FROM c),
+    f AS (SELECT grp, n, bytes_ab,
+                 CASE WHEN bytes_run < bytes_ab
+                      THEN bytes_run ELSE bytes_ab END AS bytes_best,
+                 CASE WHEN bytes_run < bytes_ab THEN 'run'
+                      WHEN n <= 4096 THEN 'array'
+                      ELSE 'bitmap' END AS layout
+          FROM e)
+    SELECT grp, count(*)::BIGINT AS n_containers,
+           sum(n)::BIGINT AS n_values,
+           sum(CASE WHEN layout = 'array' THEN 1 ELSE 0 END)::BIGINT
+             AS n_array,
+           sum(CASE WHEN layout = 'bitmap' THEN 1 ELSE 0 END)::BIGINT
+             AS n_bitmap,
+           sum(CASE WHEN layout = 'run' THEN 1 ELSE 0 END)::BIGINT
+             AS n_run,
+           sum(bytes_ab)::BIGINT AS bytes_no_run,
+           sum(bytes_best)::BIGINT AS bytes_best,
+           CAST(sum(bytes_best) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+             AS bytes_per_value
+    FROM f GROUP BY grp
+"""
+
+
+def _q_snapshot_expiry(spark, sf_dir):
+    """Iceberg expire_snapshots planning (retention.
+    snapshot_expiry_plan): the snapshot log is one synthetic commit
+    per (table, day) — committed_us = the day's max event time, file/
+    row counts from the day's data; policy keeps the 3 most recent
+    commits per table plus everything at/after the pinned horizon
+    2024-01-24 (now=2024-01-31 minus a 7-day time-travel window — a
+    constant, never a wall-clock read). Ranks are row_number over
+    (committed_us DESC, snap_id DESC), so the cut is
+    engine-deterministic; all reclaim accounting is BIGINT."""
+    from spartan2_spark.operators.retention import snapshot_expiry_plan
+
+    snaps = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("table_name"),
+            F.expr(
+                "CAST(unix_timestamp(date_trunc('day', ts)) AS BIGINT)"
+                " DIV 86400"
+            ).alias("snap_id"),
+        )
+        .agg(
+            F.unix_micros(F.max("ts").cast("timestamp")).alias(
+                "committed_us"
+            ),
+            F.countDistinct("user_id").alias("n_files"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return snapshot_expiry_plan(
+        snaps, keep_last=3, horizon_us=1706054400000000
+    )
+
+
+_SNAPSHOT_EXPIRY_SQL = """
+    WITH s AS (SELECT event_type AS table_name,
+                      CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400
+                        AS snap_id,
+                      epoch_us(max(ts)) AS committed_us,
+                      count(DISTINCT user_id)::BIGINT AS n_files,
+                      count(*)::BIGINT AS n_rows
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY table_name
+                      ORDER BY committed_us DESC, snap_id DESC)
+                      AS recency_rank
+          FROM s),
+    p AS (SELECT *, CASE WHEN recency_rank <= 3
+                           OR committed_us >= 1706054400000000
+                         THEN 'keep' ELSE 'expire' END AS action
+          FROM r),
+    t AS (SELECT table_name,
+                 sum(CASE WHEN action = 'expire' THEN 1 ELSE 0 END)::BIGINT
+                   AS tbl_expired,
+                 sum(CASE WHEN action = 'expire' THEN n_files
+                          ELSE 0 END)::BIGINT AS tbl_files_reclaimed,
+                 sum(CASE WHEN action = 'expire' THEN n_rows
+                          ELSE 0 END)::BIGINT AS tbl_rows_reclaimed
+          FROM p GROUP BY 1)
+    SELECT p.table_name, p.snap_id, p.committed_us, p.n_files, p.n_rows,
+           CAST(p.recency_rank AS INT) AS recency_rank, p.action,
+           t.tbl_expired, t.tbl_files_reclaimed, t.tbl_rows_reclaimed
+    FROM p JOIN t USING (table_name)
+"""
+
+
+def _q_bucket_coverage(spark, sf_dir):
+    """Tier completeness audit (rollup.bucket_coverage): per url, the
+    1m tier's distinct buckets vs the arithmetic bucket count of its
+    own [first, last] span — missing buckets are exactly the gap-fill
+    serve-time workload. Span math is integer DIV on aligned bucket
+    seconds; coverage is the single IEEE divide."""
+    s1m = R.rollup_from_points(_event_points(spark, sf_dir), "1m", "int")
+    return R.bucket_coverage(s1m, 60)
+
+
+_BUCKET_COVERAGE_SQL = """
+    WITH p AS (SELECT event_type AS url, date_trunc('minute', ts) AS b
+               FROM events
+               WHERE value IS NOT NULL
+                 AND round(value * 100) IS NOT NULL),
+    g AS (SELECT url, CAST(epoch(b) AS BIGINT) AS b_s
+          FROM p GROUP BY 1, 2)
+    SELECT url, count(*)::BIGINT AS present,
+           min(b_s) AS first_s, max(b_s) AS last_s,
+           ((max(b_s) - min(b_s)) // 60 + 1)::BIGINT AS expected,
+           ((max(b_s) - min(b_s)) // 60 + 1 - count(*))::BIGINT AS missing,
+           CAST(count(*) AS DOUBLE)
+             / CAST((max(b_s) - min(b_s)) // 60 + 1 AS DOUBLE) AS coverage
+    FROM g GROUP BY url
+"""
+
+
 def _q_late_repair(spark, sf_dir):
     """Out-of-order ingest repair plan: the (tier, url, bucket) work-
     list dirtied by rows that arrived after the seal cut (last 20% of
@@ -7859,6 +8078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burn_rate_alerts": _q_burn_rate,
         "url_frontcode_plan": _q_frontcode,
         "recrawl_plan": _q_recrawl_plan,
+        "rle_plan": _q_rle_plan,
+        "roaring_container_plan": _q_roaring_plan,
+        "snapshot_expiry_plan": _q_snapshot_expiry,
+        "bucket_coverage": _q_bucket_coverage,
         "time_weighted_avg": _q_twa,
         "late_repair_plan": _q_late_repair,
         "url_churn": _q_url_churn,
@@ -8036,6 +8259,10 @@ def oracle_sql() -> dict[str, str]:
         "burn_rate_alerts": _BURN_RATE_SQL,
         "url_frontcode_plan": _FRONTCODE_SQL,
         "recrawl_plan": _RECRAWL_PLAN_SQL,
+        "rle_plan": _RLE_PLAN_SQL,
+        "roaring_container_plan": _ROARING_PLAN_SQL,
+        "snapshot_expiry_plan": _SNAPSHOT_EXPIRY_SQL,
+        "bucket_coverage": _BUCKET_COVERAGE_SQL,
         "time_weighted_avg": _TWA_SQL,
         "late_repair_plan": _LATE_REPAIR_SQL,
         "url_churn": _URL_CHURN_SQL,

@@ -34,7 +34,12 @@ from pyspark.sql import Window as W
 
 from spartan2_spark.operators import manifest as M
 
-__all__ = ["compact_tier", "compaction_plan", "url_frontcode_plan"]
+__all__ = [
+    "compact_tier",
+    "compaction_plan",
+    "url_frontcode_plan",
+    "roaring_container_plan",
+]
 
 
 def _total_files(table_dir: str) -> int:
@@ -226,5 +231,117 @@ def url_frontcode_plan(
                 F.col("saved_bytes").cast("double")
                 / F.col("raw_bytes").cast("double")
             ).alias("saved_ratio"),
+        )
+    )
+
+
+def roaring_container_plan(
+    df: DataFrame,
+    group_col: str = "table_name",
+    id_col: str = "pos",
+) -> DataFrame:
+    """Roaring-bitmap container sizing for position-delete vectors and
+    bitmap posting lists — the Iceberg v3 deletion-vector storage
+    decision, computed per table/partition group: the id set is split
+    into 2^16-value chunks (container key = id >> 16) and each
+    container is costed under the three Roaring container layouts
+    (RoaringBitmap format spec, public):
+
+    - array container: sorted 16-bit shorts, ``2*n`` bytes (used when
+      n <= 4096);
+    - bitmap container: fixed 8192 bytes;
+    - run container: ``2 + 4*n_runs`` bytes, chosen by runOptimize
+      only when STRICTLY smaller than the array/bitmap choice.
+
+    Reports per group the container count, value count, how many
+    containers land on each layout, total bytes without/with run
+    encoding, and bytes/value — the planner input for "is this delete
+    vector dense enough that compacting the data file beats carrying
+    the vector".
+
+    Exactness: container keys, run breaks (``low != lag(low)+1``),
+    per-layout byte formulas and the strict runOptimize comparison are
+    pure BIGINT; ``bytes_per_value`` is the single IEEE divide.
+
+    Plan shape: a (group, container, low) group-dedup, one
+    per-(group, container) lag window ordered by low, a per-container
+    hash aggregate that reuses the window's partitioning, then a final
+    per-group hash aggregate over the container relation — the only
+    relation that crosses that last exchange is one row per 65536-id
+    chunk, 1/65536th of the input at worst.
+    """
+    ids = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).cast("long").alias("id"),
+        )
+        .groupBy(
+            "grp",
+            F.shiftright(F.col("id"), 16).alias("cont"),
+            (F.col("id") % 65536).alias("low"),
+        )
+        .agg(F.lit(1))
+        .select("grp", "cont", "low")
+    )
+    w = W.partitionBy("grp", "cont").orderBy("low")
+    brk = F.when(
+        F.lag("low").over(w).isNull()
+        | (F.col("low") != F.lag("low").over(w) + 1),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per_cont = (
+        ids.select("grp", "cont", "low", brk.alias("brk"))
+        .groupBy("grp", "cont")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("brk").cast("long").alias("n_runs"),
+        )
+        .select(
+            "grp",
+            "n",
+            "n_runs",
+            F.when(F.col("n") <= 4096, F.col("n") * 2)
+            .otherwise(F.lit(8192))
+            .alias("bytes_ab"),
+            (F.lit(2) + F.col("n_runs") * 4).alias("bytes_run"),
+        )
+        .select(
+            "grp",
+            "n",
+            "bytes_ab",
+            F.when(
+                F.col("bytes_run") < F.col("bytes_ab"), F.col("bytes_run")
+            )
+            .otherwise(F.col("bytes_ab"))
+            .alias("bytes_best"),
+            F.when(F.col("bytes_run") < F.col("bytes_ab"), F.lit("run"))
+            .when(F.col("n") <= 4096, F.lit("array"))
+            .otherwise(F.lit("bitmap"))
+            .alias("layout"),
+        )
+    )
+    return (
+        per_cont.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_containers"),
+            F.sum("n").cast("long").alias("n_values"),
+            F.sum(F.when(F.col("layout") == "array", 1).otherwise(0))
+            .cast("long")
+            .alias("n_array"),
+            F.sum(F.when(F.col("layout") == "bitmap", 1).otherwise(0))
+            .cast("long")
+            .alias("n_bitmap"),
+            F.sum(F.when(F.col("layout") == "run", 1).otherwise(0))
+            .cast("long")
+            .alias("n_run"),
+            F.sum("bytes_ab").cast("long").alias("bytes_no_run"),
+            F.sum("bytes_best").cast("long").alias("bytes_best"),
+        )
+        .select(
+            "*",
+            (
+                F.col("bytes_best").cast("double")
+                / F.col("n_values").cast("double")
+            ).alias("bytes_per_value"),
         )
     )

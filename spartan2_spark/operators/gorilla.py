@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 from spartan2_spark.functions import gorilla_codec as C
 from spartan2_spark.schemas import GORILLA_BLOCKS
 
-__all__ = ["encode_tier_blocks", "decode_blocks", "read_points", "dod_bitwidth_stats"]
+__all__ = [
+    "encode_tier_blocks",
+    "decode_blocks",
+    "read_points",
+    "dod_bitwidth_stats",
+    "xor_bitwidth_stats",
+    "rle_plan",
+]
 
 
 def encode_tier_blocks(
@@ -390,4 +397,81 @@ def xor_bitwidth_stats(
             F.col("bits_total").cast("double")
             / F.col("n_xor").cast("double")
         ).alias("bits_per_point"),
+    )
+
+
+def rle_plan(
+    points: DataFrame,
+    key_col: str = "url",
+    time_col: str = "bucket_ts",
+    value_col: str = "value",
+    quantize: int = 100,
+) -> DataFrame:
+    """Run-length planning for slow-moving gauge / status channels —
+    the third leg of the per-tier codec decision next to
+    :func:`dod_bitwidth_stats` (timestamp track) and
+    :func:`xor_bitwidth_stats` (dense value track): per key, collapse
+    consecutive equal quantized values of the time-sorted series into
+    runs (gaps-and-islands) and report how run-compressible the value
+    stream is. Status/enum channels (uptime flags, HTTP status tiers,
+    crawl outcome codes) produce a handful of runs and should be
+    stored RLE; dense gauges produce ~n runs and should go through the
+    XOR track instead. ``runs_per_point`` close to 0 → RLE wins;
+    close to 1 → RLE degenerates to the raw stream.
+
+    Exactness: quantized values (``round(value*quantize)`` as BIGINT),
+    change flags, run ids, run lengths and counts are pure integer
+    arithmetic; the closing runs/point ratio is the single IEEE
+    divide. Keys with one sample report one run of length one.
+
+    Plan shape: one lag window + one running-sum window on the same
+    (key, ts) sort — Spark folds both into a single Window node — then
+    a (key, run_id) hash aggregate and a (key) hash aggregate, both of
+    which reuse the window's hash(key) partitioning (HashPartitioning
+    on a subset of the grouping keys satisfies ClusteredDistribution):
+    a single shuffle end to end.
+    """
+    from pyspark.sql import Window as W
+
+    # secondary sort on v: duplicate timestamps within a key would
+    # otherwise make the run segmentation order-dependent — (t_s, v)
+    # is a deterministic total order for run-counting purposes (equal
+    # (t_s, v) rows are interchangeable, they extend the same run)
+    ww = W.partitionBy("key").orderBy("t_s", "v")
+    run_w = ww.rowsBetween(W.unboundedPreceding, W.currentRow)
+    q = points.select(
+        F.col(key_col).alias("key"),
+        F.unix_timestamp(F.col(time_col).cast("timestamp")).alias("t_s"),
+        F.round(F.col(value_col) * quantize).cast("long").alias("v"),
+    )
+    runs = (
+        q.withColumn(
+            "chg",
+            F.when(
+                F.lag("v").over(ww).isNull()
+                | (F.col("v") != F.lag("v").over(ww)),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("run_id", F.sum("chg").over(run_w))
+        .groupBy("key", "run_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("key")
+        .agg(
+            F.sum("run_len").cast("long").alias("n_points"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("longest_run"),
+        )
+        .select(
+            "key",
+            "n_points",
+            "n_runs",
+            "longest_run",
+            (
+                F.col("n_runs").cast("double")
+                / F.col("n_points").cast("double")
+            ).alias("runs_per_point"),
+        )
     )

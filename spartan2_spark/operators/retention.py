@@ -34,7 +34,12 @@ import time
 
 from . import manifest as M
 
-__all__ = ["COVERERS", "apply_retention", "read_retention_log"]
+__all__ = [
+    "COVERERS",
+    "apply_retention",
+    "read_retention_log",
+    "snapshot_expiry_plan",
+]
 
 # which coarser stage must cover a dt before the finer stage may drop it
 COVERERS = {"t1m": "t1h", "t1h": "t1d"}
@@ -166,3 +171,69 @@ def apply_retention(
             os.makedirs(os.path.join(out_root, "_manifests"), exist_ok=True)
             M._atomic_write(_retention_log_path(out_root), json.dumps(log, indent=0))
     return plan
+
+
+def snapshot_expiry_plan(
+    snapshots,
+    keep_last: int = 3,
+    horizon_us: int = 0,
+):
+    """Snapshot-expiry planning — the Iceberg ``expire_snapshots``
+    policy computed as a relational plan over the snapshot log (one
+    row per commit: ``table_name, snap_id, committed_us, n_files,
+    n_rows``): a snapshot is KEPT if it is one of the ``keep_last``
+    most recent commits of its table OR committed at/after
+    ``horizon_us`` (the pinned time-travel horizon — callers pass
+    ``now - retain_for``, never a wall clock read, so the plan is
+    deterministic and resumable); everything else is EXPIRED. Reports
+    one row per snapshot with its recency rank, the keep/expire
+    action, and the per-table reclaim the expiry would free — the
+    metadata-maintenance complement of :func:`apply_retention`'s
+    partition drops.
+
+    Exactness: ranks are ``row_number`` over the total order
+    (committed_us DESC, snap_id DESC) — commits at the same
+    microsecond are broken by snapshot id, so the cut is
+    engine-deterministic; the keep predicate and all reclaim counts
+    are pure BIGINT.
+
+    Plan shape: one per-table window (hash(table_name) exchange) + a
+    per-table aggregate that reuses the window's partitioning, joined
+    back broadcast (one row per table) — a single shuffle over the
+    snapshot log, which is metadata-sized (commits, not data).
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy("table_name").orderBy(
+        F.col("committed_us").desc(), F.col("snap_id").desc()
+    )
+    ranked = snapshots.select(
+        "table_name",
+        F.col("snap_id").cast("long").alias("snap_id"),
+        F.col("committed_us").cast("long").alias("committed_us"),
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    ).withColumn("recency_rank", F.row_number().over(w))
+    keep = (F.col("recency_rank") <= F.lit(int(keep_last))) | (
+        F.col("committed_us") >= F.lit(int(horizon_us))
+    )
+    planned = ranked.withColumn(
+        "action", F.when(keep, F.lit("keep")).otherwise(F.lit("expire"))
+    )
+    reclaim = planned.groupBy("table_name").agg(
+        F.sum(F.when(F.col("action") == "expire", 1).otherwise(0))
+        .cast("long")
+        .alias("tbl_expired"),
+        F.sum(
+            F.when(F.col("action") == "expire", F.col("n_files")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tbl_files_reclaimed"),
+        F.sum(
+            F.when(F.col("action") == "expire", F.col("n_rows")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tbl_rows_reclaimed"),
+    )
+    return planned.join(F.broadcast(reclaim), "table_name")

@@ -59,6 +59,7 @@ __all__ = [
     "tier_freshness",
     "tier_serving_plan",
     "tier_mode",
+    "bucket_coverage",
 ]
 
 # tier name -> date_trunc unit
@@ -723,5 +724,63 @@ def tier_mode(state: DataFrame, bin_mode: str = "int") -> DataFrame:
             (-F.col("__m.nb")).cast("long").alias("mode_bin"),
             F.col("__m.c").cast("long").alias("mode_cnt"),
             unbin_col(-F.col("__m.nb"), bin_mode).alias("mode_value"),
+        )
+    )
+
+
+def bucket_coverage(state: DataFrame, width_s: int) -> DataFrame:
+    """Tier completeness audit: per url, how much of the series' own
+    [first, last] bucket span the stored tier state actually covers.
+    ``expected`` is the arithmetic bucket count of the span at the
+    tier's width (``(last - first) / width + 1`` — integer division on
+    already-aligned bucket timestamps, no sequence materialization),
+    ``present`` the distinct buckets held, ``missing`` their gap — the
+    store-sparse/serve-dense contract's data-derived audit (a url with
+    missing > 0 is exactly the gap-fill workload
+    ``operators/gapfill`` synthesizes at serve time, and a healthy
+    fully-crawled url reports coverage 1.0).
+
+    Exactness: span, expected, present and missing are pure BIGINT
+    (state buckets are distinct per (url, bucket) by construction, so
+    ``count`` equals the distinct count without a distinct pass when
+    fed 1-row-per-bucket tier views; callers passing long-format
+    sparse-histogram state get the explicit distinct below); coverage
+    is the single IEEE divide.
+
+    Plan shape: one (url, bucket_ts) group-dedup with map-side partial
+    combine (the shuffle carries one row per bucket, not per bin),
+    then a per-url hash aggregate whose exchange moves only that
+    1-row-per-bucket relation — 1/width'th of the tier state at worst.
+    """
+    b = F.unix_timestamp(F.col("bucket_ts").cast("timestamp"))
+    return (
+        state.groupBy("url", b.alias("b_s"))
+        .agg(F.lit(1))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("present"),
+            F.min("b_s").cast("long").alias("first_s"),
+            F.max("b_s").cast("long").alias("last_s"),
+        )
+        .select(
+            "url",
+            "present",
+            "first_s",
+            "last_s",
+            F.expr(
+                f"(last_s - first_s) DIV {int(width_s)}"
+            ).alias("span_buckets"),
+        )
+        .select(
+            "url",
+            "present",
+            "first_s",
+            "last_s",
+            (F.col("span_buckets") + 1).alias("expected"),
+            (F.col("span_buckets") + 1 - F.col("present")).alias("missing"),
+            (
+                F.col("present").cast("double")
+                / (F.col("span_buckets") + 1).cast("double")
+            ).alias("coverage"),
         )
     )

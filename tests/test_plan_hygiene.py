@@ -145,6 +145,10 @@ AUDIT_QUERIES = [
     "burn_rate_alerts",
     "url_frontcode_plan",
     "recrawl_plan",
+    "rle_plan",
+    "roaring_container_plan",
+    "snapshot_expiry_plan",
+    "bucket_coverage",
 ]
 
 

@@ -894,3 +894,141 @@ def test_counter_rate_buckets_reaggregation_property(spark):
     )
     for col in ("increase", "n_resets", "n_samples"):
         assert (whole[col] == bucketed[col]).all(), col
+
+
+def test_rle_plan_hand_computed_runs(spark):
+    """Planted status series: values 1,1,1,2,2,1 -> 3 runs, longest 3;
+    a single-sample key reports one run of length one."""
+    import pandas as pd
+
+    from spartan2_spark.operators.gorilla import rle_plan
+
+    from pyspark.sql import functions as F
+
+    rows = [("a", t, v) for t, v in enumerate([1, 1, 1, 2, 2, 1])]
+    rows.append(("b", 0, 7))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "t", "value"])
+    ).select(
+        "url",
+        F.to_timestamp(F.col("t") + 1_700_000_000).alias("bucket_ts"),
+        "value",
+    )
+    out = (
+        rle_plan(df, quantize=1).toPandas().set_index("key").sort_index()
+    )
+    assert out.loc["a", "n_points"] == 6
+    assert out.loc["a", "n_runs"] == 3
+    assert out.loc["a", "longest_run"] == 3
+    assert out.loc["b", "n_runs"] == 1
+    assert out.loc["b", "runs_per_point"] == 1.0
+
+
+def test_roaring_container_plan_layout_branches(spark):
+    """Each Roaring layout branch on planted id sets with exact byte
+    formulas: a contiguous run (2+4*1 bytes beats 2n), a scattered
+    small set (array, 2n), and a >4096 scattered set (bitmap, 8192)."""
+    import pandas as pd
+
+    from spartan2_spark.operators.compaction import roaring_container_plan
+
+    ids = (
+        [("t_run", i) for i in range(100)]  # one run: 2+4 = 6 bytes
+        + [("t_arr", i * 7) for i in range(100)]  # scattered: 200 bytes
+        + [("t_bmp", i * 3) for i in range(5000)]  # n>4096 scattered
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(ids, columns=["table_name", "pos"])
+    )
+    out = (
+        roaring_container_plan(df)
+        .toPandas()
+        .set_index("grp")
+        .sort_index()
+    )
+    assert out.loc["t_run", "n_run"] == 1
+    assert out.loc["t_run", "bytes_best"] == 6
+    assert out.loc["t_arr", "n_array"] == 1
+    assert out.loc["t_arr", "bytes_best"] == 200
+    # 5000 ids * 3 spans 15000 positions: container 0 with 5000 values
+    assert out.loc["t_bmp", "n_bitmap"] == 1
+    assert out.loc["t_bmp", "bytes_best"] == 8192
+
+
+def test_snapshot_expiry_plan_policy_branches(spark):
+    """keep_last keeps the newest K even when ancient; the horizon
+    keeps old-rank snapshots that are recent enough; ties on
+    committed_us break by snap_id DESC so the rank cut is total."""
+    import pandas as pd
+
+    from spartan2_spark.operators.retention import snapshot_expiry_plan
+
+    snaps = [
+        # table A: 5 snapshots, horizon keeps id>=40's commit times
+        ("A", 10, 100, 1, 10),
+        ("A", 20, 200, 1, 10),
+        ("A", 30, 300, 2, 20),
+        ("A", 40, 400, 2, 20),
+        ("A", 50, 500, 3, 30),
+        # table B: same committed_us everywhere (below the horizon)
+        # -> snap_id alone breaks the rank ties
+        ("B", 1, 99, 1, 1),
+        ("B", 2, 99, 1, 1),
+        ("B", 3, 99, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            snaps,
+            columns=[
+                "table_name", "snap_id", "committed_us", "n_files", "n_rows",
+            ],
+        )
+    )
+    out = (
+        snapshot_expiry_plan(df, keep_last=2, horizon_us=300)
+        .toPandas()
+        .set_index(["table_name", "snap_id"])
+        .sort_index()
+    )
+    a = out.loc["A"]
+    # ranks 1,2 (ids 50,40) kept by keep_last; id 30 kept by horizon
+    assert a.loc[50, "action"] == "keep" and a.loc[40, "action"] == "keep"
+    assert a.loc[30, "action"] == "keep"  # committed_us == horizon
+    assert a.loc[20, "action"] == "expire" and a.loc[10, "action"] == "expire"
+    assert a.loc[10, "tbl_expired"] == 2
+    assert a.loc[10, "tbl_rows_reclaimed"] == 20
+    b = out.loc["B"]
+    # equal committed_us: snap_id DESC ranks 3,2 first -> 1 expires
+    assert b.loc[3, "action"] == "keep" and b.loc[2, "action"] == "keep"
+    assert b.loc[1, "action"] == "expire"
+
+
+def test_bucket_coverage_planted_gap(spark):
+    """A url with minutes {0,1,3,4} spans 5 expected buckets with 1
+    missing; a gapless url reports coverage 1.0; a single-bucket url
+    expects exactly itself."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.rollup import bucket_coverage
+
+    rows = (
+        [("gap", 60 * m, 1.0) for m in (0, 1, 3, 4)]
+        + [("full", 60 * m, 1.0) for m in (0, 1, 2)]
+        + [("solo", 0, 1.0)]
+    )
+    state = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "t", "value"])
+    ).select(
+        "url",
+        F.to_timestamp(F.col("t") + 1_700_000_040).alias("bucket_ts"),
+        "value",
+    )
+    out = (
+        bucket_coverage(state, 60).toPandas().set_index("url").sort_index()
+    )
+    assert out.loc["gap", "expected"] == 5
+    assert out.loc["gap", "missing"] == 1
+    assert out.loc["full", "coverage"] == 1.0
+    assert out.loc["solo", "expected"] == 1
