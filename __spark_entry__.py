@@ -7214,6 +7214,100 @@ def _q_bucket_coverage(spark, sf_dir):
     return R.bucket_coverage(s1m, 60)
 
 
+
+
+def _boiler_pages(spark, sf_dir):
+    """documents + a planted per-source nav header and copyright
+    footer line around each doc's own text — the repeated-across-the-
+    site structure real crawled pages carry, built IDENTICALLY in the
+    DuckDB twin so detection must separate plant from content."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT\n"),
+            F.col("text"),
+            F.lit("\nCopyright "),
+            F.col("source"),
+            F.lit(" all rights reserved"),
+        ).alias("text"),
+    )
+
+
+def _q_boiler_lines(spark, sf_dir):
+    """Site-level boilerplate detection (text.boilerplate_lines,
+    CCNet/jusText family): trimmed lines present in >= 50% of a
+    source's docs (min 2 docs) are flagged; the verdict is the integer
+    cross-multiply doc_freq*1000 >= 500*n_docs, never a float
+    compare."""
+    from spartan2_spark.operators.text import boilerplate_lines
+
+    return boilerplate_lines(_boiler_pages(spark, sf_dir))
+
+
+_BOILER_LINES_SQL = """
+    WITH p AS (SELECT source AS grp, doc_id AS id,
+                      'HOME | ABOUT | CONTACT' || chr(10) || text
+                        || chr(10) || 'Copyright ' || source
+                        || ' all rights reserved' AS text
+               FROM documents),
+    l AS (SELECT grp, id,
+                 trim(unnest(string_split(text, chr(10)))) AS line
+          FROM p),
+    f AS (SELECT grp, id, line FROM l WHERE line != '' GROUP BY 1, 2, 3),
+    d AS (SELECT grp, line, count(*)::BIGINT AS doc_freq
+          FROM f GROUP BY 1, 2),
+    n AS (SELECT source AS grp, count(DISTINCT doc_id)::BIGINT AS n_docs
+          FROM documents GROUP BY 1)
+    SELECT d.grp, d.line, d.doc_freq, n.n_docs,
+           CAST(d.doc_freq AS DOUBLE) / CAST(n.n_docs AS DOUBLE)
+             AS df_ratio,
+           CAST(d.doc_freq * 1000 >= 500 * n.n_docs
+                AND n.n_docs >= 2 AS INT) AS is_boiler
+    FROM d JOIN n USING (grp)
+"""
+
+
+def _q_boiler_strip(spark, sf_dir):
+    """Boilerplate removal (text.boilerplate_strip): rebuild each
+    doc's text with its source's flagged lines removed, kept lines in
+    original order byte-identically — the cleaning complement of
+    boilerplate_lines, recovering exactly the pre-plant document
+    text."""
+    from spartan2_spark.operators.text import boilerplate_strip
+
+    return boilerplate_strip(_boiler_pages(spark, sf_dir))
+
+
+_BOILER_STRIP_SQL = """
+    WITH p AS (SELECT source AS grp, doc_id AS id,
+                      'HOME | ABOUT | CONTACT' || chr(10) || text
+                        || chr(10) || 'Copyright ' || source
+                        || ' all rights reserved' AS text
+               FROM documents),
+    l AS (SELECT grp, id,
+                 trim(unnest(string_split(text, chr(10)))) AS line
+          FROM p),
+    f AS (SELECT grp, id, line FROM l WHERE line != '' GROUP BY 1, 2, 3),
+    d AS (SELECT grp, line, count(*)::BIGINT AS doc_freq
+          FROM f GROUP BY 1, 2),
+    n AS (SELECT source AS grp, count(DISTINCT doc_id)::BIGINT AS n_docs
+          FROM documents GROUP BY 1),
+    b AS (SELECT d.grp, d.line FROM d JOIN n USING (grp)
+          WHERE d.doc_freq * 1000 >= 500 * n.n_docs AND n.n_docs >= 2),
+    ls AS (SELECT grp, id, string_split(text, chr(10)) AS arr FROM p),
+    pl AS (SELECT grp, id, unnest(arr) AS raw,
+                  unnest(generate_series(1, len(arr))) AS pos
+           FROM ls),
+    k AS (SELECT pl.grp, pl.id, pl.pos, pl.raw
+          FROM pl LEFT JOIN b
+            ON b.grp = pl.grp AND b.line = trim(pl.raw)
+          WHERE b.line IS NULL)
+    SELECT grp, id, string_agg(raw, chr(10) ORDER BY pos) AS text_clean
+    FROM k GROUP BY 1, 2
+"""
+
+
 _BUCKET_COVERAGE_SQL = """
     WITH p AS (SELECT event_type AS url, date_trunc('minute', ts) AS b
                FROM events
@@ -8082,6 +8176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roaring_container_plan": _q_roaring_plan,
         "snapshot_expiry_plan": _q_snapshot_expiry,
         "bucket_coverage": _q_bucket_coverage,
+        "boilerplate_lines": _q_boiler_lines,
+        "boilerplate_strip": _q_boiler_strip,
         "time_weighted_avg": _q_twa,
         "late_repair_plan": _q_late_repair,
         "url_churn": _q_url_churn,
@@ -8263,6 +8359,8 @@ def oracle_sql() -> dict[str, str]:
         "roaring_container_plan": _ROARING_PLAN_SQL,
         "snapshot_expiry_plan": _SNAPSHOT_EXPIRY_SQL,
         "bucket_coverage": _BUCKET_COVERAGE_SQL,
+        "boilerplate_lines": _BOILER_LINES_SQL,
+        "boilerplate_strip": _BOILER_STRIP_SQL,
         "time_weighted_avg": _TWA_SQL,
         "late_repair_plan": _LATE_REPAIR_SQL,
         "url_churn": _URL_CHURN_SQL,

@@ -30,6 +30,8 @@ __all__ = [
     "vocab_hapax",
     "pmi_collocations",
     "doc_entropy",
+    "boilerplate_lines",
+    "boilerplate_strip",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -713,4 +715,129 @@ def doc_entropy(
             F.first("n").alias("n_tokens"),
             (-F.sum("tq").cast("long") / 1e8).alias("entropy_nats"),
         )
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_permille: int = 500,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate line detection (the CCNet/jusText family
+    of web-corpus cleaners): a trimmed nonempty line is boilerplate
+    for its group (site / source) when it appears in at least
+    ``min_permille``/1000 of the group's documents and the group has
+    at least ``min_docs`` documents — nav bars, cookie banners and
+    copyright footers repeat across a site's pages while content lines
+    don't. Emits every distinct (group, line) with its document
+    frequency and the verdict; :func:`boilerplate_strip` applies it.
+
+    Exactness: document frequencies and group sizes are BIGINT; the
+    threshold is the integer cross-multiplication
+    ``doc_freq * 1000 >= min_permille * n_docs`` (never a float
+    compare); ``df_ratio`` is the one reporting-only IEEE divide.
+
+    Plan shape: explode lines -> (group, line, doc) group-dedup with
+    map-side combine -> (group, line) count -> broadcast join of the
+    one-row-per-group doc counts. The exploded relation shuffles once
+    on (group, line, doc) and once on (group, line); the group-count
+    side is metadata-sized.
+    """
+    lines = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("raw"),
+    ).select("grp", "id", F.trim(F.col("raw")).alias("line")).filter(
+        F.col("line") != ""
+    )
+    doc_freq = (
+        lines.groupBy("grp", "line", "id")
+        .agg(F.lit(1))
+        .groupBy("grp", "line")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    )
+    n_docs = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs")
+    )
+    return doc_freq.join(F.broadcast(n_docs), "grp").select(
+        "grp",
+        "line",
+        "doc_freq",
+        "n_docs",
+        (
+            F.col("doc_freq").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("df_ratio"),
+        (
+            (F.col("doc_freq") * 1000 >= F.lit(int(min_permille)) * F.col("n_docs"))
+            & (F.col("n_docs") >= F.lit(int(min_docs)))
+        )
+        .cast("int")
+        .alias("is_boiler"),
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_permille: int = 500,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply :func:`boilerplate_lines`: rebuild each document's text
+    with its group's boilerplate lines removed, preserving original
+    line order byte-identically (the north rule's byte-identical-text
+    discipline applied to cleaning). Documents whose every line is
+    boilerplate drop out of the result (a fully-boilerplate page has
+    no content to keep).
+
+    Determinism: reconstruction sorts the surviving (pos, line) pairs
+    by the explode ordinal, so output bytes are independent of
+    partitioning or join order.
+
+    Plan shape: the detection subplan from :func:`boilerplate_lines`,
+    filtered to flagged lines (small by definition — lines repeating
+    across half a site) and broadcast into a left-anti join against
+    the posexploded corpus; one final (group, doc) aggregate rebuilds
+    the text. At 100 TB the broadcast is per-group-bounded; if a
+    pathological group floods it, the same anti-join runs as a shuffle
+    join by dropping the broadcast hint.
+    """
+    boiler = (
+        boilerplate_lines(
+            df, group_col, id_col, text_col, min_permille, min_docs
+        )
+        .filter(F.col("is_boiler") == 1)
+        .select("grp", "line")
+    )
+    pos_lines = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "raw"),
+    ).withColumn("line", F.trim(F.col("raw")))
+    kept = pos_lines.join(
+        F.broadcast(boiler), ["grp", "line"], "left_anti"
+    )
+    return (
+        kept.groupBy("grp", "id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "raw"))
+                    ),
+                    lambda x: x["raw"],
+                ),
+            ).alias("text_clean")
+        )
+        .select("grp", "id", "text_clean")
     )

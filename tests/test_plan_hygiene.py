@@ -149,6 +149,8 @@ AUDIT_QUERIES = [
     "roaring_container_plan",
     "snapshot_expiry_plan",
     "bucket_coverage",
+    "boilerplate_lines",
+    "boilerplate_strip",
 ]
 
 

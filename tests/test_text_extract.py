@@ -112,3 +112,46 @@ def test_doc_entropy_planted(spark):
     assert got[1].entropy_nats == 0.0           # one token repeated
     assert abs(got[2].entropy_nats - math.log(4)) < 1e-7  # uniform over 4
     assert abs(got[3].entropy_nats - math.log(2)) < 1e-7  # uniform over 2
+
+
+def test_boilerplate_detect_and_strip_byte_identity(spark):
+    """Planted site: shared nav/footer lines on every page around
+    unique content. Detection flags exactly the shared lines (the
+    50%-of-docs integer cross-multiply), and stripping recovers each
+    page's ORIGINAL content bytes — including interior blank lines and
+    leading whitespace on kept lines."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import (
+        boilerplate_lines,
+        boilerplate_strip,
+    )
+
+    content = {
+        1: "unique article one\n\n  indented quote kept as-is",
+        2: "second article body",
+        3: "third article body",
+    }
+    rows = [
+        ("site", i, f"NAV | MENU\n{c}\nCopyright site")
+        for i, c in content.items()
+    ]
+    # a 1-doc group: min_docs=2 must keep ALL its lines
+    rows.append(("solo", 9, "NAV | MENU\nsolo content\nCopyright solo"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "text"])
+    )
+    flags = boilerplate_lines(df).toPandas()
+    site_boiler = set(
+        flags[(flags.grp == "site") & (flags.is_boiler == 1)].line
+    )
+    assert site_boiler == {"NAV | MENU", "Copyright site"}
+    assert (flags[flags.grp == "solo"].is_boiler == 0).all()
+
+    out = {
+        r.id: r.text_clean for r in boilerplate_strip(df).collect()
+    }
+    for i, c in content.items():
+        assert out[i] == c, f"doc {i} bytes not recovered"
+    # solo group untouched
+    assert out[9] == "NAV | MENU\nsolo content\nCopyright solo"
