@@ -7325,6 +7325,157 @@ _BUCKET_COVERAGE_SQL = """
 """
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """Corpus-wide duplicated-paragraph removal (dedup.paragraph_dedup
+    — the CCNet paragraph-hash rule): documents get a planted
+    syndicated footer ("Share this article" after a blank line, built
+    IDENTICALLY in the DuckDB twin); dedup must keep exactly the
+    globally-first site of every repeated paragraph — including any
+    natural cross-doc repeats in the corpus text itself — while blank
+    structural lines survive everywhere byte-identically."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\nShare this article")
+        ).alias("text"),
+    )
+    from spartan2_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(docs, text_col="text", id_col="doc_id")
+
+
+_PARAGRAPH_DEDUP_SQL = """
+    WITH p AS (SELECT doc_id AS id,
+                      text || chr(10) || chr(10) || 'Share this article'
+                        AS text
+               FROM documents),
+    ls AS (SELECT id, string_split(text, chr(10)) AS arr FROM p),
+    l AS (SELECT id, unnest(arr) AS raw,
+                 unnest(generate_series(1, len(arr))) AS pos
+          FROM ls),
+    s AS (SELECT id, pos, raw,
+                 CASE WHEN length(trim(raw)) >= 1 THEN md5(trim(raw)) END
+                   AS h
+          FROM l),
+    f AS (SELECT h, id AS fid, pos AS fpos
+          FROM (SELECT h, id, pos,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY id, pos) AS rn
+                FROM s WHERE h IS NOT NULL)
+          WHERE rn = 1),
+    k AS (SELECT s.id, s.pos, s.raw
+          FROM s LEFT JOIN f ON s.h = f.h
+          WHERE s.h IS NULL OR (s.id = f.fid AND s.pos = f.fpos)),
+    n AS (SELECT id, count(*)::BIGINT AS n_paras FROM s GROUP BY 1)
+    SELECT k.id AS doc_id,
+           string_agg(k.raw, chr(10) ORDER BY k.pos) AS text_clean,
+           min(n.n_paras) AS n_paras,
+           count(*)::BIGINT AS n_kept
+    FROM k JOIN n ON n.id = k.id
+    GROUP BY k.id
+"""
+
+
+def _q_partition_split_plan(spark, sf_dir):
+    """Balanced range-partition boundary plan
+    (partitioning.partition_split_plan): the 7 exact split rows that
+    divide events into 8 equal-count ranges under the (ts, event_id)
+    total order — boundary ranks are 1-based (i*n) DIV 8, boundary
+    timestamps surface as exact epoch-us BIGINT. The pinned-boundary
+    complement of repartitionByRange's reservoir sample."""
+    from spartan2_spark.operators.partitioning import partition_split_plan
+
+    ev = _events(spark, sf_dir).select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("event_id"),
+    )
+    return partition_split_plan(ev, ["ts_us", "event_id"], 8).select(
+        F.col("split_idx").cast("long").alias("split_idx"),
+        "rank",
+        "rows_in_bucket",
+        "ts_us",
+        "event_id",
+    )
+
+
+_PARTITION_SPLIT_SQL = """
+    WITH o AS (SELECT epoch_us(ts) AS ts_us, event_id::BIGINT AS event_id,
+                      row_number() OVER (ORDER BY epoch_us(ts), event_id)
+                        AS rn
+               FROM events),
+    c AS (SELECT count(*)::BIGINT AS n FROM events),
+    r AS (SELECT i::BIGINT AS split_idx, (i * c.n) // 8 AS rank
+          FROM range(1, 8) t(i), c),
+    r2 AS (SELECT split_idx, rank,
+                  rank - coalesce(lag(rank) OVER (ORDER BY split_idx), 0)
+                    AS rows_in_bucket
+           FROM r)
+    SELECT r2.split_idx, r2.rank, r2.rows_in_bucket, o.ts_us, o.event_id
+    FROM r2 JOIN o ON o.rn = r2.rank
+"""
+
+
+def _q_dict_encoding_plan(spark, sf_dir):
+    """Parquet dictionary-encoding decision
+    (compaction.dict_encoding_plan) over two columns with opposite
+    right answers: documents.lang (a handful of distinct values —
+    dictionary must win) and documents.text (near-unique — the dict
+    page would roughly double storage, plain must win); exact BIGINT
+    byte formulas, bin()-length bit widths, integer-compare verdict."""
+    from spartan2_spark.operators.compaction import dict_encoding_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = []
+    for col in ("lang", "text"):
+        out.append(
+            dict_encoding_plan(docs, "source", col).withColumn(
+                "column", F.lit(col)
+            )
+        )
+    both = out[0].unionByName(out[1])
+    return both.withColumn("use_dict", F.col("use_dict").cast("long"))
+
+
+_DICT_ENCODING_SQL = """
+    WITH pv AS (SELECT 'lang' AS col, source AS grp, lang AS v,
+                       count(*)::BIGINT AS cnt
+                FROM documents GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT 'text' AS col, source AS grp, text AS v,
+                       count(*)::BIGINT AS cnt
+                FROM documents GROUP BY 1, 2, 3),
+    g AS (SELECT col, grp,
+                 sum(CASE WHEN v IS NOT NULL THEN cnt ELSE 0 END)::BIGINT
+                   AS n_values,
+                 sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END)::BIGINT
+                   AS n_null,
+                 count(v)::BIGINT AS n_distinct,
+                 sum(CASE WHEN v IS NOT NULL
+                          THEN (strlen(v) + 4) * cnt ELSE 0 END)::BIGINT
+                   AS plain_bytes,
+                 sum(CASE WHEN v IS NOT NULL
+                          THEN strlen(v) + 4 ELSE 0 END)::BIGINT
+                   AS dict_page_bytes
+          FROM pv GROUP BY 1, 2),
+    w AS (SELECT *,
+                 (CASE WHEN n_distinct <= 1 THEN 1
+                       ELSE length(bin(n_distinct - 1)) END)::BIGINT
+                   AS index_bits
+          FROM g),
+    d AS (SELECT *,
+                 dict_page_bytes + (n_values * index_bits + 7) // 8
+                   AS dict_bytes
+          FROM w)
+    SELECT grp, n_values, n_null, n_distinct, plain_bytes, dict_bytes,
+           index_bits,
+           (CASE WHEN dict_bytes < plain_bytes THEN 1 ELSE 0 END)::BIGINT
+             AS use_dict,
+           plain_bytes - dict_bytes AS savings_bytes,
+           col AS "column"
+    FROM d
+"""
+
+
 def _q_late_repair(spark, sf_dir):
     """Out-of-order ingest repair plan: the (tier, url, bucket) work-
     list dirtied by rows that arrived after the seal cut (last 20% of
@@ -8290,6 +8441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_lag": _q_autocorr_lag,
         "spokes_fixedpoint": _q_spokes_fixedpoint,
         "asof_join_quotes": _q_asof_join,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "partition_split_plan": _q_partition_split_plan,
+        "dict_encoding_plan": _q_dict_encoding_plan,
     }
 
 
@@ -8487,6 +8641,9 @@ def oracle_sql() -> dict[str, str]:
         "cumprod_daily": _CUMPROD_SQL,
         "rank_fusion_sum": _RANK_SUM_SQL,
         "holoscope_objective": _HOLOSCOPE_OBJ_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "partition_split_plan": _PARTITION_SPLIT_SQL,
+        "dict_encoding_plan": _DICT_ENCODING_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

@@ -39,6 +39,7 @@ __all__ = [
     "compaction_plan",
     "url_frontcode_plan",
     "roaring_container_plan",
+    "dict_encoding_plan",
 ]
 
 
@@ -343,5 +344,106 @@ def roaring_container_plan(
                 F.col("bytes_best").cast("double")
                 / F.col("n_values").cast("double")
             ).alias("bytes_per_value"),
+        )
+    )
+
+
+def dict_encoding_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "url",
+) -> DataFrame:
+    """Parquet dictionary-encoding decision input — the fourth leg of
+    the per-tier codec audit next to ``url_frontcode_plan`` /
+    ``gorilla.rle_plan`` / ``dod/xor_bitwidth_stats``: per group (row
+    group / partition stand-in), the exact byte cost of storing a
+    string column PLAIN (4-byte length prefix + bytes per value — the
+    Parquet BYTE_ARRAY wire format) vs RLE_DICTIONARY (dictionary page
+    of the distinct values + bit-packed indices at width
+    ``ceil(log2(d))``), and the integer-compare verdict. Writers
+    default dictionary ON and fall back when the dict page overflows;
+    this plan finds the columns where that default is WRONG in either
+    direction (near-unique urls bloating dict pages; low-cardinality
+    langs that must never fall back) before paying a rewrite.
+
+    Exactness: every size is BIGINT arithmetic on ``octet_length``
+    counts. The index bit width is ``length(bin(d - 1))`` — the
+    minimal w with 2^w >= d — string-length of the binary rendering,
+    identical in Spark and DuckDB, never a float ``log2`` whose
+    last-ulp rounding could flip a ceil at a power of two (d = 1
+    reports width 1: one conservative bit, avoiding the engine-trap of
+    width-0 runs). Index bytes round up once per group, not per page:
+    ``(n * w + 7) DIV 8``.
+
+    Plan shape: first aggregate on (group, value) with map-side
+    combine — the heavy strings die at the mappers, the shuffle
+    carries one row per DISTINCT value; the second aggregate's
+    exchange moves only that distinct relation. NULLs store no bytes
+    in either encoding (Parquet definition levels carry them) — they
+    are counted (``n_null``) but excluded from both costs.
+
+    Returns one row per group: (grp, n_values, n_null, n_distinct,
+    plain_bytes, dict_bytes, index_bits, use_dict, savings_bytes).
+    """
+    per_value = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+        )
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        per_value.groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("v").isNotNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_values"),
+            F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.count(F.col("v")).cast("long").alias("n_distinct"),
+            F.sum(
+                F.when(
+                    F.col("v").isNotNull(),
+                    (F.octet_length("v") + F.lit(4)).cast("long")
+                    * F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("plain_bytes"),
+            F.sum(
+                F.when(
+                    F.col("v").isNotNull(),
+                    (F.octet_length("v") + F.lit(4)).cast("long"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dict_page_bytes"),
+        )
+        .withColumn(
+            "index_bits",
+            F.when(F.col("n_distinct") <= 1, F.lit(1)).otherwise(
+                F.length(F.bin(F.col("n_distinct") - 1))
+            ).cast("long"),
+        )
+        .withColumn(
+            "dict_bytes",
+            F.col("dict_page_bytes")
+            + F.expr("(n_values * index_bits + 7) DIV 8"),
+        )
+        .withColumn("use_dict", F.col("dict_bytes") < F.col("plain_bytes"))
+        .withColumn(
+            "savings_bytes", F.col("plain_bytes") - F.col("dict_bytes")
+        )
+        .select(
+            "grp",
+            "n_values",
+            "n_null",
+            "n_distinct",
+            "plain_bytes",
+            "dict_bytes",
+            "index_bits",
+            "use_dict",
+            "savings_bytes",
         )
     )

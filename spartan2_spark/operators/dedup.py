@@ -42,6 +42,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_lsh_pairs",
     "edit_distance_pairs",
+    "paragraph_dedup",
 ]
 
 
@@ -1074,5 +1075,93 @@ def exact_substring_dedup_text(
             F.col("id").alias(id_col),
             F.array_join("__kept", " ").alias("text_clean"),
             (F.size("t") - F.size("__kept")).cast("long").alias("n_removed_tokens"),
+        )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-wide duplicated-PARAGRAPH removal (Wenzek et
+    al. 2020: hash each paragraph, drop repeats across the whole
+    corpus): every paragraph whose trimmed form already appeared at an
+    earlier (doc, position) site is cut; the first occurrence stays.
+    Complements the repo's other text-dedup axes — ``exact_dedup``
+    (whole doc), ``exact_substring_dedup_text`` (token l-grams),
+    ``boilerplate_strip`` (site-frequent lines regardless of order):
+    paragraph granularity is what catches syndicated article bodies
+    and quoted reposts that differ in header/footer.
+
+    Paragraphs shorter than ``min_chars`` after trimming (blank lines,
+    bare punctuation) are structure, not content — always kept, never
+    hashed (the CCNet convention), so formatting survives byte-
+    identically.
+
+    Keep-first discipline matches ``exact_substring_dedup_text``: the
+    global first site per paragraph hash is ``min(struct(id, pos))``
+    in ONE partial-agg groupBy — a boilerplate paragraph occurring
+    10^9 times corpus-wide is a single combine-reduced group, never a
+    window partition. The join back is md5-keyed with a 1-row build
+    side per key, so head-paragraph skew cannot amplify rows.
+
+    Plan: one posexplode -> one (hash) groupBy with map-side combine
+    (the shuffle carries one row per DISTINCT paragraph) -> one
+    md5-keyed join -> one per-doc rebuild aggregate. The rebuild sorts
+    surviving (pos, raw) pairs by the explode ordinal, so output bytes
+    are independent of partitioning (same discipline as
+    ``boilerplate_strip``). Docs reduced to nothing (every paragraph a
+    later duplicate) drop out of the result.
+
+    Returns (id_col, text_clean, n_paras, n_kept) — n_paras counts the
+    doc's original paragraphs, n_kept the survivors.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "raw"),
+    ).withColumn("norm", F.trim(F.col("raw")))
+    scored = lines.withColumn(
+        "h",
+        F.when(F.length("norm") >= min_chars, F.md5(F.col("norm"))),
+    )
+    firsts = (
+        scored.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("__first"))
+    )
+    kept = (
+        scored.join(firsts, "h", "left")
+        .filter(
+            F.col("h").isNull()
+            | (
+                (F.col("id") == F.col("__first.id"))
+                & (F.col("pos") == F.col("__first.pos"))
+            )
+        )
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "raw"))),
+                    lambda x: x["raw"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        .join(
+            lines.groupBy("id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_paras")
+            ),
+            "id",
+        )
+        .select(
+            F.col("id").alias(id_col), "text_clean", "n_paras", "n_kept"
         )
     )

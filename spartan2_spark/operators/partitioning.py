@@ -31,6 +31,7 @@ __all__ = [
     "gini_concentration",
     "allocate_quotas",
     "source_mix_sample",
+    "partition_split_plan",
 ]
 
 
@@ -396,4 +397,60 @@ def source_mix_sample(
         .join(qdf, strata_col)
         .filter(F.col("rank") <= F.col("__quota"))
         .select(strata_col, key_col, "rank")
+    )
+
+
+def partition_split_plan(
+    df: DataFrame,
+    order_cols: list,
+    n_splits: int,
+) -> DataFrame:
+    """Balanced range-partition boundary planning — the data-derived
+    input to Iceberg partition-spec evolution / ``repartitionByRange``
+    tuning: the ``n_splits - 1`` exact split values that divide the
+    relation into equal-count ranges under the caller's TOTAL order
+    (pass a unique tiebreak column last, same contract as
+    ``global_row_numbers``). Split ``i`` is the row at 1-based rank
+    ``(i * n) DIV n_splits`` — the greatest row of bucket ``i`` — so
+    bucket sizes differ by at most 1 and the plan is exact-integer
+    deterministic, never a sampled approximation like
+    ``repartitionByRange``'s own reservoir sketch (this op is how you
+    PIN the boundaries so two independent jobs agree on them).
+
+    Plan shape: one distributed global ranking
+    (:func:`global_row_numbers` — range repartition + per-task local
+    window + broadcast offsets, never a single-partition window) and
+    one broadcast join of the (n_splits - 1)-row rank relation into
+    it. ``rows_in_bucket`` is the rank difference, computed on the
+    boundary relation itself (n_splits rows — driver-scale by
+    definition).
+
+    Returns one row per interior boundary: (split_idx, rank,
+    rows_in_bucket, <order_cols at the boundary row>).
+    """
+    from pyspark.sql import Window as W
+
+    numbered = global_row_numbers(df.select(*order_cols), list(order_cols))
+    n_rel = numbered.groupBy().agg(F.max("rn").alias("__n"))
+    ranks = (
+        n_rel.select(
+            F.posexplode(F.expr(f"sequence(1, {int(n_splits) - 1})")).alias(
+                "__i0", "split_idx"
+            ),
+            "__n",
+        )
+        .select(
+            "split_idx",
+            F.expr(f"split_idx * __n DIV {int(n_splits)}").alias("rank"),
+        )
+    )
+    wb = W.orderBy("split_idx")
+    ranks = ranks.withColumn(
+        "rows_in_bucket",
+        F.col("rank") - F.coalesce(F.lag("rank").over(wb), F.lit(0)),
+    )
+    return (
+        numbered.join(F.broadcast(ranks), numbered["rn"] == ranks["rank"])
+        .select("split_idx", "rank", "rows_in_bucket", *order_cols)
+        .orderBy("split_idx")
     )

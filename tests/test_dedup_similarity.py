@@ -780,3 +780,69 @@ def test_bucket_pairs_verify_kernel_parity():
     assert sd["id_b"] == ["d1", "d2", "d2"]
     for a, b, it in zip(sd["id_a"], sd["id_b"], sd["inter"]):
         assert it == int(np.intersect1d(smap[a], smap[b]).shape[0])
+
+
+def test_paragraph_dedup_keeps_global_first_and_structure(spark):
+    from spartan2_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha\n\nshared para\nomega"),
+            ("b", "shared para\nbeta"),
+            ("c", "  shared para \ngamma"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, "text", "doc_id").collect()
+    }
+    # first site keeps everything byte-identically, incl. the blank line
+    assert out["a"]["text_clean"] == "alpha\n\nshared para\nomega"
+    assert out["a"]["n_paras"] == 4 and out["a"]["n_kept"] == 4
+    # later exact occurrence cut
+    assert out["b"]["text_clean"] == "beta"
+    assert out["b"]["n_paras"] == 2 and out["b"]["n_kept"] == 1
+    # trim-normalized occurrence cut too (whitespace variants hash equal)
+    assert out["c"]["text_clean"] == "gamma"
+    # kept lines elsewhere keep their original bytes
+    docs2 = spark.createDataFrame(
+        [("a", "  padded  \nx"), ("b", "padded\ny")],
+        "doc_id string, text string",
+    )
+    out2 = {
+        r["doc_id"]: r["text_clean"]
+        for r in paragraph_dedup(docs2, "text", "doc_id").collect()
+    }
+    assert out2["a"] == "  padded  \nx"  # first site: raw bytes, not trim
+    assert out2["b"] == "y"
+
+
+def test_paragraph_dedup_partitioning_invariance(spark):
+    from spartan2_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (f"d{i:03d}", f"unique {i}\ncommon footer\n\nbody {i % 3}")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(
+        paragraph_dedup(docs, "text", "doc_id").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        paragraph_dedup(docs.repartition(7), "text", "doc_id").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # the global first doc keeps the footer; everyone else loses it
+    byid = {r["doc_id"]: r for r in a}
+    assert "common footer" in byid["d000"]["text_clean"]
+    assert all(
+        "common footer" not in byid[f"d{i:03d}"]["text_clean"]
+        for i in range(1, 30)
+    )
+    # body {0,1,2} survive only at their first sites d000, d001, d002
+    assert sum(
+        1 for r in a if f"body" in r["text_clean"]
+    ) == 3

@@ -199,3 +199,35 @@ def test_source_mix_sample_deterministic_and_shortfall(spark):
     for r in short:
         per[r.source] = per.get(r.source, 0) + 1
     assert per == {"s0": 20, "s1": 10}
+
+
+def test_partition_split_plan_exact_ranks_and_invariance(spark):
+    from spartan2_spark.operators.partitioning import partition_split_plan
+
+    n, k = 100, 4
+    df = spark.createDataFrame(
+        [(i * 7 % n, i) for i in range(n)], "v long, id long"
+    )
+    plan = partition_split_plan(df, ["v", "id"], k).collect()
+    assert [r["split_idx"] for r in plan] == [1, 2, 3]
+    assert [r["rank"] for r in plan] == [25, 50, 75]
+    assert [r["rows_in_bucket"] for r in plan] == [25, 25, 25]
+    # boundary value = the rank-th smallest under the total order
+    ordered = sorted((i * 7 % n, i) for i in range(n))
+    assert [(r["v"], r["id"]) for r in plan] == [
+        ordered[24], ordered[49], ordered[74]
+    ]
+    # boundaries independent of input partitioning
+    plan2 = partition_split_plan(df.repartition(9), ["v", "id"], k).collect()
+    assert [tuple(r) for r in plan] == [tuple(r) for r in plan2]
+
+
+def test_partition_split_plan_uneven_counts(spark):
+    from spartan2_spark.operators.partitioning import partition_split_plan
+
+    # n=10, k=3: ranks 3, 6 -> buckets 3/3/4 (sizes differ by at most 1)
+    df = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    plan = partition_split_plan(df, ["v"], 3).collect()
+    assert [r["rank"] for r in plan] == [3, 6]
+    assert [r["rows_in_bucket"] for r in plan] == [3, 3]
+    assert [r["v"] for r in plan] == [2, 5]

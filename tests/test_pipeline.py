@@ -251,3 +251,39 @@ def test_compaction_plan_greedy_groups_and_parallelism_invariance(spark):
         part_cols=("tier",), order_cols=("url", "start_s"),
     )
     assert {(r.tier, r.grp) for r in p3.collect()} >= {("1h", 0), ("1m", 0)}
+
+
+def test_dict_encoding_plan_exact_bytes_and_verdicts(spark):
+    from spartan2_spark.operators.compaction import dict_encoding_plan
+
+    rows = (
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", None)]
+        + [("g2", f"value-{i:04d}-{'x' * 20}") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "source string, v string")
+    out = {r["grp"]: r for r in dict_encoding_plan(df, "source", "v").collect()}
+    g1 = out["g1"]
+    # plain: 3 values x (1 byte + 4-byte prefix); dict: 2 distinct x 5
+    # + (3 values x 1 bit + 7) DIV 8 = 1 index byte
+    assert g1["n_values"] == 3 and g1["n_null"] == 1
+    assert g1["n_distinct"] == 2 and g1["index_bits"] == 1
+    assert g1["plain_bytes"] == 15 and g1["dict_bytes"] == 11
+    assert g1["use_dict"] and g1["savings_bytes"] == 4
+    g2 = out["g2"]
+    # all-unique: dict page repeats every byte + pays index bits
+    assert g2["n_distinct"] == g2["n_values"] == 8
+    assert g2["index_bits"] == 3  # ceil(log2(8))
+    assert g2["dict_bytes"] == g2["plain_bytes"] + (8 * 3 + 7) // 8
+    assert not g2["use_dict"]
+
+
+def test_dict_encoding_plan_width_boundaries(spark):
+    from spartan2_spark.operators.compaction import dict_encoding_plan
+
+    # d=1 -> conservative 1 bit; d=4 -> exactly 2 bits; d=5 -> 3 bits
+    for d, want in ((1, 1), (4, 2), (5, 3)):
+        df = spark.createDataFrame(
+            [("g", f"v{i}") for i in range(d)], "source string, v string"
+        )
+        row = dict_encoding_plan(df, "source", "v").collect()[0]
+        assert row["index_bits"] == want, (d, row["index_bits"])
