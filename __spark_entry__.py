@@ -7476,6 +7476,184 @@ _DICT_ENCODING_SQL = """
 """
 
 
+def _q_pow2_quantile(spark, sf_dir):
+    """Long-tail p90 served from a DDSketch-style power-of-two bucket
+    sketch (histogram.pow2_histogram -> histogram.histogram_quantile):
+    <= 64 buckets per key regardless of value range, relative error
+    bounded by the bucket ratio. Bucket index is length(bin(v)) —
+    never a float log2; selection predicate stays in integers."""
+    from spartan2_spark.operators.histogram import (
+        histogram_quantile,
+        pow2_histogram,
+    )
+
+    v = F.round(F.col("value") * 100).cast("long")
+    pts = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"), v.alias("v")
+    )
+    return histogram_quantile(pow2_histogram(pts), q_num=9, q_den=10)
+
+
+_POW2_QUANTILE_SQL = """
+    WITH p AS (SELECT event_type AS key,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    h AS (SELECT key,
+                 CASE WHEN v = 0 THEN 0
+                      ELSE length(bin(v))::INT END AS b,
+                 count(*)::BIGINT AS cnt
+          FROM p WHERE v >= 0 GROUP BY 1, 2),
+    e AS (SELECT key,
+                 CASE WHEN b = 0 THEN 0
+                      ELSE (1::BIGINT << (b - 1)) END AS lo,
+                 CASE WHEN b = 0 THEN 0
+                      ELSE (1::BIGINT << b) - 1 END AS hi,
+                 cnt
+          FROM h),
+    c AS (SELECT key, lo, hi, cnt,
+                 sum(cnt) OVER (PARTITION BY key ORDER BY lo
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(cnt) OVER (PARTITION BY key) AS total
+          FROM e),
+    hit AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY lo)
+              AS rn
+            FROM c WHERE 10 * cum >= 9 * total AND total > 0)
+    SELECT key, CAST(total AS BIGINT) AS total,
+           lo AS bucket_lo, hi AS bucket_hi,
+           lo + (hi - lo) * (CAST(9 * total - 10 * (cum - cnt) AS DOUBLE)
+                             / CAST(10 * cnt AS DOUBLE)) AS quantile
+    FROM hit WHERE rn = 1
+"""
+
+
+def _q_url_versions(spark, sf_dir):
+    """SCD2 page-version validity intervals
+    (rollup.url_version_intervals): events model crawl snapshots —
+    version text derives deterministically from the value channel
+    (centi-value DIV 500, built IDENTICALLY in the twin) so a url's
+    timeline has real A->B->A recurrences; run semantics must emit one
+    interval per consecutive run, half-open bounds in exact epoch-us,
+    NULL valid_to on the live version."""
+    from spartan2_spark.operators.rollup import url_version_intervals
+
+    pages = _events(spark, sf_dir).select(
+        F.col("event_type").alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.concat(
+            F.lit("v"),
+            F.expr("CAST(CAST(round(value * 100) AS BIGINT) DIV 500 AS STRING)"),
+        ).alias("text"),
+    )
+    return url_version_intervals(pages)
+
+
+_URL_VERSIONS_SQL = """
+    WITH p AS (SELECT event_type AS url, epoch_us(ts) AS t_us,
+                      md5('v' || CAST(CAST(round(value * 100) AS BIGINT)
+                                      // 500 AS VARCHAR)) AS ver
+               FROM events),
+    c AS (SELECT url, t_us, ver,
+                 CASE WHEN lag(ver) OVER (PARTITION BY url ORDER BY t_us)
+                        IS NOT DISTINCT FROM ver
+                      THEN 0 ELSE 1 END AS chg
+          FROM p),
+    r AS (SELECT url, t_us, ver,
+                 sum(chg) OVER (PARTITION BY url ORDER BY t_us
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM c),
+    g AS (SELECT url, run, min_by(ver, t_us) AS version_md5,
+                 min(t_us) AS valid_from_us,
+                 count(*)::BIGINT AS n_snapshots
+          FROM r GROUP BY 1, 2)
+    SELECT url, version_md5, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY url ORDER BY run)
+             AS valid_to_us,
+           n_snapshots
+    FROM g
+"""
+
+
+def _q_neighbor_jaccard(spark, sf_dir):
+    """Neighbor-set Jaccard node similarity (graph.neighbor_jaccard)
+    on the sampled co-part supplier graph: top-100 co-neighbor pairs
+    by exact-integer common/union counts + one IEEE divide, total
+    order (jaccard DESC, u, v) so the cut is engine-deterministic."""
+    from spartan2_spark.operators.graph import neighbor_jaccard
+
+    return neighbor_jaccard(_sampled_copart_edges(spark, sf_dir), top_k=100)
+
+
+_NEIGHBOR_JACCARD_SQL = f"""
+    WITH {_COPART_E_CTE},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS n, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+    pr AS (SELECT a.v AS u, b.v AS v, count(*)::BIGINT AS n_common
+           FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+           GROUP BY 1, 2),
+    sc AS (SELECT pr.u, pr.v, pr.n_common,
+                  du.d + dv.d - pr.n_common AS n_union,
+                  CAST(pr.n_common AS DOUBLE)
+                    / CAST(du.d + dv.d - pr.n_common AS DOUBLE) AS jaccard
+           FROM pr JOIN deg du ON du.n = pr.u
+                   JOIN deg dv ON dv.n = pr.v)
+    SELECT * FROM sc ORDER BY jaccard DESC, u, v LIMIT 100
+"""
+
+
+def _q_outlink_graph(spark, sf_dir):
+    """Outlink domain graph (text.outlink_domain_graph): documents get
+    deterministic planted markup — one cross-domain link fanned by
+    doc_id % 7, one relative link (must drop), one same-domain
+    absolute link (self-loop, must stay) — built IDENTICALLY in the
+    DuckDB twin; host extraction is the same single RE2-portable
+    regexp on both engines, never parse_url."""
+    from spartan2_spark.operators.text import outlink_domain_graph
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/doc/"), did
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body>"),
+            F.col("text"),
+            F.lit('<a href="https://site'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('.example/p">x</a><a href="/relative/path">y</a>'),
+            F.lit('<a href="https://'),
+            F.col("source"),
+            F.lit('.example/other">z</a></body></html>'),
+        ).alias("html"),
+    )
+    return outlink_domain_graph(pages)
+
+
+_OUTLINK_GRAPH_SQL = """
+    WITH p AS (SELECT 'https://' || source || '.example/doc/'
+                        || CAST(doc_id AS VARCHAR) AS url,
+                      '<html><body>' || text
+                        || '<a href="https://site'
+                        || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example/p">x</a><a href="/relative/path">y</a>'
+                        || '<a href="https://' || source
+                        || '.example/other">z</a></body></html>' AS html
+               FROM documents),
+    h AS (SELECT regexp_extract(url, '^https?://([^/?#]+)', 1)
+                   AS src_domain,
+                 unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+                   AS href
+          FROM p),
+    e AS (SELECT src_domain,
+                 regexp_extract(href, '^https?://([^/?#]+)', 1)
+                   AS dst_domain
+          FROM h)
+    SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links
+    FROM e WHERE src_domain != '' AND dst_domain != ''
+    GROUP BY 1, 2
+"""
+
+
 def _q_late_repair(spark, sf_dir):
     """Out-of-order ingest repair plan: the (tier, url, bucket) work-
     list dirtied by rows that arrived after the seal cut (last 20% of
@@ -8444,6 +8622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "partition_split_plan": _q_partition_split_plan,
         "dict_encoding_plan": _q_dict_encoding_plan,
+        "pow2_hist_quantile": _q_pow2_quantile,
+        "url_version_intervals": _q_url_versions,
+        "neighbor_jaccard": _q_neighbor_jaccard,
+        "outlink_domain_graph": _q_outlink_graph,
     }
 
 
@@ -8644,6 +8826,10 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "partition_split_plan": _PARTITION_SPLIT_SQL,
         "dict_encoding_plan": _DICT_ENCODING_SQL,
+        "pow2_hist_quantile": _POW2_QUANTILE_SQL,
+        "url_version_intervals": _URL_VERSIONS_SQL,
+        "neighbor_jaccard": _NEIGHBOR_JACCARD_SQL,
+        "outlink_domain_graph": _OUTLINK_GRAPH_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "burn_rate_alerts",
     "url_frontcode_plan",
     "recrawl_plan",
+    # round-4 wrap 4: corpus-wide paragraph dedup, pow2-sketch quantile
+    # serving, page-version timeline (all lazily constructed)
+    "paragraph_dedup",
+    "pow2_hist_quantile",
+    "url_version_intervals",
 ]
 
 

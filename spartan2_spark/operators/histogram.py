@@ -47,6 +47,7 @@ __all__ = [
     "gof_accept_tree",
     "JB_CHI2_4DOF_5PCT",
     "histogram_quantile",
+    "pow2_histogram",
 ]
 
 # chi-square critical value, 4 dof at alpha=0.05 — the acceptance bar
@@ -1116,4 +1117,69 @@ def histogram_quantile(
             F.col(lo_col)
             + (F.col(hi_col) - F.col(lo_col)) * frac
         ).alias("quantile"),
+    )
+
+
+def pow2_histogram(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "v",
+) -> DataFrame:
+    """DDSketch/HdrHistogram-style power-of-two bucket histogram over
+    NON-NEGATIVE integer values (latency micros, byte sizes — quantize
+    upstream with ``rollup.bin_col``): bucket ``b`` holds values in
+    ``[2^(b-1), 2^b - 1]`` (``b = 0`` holds exactly 0), so per-key
+    state is <= 64 buckets REGARDLESS of value range and a served
+    quantile's relative error is bounded by the bucket ratio (gamma=2;
+    long-tail p99s come out within 2x, which is what capacity alarms
+    need — the fixed-bin ``hist1d`` can't bound relative error on a
+    heavy tail without data-dependent bounds).
+
+    Feed the result straight into :func:`histogram_quantile` — the
+    output schema is its input contract (key, lo, hi, cnt).
+
+    Exactness: the bucket index is ``length(bin(v))`` — string length
+    of the minimal binary rendering, identical in Spark and DuckDB
+    (same discipline as ``compaction.dict_encoding_plan``); bounds are
+    integer shifts. Never a float ``log2`` whose last-ulp rounding
+    could flip a power-of-two boundary value into the wrong bucket.
+
+    Plan shape: one hash aggregate on (key, bucket) with map-side
+    combine — the shuffle carries <= 64 rows per key. Negative values
+    are a contract violation and raise via an ANSI-checked filter
+    count upstream of the caller; here they are excluded explicitly so
+    the sketch stays well-defined.
+    """
+    b = F.when(F.col("__v") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("__v")))
+    )
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("long").alias("__v"),
+        )
+        .filter(F.col("__v") >= 0)
+        .withColumn("bucket", b.cast("int"))
+        .groupBy("key", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "key",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1L, bucket - 1)"))
+            .cast("long")
+            .alias("lo"),
+            # hi = 2^b - 1 computed as lo + (lo - 1): shiftleft(1L, 64)
+            # would wrap and 2^63 - 1 via shiftleft(1L, 63) - 1 trips
+            # ANSI overflow at bucket 63 (the top long bucket).
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "shiftleft(1L, bucket - 1) + (shiftleft(1L, bucket - 1)"
+                    " - 1L)"
+                )
+            )
+            .cast("long")
+            .alias("hi"),
+            "cnt",
+        )
     )

@@ -60,6 +60,7 @@ __all__ = [
     "tier_serving_plan",
     "tier_mode",
     "bucket_coverage",
+    "url_version_intervals",
 ]
 
 # tier name -> date_trunc unit
@@ -783,4 +784,74 @@ def bucket_coverage(state: DataFrame, width_s: int) -> DataFrame:
                 / (F.col("span_buckets") + 1).cast("double")
             ).alias("coverage"),
         )
+    )
+
+
+def url_version_intervals(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCD2 page-version history from crawl snapshots: per url, the
+    validity interval of each CONSECUTIVE run of byte-identical text —
+    "what did this page say between May 3 and May 19" as a relation,
+    the point-in-time complement of :func:`url_churn`'s distinct-
+    version count (churn says HOW OFTEN a page changes; this says WHEN
+    and TO WHAT). Serve point-in-time lookups by as-of joining a probe
+    timestamp into (valid_from_us, valid_to_us].
+
+    A version that recurs after an intervening change (A -> B -> A)
+    yields two intervals — run semantics, not distinct semantics: the
+    timeline is what the crawler actually observed.
+
+    Exactness: version identity is md5 of the raw text bytes (the
+    north rule's byte-identical-text discipline — no normalization),
+    interval bounds are exact epoch-us BIGINT; ``valid_to_us`` is the
+    NEXT run's first snapshot (half-open interval) and NULL for the
+    live current version.
+
+    Plan shape: two url-keyed window passes (change flag via lag, run
+    id via running sum) + one (url, run) aggregate + one lead window —
+    all reusing the same hash(url) partitioning, so the operator adds
+    ONE shuffle; per-url snapshot counts are retention-bounded.
+    """
+    w = W.partitionBy(url_col).orderBy(ts_col)
+    runs = (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t_us"),
+            F.md5(F.col(text_col)).alias("ver"),
+        )
+        .withColumn(
+            "__chg",
+            F.when(
+                F.lag("ver").over(
+                    W.partitionBy("url").orderBy("t_us")
+                ).eqNullSafe(F.col("ver")),
+                0,
+            ).otherwise(1),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__chg").over(
+                W.partitionBy("url")
+                .orderBy("t_us")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("url", "__run")
+        .agg(
+            F.min_by("ver", "t_us").alias("version_md5"),
+            F.min("t_us").alias("valid_from_us"),
+            F.count(F.lit(1)).cast("long").alias("n_snapshots"),
+        )
+    )
+    wl = W.partitionBy("url").orderBy("__run")
+    return runs.select(
+        "url",
+        "version_md5",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wl).alias("valid_to_us"),
+        "n_snapshots",
     )

@@ -32,6 +32,7 @@ __all__ = [
     "doc_entropy",
     "boilerplate_lines",
     "boilerplate_strip",
+    "outlink_domain_graph",
 ]
 
 # tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -840,4 +841,45 @@ def boilerplate_strip(
             ).alias("text_clean")
         )
         .select("grp", "id", "text_clean")
+    )
+
+
+def outlink_domain_graph(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Outlink extraction + domain-graph aggregation — the bridge from
+    the webtext tables to the graph operator family (pagerank / CC /
+    neighbor similarity over the crawl's domain graph): pull every
+    absolute ``href`` out of the page markup, reduce both endpoints to
+    their hosts, and return (src_domain, dst_domain, n_links) edges
+    with multiplicities. Relative links (no scheme/host) carry no
+    cross-domain signal and are dropped.
+
+    Host extraction uses ONE regexp — ``^https?://([^/?#]+)`` — on
+    both the page url and each href, rather than ``parse_url``, so an
+    oracle twin reproduces it exactly (RE2-portable pattern:
+    alternation/classes only, no backrefs or lookaround).
+
+    Plan shape: JVM ``regexp_extract_all`` per page (one pass over the
+    markup, no per-row Python), one explode bounded by the page's
+    actual link count, one (src, dst) hash aggregate with map-side
+    combine — link multiplicities collapse at the mappers, the shuffle
+    carries one row per distinct edge. Self-loops (site-internal
+    absolute links) are kept: they are real crawl-frontier signal;
+    filter downstream if a simple graph is needed.
+    """
+    host = lambda c: F.regexp_extract(c, r"^https?://([^/?#]+)", 1)
+    hrefs = df.select(
+        host(F.col(url_col)).alias("src_domain"),
+        F.explode(
+            F.expr(f'regexp_extract_all({html_col}, \'href="([^"]+)"\', 1)')
+        ).alias("href"),
+    )
+    return (
+        hrefs.select("src_domain", host(F.col("href")).alias("dst_domain"))
+        .filter((F.col("src_domain") != "") & (F.col("dst_domain") != ""))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )

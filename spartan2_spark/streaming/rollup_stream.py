@@ -42,6 +42,7 @@ __all__ = [
     "stream_zero_out",
     "stream_zero_out_cfd",
     "run_stream_to_memory",
+    "stream_version_intervals",
 ]
 
 
@@ -571,5 +572,84 @@ def stream_gauge_delta(stream: DataFrame, key_col: str = "key") -> DataFrame:
         outputStructType=_GD_OUT,
         stateStructType=_GD_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_VI_STATE = T.StructType(
+    [
+        T.StructField("cur_ver", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("n_snapshots", T.LongType()),
+    ]
+)
+_VI_OUT = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("version_md5", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+        T.StructField("n_snapshots", T.LongType()),
+    ]
+)
+
+
+def _version_intervals_fn(key, pdfs, state: GroupState):
+    cur_ver, valid_from, n_snaps = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    url = str(key[0])
+    out = {k: [] for k in ("version_md5", "valid_from_us", "valid_to_us", "n_snapshots")}
+    chunks = [c for c in pdfs if len(c)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values("ts", kind="mergesort")
+        ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        for t, ver in zip(ts_us, pdf["ver"].to_numpy()):
+            t, ver = int(t), str(ver)
+            if cur_ver is None:
+                cur_ver, valid_from, n_snaps = ver, t, 1
+            elif ver == cur_ver:
+                n_snaps += 1
+            else:
+                out["version_md5"].append(cur_ver)
+                out["valid_from_us"].append(valid_from)
+                out["valid_to_us"].append(t)
+                out["n_snapshots"].append(n_snaps)
+                cur_ver, valid_from, n_snaps = ver, t, 1
+    state.update((cur_ver, valid_from, n_snaps))
+    yield pd.DataFrame(
+        {
+            "url": [url] * len(out["version_md5"]),
+            "version_md5": out["version_md5"],
+            "valid_from_us": out["valid_from_us"],
+            "valid_to_us": out["valid_to_us"],
+            "n_snapshots": out["n_snapshots"],
+        }
+    )
+
+
+def stream_version_intervals(
+    stream: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Streaming twin of ``operators.rollup.url_version_intervals``:
+    the SCD2 page-version state machine carried across micro-batches
+    via ``applyInPandasWithState`` (append mode). State per url is
+    three scalars — the OPEN run only, bounded regardless of stream
+    length; a version change EMITS the closed interval (half-open at
+    the new version's first snapshot, exactly the batch rule), so the
+    emitted set equals the batch operator's valid_to-not-null rows on
+    the same in-order data (parity pytest incl. an A->B->A
+    recurrence). The live run never emits — it is the state, exactly
+    the batch NULL-valid_to row. Requires columns (url, ts,
+    ver:string) — hash the text to ``ver`` upstream with ``md5``."""
+    return stream.groupBy(url_col).applyInPandasWithState(
+        _version_intervals_fn,
+        outputStructType=_VI_OUT,
+        stateStructType=_VI_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -394,3 +394,23 @@ def test_adamic_adar_tolerates_degree_one_nodes(spark):
     out = adamic_adar(edges, top_k=10).collect()
     pairs = {(r.u, r.v) for r in out}
     assert (1, 9) in pairs and (2, 9) in pairs
+
+
+def test_neighbor_jaccard_hand_graph(spark):
+    from spartan2_spark.operators.graph import neighbor_jaccard
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    rows = neighbor_jaccard(edges, top_k=10).collect()
+    got = [(r["u"], r["v"], r["n_common"], r["n_union"]) for r in rows]
+    # N1={2,3} N2={1,3} N3={1,2,4} N4={3}; total order (jac desc, u, v)
+    assert got == [
+        (1, 4, 1, 2),   # 0.5
+        (2, 4, 1, 2),   # 0.5
+        (1, 2, 1, 3),   # 1/3
+        (1, 3, 1, 4),   # 0.25
+        (2, 3, 1, 4),   # 0.25
+    ]
+    assert abs(rows[0]["jaccard"] - 0.5) == 0
+    assert rows[2]["jaccard"] == 1 / 3

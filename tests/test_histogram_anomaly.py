@@ -595,3 +595,40 @@ def test_heavy_change_topk_planted_shift(spark):
     out = heavy_change_topk(df, k=2).collect()
     assert [r.key for r in out] == ["grow", "shrink"]
     assert out[0].delta == 8 and out[1].delta == -8
+
+
+def test_pow2_histogram_bucket_bounds_and_counts(spark):
+    from spartan2_spark.operators.histogram import (
+        histogram_quantile,
+        pow2_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("k", v) for v in [0, 1, 1, 2, 3, 4, 7, 8]] + [("k", -5)],
+        "key string, v long",
+    )
+    hist = {
+        (r["lo"], r["hi"]): r["cnt"]
+        for r in pow2_histogram(df, "key", "v").collect()
+    }
+    # power-of-two bucket bounds; negatives excluded by contract
+    assert hist == {(0, 0): 1, (1, 1): 2, (2, 3): 2, (4, 7): 2, (8, 15): 1}
+    # composes with histogram_quantile: p50 of 8 values lands in [2,3]
+    q = histogram_quantile(
+        pow2_histogram(df, "key", "v"), q_num=1, q_den=2
+    ).collect()[0]
+    assert (q["bucket_lo"], q["bucket_hi"]) == (2, 3)
+    assert q["total"] == 8
+
+
+def test_pow2_histogram_boundary_values_exact(spark):
+    from spartan2_spark.operators.histogram import pow2_histogram
+
+    # powers of two sit at bucket LOWER bounds — the float-log2 trap
+    df = spark.createDataFrame(
+        [("k", 2**i) for i in range(0, 63)], "key string, v long"
+    )
+    rows = pow2_histogram(df, "key", "v").collect()
+    assert sorted(r["lo"] for r in rows) == [2**i for i in range(0, 63)]
+    assert all(r["hi"] == 2 * r["lo"] - 1 for r in rows)
+    assert all(r["cnt"] == 1 for r in rows)

@@ -401,3 +401,34 @@ def test_tier_mode_tie_breaks_to_smallest_bin(spark):
     assert out[0].cnt_total == 5
     assert out[1].mode_bin == 7 and out[1].mode_cnt == 3
     assert out[1].mode_value == 7.0
+
+
+def test_url_version_intervals_run_semantics(spark):
+    from spartan2_spark.operators.rollup import url_version_intervals
+    import hashlib
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 00:00:00", "A"),
+            ("u1", "2024-01-02 00:00:00", "A"),
+            ("u1", "2024-01-03 00:00:00", "B"),
+            ("u1", "2024-01-04 00:00:00", "A"),
+            ("u2", "2024-01-01 00:00:00", "X"),
+        ],
+        "url string, warc_ts string, text string",
+    )
+    out = sorted(
+        url_version_intervals(pages).collect(),
+        key=lambda r: (r["url"], r["valid_from_us"]),
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    u1 = [r for r in out if r["url"] == "u1"]
+    # A->B->A recurrence: three intervals, run semantics
+    assert [r["version_md5"] for r in u1] == [md5("A"), md5("B"), md5("A")]
+    assert [r["n_snapshots"] for r in u1] == [2, 1, 1]
+    # half-open: each valid_to is the NEXT run's valid_from; last is live
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert u1[2]["valid_to_us"] is None
+    u2 = [r for r in out if r["url"] == "u2"]
+    assert len(u2) == 1 and u2[0]["valid_to_us"] is None

@@ -574,3 +574,54 @@ def test_stream_gauge_delta_matches_batch(spark, tmp_path):
     assert batch.loc["g1", "idelta"] == -10
     assert batch.loc["g1", "n_changes"] == 3
     assert batch.loc["g2", "n_changes"] == 2
+
+
+def test_stream_version_intervals_matches_batch(spark, tmp_path):
+    """The streaming SCD2 state machine must emit exactly the batch
+    operator's CLOSED intervals — incl. an A->B->A recurrence; the
+    live run stays in state (the batch NULL-valid_to row)."""
+    from spartan2_spark.operators.rollup import url_version_intervals
+    from spartan2_spark.streaming.rollup_stream import (
+        stream_version_intervals,
+    )
+
+    vals = {"u1": ["A", "A", "B", "A"], "u2": ["X", "Y"], "u3": ["Z"]}
+    rows = []
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((k, pd.Timestamp(f"2024-01-01 00:00:{i:02d}"), v))
+    pdf = pd.DataFrame(rows, columns=["url", "ts", "text"])
+    d = str(tmp_path / "vi_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(d)
+
+    batch = (
+        url_version_intervals(
+            spark.read.parquet(d), ts_col="ts", text_col="text"
+        )
+        .filter("valid_to_us IS NOT NULL")
+        .toPandas()
+        .sort_values(["url", "valid_from_us"], ignore_index=True)
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = IO.load_tensor_stream(spark, d, schema, fmt="parquet").select(
+        "url", "ts", F.md5("text").alias("ver")
+    )
+    run_stream_to_memory(
+        stream_version_intervals(stream, "url"), "vi_out", "append"
+    )
+    got = (
+        spark.sql("select * from vi_out")
+        .toPandas()
+        .sort_values(["url", "valid_from_us"], ignore_index=True)
+    )
+    assert len(got) == len(batch) == 3  # u1: A->B, B->A; u2: X->Y
+    for col in ("url", "version_md5", "valid_from_us", "valid_to_us",
+                "n_snapshots"):
+        assert list(got[col]) == list(batch[col]), col

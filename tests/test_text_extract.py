@@ -155,3 +155,31 @@ def test_boilerplate_detect_and_strip_byte_identity(spark):
         assert out[i] == c, f"doc {i} bytes not recovered"
     # solo group untouched
     assert out[9] == "NAV | MENU\nsolo content\nCopyright solo"
+
+
+def test_outlink_domain_graph_hand_pages(spark):
+    from spartan2_spark.operators.text import outlink_domain_graph
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/p1",
+                '<a href="https://b.example/x">1</a>'
+                '<a href="https://b.example/y?q=2#frag">2</a>'
+                '<a href="/relative">3</a>'
+                '<a href="https://a.example/self">4</a>',
+            ),
+            ("https://b.example/p2", '<a href="http://c.example">5</a>'),
+            ("https://c.example/p3", "no links here"),
+        ],
+        "url string, html string",
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["n_links"]
+        for r in outlink_domain_graph(pages).collect()
+    }
+    assert got == {
+        ("a.example", "b.example"): 2,  # multiplicity collapses map-side
+        ("a.example", "a.example"): 1,  # self-loop kept
+        ("b.example", "c.example"): 1,  # http scheme matches too
+    }
