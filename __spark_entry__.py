@@ -8406,6 +8406,107 @@ _TIER_FRESHNESS_SQL = """
 """
 
 
+def _q_hysteresis(spark, sf_dir):
+    """Flap-suppressed alert firing intervals (timeseries.
+    hysteresis_intervals, Schmitt-trigger semantics): per event class
+    the half-open [on, off) epoch-us intervals where the centi-value
+    held above the hi=70.00 trigger without falling to the lo=35.00
+    release — the (lo, hi) dead band never retriggers. Thresholds
+    bracket the sf0.01 value quartiles so every key both fires and
+    flaps; pure integer comparisons, dead-band samples dropped before
+    the single shuffle."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return TS.hysteresis_intervals(ev, hi=7000, lo=3500)
+
+
+_HYSTERESIS_SQL = """
+    WITH p AS (SELECT event_type AS key, epoch_us(ts) AS t_us,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    x AS (SELECT key, t_us, v,
+                 CASE WHEN v >= 7000 THEN 1 ELSE 0 END AS state
+          FROM p WHERE v >= 7000 OR v <= 3500),
+    l AS (SELECT key, t_us, v, state,
+                 lag(state) OVER (PARTITION BY key ORDER BY t_us, v)
+                   AS prev
+          FROM x),
+    ch AS (SELECT key, t_us, v, state FROM l
+           WHERE (prev IS NULL AND state = 1)
+              OR (prev IS NOT NULL AND state != prev)),
+    o AS (SELECT key, t_us, state,
+                 lead(t_us) OVER (PARTITION BY key ORDER BY t_us, v)
+                   AS t_next
+          FROM ch)
+    SELECT key, t_us AS fired_from_us, t_next AS fired_to_us
+    FROM o WHERE state = 1
+"""
+
+
+def _q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift per event class
+    (timeseries.ks_drift): reference = first half of the span, current
+    = second half (integer-us midpoint split, the heavy_change_topk
+    discipline); D carried as the exact fraction d_num/(n0*n1), float
+    only in the one mirrored closing divide; the c(0.05) verdict is a
+    squared cross-multiply in DECIMAL(38,0) (HUGEINT in the twin) —
+    the bin-free complement of psi_drift."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        _usec("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    b = ev.agg(
+        F.min("t_us").alias("mn"), F.max("t_us").alias("mx")
+    ).select(F.expr("(mn + mx) div 2").alias("mid"))
+    tagged = ev.crossJoin(F.broadcast(b)).select(
+        "key",
+        "v",
+        (F.col("t_us") >= F.col("mid")).cast("int").alias("sample"),
+    )
+    return TS.ks_drift(tagged)
+
+
+_KS_DRIFT_SQL = """
+    WITH p AS (SELECT event_type AS key, epoch_us(ts) AS t_us,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    b AS (SELECT (min(t_us) + max(t_us)) // 2 AS mid FROM p),
+    x AS (SELECT key, v,
+                 CASE WHEN t_us >= mid THEN 1 ELSE 0 END AS s
+          FROM p, b),
+    c AS (SELECT key,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key ORDER BY v
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS c0,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key ORDER BY v
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS c1,
+                 sum(CASE WHEN s = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key) AS n0,
+                 sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY key) AS n1
+          FROM x),
+    a AS (SELECT key, CAST(max(n0) AS BIGINT) AS n_ref,
+                 CAST(max(n1) AS BIGINT) AS n_cur,
+                 CAST(max(abs(c0 * n1 - c1 * n0)) AS BIGINT) AS d_num
+          FROM c GROUP BY key)
+    SELECT key, n_ref, n_cur, d_num,
+           CAST(n_ref * n_cur AS BIGINT) AS d_den,
+           CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS ks,
+           CAST(CAST(d_num AS HUGEINT) * CAST(d_num AS HUGEINT)
+                  * 10000000
+                > CAST(18444397 AS HUGEINT) * (n_ref + n_cur)
+                  * n_ref * n_cur AS INT) AS drift
+    FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -8626,6 +8727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_version_intervals": _q_url_versions,
         "neighbor_jaccard": _q_neighbor_jaccard,
         "outlink_domain_graph": _q_outlink_graph,
+        "hysteresis_intervals": _q_hysteresis,
+        "ks_drift": _q_ks_drift,
     }
 
 
@@ -8830,6 +8933,8 @@ def oracle_sql() -> dict[str, str]:
         "url_version_intervals": _URL_VERSIONS_SQL,
         "neighbor_jaccard": _NEIGHBOR_JACCARD_SQL,
         "outlink_domain_graph": _OUTLINK_GRAPH_SQL,
+        "hysteresis_intervals": _HYSTERESIS_SQL,
+        "ks_drift": _KS_DRIFT_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

@@ -72,6 +72,8 @@ __all__ = [
     "predict_linear",
     "matrix_profile_discords",
     "matrix_profile_motifs",
+    "hysteresis_intervals",
+    "ks_drift",
 ]
 
 
@@ -1786,4 +1788,160 @@ def burn_rate_alerts(
         "err_l",
         "tot_l",
         (burn_s & burn_l).cast("int").alias("alert"),
+    )
+
+
+def hysteresis_intervals(
+    df: DataFrame,
+    hi: int,
+    lo: int,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Alert FIRING intervals with hysteresis (Schmitt-trigger
+    semantics): the alert turns ON when the value reaches ``hi``,
+    turns OFF only when it falls to ``lo``, and HOLDS its state inside
+    the (lo, hi) dead band — the flap suppressor every alerting
+    pipeline needs (a plain ``v > thr`` rule fires once per sample
+    while a noisy series oscillates around the threshold). Initial
+    state is OFF, so leading below-``hi`` history never fires.
+    Output is one row per firing interval: ``(key, fired_from_us,
+    fired_to_us)`` with half-open exact epoch-microsecond bounds and
+    ``NULL fired_to_us`` on a still-firing interval (the same
+    open-interval convention as ``rollup.url_version_intervals``).
+
+    Exactness: pure integer comparisons on the caller's quantized
+    value column + epoch-us timestamps — no floats anywhere. The scan
+    order is the total order ``(t_us, v)`` so equal-timestamp samples
+    resolve identically in Spark and the DuckDB twin (equal (t_us, v)
+    duplicates carry equal state, so they cannot flip a transition).
+
+    Plan shape: samples inside the dead band are dropped BEFORE the
+    shuffle (a filter on the scan — at web scale the overwhelming
+    majority of points never cross a threshold); then one lag window
+    to keep state CHANGES only, one lead window to close each ON run,
+    both partitioned on ``hash(key)`` — the second window and the
+    final filter reuse the first's exchange, so the operator adds ONE
+    shuffle.
+    """
+    wk = W.partitionBy("key").orderBy("t_us", "v")
+    crossings = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(time_col).cast("timestamp")).alias("t_us"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .filter((F.col("v") >= int(hi)) | (F.col("v") <= int(lo)))
+        .select(
+            "key",
+            "t_us",
+            "v",
+            (F.col("v") >= int(hi)).cast("int").alias("state"),
+        )
+    )
+    changes = (
+        crossings.select(
+            "key", "t_us", "v", "state",
+            F.lag("state").over(wk).alias("prev"),
+        )
+        # a crossing survives iff it flips the held state; the very
+        # first crossing only survives when it is ON (initial = OFF),
+        .filter(
+            (F.col("prev").isNull() & (F.col("state") == 1))
+            | (F.col("prev").isNotNull() & (F.col("state") != F.col("prev")))
+        )
+    )
+    return (
+        changes.select(
+            "key", "t_us", "state",
+            F.lead("t_us").over(wk).alias("t_next"),
+        )
+        .filter(F.col("state") == 1)
+        .select(
+            "key",
+            F.col("t_us").alias("fired_from_us"),
+            F.col("t_next").alias("fired_to_us"),
+        )
+    )
+
+
+def ks_drift(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "v",
+    sample_col: str = "sample",
+    c2_num: int = 18_444_397,
+    c2_den: int = 10_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic per key, EXACT:
+    ``sample`` 0 is the reference window, 1 the current window; the KS
+    statistic is ``D = max_x |F0(x) - F1(x)|``. The max is carried as
+    the exact integer fraction ``d_num / (n0*n1)`` (``d_num =
+    max |c0*n1 - c1*n0]`` over the merged sorted values) — float
+    enters ONLY in the single closing IEEE divide, mirrored
+    expression-for-expression in the DuckDB twin. The drift verdict
+    ``D > c(alpha) * sqrt((n0+n1)/(n0*n1))`` is decided by squaring
+    and cross-multiplying in DECIMAL(38,0) (DuckDB widens to HUGEINT
+    identically): ``d_num^2 * c2_den > c2_num * (n0+n1) * n0 * n1``,
+    with ``c2_num/c2_den`` = c(0.05)^2 = -ln(0.025)/2 by default — no
+    sqrt, no ln, no float compare. Exact while n0*n1 < ~3e15
+    (d_num^2 * c2_den within DECIMAL(38,0)); per-key windows at any
+    real cadence sit far under that.
+
+    The distributional complement of ``anomaly.psi_drift`` (binned
+    Jensen-style score) and ``anomaly.heavy_change_topk`` (per-key
+    count movement): KS is bin-free, so it catches shape drift that a
+    coarse binning smears away.
+
+    Plan shape: one RANGE-frame window pair (running CDF counts with
+    ties handled by the frame, plus whole-partition totals on the same
+    ``hash(key)`` exchange) then one hash aggregate on the same key —
+    single shuffle, O(n log n) per key in the window sort.
+    """
+    wrun = (
+        W.partitionBy("key")
+        .orderBy("v")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("key")
+    c = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("long").alias("v"),
+            F.col(sample_col).cast("int").alias("s"),
+        )
+        .select(
+            "key",
+            F.sum((F.col("s") == 0).cast("long")).over(wrun).alias("c0"),
+            F.sum((F.col("s") == 1).cast("long")).over(wrun).alias("c1"),
+            F.sum((F.col("s") == 0).cast("long")).over(wall).alias("n0"),
+            F.sum((F.col("s") == 1).cast("long")).over(wall).alias("n1"),
+        )
+    )
+    agg = c.groupBy("key").agg(
+        F.max("n0").cast("long").alias("n_ref"),
+        F.max("n1").cast("long").alias("n_cur"),
+        F.max(
+            F.abs(F.col("c0") * F.col("n1") - F.col("c1") * F.col("n0"))
+        )
+        .cast("long")
+        .alias("d_num"),
+    )
+    dec = 'CAST(d_num AS DECIMAL(38,0))'
+    return agg.select(
+        "key",
+        "n_ref",
+        "n_cur",
+        "d_num",
+        (F.col("n_ref") * F.col("n_cur")).cast("long").alias("d_den"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_ref") * F.col("n_cur")).cast("double")
+        ).alias("ks"),
+        F.expr(
+            f"CAST({dec} * {dec} * CAST({int(c2_den)} AS DECIMAL(38,0)) > "
+            f"CAST({int(c2_num)} AS DECIMAL(38,0)) * (n_ref + n_cur) "
+            f"* n_ref * n_cur AS INT)"
+        ).alias("drift"),
     )

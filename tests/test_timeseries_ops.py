@@ -1032,3 +1032,69 @@ def test_bucket_coverage_planted_gap(spark):
     assert out.loc["gap", "missing"] == 1
     assert out.loc["full", "coverage"] == 1.0
     assert out.loc["solo", "expected"] == 1
+
+
+def test_hysteresis_intervals_flap_suppressed(spark):
+    """Oscillation inside the (lo, hi) dead band must NOT retrigger:
+    one clean interval per genuine hi-crossing run, half-open bounds,
+    NULL close on a still-firing key, leading below-hi history silent."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import hysteresis_intervals
+
+    t0 = 1_700_000_000
+    # key "a": off(20) on(80) band-flaps(60,40,70) off(10) on(90) -> two
+    # intervals, second closed by nothing (still firing at end? no: the
+    # last sample is 90 and never falls to lo -> open interval).
+    a = [(0, 20), (10, 80), (20, 60), (30, 40), (40, 70), (50, 10),
+         (60, 90)]
+    # key "b": never reaches hi -> no rows (leading OFFs dropped).
+    b = [(0, 10), (10, 60), (20, 5)]
+    rows = [("a", t0 + s, v) for s, v in a] + [
+        ("b", t0 + s, v) for s, v in b
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "t", "v"])
+    )
+    from pyspark.sql import functions as F
+
+    df = df.select("key", F.to_timestamp("t").alias("ts"), "v")
+    out = (
+        hysteresis_intervals(df, hi=75, lo=15, value_col="v")
+        .orderBy("key", "fired_from_us")
+        .collect()
+    )
+    assert [r.key for r in out] == ["a", "a"]
+    assert out[0].fired_from_us == (t0 + 10) * 1_000_000
+    assert out[0].fired_to_us == (t0 + 50) * 1_000_000
+    assert out[1].fired_from_us == (t0 + 60) * 1_000_000
+    assert out[1].fired_to_us is None
+
+
+def test_ks_drift_exact_fraction_and_verdict(spark):
+    """Hand-computed D on a planted shift; identical samples give
+    d_num 0; a gross shift at n=100 trips the cross-multiplied
+    verdict while the tiny-n case stays quiet."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import ks_drift
+
+    rows = (
+        # key "shift": ref {1,2,3,4}, cur {3,4,5,6} -> D = 2/4
+        [("shift", v, 0) for v in (1, 2, 3, 4)]
+        + [("shift", v, 1) for v in (3, 4, 5, 6)]
+        # key "same": identical multisets -> D = 0
+        + [("same", v, s) for v in (7, 7, 9) for s in (0, 1)]
+        # key "gross": ref 1..100, cur 201..300 -> D = 1, drift fires
+        + [("gross", v, 0) for v in range(1, 101)]
+        + [("gross", v, 1) for v in range(201, 301)]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "v", "sample"])
+    )
+    out = {r.key: r for r in ks_drift(df).collect()}
+    assert out["shift"].d_num == 8 and out["shift"].d_den == 16
+    assert out["shift"].ks == 0.5 and out["shift"].drift == 0
+    assert out["same"].d_num == 0 and out["same"].drift == 0
+    assert out["gross"].d_num == 100 * 100
+    assert out["gross"].ks == 1.0 and out["gross"].drift == 1
