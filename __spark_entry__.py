@@ -8507,6 +8507,118 @@ _KS_DRIFT_SQL = """
 """
 
 
+
+def _q_apdex(spark, sf_dir):
+    """Apdex SLI per event class: satisfied <= 30.00, tolerating
+    <= 120.00, frustrated above; exact centi-unit BIGINT counts, score
+    = (2*sat + tol) / (2*total) in one IEEE divide. The value-axis
+    complement of uptime_sla on the same feed."""
+    from spartan2_spark.operators.timeseries import apdex_score
+
+    s = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+    )
+    return apdex_score(s, threshold=3000)
+
+
+_APDEX_SQL = """
+    WITH s AS (SELECT event_type AS key,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    a AS (SELECT key, count(*)::BIGINT AS n_total,
+                 sum(CASE WHEN v <= 3000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_satisfied,
+                 sum(CASE WHEN v > 3000 AND v <= 12000 THEN 1 ELSE 0
+                     END)::BIGINT AS n_tolerating,
+                 sum(CASE WHEN v > 12000 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_frustrated
+          FROM s GROUP BY key)
+    SELECT key, n_total, n_satisfied, n_tolerating, n_frustrated,
+           CAST(2 * n_satisfied + n_tolerating AS DOUBLE)
+             / CAST(2 * n_total AS DOUBLE) AS apdex
+    FROM a
+"""
+
+
+def _q_first_seen(spark, sf_dir):
+    """Crawl-frontier novelty per day: fetches vs distinct urls vs
+    urls first seen that day; the discovery-vs-refresh split of the
+    crawl schedule (reach complement of url_churn's content churn)."""
+    from spartan2_spark.operators.rollup import first_seen_rate
+
+    s = _events(spark, sf_dir).select(
+        F.concat_ws(
+            "/", F.col("event_type"), (F.col("user_id") % 97).cast("string")
+        ).alias("url"),
+        "ts",
+    )
+    r = first_seen_rate(s)
+    return r.select(
+        F.unix_timestamp(F.col("day").cast("timestamp"))
+        .cast("long")
+        .alias("day_s"),
+        "fetches",
+        "distinct_urls",
+        "novel_urls",
+        "novelty_ratio",
+    )
+
+
+_FIRST_SEEN_SQL = """
+    WITH p AS (SELECT event_type || '/' ||
+                        CAST(user_id % 97 AS VARCHAR) AS url,
+                      date_trunc('day', ts) AS day
+               FROM events),
+    per_day AS (SELECT day, count(*)::BIGINT AS fetches,
+                       count(DISTINCT url)::BIGINT AS distinct_urls
+                FROM p GROUP BY day),
+    nov AS (SELECT day, count(*)::BIGINT AS novel_urls
+            FROM (SELECT url, min(day) AS day FROM p GROUP BY url)
+            GROUP BY day)
+    SELECT CAST(epoch(d.day) AS BIGINT) AS day_s, d.fetches, d.distinct_urls,
+           coalesce(n.novel_urls, 0)::BIGINT AS novel_urls,
+           CAST(coalesce(n.novel_urls, 0) AS DOUBLE)
+             / CAST(d.distinct_urls AS DOUBLE) AS novelty_ratio
+    FROM per_day d LEFT JOIN nov n ON d.day = n.day
+"""
+
+
+def _q_postings(spark, sf_dir):
+    """Inverted-index posting-list sizing over the corpus vocabulary:
+    delta + LEB128-varint byte cost vs plain 8-byte ids per term
+    (df >= 2) — the text-index leg of the per-column codec decision
+    family (dod/xor/rle plans)."""
+    from spartan2_spark.operators.compaction import postings_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return postings_plan(d, min_df=2)
+
+
+_POSTINGS_SQL = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS term
+      FROM documents),
+    td AS (SELECT term, doc_id AS doc, count(*)::BIGINT AS hits
+           FROM tok GROUP BY term, doc_id),
+    d AS (SELECT term, hits,
+                 coalesce(doc - lag(doc) OVER
+                            (PARTITION BY term ORDER BY doc), doc)
+                   AS delta
+          FROM td),
+    g AS (SELECT term, hits, (length(bin(delta)) + 6) // 7 AS vb
+          FROM d),
+    a AS (SELECT term, count(*)::BIGINT AS df, sum(hits)::BIGINT AS tf,
+                 sum(vb)::BIGINT AS varint_bytes,
+                 (count(*) * 8)::BIGINT AS plain_bytes
+          FROM g GROUP BY term HAVING count(*) >= 2)
+    SELECT term, df, tf, varint_bytes, plain_bytes,
+           CAST(varint_bytes < plain_bytes AS INT) AS varint_wins
+    FROM a
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -8729,6 +8841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_domain_graph": _q_outlink_graph,
         "hysteresis_intervals": _q_hysteresis,
         "ks_drift": _q_ks_drift,
+        "apdex_score": _q_apdex,
+        "first_seen_rate": _q_first_seen,
+        "postings_plan": _q_postings,
     }
 
 
@@ -8935,6 +9050,9 @@ def oracle_sql() -> dict[str, str]:
         "outlink_domain_graph": _OUTLINK_GRAPH_SQL,
         "hysteresis_intervals": _HYSTERESIS_SQL,
         "ks_drift": _KS_DRIFT_SQL,
+        "apdex_score": _APDEX_SQL,
+        "first_seen_rate": _FIRST_SEEN_SQL,
+        "postings_plan": _POSTINGS_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

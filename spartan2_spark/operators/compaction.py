@@ -447,3 +447,74 @@ def dict_encoding_plan(
             "savings_bytes",
         )
     )
+
+
+def postings_plan(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted-index posting-list sizing: for every term with document
+    frequency >= ``min_df``, cost its sorted-doc-id posting list under
+    delta + LEB128-varint coding vs plain fixed 8-byte ids — the
+    Lucene/Parquet-style storage decision for the corpus search index
+    the webtext side serves next to the tier tables (fourth leg of the
+    per-column codec family: ``dod_bitwidth_stats`` times,
+    ``xor_bitwidth_stats`` values, ``rle_plan`` runs, this one the
+    text index).
+
+    Exactness: the first posting stores its absolute id, every later
+    one the gap to its predecessor (distinct ids ⇒ gaps >= 1); varint
+    bytes for n >= 1 are ``(length(bin(n)) + 6) DIV 7`` — the
+    meaningful-bit width from the binary rendering, never a float
+    log whose last ulp could flip a ceil at a 2^(7k) boundary; id 0
+    costs 1 byte. All byte accounting BIGINT; the verdict
+    ``varint_wins`` is an integer compare.
+
+    Plan shape: tokenize in the scan project (explode bounded by real
+    token count), one (term, doc) dedup aggregate with map-side
+    combine — the 10^9-hit stopword collapses at the mappers — then a
+    term-keyed lag window and a term aggregate that both reuse the
+    dedup's hash(term) partitioning: ONE extra exchange beyond the
+    dedup, and only one-row-per-term crosses the last one.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    td = (
+        docs.select(
+            F.col(doc_col).alias("doc"), F.explode(toks).alias("term")
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    wt = W.partitionBy("term").orderBy("doc")
+    delta = F.coalesce(
+        F.col("doc") - F.lag("doc").over(wt), F.col("doc")
+    )
+    # bin(0) renders '0' (1 bit), so id 0 and gaps alike cost
+    # (bits + 6) DIV 7 bytes with no special case
+    g = td.select("term", "hits", delta.alias("delta")).select(
+        "term",
+        "hits",
+        F.expr("(length(bin(delta)) + 6) DIV 7").cast("long").alias("vb"),
+    )
+    return (
+        g.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("hits").cast("long").alias("tf"),
+            F.sum("vb").cast("long").alias("varint_bytes"),
+            (F.count(F.lit(1)) * 8).cast("long").alias("plain_bytes"),
+        )
+        .filter(F.col("df") >= int(min_df))
+        .select(
+            "term",
+            "df",
+            "tf",
+            "varint_bytes",
+            "plain_bytes",
+            (F.col("varint_bytes") < F.col("plain_bytes"))
+            .cast("int")
+            .alias("varint_wins"),
+        )
+    )

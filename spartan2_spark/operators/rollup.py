@@ -855,3 +855,59 @@ def url_version_intervals(
         F.lead("valid_from_us").over(wl).alias("valid_to_us"),
         "n_snapshots",
     )
+
+
+def first_seen_rate(
+    df: DataFrame,
+    url_col: str = "url",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Crawl-frontier novelty per day: how much of each day's fetch
+    volume was urls the crawl had NEVER seen before that day. Returns
+    per day: fetches, distinct urls touched, novel urls (global first
+    fetch fell on that day), and novelty_ratio = novel/distinct — the
+    discovery-vs-refresh split every crawl scheduler watches (a frontier
+    going stale shows as novelty decaying toward 0 while ``recrawl_plan``
+    keeps the refresh half honest; ``url_churn`` scores content change,
+    this scores REACH).
+
+    Exactness: day buckets are ``date_trunc`` on the exact timestamp;
+    first-seen day is an integer min of epoch days; all counts BIGINT;
+    the closing ratio is one IEEE divide.
+
+    Plan shape: one (url) hash aggregate for global first-seen (map-side
+    combinable), one (day) aggregate of its one-row-per-url output, one
+    (day) aggregate of the raw fetches, and a join of two
+    one-row-per-day relations — at 100 TB both join inputs are
+    O(days), so the join broadcasts; nothing heavier than one
+    url-keyed exchange touches the raw table.
+    """
+    pts = df.select(
+        F.col(url_col).alias("url"),
+        F.date_trunc("day", F.col(time_col)).cast("date").alias("day"),
+    )
+    per_day = pts.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("fetches"),
+        F.count_distinct("url").cast("long").alias("distinct_urls"),
+    )
+    novel = (
+        pts.groupBy("url")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("novel_urls"))
+    )
+    return (
+        per_day.join(F.broadcast(novel), "day", "left")
+        .select(
+            "day",
+            "fetches",
+            "distinct_urls",
+            F.coalesce(F.col("novel_urls"), F.lit(0))
+            .cast("long")
+            .alias("novel_urls"),
+            (
+                F.coalesce(F.col("novel_urls"), F.lit(0)).cast("double")
+                / F.col("distinct_urls").cast("double")
+            ).alias("novelty_ratio"),
+        )
+    )

@@ -1945,3 +1945,63 @@ def ks_drift(
             f"* n_ref * n_cur AS INT)"
         ).alias("drift"),
     )
+
+
+def apdex_score(
+    df: DataFrame,
+    threshold: int,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Apdex (Application Performance Index) per key: classify each
+    observation against the target ``threshold`` T and the tolerable
+    bound 4T — satisfied (v <= T), tolerating (T < v <= 4T),
+    frustrated (v > 4T) — and score
+    ``apdex = (satisfied + tolerating/2) / total``. The
+    industry-standard one-number SLI the burn-rate alerts
+    (``burn_rate_alerts``) consume as their error-budget input; where
+    ``uptime_sla`` scores the time axis (gaps), apdex scores the VALUE
+    axis (how bad the served samples were).
+
+    Exactness: ``threshold`` is an integer in the value's exact units
+    (centi-quantized upstream, like every value track here), class
+    counts are BIGINT, and the score is computed as
+    ``(2*satisfied + tolerating) / (2*total)`` — one IEEE divide of
+    exact sub-2^53 integers, no float accumulation, no 0.5 literal
+    whose rounding could differ between engines.
+
+    Plan shape: ONE map-side-combinable hash aggregate on ``key`` —
+    single shuffle, no window, no join; at 100 TB the classify
+    expressions run in the scan's project and only per-key count
+    triples cross the exchange.
+    """
+    t = int(threshold)
+    v = F.col(value_col)
+    g = df.select(
+        F.col(key_col).alias("key"),
+        F.when(v <= t, 1).otherwise(0).alias("sat"),
+        F.when((v > t) & (v <= 4 * t), 1).otherwise(0).alias("tol"),
+        F.when(v > 4 * t, 1).otherwise(0).alias("fru"),
+    )
+    return (
+        g.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum("sat").cast("long").alias("n_satisfied"),
+            F.sum("tol").cast("long").alias("n_tolerating"),
+            F.sum("fru").cast("long").alias("n_frustrated"),
+        )
+        .select(
+            "key",
+            "n_total",
+            "n_satisfied",
+            "n_tolerating",
+            "n_frustrated",
+            (
+                (2 * F.col("n_satisfied") + F.col("n_tolerating")).cast(
+                    "double"
+                )
+                / (2 * F.col("n_total")).cast("double")
+            ).alias("apdex"),
+        )
+    )

@@ -287,3 +287,36 @@ def test_dict_encoding_plan_width_boundaries(spark):
         )
         row = dict_encoding_plan(df, "source", "v").collect()[0]
         assert row["index_bits"] == want, (d, row["index_bits"])
+
+
+def test_postings_plan_exact_varint_bytes(spark):
+    from spartan2_spark.operators.compaction import postings_plan
+
+    # term "x" in docs 0, 5, 300 -> deltas 0, 5, 295
+    #   varint: bin(0)='0' ->1B; 5 ->1B; 295 (9 bits) ->2B => 4 bytes
+    # term "solo" df=1 -> dropped by min_df=2
+    rows = [
+        (0, "x solo"),
+        (5, "x"),
+        (300, "x x"),  # duplicate hit in one doc: tf counts, df doesn't
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in postings_plan(df).collect()}
+    assert "solo" not in out
+    x = out["x"]
+    assert (x["df"], x["tf"]) == (3, 4)
+    assert x["varint_bytes"] == 4
+    assert x["plain_bytes"] == 24
+    assert x["varint_wins"] == 1
+
+
+def test_postings_plan_varint_width_boundary(spark):
+    from spartan2_spark.operators.compaction import postings_plan
+
+    # gap 127 (7 bits) -> 1 byte; gap 128 (8 bits) -> 2 bytes: the
+    # 2^(7k) boundary where a float-log ceil could go wrong
+    rows = [(0, "a b"), (127, "a"), (128, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in postings_plan(df).collect()}
+    assert out["a"]["varint_bytes"] == 1 + 1
+    assert out["b"]["varint_bytes"] == 1 + 2

@@ -432,3 +432,25 @@ def test_url_version_intervals_run_semantics(spark):
     assert u1[2]["valid_to_us"] is None
     u2 = [r for r in out if r["url"] == "u2"]
     assert len(u2) == 1 and u2[0]["valid_to_us"] is None
+
+
+def test_first_seen_rate_planted_days(spark):
+    from spartan2_spark.operators.rollup import first_seen_rate
+    import datetime as dt
+
+    d0 = dt.datetime(2024, 1, 1, 12)
+    d1 = dt.datetime(2024, 1, 2, 12)
+    rows = [
+        ("u1", d0),
+        ("u2", d0),
+        ("u1", d0),  # same-day refetch: counts in fetches, not distinct
+        ("u1", d1),  # day-2 refresh of an old url
+        ("u3", d1),  # day-2 novel
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp")
+    out = {str(r["day"]): r for r in first_seen_rate(df).collect()}
+    a, b = out["2024-01-01"], out["2024-01-02"]
+    assert (a["fetches"], a["distinct_urls"], a["novel_urls"]) == (3, 2, 2)
+    assert a["novelty_ratio"] == 1.0
+    assert (b["fetches"], b["distinct_urls"], b["novel_urls"]) == (2, 2, 1)
+    assert b["novelty_ratio"] == 0.5

@@ -1098,3 +1098,27 @@ def test_ks_drift_exact_fraction_and_verdict(spark):
     assert out["same"].d_num == 0 and out["same"].drift == 0
     assert out["gross"].d_num == 100 * 100
     assert out["gross"].ks == 1.0 and out["gross"].drift == 1
+
+
+def test_apdex_score_classes_and_ratio(spark):
+    from spartan2_spark.operators.timeseries import apdex_score
+
+    # T=100: satisfied <=100, tolerating (100,400], frustrated >400
+    rows = [("a", v) for v in (50, 100, 101, 400, 401, 1000)] + [
+        ("b", 10),
+        ("b", 10),
+    ]
+    df = spark.createDataFrame(rows, "key string, value long")
+    out = {
+        r["key"]: r
+        for r in apdex_score(df, threshold=100).collect()
+    }
+    a = out["a"]
+    assert (a["n_satisfied"], a["n_tolerating"], a["n_frustrated"]) == (
+        2,
+        2,
+        2,
+    )
+    # (2*2 + 2) / (2*6) = 0.5
+    assert a["apdex"] == 0.5
+    assert out["b"]["apdex"] == 1.0
