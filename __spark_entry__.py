@@ -8619,6 +8619,83 @@ _POSTINGS_SQL = """
 """
 
 
+
+def _q_bloom_plan(spark, sf_dir):
+    """Bloom-filter sizing per source partition: next-pow2 m bits from
+    the binary rendering (never float log2), integer-rounded ln2*b
+    hash count — the Parquet/Iceberg bloom_filter decision next to the
+    dict/rle/postings codec plans."""
+    from spartan2_spark.operators.compaction import bloom_filter_plan
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bloom_filter_plan(d, "source", "doc_id", bits_per_key=10)
+
+
+_BLOOM_PLAN_SQL = """
+    WITH g AS (SELECT source AS grp,
+                      count(DISTINCT doc_id)::BIGINT AS n_keys
+               FROM documents GROUP BY source),
+    m AS (SELECT grp, n_keys,
+                 CASE WHEN n_keys * 10 <= 64 THEN 64
+                      WHEN ((n_keys * 10) & (n_keys * 10 - 1)) = 0
+                        THEN n_keys * 10
+                      ELSE (CAST(1 AS BIGINT)
+                            << length(bin(n_keys * 10)))
+                 END AS m_bits
+          FROM g)
+    SELECT grp, n_keys, CAST(m_bits AS BIGINT) AS m_bits,
+           CAST(7 AS BIGINT) AS k_hashes,
+           CAST(m_bits // 8 AS BIGINT) AS bloom_bytes,
+           CAST(m_bits AS DOUBLE) / CAST(n_keys AS DOUBLE)
+             AS actual_bits_per_key
+    FROM m
+"""
+
+
+def _q_crawl_budget(spark, sf_dir):
+    """Largest-remainder apportionment of a 10,000-fetch crawl budget
+    across urls weighted by observed fetch volume: quotas sum EXACTLY
+    to the budget, leftover +1s decided by a distributed global
+    ranking (never a single-partition window)."""
+    from spartan2_spark.operators.rollup import crawl_budget_apportion
+
+    g = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.concat_ws(
+                "/",
+                F.col("event_type"),
+                (F.col("user_id") % 97).cast("string"),
+            ).alias("domain")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return crawl_budget_apportion(g, budget=10_000)
+
+
+_CRAWL_BUDGET_SQL = """
+    WITH g AS (SELECT event_type || '/' ||
+                        CAST(user_id % 97 AS VARCHAR) AS key,
+                      count(*)::BIGINT AS w
+               FROM events GROUP BY 1),
+    t AS (SELECT sum(w)::BIGINT AS wsum FROM g),
+    b AS (SELECT key, w,
+                 (CAST(10000 AS BIGINT) * w) // wsum AS base,
+                 CAST(10000 AS BIGINT) * w
+                   - ((CAST(10000 AS BIGINT) * w) // wsum) * wsum AS rem
+          FROM g, t),
+    l AS (SELECT 10000 - sum(base) AS leftover FROM b),
+    r AS (SELECT key, w, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, key) AS rnk
+          FROM b)
+    SELECT key, CAST(w AS BIGINT) AS w, CAST(base AS BIGINT) AS base,
+           CAST(rem AS BIGINT) AS rem,
+           CAST(base + CASE WHEN rnk <= (SELECT leftover FROM l)
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -8844,6 +8921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex_score": _q_apdex,
         "first_seen_rate": _q_first_seen,
         "postings_plan": _q_postings,
+        "bloom_filter_plan": _q_bloom_plan,
+        "crawl_budget_apportion": _q_crawl_budget,
     }
 
 
@@ -9053,6 +9132,8 @@ def oracle_sql() -> dict[str, str]:
         "apdex_score": _APDEX_SQL,
         "first_seen_rate": _FIRST_SEEN_SQL,
         "postings_plan": _POSTINGS_SQL,
+        "bloom_filter_plan": _BLOOM_PLAN_SQL,
+        "crawl_budget_apportion": _CRAWL_BUDGET_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

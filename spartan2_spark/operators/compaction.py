@@ -40,6 +40,8 @@ __all__ = [
     "url_frontcode_plan",
     "roaring_container_plan",
     "dict_encoding_plan",
+    "postings_plan",
+    "bloom_filter_plan",
 ]
 
 
@@ -517,4 +519,58 @@ def postings_plan(
             .cast("int")
             .alias("varint_wins"),
         )
+    )
+
+
+def bloom_filter_plan(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    bits_per_key: int = 10,
+) -> DataFrame:
+    """Bloom-filter sizing per partition/group: the Parquet/Iceberg
+    `bloom_filter_enabled` decision input next to the codec family
+    (``dict_encoding_plan``, ``postings_plan``). For each group, count
+    distinct keys n and size the filter the way the writers actually
+    do: m = next power of two >= n * bits_per_key (pow2 so the hash
+    masks are bit-ands, and so two engines can't disagree), k = the
+    integer-rounded ln2 * bits_per_key hash count.
+
+    Exactness: next-pow2 comes from the binary rendering —
+    ``x`` a power of two keeps m = x, else m = 1 << length(bin(x)) —
+    never a float log2 whose ulp could flip a boundary; k is
+    ``max(1, (bits_per_key * 693 + 500) DIV 1000)`` (693/1000 is the
+    fixed rational stand-in for ln2, identical in both engines); the
+    only float is the closing actual-bits-per-key ratio.
+
+    Plan shape: one (group, key) dedup aggregate with map-side combine
+    then one group aggregate reusing its hash(group) partitioning —
+    the sizing arithmetic runs on one-row-per-group.
+    """
+    b = int(bits_per_key)
+    if b < 1:
+        raise ValueError("bloom_filter_plan wants bits_per_key >= 1")
+    k = max(1, (b * 693 + 500) // 1000)
+    g = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+        )
+        .groupBy("grp")
+        .agg(F.count_distinct("key").cast("long").alias("n_keys"))
+    )
+    raw = f"n_keys * {b}"
+    m = (
+        f"CASE WHEN ({raw}) <= 64 THEN 64 "
+        f"WHEN (({raw}) & (({raw}) - 1)) = 0 THEN ({raw}) "
+        f"ELSE shiftleft(CAST(1 AS BIGINT), length(bin({raw}))) END"
+    )
+    return g.select(
+        "grp",
+        "n_keys",
+        F.expr(m).cast("long").alias("m_bits"),
+        F.lit(k).cast("long").alias("k_hashes"),
+        (F.expr(m).cast("long") / F.lit(8)).cast("long").alias("bloom_bytes"),
+        (
+            F.expr(m).cast("double") / F.col("n_keys").cast("double")
+        ).alias("actual_bits_per_key"),
     )

@@ -911,3 +911,76 @@ def first_seen_rate(
             ).alias("novelty_ratio"),
         )
     )
+
+
+def crawl_budget_apportion(
+    df: DataFrame,
+    budget: int,
+    key_col: str = "domain",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed crawl
+    budget across domains proportional to integer weights — the
+    allocator that turns ``recrawl_plan``'s expected-missed-changes
+    scores into per-domain fetch quotas that sum EXACTLY to the
+    budget. Every domain gets ``floor(budget * w / W)``; the leftover
+    seats go one each to the largest fractional remainders
+    (ties broken by key, so the allocation is engine-deterministic
+    and reproducible across runs/cluster sizes — a scheduler must
+    never flap on re-plan).
+
+    Exactness: base quota is ``(budget * w) DIV W`` and the remainder
+    is the exact integer ``budget * w - base * W`` — no float share
+    whose rounding could make quotas sum to budget±1. Weights and
+    budget must keep ``budget * w`` under 2^63 (true for any real
+    fetch budget).
+
+    Plan shape: one weight-sum aggregate broadcast back (1 row), then
+    the leftover +1s are decided by a DISTRIBUTED global ranking
+    (``global_row_numbers``: range repartition + local windows +
+    broadcast offsets — never a single-partition ORDER BY window), and
+    the leftover count itself is a second 1-row broadcast. Everything
+    that crosses an exchange is one row per domain.
+    """
+    from spartan2_spark.operators.partitioning import global_row_numbers
+
+    b = int(budget)
+    if b < 0:
+        raise ValueError("crawl_budget_apportion wants budget >= 0")
+    g = df.select(
+        F.col(key_col).alias("key"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    tot = g.agg(F.sum("w").cast("long").alias("wsum"))
+    base = g.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "w",
+        F.expr(f"(CAST({b} AS BIGINT) * w) DIV wsum").alias("base"),
+        (
+            F.lit(b) * F.col("w")
+            - F.expr(f"(CAST({b} AS BIGINT) * w) DIV wsum") * F.col("wsum")
+        )
+        .cast("long")
+        .alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(b) - F.sum("base")).cast("long").alias("L")
+    )
+    ranked = global_row_numbers(
+        base, [F.col("rem").desc(), F.col("key").asc()], id_col="rank"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "key",
+            "w",
+            "base",
+            "rem",
+            (
+                F.col("base")
+                + F.when(F.col("rank") <= F.col("L"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

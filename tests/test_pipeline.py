@@ -320,3 +320,25 @@ def test_postings_plan_varint_width_boundary(spark):
     out = {r["term"]: r for r in postings_plan(df).collect()}
     assert out["a"]["varint_bytes"] == 1 + 1
     assert out["b"]["varint_bytes"] == 1 + 2
+
+
+def test_bloom_filter_plan_sizing(spark):
+    from spartan2_spark.operators.compaction import bloom_filter_plan
+
+    rows = (
+        [("g1", f"k{i}") for i in range(5)]
+        + [("g2", f"k{i}") for i in range(10)]
+        + [("g2", "k0")]  # dup key: n_keys counts distinct
+        + [("g3", f"k{i}") for i in range(16)]
+    )
+    df = spark.createDataFrame(rows, "grp string, key string")
+    out = {r["grp"]: r for r in bloom_filter_plan(df, "grp", "key", 10).collect()}
+    # g1: 5*10=50 <= 64 -> floor of 64 bits; k = (10*693+500) DIV 1000 = 7
+    assert (out["g1"]["m_bits"], out["g1"]["k_hashes"]) == (64, 7)
+    # g2: 10 distinct * 10 = 100 -> next pow2 = 128
+    assert (out["g2"]["n_keys"], out["g2"]["m_bits"]) == (10, 128)
+    # g3: 16*10=160 -> 256; bytes = m/8
+    assert out["g3"]["m_bits"] == 256 and out["g3"]["bloom_bytes"] == 32
+    # exact power of two stays put: 16 keys at 8 bits/key = 128
+    out8 = {r["grp"]: r for r in bloom_filter_plan(df, "grp", "key", 8).collect()}
+    assert out8["g3"]["m_bits"] == 128

@@ -454,3 +454,26 @@ def test_first_seen_rate_planted_days(spark):
     assert a["novelty_ratio"] == 1.0
     assert (b["fetches"], b["distinct_urls"], b["novel_urls"]) == (2, 2, 1)
     assert b["novelty_ratio"] == 0.5
+
+
+def test_crawl_budget_apportion_exact_and_invariant(spark):
+    from spartan2_spark.operators.rollup import crawl_budget_apportion
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3)], "domain string, weight long"
+    )
+    out = {r["key"]: r for r in crawl_budget_apportion(df, 10).collect()}
+    # W=11: base a=4 (rem 6), b=2 (rem 8), c=2 (rem 8); leftover 2
+    # goes to the two largest remainders (tie b,c broken by key)
+    assert (out["a"]["quota"], out["b"]["quota"], out["c"]["quota"]) == (
+        4,
+        3,
+        3,
+    )
+    assert sum(r["quota"] for r in out.values()) == 10
+    # partition-layout invariance: same quotas at a different layout
+    out7 = {
+        r["key"]: r["quota"]
+        for r in crawl_budget_apportion(df.repartition(7), 10).collect()
+    }
+    assert out7 == {k: r["quota"] for k, r in out.items()}
