@@ -277,3 +277,29 @@ def test_url_churn_is_agg_only_and_prunes_scan(spark, sf_dir):
     plan = plan_of(E.queries()["url_churn"](spark, sf_dir))
     assert "Window" not in plan
     assert "event_id" not in plan.split("ReadSchema")[-1]
+
+
+def test_apdex_is_single_exchange_agg(spark, sf_dir):
+    """apdex_score must be ONE map-side-combinable hash aggregate:
+    classify exprs in the scan project, one key exchange, no window,
+    no join."""
+    plan = plan_of(E.queries()["apdex_score"](spark, sf_dir), "simple")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_postings_plan_window_reuses_dedup_partitioning(spark, sf_dir):
+    """postings_plan: the (term,doc) dedup exchange is the only
+    data-sized shuffle; the term lag window and final term aggregate
+    must reuse hash(term) — so at most 2 hashpartitioning exchanges
+    appear in total, and none after the window."""
+    plan = plan_of(E.queries()["postings_plan"](spark, sf_dir), "simple")
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_first_seen_rate_broadcasts_day_relations(spark, sf_dir):
+    """first_seen_rate's closing join is between two one-row-per-day
+    relations — it must broadcast, never sort-merge."""
+    plan = plan_of(E.queries()["first_seen_rate"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
