@@ -151,6 +151,19 @@ AUDIT_QUERIES = [
     "bucket_coverage",
     "boilerplate_lines",
     "boilerplate_strip",
+    # round-4 final wrap additions
+    "paragraph_dedup",
+    "pow2_hist_quantile",
+    "url_version_intervals",
+    "neighbor_jaccard",
+    "outlink_domain_graph",
+    "hysteresis_intervals",
+    "ks_drift",
+    "apdex_score",
+    "first_seen_rate",
+    "postings_plan",
+    "bloom_filter_plan",
+    "crawl_budget_apportion",
 ]
 
 
