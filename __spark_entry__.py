@@ -8696,6 +8696,216 @@ _CRAWL_BUDGET_SQL = """
 """
 
 
+def _q_rolling_median(spark, sf_dir):
+    """Exact trailing 7-row LOWER median per user — the robust
+    centerline rolling_stats' mean can't give; every output is an
+    exact input centi value (no interpolation, no floats)."""
+    from spartan2_spark.operators.timeseries import rolling_median
+
+    ev = _events_series(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
+    out = rolling_median(ev, 7, order_cols=("event_id",))
+    return out.select(
+        "key",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        "value",
+        "w_n",
+        "w_median",
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+    WITH q AS (SELECT user_id AS key, ts, event_id,
+                      CAST(round(value * 100) AS BIGINT) AS v FROM events)
+    SELECT key, epoch_us(ts) AS ts_us, event_id, v AS value,
+           CAST(count(*) OVER w AS BIGINT) AS w_n,
+           CAST((list_sort(list(v) OVER w))
+                  [CAST((count(*) OVER w + 1) // 2 AS INT)] AS BIGINT)
+             AS w_median
+    FROM q
+    WINDOW w AS (PARTITION BY key ORDER BY ts, event_id, v
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _q_counter_changes(spark, sf_dir):
+    """PromQL changes()/resets() audit per user counter: transition and
+    restart counts plus first/last values — the flap/health complement
+    of counter_rate's integral. Samples deduped to one per (key, ts)
+    so the lag order is deterministic; all-integer."""
+    from spartan2_spark.operators.timeseries import counter_changes
+
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("user_id").alias("key"), "ts")
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("value"))
+    )
+    return counter_changes(s)
+
+
+_COUNTER_CHANGES_SQL = """
+    WITH s AS (SELECT user_id AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v
+               FROM events GROUP BY 1, 2),
+    d AS (SELECT key, ts, v,
+                 lag(v) OVER (PARTITION BY key ORDER BY ts, v) AS pv
+          FROM s),
+    c AS (SELECT key, ts, v,
+                 CASE WHEN pv IS NULL THEN 0
+                      WHEN v != pv THEN 1 ELSE 0 END AS chg,
+                 CASE WHEN pv IS NOT NULL AND v < pv
+                      THEN 1 ELSE 0 END AS rst
+          FROM d)
+    SELECT key, CAST(sum(chg) AS BIGINT) AS n_changes,
+           CAST(sum(rst) AS BIGINT) AS n_resets,
+           count(*)::BIGINT AS n_samples,
+           CAST(arg_min(v, ts) AS BIGINT) AS first_value,
+           CAST(arg_max(v, ts) AS BIGINT) AS last_value
+    FROM c GROUP BY key
+"""
+
+
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware keep-one-per-cluster dedup: near-dup clusters from
+    the value-exact minhash->CC pipeline, canonical = LONGEST member
+    (tie-break min id) — the C4/RefinedWeb keep rule, vs
+    dedup_clusters' min-id pick."""
+    from spartan2_spark.operators.dedup import dedup_keep_best
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_keep_best(
+        d, k=32, bands=8, jaccard_threshold=0.2, hash_mode="poly"
+    )
+
+
+def _dedup_keep_best_sql(k: int = 32, bands: int = 8, shingle_n: int = 5,
+                         threshold: float = 0.2, max_bucket: int = 1000) -> str:
+    """Keep-best twin: the minhash pair prelude + recursive min-label
+    closure (same as _dedup_clusters_sql), then a (quality DESC, id)
+    window picks the canonical member per cluster."""
+    prelude = _minhash_prelude(k, bands, shingle_n, max_bucket)
+    return f"""
+    WITH RECURSIVE {prelude},
+    p AS MATERIALIZED (SELECT id_a, id_b FROM j WHERE jac >= {threshold}),
+    e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+                       UNION SELECT id_b, id_a FROM p),
+    cc(node, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM e)
+        UNION
+        SELECT e.u, cc.lbl FROM e JOIN cc ON cc.node = e.v),
+    comp AS (SELECT node, min(lbl) AS component FROM cc GROUP BY node),
+    docs AS (SELECT doc_id AS id, max(length(text))::BIGINT AS quality
+             FROM documents GROUP BY doc_id),
+    lab AS (SELECT d.id, coalesce(comp.component, d.id) AS cluster,
+                   d.quality
+            FROM docs d LEFT JOIN comp ON comp.node = d.id)
+    SELECT id, cluster, quality,
+           CAST(row_number() OVER (PARTITION BY cluster
+                                   ORDER BY quality DESC, id) = 1
+                AS BIGINT) AS keep
+    FROM lab
+"""
+
+
+_DEDUP_KEEP_BEST_SQL = _dedup_keep_best_sql()
+
+
+def _q_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the sampled co-part supplier
+    graph: Pearson correlation of endpoint degrees, collapsed by
+    symmetry to a ratio of two exact BIGINT sums — ONE IEEE divide,
+    no sqrt, bit-identical cross-engine."""
+    from spartan2_spark.operators.graph import degree_assortativity
+
+    return degree_assortativity(_sampled_copart_edges(spark, sf_dir))
+
+
+_DEGREE_ASSORT_SQL = f"""
+    WITH {_COPART_E_CTE},
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS n, count(*)::BIGINT AS d FROM sym GROUP BY 1),
+    jd AS (SELECT a.d AS du, b.d AS dv
+           FROM sym JOIN deg a ON a.n = sym.u JOIN deg b ON b.n = sym.v),
+    agg AS (SELECT count(*)::BIGINT AS m,
+                   CAST(sum(du) AS BIGINT) AS sx,
+                   CAST(sum(du * dv) AS BIGINT) AS sxy,
+                   CAST(sum(du * du) AS BIGINT) AS sxx
+            FROM jd)
+    SELECT m, sx, sxy, sxx,
+           CAST(m * sxy - sx * sx AS BIGINT) AS r_num,
+           CAST(m * sxx - sx * sx AS BIGINT) AS r_den,
+           CAST(m * sxy - sx * sx AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE) AS assortativity
+    FROM agg
+"""
+
+
+def _q_frontier_interleave(spark, sf_dir):
+    """Politeness-ordered crawl frontier: per-domain priority ranking
+    interleaved round-robin into one global fetch order (round 1 =
+    every domain's best url, ...) — position assigned by the
+    DISTRIBUTED global ranking helper, never a single-partition sort."""
+    from spartan2_spark.operators.rollup import frontier_interleave
+
+    g = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("domain"),
+            F.concat_ws(
+                "/", F.col("event_type"), (F.col("user_id") % 997).cast("string")
+            ).alias("url"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("priority"))
+    )
+    return frontier_interleave(g)
+
+
+_FRONTIER_INTERLEAVE_SQL = """
+    WITH g AS (SELECT event_type AS domain,
+                      event_type || '/' ||
+                        CAST(user_id % 997 AS VARCHAR) AS url,
+                      count(*)::BIGINT AS priority
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT url, domain,
+                 CAST(row_number() OVER (PARTITION BY domain
+                                         ORDER BY priority DESC, url)
+                      AS BIGINT) AS rank_in_domain
+          FROM g)
+    SELECT url, domain, rank_in_domain,
+           CAST(row_number() OVER (ORDER BY rank_in_domain, domain, url)
+                AS BIGINT) AS position
+    FROM r
+"""
+
+
+def _q_phrase_match(spark, sf_dir):
+    """Exact phrase search ("hash join") via positional-postings
+    intersection — the query-side primitive of the inverted index
+    postings_plan sizes; term filter lands inside the explode, joins
+    align (doc, pos - i). All-integer 1-based positions."""
+    from spartan2_spark.operators.text import phrase_match
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return phrase_match(d, ["hash", "join"])
+
+
+_PHRASE_MATCH_SQL = """
+    WITH tok AS (SELECT doc_id AS id,
+                        string_split_regex(trim(lower(text)), ' +') AS tk
+                 FROM documents),
+    hits AS (SELECT id,
+                    list_filter(range(1, greatest(len(tk) - 1, 0) + 1),
+                                i -> tk[i] = 'hash' AND tk[i+1] = 'join')
+                      AS pos
+             FROM tok)
+    SELECT id, CAST(len(pos) AS BIGINT) AS n_hits,
+           CAST(pos[1] AS BIGINT) AS first_pos
+    FROM hits WHERE len(pos) > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -8923,6 +9133,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_plan": _q_postings,
         "bloom_filter_plan": _q_bloom_plan,
         "crawl_budget_apportion": _q_crawl_budget,
+        "rolling_median": _q_rolling_median,
+        "counter_changes": _q_counter_changes,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "degree_assortativity": _q_degree_assortativity,
+        "frontier_interleave": _q_frontier_interleave,
+        "phrase_match": _q_phrase_match,
     }
 
 
@@ -9134,6 +9350,12 @@ def oracle_sql() -> dict[str, str]:
         "postings_plan": _POSTINGS_SQL,
         "bloom_filter_plan": _BLOOM_PLAN_SQL,
         "crawl_budget_apportion": _CRAWL_BUDGET_SQL,
+        "rolling_median": _ROLLING_MEDIAN_SQL,
+        "counter_changes": _COUNTER_CHANGES_SQL,
+        "dedup_keep_best": _DEDUP_KEEP_BEST_SQL,
+        "degree_assortativity": _DEGREE_ASSORT_SQL,
+        "frontier_interleave": _FRONTIER_INTERLEAVE_SQL,
+        "phrase_match": _PHRASE_MATCH_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

@@ -35,6 +35,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "dedup_clusters",
+    "dedup_keep_best",
     "ngram_jaccard_join",
     "ngram_containment_join",
     "word_ngrams_from_tokens",
@@ -786,6 +787,76 @@ def dedup_clusters(
             F.coalesce("component", F.col("id")).alias("cluster"),
         )
         .withColumn("keep", F.col("id") == F.col("cluster"))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality=None,
+    shingle_n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+    hash_mode: str = "xxhash",
+) -> DataFrame:
+    """Quality-aware keep-one-per-cluster dedup: the canonical pick a
+    production training-data pipeline actually wants. Where
+    :func:`dedup_clusters` keeps the MIN id per near-dup cluster, this
+    keeps the HIGHEST-quality member (tie-break min id, so the pick is
+    total-ordered and engine-deterministic). ``quality`` is any exact
+    integer Column (default: ``length(text_col)`` — keep the longest
+    member, the C4/RefinedWeb convention); swap in a quantized quality
+    score for model-scored corpora.
+
+    Returns one row per input document: (id, cluster, quality, keep)
+    with keep = 1 exactly once per cluster. Singletons keep themselves.
+
+    Exactness: clusters come from the value-exact minhash->CC pipeline;
+    the pick is a row_number over (quality DESC, id ASC) — all-integer,
+    replayable verbatim by a SQL window.
+
+    Plan shape: pair graph -> bounded component table (same as
+    dedup_clusters), one left join of docs against it, then ONE window
+    partitioned by cluster. Near-dup clusters are tiny (bounded by
+    ``max_bucket`` upstream), so the window partitions are bounded at
+    any corpus size; the dominant cost stays the LSH pair join.
+    """
+    from pyspark.sql import Window as W
+
+    from spartan2_spark.operators.graph import connected_components
+
+    q = quality if quality is not None else F.length(F.col(text_col))
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        shingle_n=shingle_n,
+        k=k,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+        hash_mode=hash_mode,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    docs = (
+        df.select(F.col(id_col).alias("id"), q.cast("long").alias("quality"))
+        .groupBy("id")
+        .agg(F.max("quality").alias("quality"))
+    )
+    labelled = docs.join(comp.withColumnRenamed("node", "id"), "id", "left").select(
+        "id",
+        F.coalesce("component", F.col("id")).alias("cluster"),
+        "quality",
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("quality").desc(), F.col("id").asc())
+    return labelled.select(
+        "id",
+        "cluster",
+        "quality",
+        (F.row_number().over(w) == 1).cast("long").alias("keep"),
     )
 
 

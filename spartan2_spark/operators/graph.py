@@ -35,6 +35,7 @@ __all__ = [
     "ppr_fixedpoint",
     "label_propagation",
     "neighbor_jaccard",
+    "degree_assortativity",
 ]
 
 
@@ -682,6 +683,68 @@ def adamic_adar(
         .select(
             "u", "v", "n_common", (F.col("score_q") / 1000000.0).alias("aa_score")
         )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    simple graph: the Pearson correlation of the degrees at the two
+    ends of every edge — positive when hubs link to hubs (social
+    shape), negative when hubs link to leaves (web/infrastructure
+    shape). The one-number structural summary that tells a crawl
+    whether its outlink graph looks organic or like a link farm
+    (complements `clustering_coeff`'s local view and `zipf_slope`'s
+    degree-tail view).
+
+    Exactness: over the SYMMETRIZED edge list the x and y degree
+    marginals are identical, so Pearson r collapses to
+    ``(m*Sxy - Sx^2) / (m*Sxx - Sx^2)`` — numerator and denominator
+    are EXACT BIGINT sums of products of integer degrees, emitted as
+    columns, and the coefficient is ONE IEEE divide of the two: no
+    sqrt, no float accumulation, bit-identical on any engine.
+    (Bound: m*Sxy must stay under 2^63 — holds for any graph whose
+    degree cap and edge count fit a production wedge-capped sample;
+    at the full 100 TB graph, pre-aggregate per (du, dv) degree pair
+    first, which keeps the same integers.)
+
+    Plan shape: canonical-orientation dedup (one distinct), one degree
+    aggregate, two broadcast joins of the O(nodes) degree relation onto
+    the edge list, one global aggregate — a single pass over edges.
+    """
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).distinct()
+    e = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    both = (
+        e.join(F.broadcast(deg), "u")
+        .withColumnRenamed("d", "du")
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))),
+            "v",
+        )
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "m",
+        "sx",
+        "sxy",
+        "sxx",
+        num.cast("long").alias("r_num"),
+        den.cast("long").alias("r_den"),
+        (num.cast("double") / den.cast("double")).alias("assortativity"),
     )
 
 

@@ -60,6 +60,7 @@ __all__ = [
     "tier_serving_plan",
     "tier_mode",
     "bucket_coverage",
+    "frontier_interleave",
     "url_version_intervals",
 ]
 
@@ -910,6 +911,62 @@ def first_seen_rate(
                 / F.col("distinct_urls").cast("double")
             ).alias("novelty_ratio"),
         )
+    )
+
+
+def frontier_interleave(
+    df: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Politeness-ordered crawl frontier: the global fetch order a
+    single-queue scheduler should emit so that no domain is hit twice
+    before every other domain with pending work is hit once. Each
+    domain ranks its urls by (priority DESC, url ASC); the global order
+    is (rank ASC, domain ASC, url ASC) — i.e. round 1 takes every
+    domain's best url, round 2 every domain's second-best, and so on.
+    The sequencing complement of ``crawl_budget_apportion`` (which
+    decides HOW MANY fetches a domain gets, this decides WHEN) and the
+    consumer of ``recrawl_plan``'s priority scores.
+
+    Returns (url, domain, rank_in_domain, position) with position a
+    dense global 1-based id. All-integer, engine-deterministic: the
+    order key (rank, domain, url) is unique because (domain, url) is
+    deduped on entry.
+
+    Plan shape: one dedup aggregate on (domain, url) keeping max
+    priority, ONE window partitioned by domain (per-domain frontier
+    size is politeness-bounded in practice; for a pathological
+    mega-domain, pre-filter to the per-domain budget from
+    crawl_budget_apportion first), then a DISTRIBUTED global ranking
+    (range repartition + local number + broadcast offsets — no
+    single-partition global sort; `partitioning.global_row_numbers`).
+    """
+    from pyspark.sql import Window as W
+
+    from spartan2_spark.operators.partitioning import global_row_numbers
+
+    d = (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.col(url_col).alias("url"),
+            F.col(priority_col).cast("long").alias("priority"),
+        )
+        .groupBy("domain", "url")
+        .agg(F.max("priority").alias("priority"))
+    )
+    w = W.partitionBy("domain").orderBy(F.col("priority").desc(), F.col("url").asc())
+    ranked = d.select(
+        "url",
+        "domain",
+        F.row_number().over(w).cast("long").alias("rank_in_domain"),
+    )
+    out = global_row_numbers(
+        ranked, ["rank_in_domain", "domain", "url"], id_col="position"
+    )
+    return out.select(
+        "url", "domain", "rank_in_domain", F.col("position").cast("long").alias("position")
     )
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "vocab_hapax",
     "pmi_collocations",
     "doc_entropy",
+    "phrase_match",
     "boilerplate_lines",
     "boilerplate_strip",
     "outlink_domain_graph",
@@ -681,6 +682,51 @@ def pmi_collocations(
         j.select("gram", "c_xy", F.round(pmi, 8).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "gram")
         .limit(top_n)
+    )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search via positional-postings intersection — the
+    query-side primitive of the inverted index ``postings_plan`` sizes.
+    Tokenize (same whitespace discipline as the rest of the text
+    family), posexplode into (doc, pos, term) postings, keep ONLY the
+    phrase's terms, and equi-join the k aligned streams on
+    (doc, pos - i): a surviving row is a contiguous occurrence.
+    Returns (id, n_hits, first_pos) per matching document, 1-based
+    positions — all-integer, engine-deterministic.
+
+    Plan shape: the term filter lands INSIDE the explode projection,
+    so the postings relation entering the joins holds only the
+    phrase's own (rare) terms — at 100 TB this is the standard
+    "rarest-term-first" search plan: each join is an equi-join on
+    (doc, aligned pos) between relations already down to posting-list
+    size, never a scan-wide shuffle. k-1 joins for a k-token phrase.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    toks = [t.lower() for t in phrase]
+    postings = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens_expr(text_col)).alias("i", "term"),
+        )
+        .filter(F.col("term").isin(toks))
+        .select("id", (F.col("i") + 1).alias("pos"), "term")
+    )
+    out = postings.filter(F.col("term") == toks[0]).select("id", F.col("pos").alias("p0"))
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        out = out.join(nxt, ["id", "p0"])
+    return out.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("p0").cast("long").alias("first_pos"),
     )
 
 

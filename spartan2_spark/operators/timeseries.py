@@ -53,6 +53,7 @@ __all__ = [
     "lttb_parallel",
     "interval_join",
     "rolling_stats",
+    "rolling_median",
     "ewma_dyadic",
     "cusum_drift",
     "haar_coeffs",
@@ -63,6 +64,7 @@ __all__ = [
     "theilsen_trend",
     "changepoint_binary",
     "counter_rate",
+    "counter_changes",
     "counter_rate_buckets",
     "peak_window_count",
     "burn_rate_alerts",
@@ -652,6 +654,59 @@ def rolling_stats(
         (F.max("v").over(w).cast("long") if quantize
          else F.max("v").over(w)).alias("w_max"),
         var.alias("w_var"),
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    window_rows: int = 7,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact trailing-window LOWER median per key: over the last
+    ``window_rows`` samples (current row inclusive) emit the element at
+    1-based position ``(n + 1) DIV 2`` of the sorted window — the robust
+    centerline ``rolling_stats``'s mean cannot give when a burst or a
+    stuck sensor drags the average (the monitoring "smoothed gauge"
+    primitive; pairs with ``mad_outliers`` the way mean pairs with
+    stddev). Lower median (not interpolated) keeps every output an
+    EXACT input value: no float midpoint whose rounding could differ
+    cross-engine — ``value_col`` must already be an exact integer
+    (centi-quantize upstream).
+
+    Plan shape: ONE running-frame window per key (collect_list over a
+    bounded ``window_rows`` frame, sorted per row) — a single shuffle
+    on the key; the per-row sort is O(w log w) on a constant-bounded
+    frame, so the whole pass is O(n log w) per key and the key count
+    parallelizes. The window list never exceeds ``window_rows``
+    elements, so state is bounded regardless of series length. The
+    window orders by ``(ts, order_cols..., v)`` so tied timestamps
+    replay identically on any engine.
+    """
+    w = (
+        W.partitionBy("key")
+        .orderBy("ts", *order_cols, "v")
+        .rowsBetween(-(window_rows - 1), W.currentRow)
+    )
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("long").alias("v"),
+    )
+    win = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(win)
+    # element_at is 1-based; (n+1) DIV 2 is the lower median position
+    med = F.element_at(win, ((n + F.lit(1)) / F.lit(2)).cast("int"))
+    return d.select(
+        "key",
+        "ts",
+        *order_cols,
+        F.col("v").alias("value"),
+        n.cast("long").alias("w_n"),
+        med.cast("long").alias("w_median"),
     )
 
 
@@ -1257,6 +1312,67 @@ def counter_rate(
                 F.unix_micros(F.max("ts").cast("timestamp"))
                 - F.unix_micros(F.min("ts").cast("timestamp"))
             ).alias("dur_us"),
+        )
+    )
+
+
+def counter_changes(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Prometheus-style ``changes()`` + ``resets()`` counts per key:
+    order samples by time and count transitions where the value moved
+    at all (``n_changes``) and where it moved DOWN (``n_resets`` — for
+    a monotone counter a decrease can only be a process restart). The
+    flap/restart telemetry view: ``counter_rate`` integrates the
+    counter, this one audits its health (a counter with resets every
+    few minutes means the exporter is crash-looping; a gauge with zero
+    changes over a day is stuck). Also emits first/last value and
+    ``n_samples`` so dashboards can show the run endpoints without a
+    second scan.
+
+    Exactness: ``value_col`` must be an exact integer (centi-quantized
+    upstream); every output is a BIGINT count or an exact input value —
+    no floats anywhere, bit-identical on any engine.
+
+    Plan shape: identical discipline to ``counter_rate`` — one per-key
+    window (lag over ts) then one hash aggregate; a single shuffle on
+    the key, aggregate map-side combinable. Per-key series length is
+    retention-bounded, keys parallelize. The window orders by
+    ``(ts, v)`` so tied timestamps replay identically on any engine.
+    """
+    w = W.partitionBy("key").orderBy("ts", "v")
+    prev = F.lag("v").over(w)
+    chg = F.when(prev.isNull(), 0).otherwise(
+        F.when(F.col("v") != prev, 1).otherwise(0)
+    )
+    rst = F.when(prev.isNotNull() & (F.col("v") < prev), 1).otherwise(0)
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(time_col).alias("ts"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .select(
+            "key",
+            "ts",
+            "v",
+            chg.alias("chg"),
+            rst.alias("rst"),
+        )
+        .groupBy("key")
+        .agg(
+            F.sum("chg").cast("long").alias("n_changes"),
+            F.sum("rst").cast("long").alias("n_resets"),
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            # lexicographic (ts, v) endpoints: deterministic under tied
+            # timestamps (min v wins the first, max v wins the last)
+            F.min(F.struct("ts", "v")).getField("v").cast("long")
+            .alias("first_value"),
+            F.max(F.struct("ts", "v")).getField("v").cast("long")
+            .alias("last_value"),
         )
     )
 

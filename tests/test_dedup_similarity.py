@@ -846,3 +846,27 @@ def test_paragraph_dedup_partitioning_invariance(spark):
     assert sum(
         1 for r in a if f"body" in r["text_clean"]
     ) == 3
+
+
+def test_dedup_keep_best_keeps_longest(spark):
+    """Planted near-dup cluster: the LONGEST member is canonical
+    (not the min id), singletons keep themselves, exactly one keep
+    per cluster."""
+    import pandas as pd
+
+    from spartan2_spark.operators.dedup import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),                      # near-dup of 2, shorter
+        (2, base + "extra tail words"),  # longest -> canonical
+        (3, "completely different content about spark shuffles " * 6),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.id: r for r in dedup_keep_best(
+        df, k=16, bands=8, jaccard_threshold=0.5, hash_mode="poly"
+    ).collect()}
+    assert out[1].cluster == out[2].cluster == 1  # min-label component
+    assert out[2].keep == 1 and out[1].keep == 0  # longest wins, not min id
+    assert out[3].keep == 1 and out[3].cluster == 3
+    assert sum(r.keep for r in out.values()) == 2

@@ -414,3 +414,27 @@ def test_neighbor_jaccard_hand_graph(spark):
     ]
     assert abs(rows[0]["jaccard"] - 0.5) == 0
     assert rows[2]["jaccard"] == 1 / 3
+
+
+def test_degree_assortativity_star_and_path(spark):
+    """Hand-checked shapes: a star is perfectly disassortative
+    (r = -1); a 4-path's r is the exact hand-computed ratio."""
+    import pandas as pd
+
+    from spartan2_spark.operators.graph import degree_assortativity
+
+    star = [(0, i) for i in range(1, 5)]  # hub deg 4, leaves deg 1
+    df = spark.createDataFrame(pd.DataFrame(star, columns=["src", "dst"]))
+    r = degree_assortativity(df).collect()[0]
+    assert r.m == 8 and r.assortativity == -1.0
+    assert r.r_num == -r.r_den
+
+    # path 0-1-2-3: degrees 1,2,2,1; directed pairs (du,dv):
+    # (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) -> m=6, sx=10, sxy=16, sxx=18
+    path = [(0, 1), (1, 2), (2, 3)]
+    df2 = spark.createDataFrame(pd.DataFrame(path, columns=["src", "dst"]))
+    r2 = degree_assortativity(df2).collect()[0]
+    assert (r2.m, r2.sx, r2.sxy, r2.sxx) == (6, 10, 16, 18)
+    assert r2.r_num == 6 * 16 - 100 == -4
+    assert r2.r_den == 6 * 18 - 100 == 8
+    assert r2.assortativity == -0.5

@@ -477,3 +477,33 @@ def test_crawl_budget_apportion_exact_and_invariant(spark):
         for r in crawl_budget_apportion(df.repartition(7), 10).collect()
     }
     assert out7 == {k: r["quota"] for k, r in out.items()}
+
+
+def test_frontier_interleave_round_robin(spark):
+    """Round-robin politeness: position order is every domain's best
+    url first, then every second-best; within a round, domains
+    alphabetical. Partition-layout invariant."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import frontier_interleave
+
+    rows = [
+        ("a.com", "a.com/1", 10),
+        ("a.com", "a.com/2", 5),
+        ("b.com", "b.com/1", 99),
+        ("b.com", "b.com/2", 98),
+        ("b.com", "b.com/3", 97),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["domain", "url", "priority"])
+    )
+    out = frontier_interleave(df).orderBy("position").collect()
+    assert [r.url for r in out] == [
+        "a.com/1", "b.com/1",      # round 1
+        "a.com/2", "b.com/2",      # round 2
+        "b.com/3",                 # round 3: only b has work left
+    ]
+    assert [r.position for r in out] == [1, 2, 3, 4, 5]
+    # layout invariance: same positions from a different partitioning
+    out2 = frontier_interleave(df.repartition(7)).orderBy("position").collect()
+    assert [r.url for r in out2] == [r.url for r in out]

@@ -183,3 +183,24 @@ def test_outlink_domain_graph_hand_pages(spark):
         ("a.example", "a.example"): 1,  # self-loop kept
         ("b.example", "c.example"): 1,  # http scheme matches too
     }
+
+
+def test_phrase_match_positions_and_overlaps(spark):
+    """Planted phrases: 1-based positions, repeated and overlapping
+    occurrences counted, case-folded, non-matching docs absent."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import phrase_match
+
+    rows = [
+        (1, "Hash Join beats sort merge when hash join fits memory"),
+        (2, "go go go"),          # overlapping occurrences of "go go"
+        (3, "no occurrences here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.id: r for r in phrase_match(df, ["hash", "join"]).collect()}
+    assert set(out) == {1}
+    assert out[1].n_hits == 2 and out[1].first_pos == 1
+
+    out2 = {r.id: r for r in phrase_match(df, ["go", "go"]).collect()}
+    assert out2[2].n_hits == 2 and out2[2].first_pos == 1  # pos 1 and 2

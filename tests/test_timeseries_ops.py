@@ -1122,3 +1122,46 @@ def test_apdex_score_classes_and_ratio(spark):
     # (2*2 + 2) / (2*6) = 0.5
     assert a["apdex"] == 0.5
     assert out["b"]["apdex"] == 1.0
+
+
+def test_rolling_median_lower_median_exact(spark):
+    """Window of 3: medians are exact input values (lower median on
+    even frame sizes at the series head)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.timeseries import rolling_median
+
+    t0 = 1_700_000_000
+    vals = [5, 1, 9, 3, 7]
+    rows = [("a", t0 + i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t", "v"]))
+    df = df.select("key", F.to_timestamp("t").alias("ts"), F.col("v").alias("value"))
+    out = rolling_median(df, 3).orderBy("ts").collect()
+    # frames: [5] [5,1] [5,1,9] [1,9,3] [9,3,7]
+    # lower medians: 5, 1 (sorted [1,5] pos 1), 5, 3, 7
+    assert [r.w_median for r in out] == [5, 1, 5, 3, 7]
+    assert [r.w_n for r in out] == [1, 2, 3, 3, 3]
+
+
+def test_counter_changes_resets_and_endpoints(spark):
+    """Planted counter: one flat repeat (no change), two moves up,
+    one reset (drop) — counts and lexicographic endpoints exact."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.timeseries import counter_changes
+
+    t0 = 1_700_000_000
+    vals = [10, 10, 15, 3, 20]  # changes: 15,3,20 -> 3; resets: 3 -> 1
+    rows = [("c", t0 + i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t", "v"]))
+    df = df.select("key", F.to_timestamp("t").alias("ts"), F.col("v").alias("value"))
+    r = counter_changes(df).collect()[0]
+    assert r.n_changes == 3
+    assert r.n_resets == 1
+    assert r.n_samples == 5
+    assert r.first_value == 10
+    assert r.last_value == 20
