@@ -164,6 +164,14 @@ AUDIT_QUERIES = [
     "postings_plan",
     "bloom_filter_plan",
     "crawl_budget_apportion",
+    # round-4 session-final additions (dedup_keep_best /
+    # degree_assortativity run the iterative CC / eager sampled-edge
+    # paths — audited through the shared dedup_clusters / triangle
+    # discipline)
+    "rolling_median",
+    "counter_changes",
+    "frontier_interleave",
+    "phrase_match",
 ]
 
 
@@ -316,3 +324,37 @@ def test_first_seen_rate_broadcasts_day_relations(spark, sf_dir):
     plan = plan_of(E.queries()["first_seen_rate"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_counter_changes_single_key_shuffle(spark, sf_dir):
+    """counter_changes = one per-key window + one agg on the SAME key:
+    at most the window exchange + one reuse, same discipline as
+    counter_rate."""
+    plan = plan_of(E.queries()["counter_changes"](spark, sf_dir), "simple")
+    assert plan.count("hashpartitioning(key") <= 2, plan
+
+
+def test_rolling_median_one_window_no_join(spark, sf_dir):
+    """rolling_median is ONE key-partitioned running-frame window:
+    no join, and exactly one data exchange (on the key)."""
+    plan = plan_of(E.queries()["rolling_median"](spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(key") == 1, plan
+
+
+def test_phrase_match_prunes_scan_and_filters_in_explode(spark, sf_dir):
+    """phrase_match must read only (doc_id, text) from the corpus scan
+    and keep the postings joins equi (never cartesian)."""
+    plan = plan_of(E.queries()["phrase_match"](spark, sf_dir))
+    tail = plan.split("ReadSchema")[-1]
+    assert "text" in tail and "lang" not in tail and "source" not in tail
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_frontier_interleave_distributed_ranking(spark, sf_dir):
+    """frontier_interleave's global position must come from the range-
+    repartitioned distributed ranking, never a global single-partition
+    sort of the data."""
+    plan = plan_of(E.queries()["frontier_interleave"](spark, sf_dir), "simple")
+    assert "rangepartitioning" in plan, plan
