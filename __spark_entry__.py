@@ -8906,6 +8906,167 @@ _PHRASE_MATCH_SQL = """
 """
 
 
+def _q_ohlc_bars(spark, sf_dir):
+    """Open/high/low/close + exact-VWAP candle rollup per event class
+    per hour — the first/last continuous-aggregate family the
+    cnt/sum/min/max tier state can't express; ONE hash aggregation,
+    re-aggregable state (see the tier-up parity pytest). Samples
+    deduped to one per (key, ts) so endpoint picks are deterministic."""
+    from spartan2_spark.operators.rollup import ohlc_bars
+
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("event_type").alias("key"), "ts")
+        .agg(
+            F.max(F.round(F.col("value") * 100).cast("long")).alias("value"),
+            F.max((F.col("user_id") % 7 + 1).cast("long")).alias("qty"),
+        )
+    )
+    return ohlc_bars(s, tier="1h", qty_col="qty").withColumn(
+        "bucket_s", F.unix_timestamp(F.col("bucket_ts").cast("timestamp"))
+    ).drop("bucket_ts")
+
+
+_OHLC_SQL = """
+    WITH s AS (SELECT event_type AS key, ts,
+                      max(CAST(round(value * 100) AS BIGINT)) AS v,
+                      max(CAST(user_id % 7 + 1 AS BIGINT)) AS q
+               FROM events GROUP BY 1, 2),
+    b AS (SELECT key, date_trunc('hour', ts) AS bucket,
+                 epoch_us(ts) AS t_us, v, q
+          FROM s)
+    SELECT key, count(*)::BIGINT AS cnt,
+           CAST(min(t_us) AS BIGINT) AS open_ts_us,
+           CAST(arg_min(v, t_us) AS BIGINT) AS "open",
+           CAST(max(t_us) AS BIGINT) AS close_ts_us,
+           CAST(arg_max(v, t_us) AS BIGINT) AS "close",
+           CAST(min(v) AS BIGINT) AS low,
+           CAST(max(v) AS BIGINT) AS high,
+           CAST(sum(q) AS BIGINT) AS volume,
+           CAST(sum(v * q) AS BIGINT) AS pvsum,
+           CAST(sum(v * q) AS BIGINT)::DOUBLE
+             / CAST(sum(q) AS BIGINT)::DOUBLE AS vwap,
+           CAST(epoch(bucket) AS BIGINT) AS bucket_s
+    FROM b GROUP BY key, bucket
+"""
+
+
+def _q_url_path_rollup(spark, sf_dir):
+    """Sitemap-tree rollup: fetch counts + value bytes per url path
+    prefix (depth <= 3) — each fetch contributes one row per ancestor,
+    so sibling subtrees sum exactly into their parent; one explode +
+    ONE map-side-combinable hash aggregate."""
+    from spartan2_spark.operators.rollup import url_path_rollup
+
+    u = _events(spark, sf_dir).select(
+        F.concat_ws(
+            "/",
+            F.col("event_type"),
+            (F.col("user_id") % 31).cast("string"),
+            (F.col("event_id") % 13).cast("string"),
+        ).alias("url"),
+        F.round(F.col("value") * 100).cast("long").alias("nbytes"),
+    )
+    return url_path_rollup(u, max_depth=3, bytes_col="nbytes")
+
+
+_URL_PATH_ROLLUP_SQL = """
+    WITH u AS (SELECT event_type || '/' ||
+                        CAST(user_id % 31 AS VARCHAR) || '/' ||
+                        CAST(event_id % 13 AS VARCHAR) AS url,
+                      CAST(round(value * 100) AS BIGINT) AS b
+               FROM events),
+    p AS (SELECT unnest(list_transform(
+                   range(1, least(3, len(string_split(url, '/'))) + 1),
+                   i -> array_to_string((string_split(url, '/'))[1:i], '/')))
+                 AS prefix,
+                 b
+          FROM u)
+    SELECT prefix, count(*)::BIGINT AS fetches,
+           CAST(sum(b) AS BIGINT) AS bytes,
+           CAST(len(string_split(prefix, '/')) AS BIGINT) AS depth
+    FROM p GROUP BY prefix
+"""
+
+
+def _q_dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate-rate audit per corpus source. The testdata has
+    no natural exact dups, so the query plants them: every doc_id % 10
+    == 0 document re-enters under a new id (+100000) and source
+    'mirror' — the audit must then attribute duplicate membership to
+    BOTH the original sources and the mirror."""
+    from spartan2_spark.operators.dedup import dup_rate_by_source
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    base = d.select("doc_id", "text", "source").unionByName(planted)
+    return dup_rate_by_source(base)
+
+
+_DUP_RATE_SQL = """
+    WITH base AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, 'mirror' FROM documents
+      WHERE doc_id % 10 = 0),
+    k AS (SELECT source AS grp, doc_id AS id, md5(text) AS h FROM base),
+    c AS (SELECT h, count(*)::BIGINT AS n_copies, min(id) AS canonical
+          FROM k GROUP BY h),
+    j AS (SELECT k.grp, k.id, c.n_copies, c.canonical
+          FROM k JOIN c USING (h))
+    SELECT grp, count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN n_copies > 1 AND id = canonical
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_canonicals,
+           CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_ratio
+    FROM j GROUP BY grp
+"""
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    """Vocabulary-growth curve: per (synthetic) corpus day, distinct
+    word 3-grams vs grams globally first seen that day — the n-gram
+    analogue of first_seen_rate's url novelty (the dataset-growth
+    stopping signal)."""
+    from spartan2_spark.operators.text import ngram_novelty
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        (F.col("doc_id") % 5).cast("long").alias("day"), "text"
+    )
+    return ngram_novelty(d, n=3, day_col="day")
+
+
+_NGRAM_NOVELTY_SQL = """
+    WITH g AS (
+      SELECT doc_id % 5 AS day,
+             list_distinct(list_transform(
+               generate_series(1, greatest(
+                 len(string_split_regex(trim(lower(text)), ' +')) - 2, 1)),
+               i -> array_to_string(
+                 (string_split_regex(trim(lower(text)), ' +'))[i:i+2],
+                 ' '))) AS ng
+      FROM documents),
+    f AS (SELECT DISTINCT day, unnest(ng) AS gram FROM g),
+    fe AS (SELECT day, gram FROM f WHERE gram != ''),
+    per_day AS (SELECT day, count(*)::BIGINT AS distinct_grams
+                FROM fe GROUP BY day),
+    nov AS (SELECT day, count(*)::BIGINT AS novel_grams
+            FROM (SELECT gram, min(day) AS day FROM fe GROUP BY gram)
+            GROUP BY day)
+    SELECT CAST(p.day AS BIGINT) AS day, p.distinct_grams,
+           coalesce(n.novel_grams, 0)::BIGINT AS novel_grams,
+           CAST(coalesce(n.novel_grams, 0) AS DOUBLE)
+             / CAST(p.distinct_grams AS DOUBLE) AS novelty_ratio
+    FROM per_day p LEFT JOIN nov n ON p.day = n.day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9139,6 +9300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _q_degree_assortativity,
         "frontier_interleave": _q_frontier_interleave,
         "phrase_match": _q_phrase_match,
+        "ohlc_bars": _q_ohlc_bars,
+        "url_path_rollup": _q_url_path_rollup,
+        "dup_rate_by_source": _q_dup_rate_by_source,
+        "ngram_novelty": _q_ngram_novelty,
     }
 
 
@@ -9356,6 +9521,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _DEGREE_ASSORT_SQL,
         "frontier_interleave": _FRONTIER_INTERLEAVE_SQL,
         "phrase_match": _PHRASE_MATCH_SQL,
+        "ohlc_bars": _OHLC_SQL,
+        "url_path_rollup": _URL_PATH_ROLLUP_SQL,
+        "dup_rate_by_source": _DUP_RATE_SQL,
+        "ngram_novelty": _NGRAM_NOVELTY_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

@@ -36,6 +36,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "dedup_keep_best",
+    "dup_rate_by_source",
     "ngram_jaccard_join",
     "ngram_containment_join",
     "word_ngrams_from_tokens",
@@ -857,6 +858,53 @@ def dedup_keep_best(
         "cluster",
         "quality",
         (F.row_number().over(w) == 1).cast("long").alias("keep"),
+    )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-duplicate-rate audit per corpus slice: for each group
+    (source / domain / snapshot), how many documents are members of a
+    cross-corpus exact-duplicate cluster (content md5 shared by >= 2
+    docs ANYWHERE, not just within the group), how many are the
+    cluster canonical (min id), and the redundant fraction — the
+    corpus-QA table that decides which source needs
+    :func:`exact_dedup` run hardest. ``dup_ratio`` = duplicated
+    member docs / group docs, one IEEE divide of exact BIGINTs.
+
+    Plan shape: one (md5) hash aggregate over the corpus (the same
+    exchange exact_dedup runs), an equi-join of the doc->md5
+    projection against that O(distinct-content) relation, then one
+    group aggregate. No windows; everything map-side combinable.
+    """
+    keyed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("h"),
+    )
+    clusters = keyed.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("id").alias("canonical"),
+    )
+    j = keyed.join(clusters, "h")
+    return j.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_copies") > 1).cast("long")).cast("long").alias("n_dup_docs"),
+        F.sum(
+            ((F.col("n_copies") > 1) & (F.col("id") == F.col("canonical"))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_dup_canonicals"),
+        (
+            F.sum((F.col("n_copies") > 1).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_ratio"),
     )
 
 

@@ -61,6 +61,9 @@ __all__ = [
     "tier_mode",
     "bucket_coverage",
     "frontier_interleave",
+    "ohlc_bars",
+    "ohlc_tier_up",
+    "url_path_rollup",
     "url_version_intervals",
 ]
 
@@ -911,6 +914,148 @@ def first_seen_rate(
                 / F.col("distinct_urls").cast("double")
             ).alias("novelty_ratio"),
         )
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    tier: str = "1h",
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "value",
+    qty_col: str | None = None,
+) -> DataFrame:
+    """Open/high/low/close candle rollup per (key, bucket) — the
+    first/last continuous-aggregate family the cnt/sum/min/max tier
+    state cannot express (TimescaleDB ``candlestick_agg`` shape;
+    open = value at the bucket's earliest sample, close at its
+    latest). With ``qty_col``, also volume and exact VWAP inputs
+    (``pvsum`` = sum(value*qty), ``volume`` = sum(qty)); ``vwap`` is
+    ONE IEEE divide of the two exact integers.
+
+    Exactness: ``value_col`` (and ``qty_col``) must be exact integers.
+    Endpoint picks are LEXICOGRAPHIC min/max of the (epoch_us, value)
+    struct, so tied timestamps replay identically on any engine and —
+    critically — the whole state is **re-aggregable**: min/max of
+    structs is associative and commutative, so a 1h bar built from 1m
+    bar state (min of opens' structs, max of closes', min/max/sums of
+    the rest) is bit-identical to one built from raw. Same discipline
+    as the cnt/vsum/vmin/vmax tier ladder; see the tier-up parity
+    test.
+
+    Plan shape: ONE scalar hash aggregation (partial map-side combine
+    + final) — no window, no join, single shuffle on (key, bucket).
+    """
+    unit = TIERS[tier]
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(time_col)).alias("bucket_ts"),
+        us.alias("t_us"),
+        v.alias("v"),
+        *(
+            [F.col(qty_col).cast("long").alias("q")]
+            if qty_col
+            else []
+        ),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min(F.struct("t_us", "v")).getField("t_us").alias("open_ts_us"),
+        F.min(F.struct("t_us", "v")).getField("v").alias("open"),
+        F.max(F.struct("t_us", "v")).getField("t_us").alias("close_ts_us"),
+        F.max(F.struct("t_us", "v")).getField("v").alias("close"),
+        F.min("v").alias("low"),
+        F.max("v").alias("high"),
+    ]
+    if qty_col:
+        aggs += [
+            F.sum("q").cast("long").alias("volume"),
+            F.sum(F.col("v") * F.col("q")).cast("long").alias("pvsum"),
+        ]
+    out = base.groupBy("key", "bucket_ts").agg(*aggs)
+    if qty_col:
+        out = out.withColumn(
+            "vwap", F.col("pvsum").cast("double") / F.col("volume").cast("double")
+        )
+    return out
+
+
+def ohlc_tier_up(state: DataFrame, tier: str) -> DataFrame:
+    """Coarser OHLC bars FROM STORED BAR STATE only (never re-reads
+    raw): min/max of the (ts, value) endpoint structs is associative,
+    so the merged open/close are exactly the raw-computed ones. ONE
+    scalar hash aggregation, same discipline as ``rollup_tier_up``.
+    Volume/pvsum columns merge by sum when present.
+    """
+    unit = TIERS[tier]
+    has_vol = "volume" in state.columns
+    aggs = [
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.min(F.struct("open_ts_us", "open")).getField("open_ts_us").alias(
+            "open_ts_us"
+        ),
+        F.min(F.struct("open_ts_us", "open")).getField("open").alias("open"),
+        F.max(F.struct("close_ts_us", "close")).getField("close_ts_us").alias(
+            "close_ts_us"
+        ),
+        F.max(F.struct("close_ts_us", "close")).getField("close").alias("close"),
+        F.min("low").alias("low"),
+        F.max("high").alias("high"),
+    ]
+    if has_vol:
+        aggs += [
+            F.sum("volume").cast("long").alias("volume"),
+            F.sum("pvsum").cast("long").alias("pvsum"),
+        ]
+    out = state.groupBy(
+        "key", F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(*aggs)
+    if has_vol:
+        out = out.withColumn(
+            "vwap", F.col("pvsum").cast("double") / F.col("volume").cast("double")
+        )
+    return out
+
+
+def url_path_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    max_depth: int = 3,
+    bytes_col: str | None = None,
+) -> DataFrame:
+    """Sitemap-tree rollup: aggregate fetch counts (and bytes) per url
+    path PREFIX up to ``max_depth`` segments — the "which directories
+    of this site are heavy" view a crawl operator reads next to
+    ``first_seen_rate``'s novelty and ``crawl_budget_apportion``'s
+    quotas. Each url contributes one row per ancestor prefix
+    (``a.com``, ``a.com/x``, ``a.com/x/y``), so sibling subtrees sum
+    into their parent exactly.
+
+    Exactness: prefixes are pure string slicing (split + slice +
+    array_join — identical in any engine); counts/bytes are BIGINT.
+
+    Plan shape: one generate (explode of <= max_depth prefixes per
+    url) + ONE hash aggregate on the prefix — map-side combinable;
+    output cardinality is bounded by the distinct-prefix universe,
+    which is corpus-vocabulary-sized, not fetch-sized.
+    """
+    parts = F.split(F.col(url_col), "/")
+    depth = F.least(F.lit(max_depth), F.size(parts))
+    prefixes = F.transform(
+        F.sequence(F.lit(1), depth),
+        lambda i: F.array_join(F.slice(parts, 1, i), "/"),
+    )
+    base = df.select(
+        F.explode(prefixes).alias("prefix"),
+        *([F.col(bytes_col).cast("long").alias("b")] if bytes_col else []),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("fetches")]
+    if bytes_col:
+        aggs.append(F.sum("b").cast("long").alias("bytes"))
+    return base.groupBy("prefix").agg(*aggs).withColumn(
+        "depth", (F.size(F.split(F.col("prefix"), "/"))).cast("long")
     )
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "pmi_collocations",
     "doc_entropy",
     "phrase_match",
+    "ngram_novelty",
     "boilerplate_lines",
     "boilerplate_strip",
     "outlink_domain_graph",
@@ -682,6 +683,64 @@ def pmi_collocations(
         j.select("gram", "c_xy", F.round(pmi, 8).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "gram")
         .limit(top_n)
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    day_col: str = "day",
+) -> DataFrame:
+    """Vocabulary-growth curve: per day, distinct word n-grams observed
+    vs n-grams GLOBALLY first seen that day, and their ratio — the
+    n-gram-space analogue of ``first_seen_rate``'s url novelty. A
+    pretraining corpus whose gram novelty decays to ~0 has stopped
+    adding information regardless of how many new documents arrive —
+    the dataset-growth stopping signal next to ``vocab_hapax``'s
+    static tail view.
+
+    Exactness: day is whatever exact integer/date key the caller
+    binds; counts BIGINT; ratio one IEEE divide.
+
+    Plan shape: one explode of per-doc DISTINCT grams (bounded by doc
+    length), one (gram, day) dedup aggregate, then a gram-keyed
+    first-seen aggregate and two O(days) day aggregates joined
+    broadcast — the only gram-sized exchanges are the dedup and
+    first-seen aggs; nothing joins at corpus row scale.
+    """
+    from spartan2_spark.operators.dedup import word_ngrams_from_tokens
+
+    # bind the token array BEFORE gram construction: word_ngrams over an
+    # inline split() re-evaluates the split per gram (O(tokens^2)/doc)
+    grams = (
+        df.select(
+            F.col(day_col).alias("day"), tokens_expr(text_col).alias("tok")
+        )
+        .select("day", F.explode(word_ngrams_from_tokens("tok", n)).alias("gram"))
+        .filter(F.col("gram") != "")
+    )
+    gd = grams.groupBy("gram", "day").agg(F.lit(1).alias("__one"))
+    per_day = gd.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("distinct_grams")
+    )
+    first = (
+        gd.groupBy("gram")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("novel_grams"))
+    )
+    return (
+        per_day.join(F.broadcast(first), "day", "left")
+        .select(
+            "day",
+            "distinct_grams",
+            F.coalesce("novel_grams", F.lit(0)).cast("long").alias("novel_grams"),
+            (
+                F.coalesce("novel_grams", F.lit(0)).cast("double")
+                / F.col("distinct_grams").cast("double")
+            ).alias("novelty_ratio"),
+        )
     )
 
 

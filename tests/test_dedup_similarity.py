@@ -870,3 +870,25 @@ def test_dedup_keep_best_keeps_longest(spark):
     assert out[2].keep == 1 and out[1].keep == 0  # longest wins, not min id
     assert out[3].keep == 1 and out[3].cluster == 3
     assert sum(r.keep for r in out.values()) == 2
+
+
+def test_dup_rate_by_source_planted(spark):
+    """Planted cross-source dup: membership counted in BOTH sources,
+    canonical attributed to the min-id holder's group."""
+    import pandas as pd
+
+    from spartan2_spark.operators.dedup import dup_rate_by_source
+
+    rows = [
+        (1, "same content", "a"),
+        (2, "same content", "b"),   # dup of 1, canonical is id 1 in a
+        (3, "unique one", "a"),
+        (4, "unique two", "b"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    out = {r.grp: r for r in dup_rate_by_source(df).collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_dup_docs == 1
+    assert out["a"].n_dup_canonicals == 1 and out["a"].dup_ratio == 0.5
+    assert out["b"].n_dup_docs == 1 and out["b"].n_dup_canonicals == 0

@@ -172,6 +172,10 @@ AUDIT_QUERIES = [
     "counter_changes",
     "frontier_interleave",
     "phrase_match",
+    "ohlc_bars",
+    "url_path_rollup",
+    "dup_rate_by_source",
+    "ngram_novelty",
 ]
 
 
@@ -358,3 +362,29 @@ def test_frontier_interleave_distributed_ranking(spark, sf_dir):
     sort of the data."""
     plan = plan_of(E.queries()["frontier_interleave"](spark, sf_dir), "simple")
     assert "rangepartitioning" in plan, plan
+
+
+def test_ohlc_is_single_exchange_agg(spark, sf_dir):
+    """ohlc_bars after the (key,ts) dedup = two hash aggregates that
+    share the key partitioning: no window, no join, and at most two
+    hashpartitioning exchanges in the whole plan."""
+    plan = plan_of(E.queries()["ohlc_bars"](spark, sf_dir), "simple")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_url_path_rollup_explode_then_one_agg(spark, sf_dir):
+    """url_path_rollup = one Generate (prefix explode) + ONE
+    map-side-combinable aggregate on the prefix."""
+    plan = plan_of(E.queries()["url_path_rollup"](spark, sf_dir), "simple")
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("hashpartitioning") == 1, plan
+    assert "Join" not in plan
+
+
+def test_ngram_novelty_day_join_broadcasts(spark, sf_dir):
+    """ngram_novelty's closing join is between two O(days) relations —
+    it must broadcast, never sort-merge."""
+    plan = plan_of(E.queries()["ngram_novelty"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

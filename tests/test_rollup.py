@@ -507,3 +507,56 @@ def test_frontier_interleave_round_robin(spark):
     # layout invariance: same positions from a different partitioning
     out2 = frontier_interleave(df.repartition(7)).orderBy("position").collect()
     assert [r.url for r in out2] == [r.url for r in out]
+
+
+def test_ohlc_bars_and_tier_up_parity(spark):
+    """OHLC endpoints are lexicographic (ts,v) picks (deterministic
+    under ties) and the bar state is re-aggregable: 1h bars merged
+    from 1m bar state == 1h bars computed from raw."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.rollup import ohlc_bars, ohlc_tier_up
+
+    t0 = 1_700_000_000  # on an hour boundary? not necessarily; fine
+    rows = [
+        ("k", t0 + 0, 50, 2),
+        ("k", t0 + 61, 10, 1),    # second minute
+        ("k", t0 + 61, 90, 1),    # tied ts: open pick must take v=10
+        ("k", t0 + 3700, 70, 3),  # next hour
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "t", "value", "qty"])
+    ).select("key", F.to_timestamp("t").alias("ts"), "value", "qty")
+    bars = {r.bucket_ts: r for r in ohlc_bars(df, "1h", qty_col="qty").collect()}
+    first_hour = min(bars)
+    b = bars[first_hour]
+    assert b.open == 50 and b.low == 10 and b.high == 90
+    assert b.close == 90  # tied last ts -> lexicographic max picks v=90
+    assert b.volume == 4 and b.pvsum == 50 * 2 + 10 * 1 + 90 * 1
+    assert b.vwap == b.pvsum / b.volume
+
+    m1 = ohlc_bars(df, "1m", qty_col="qty")
+    via_tier = ohlc_tier_up(m1, "1h").orderBy("key", "bucket_ts").collect()
+    direct = ohlc_bars(df, "1h", qty_col="qty").orderBy("key", "bucket_ts").collect()
+    assert [tuple(r) for r in via_tier] == [tuple(r) for r in direct]
+
+
+def test_url_path_rollup_prefix_sums(spark):
+    """Every url contributes one row per ancestor prefix, so a parent's
+    fetch count is exactly the number of urls in its subtree."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import url_path_rollup
+
+    rows = [("a.com/x/1", 10), ("a.com/x/2", 20), ("a.com/y/1", 5),
+            ("b.com", 7)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "nb"]))
+    out = {r.prefix: r for r in
+           url_path_rollup(df, max_depth=3, bytes_col="nb").collect()}
+    assert out["a.com"].fetches == 3 and out["a.com"].bytes == 35
+    assert out["a.com/x"].fetches == 2 and out["a.com/x"].bytes == 30
+    assert out["a.com/x/1"].fetches == 1
+    assert out["b.com"].fetches == 1 and out["b.com"].depth == 1
+    assert out["a.com/x/2"].depth == 3

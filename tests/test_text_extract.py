@@ -204,3 +204,24 @@ def test_phrase_match_positions_and_overlaps(spark):
 
     out2 = {r.id: r for r in phrase_match(df, ["go", "go"]).collect()}
     assert out2[2].n_hits == 2 and out2[2].first_pos == 1  # pos 1 and 2
+
+
+def test_ngram_novelty_two_day_split(spark):
+    """Day 0 introduces all its grams (ratio 1.0); day 1 repeats one
+    doc verbatim and adds one new doc — novelty counts only the
+    globally-new grams."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import ngram_novelty
+
+    rows = [
+        (0, "a b c d"),        # grams: "a b c", "b c d"
+        (1, "a b c d"),        # same grams again -> not novel
+        (1, "x y z w"),        # grams: "x y z", "y z w" -> novel
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["day", "text"]))
+    out = {r.day: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[0].distinct_grams == 2 and out[0].novel_grams == 2
+    assert out[0].novelty_ratio == 1.0
+    assert out[1].distinct_grams == 4 and out[1].novel_grams == 2
+    assert out[1].novelty_ratio == 0.5
