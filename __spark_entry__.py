@@ -9067,6 +9067,106 @@ _NGRAM_NOVELTY_SQL = """
 """
 
 
+def _q_interval_concurrency(spark, sf_dir):
+    """In-flight concurrency timeline per event class from synthetic
+    half-open [start, start + (centi+1)s) intervals: sweep-line
+    boundary events, (key, t) delta aggregate, ONE running-frame
+    window — ends processed before starts at an instant."""
+    from spartan2_spark.operators.timeseries import interval_concurrency
+
+    iv = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        _usec("ts").alias("start_us"),
+        (
+            _usec("ts")
+            + (F.round(F.col("value") * 100).cast("long") + 1) * 1_000_000
+        ).alias("end_us"),
+    )
+    return interval_concurrency(iv)
+
+
+_INTERVAL_CONCURRENCY_SQL = """
+    WITH iv AS (SELECT event_type AS key, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                         + (CAST(round(value * 100) AS BIGINT) + 1)
+                           * 1000000 AS e
+                FROM events),
+    ev AS (SELECT key, s AS t_us, 1 AS sd, 0 AS ed FROM iv
+           UNION ALL SELECT key, e, 0, 1 FROM iv),
+    pt AS (SELECT key, t_us, CAST(sum(sd) AS BIGINT) AS starts,
+                  CAST(sum(ed) AS BIGINT) AS ends
+           FROM ev GROUP BY key, t_us)
+    SELECT key, t_us, starts, ends,
+           CAST(sum(starts - ends) OVER (
+                  PARTITION BY key ORDER BY t_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS concurrent
+    FROM pt
+"""
+
+
+def _q_weighted_percentiles(spark, sf_dir):
+    """Exact weighted p50/p95 per event class (lower rule, integer
+    cross-multiplied reach test 100*cumw >= q*W) with per-sample
+    weights — the latency percentile weighted by request volume that
+    unweighted exact_percentiles can't express."""
+    from spartan2_spark.operators.timeseries import weighted_percentiles
+
+    s = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+        (F.col("user_id") % 7 + 1).cast("long").alias("weight"),
+    )
+    return weighted_percentiles(s, percents=(50, 95))
+
+
+_WEIGHTED_PCT_SQL = """
+    WITH d AS (SELECT event_type AS key,
+                      CAST(round(value * 100) AS BIGINT) AS v,
+                      CAST(user_id % 7 + 1 AS BIGINT) AS w
+               FROM events),
+    g AS (SELECT key, v, CAST(sum(w) AS BIGINT) AS w FROM d GROUP BY key, v),
+    c AS (SELECT key, v,
+                 CAST(sum(w) OVER (PARTITION BY key ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cumw,
+                 CAST(sum(w) OVER (PARTITION BY key) AS BIGINT) AS total_w
+          FROM g)
+    SELECT key, CAST(max(total_w) AS BIGINT) AS total_w,
+           CAST(min(CASE WHEN 100 * cumw >= 50 * total_w THEN v END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN 100 * cumw >= 95 * total_w THEN v END)
+                AS BIGINT) AS p95
+    FROM c GROUP BY key
+"""
+
+
+def _q_graph_reciprocity(spark, sf_dir):
+    """Reciprocity of a synthetic directed graph (u = user_id mod 50
+    -> v = event_id mod 50, loops dropped): fraction of deduped edges
+    whose reverse also exists — one distinct + one swapped-key
+    semi-join + counts."""
+    from spartan2_spark.operators.graph import graph_reciprocity
+
+    e = _events(spark, sf_dir).select(
+        (F.col("user_id") % 50).alias("src"),
+        (F.col("event_id") % 50).alias("dst"),
+    )
+    return graph_reciprocity(e)
+
+
+_RECIPROCITY_SQL = """
+    WITH e AS (SELECT DISTINCT user_id % 50 AS u, event_id % 50 AS v
+               FROM events WHERE user_id % 50 != event_id % 50),
+    r AS (SELECT a.u, a.v FROM e a SEMI JOIN e b
+          ON b.u = a.v AND b.v = a.u)
+    SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+           (SELECT count(*) FROM r)::BIGINT AS n_reciprocal,
+           (SELECT count(*) FROM r)::DOUBLE
+             / (SELECT count(*) FROM e)::DOUBLE AS reciprocity
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9304,6 +9404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_path_rollup": _q_url_path_rollup,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "ngram_novelty": _q_ngram_novelty,
+        "interval_concurrency": _q_interval_concurrency,
+        "weighted_percentiles": _q_weighted_percentiles,
+        "graph_reciprocity": _q_graph_reciprocity,
     }
 
 
@@ -9525,6 +9628,9 @@ def oracle_sql() -> dict[str, str]:
         "url_path_rollup": _URL_PATH_ROLLUP_SQL,
         "dup_rate_by_source": _DUP_RATE_SQL,
         "ngram_novelty": _NGRAM_NOVELTY_SQL,
+        "interval_concurrency": _INTERVAL_CONCURRENCY_SQL,
+        "weighted_percentiles": _WEIGHTED_PCT_SQL,
+        "graph_reciprocity": _RECIPROCITY_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

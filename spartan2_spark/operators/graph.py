@@ -36,6 +36,7 @@ __all__ = [
     "label_propagation",
     "neighbor_jaccard",
     "degree_assortativity",
+    "graph_reciprocity",
 ]
 
 
@@ -745,6 +746,49 @@ def degree_assortativity(
         num.cast("long").alias("r_num"),
         den.cast("long").alias("r_den"),
         (num.cast("double") / den.cast("double")).alias("assortativity"),
+    )
+
+
+def graph_reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Reciprocity of a directed simple graph: the fraction of
+    (deduped, loop-free) directed edges whose reverse edge also exists
+    — the one-number mutuality summary that separates broadcast-shaped
+    link graphs (news sites linking out, near-zero reciprocity) from
+    exchange-shaped ones (blogrolls, link farms trading links) next to
+    ``degree_assortativity``'s hub-mixing view.
+
+    Exactness: counts are BIGINT (reciprocal membership via a
+    self-semi-join on the swapped key); ``reciprocity`` is ONE IEEE
+    divide of the two.
+
+    Plan shape: one distinct on (src, dst), one self-join on the
+    swapped equi-key (same exchange footprint as the distinct), one
+    global count aggregate — a single data-sized shuffle family on the
+    edge key.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rec = e.join(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")),
+        ["u", "v"],
+        "left_semi",
+    )
+    agg = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        rec.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    return agg.select(
+        "n_edges",
+        "n_reciprocal",
+        (
+            F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double")
+        ).alias("reciprocity"),
     )
 
 

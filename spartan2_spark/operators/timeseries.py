@@ -69,6 +69,8 @@ __all__ = [
     "peak_window_count",
     "burn_rate_alerts",
     "time_weighted_avg",
+    "interval_concurrency",
+    "weighted_percentiles",
     "uptime_sla",
     "gauge_delta",
     "predict_linear",
@@ -1374,6 +1376,128 @@ def counter_changes(
             F.max(F.struct("ts", "v")).getField("v").cast("long")
             .alias("last_value"),
         )
+    )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    key_col: str = "key",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Concurrency timeline per key from half-open [start, end)
+    intervals — the sweep-line that answers "how many crawls / sessions
+    / downloads were in flight at once": each boundary instant emits
+    (starts, ends, concurrent-after). Max concurrency is
+    ``max(concurrent)`` downstream; ends at an instant are processed
+    BEFORE starts (half-open semantics: an interval ending at t does
+    not overlap one starting at t).
+
+    Exactness: boundaries are exact integer microseconds; deltas are
+    aggregated per (key, t) FIRST, so the running sum is over a unique
+    (key, t) order — no tie ambiguity anywhere, all-BIGINT.
+
+    Plan shape: one explode (2 rows per interval), one (key, t) hash
+    aggregate, ONE key-partitioned running-frame window — a single
+    data-sized shuffle on the key (the agg and window share it).
+    Timeline length per key is 2x the key's interval count, bounded by
+    retention, never corpus-wide.
+    """
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).cast("long").alias("t_us"),
+                    F.lit(1).cast("long").alias("d"),
+                ),
+                F.struct(
+                    F.col(end_col).cast("long").alias("t_us"),
+                    F.lit(-1).cast("long").alias("d"),
+                ),
+            )
+        ).alias("e"),
+    ).select("key", F.col("e.t_us").alias("t_us"), F.col("e.d").alias("d"))
+    per_t = ev.groupBy("key", "t_us").agg(
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("starts"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).cast("long").alias("ends"),
+    )
+    w = (
+        W.partitionBy("key")
+        .orderBy("t_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per_t.select(
+        "key",
+        "t_us",
+        "starts",
+        "ends",
+        F.sum(F.col("starts") - F.col("ends")).over(w).cast("long").alias(
+            "concurrent"
+        ),
+    )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    weight_col: str = "weight",
+    percents: tuple[int, ...] = (50, 95),
+) -> DataFrame:
+    """Exact WEIGHTED percentiles per key (lower rule): the smallest
+    value v whose cumulative weight reaches q% of the total — the
+    latency percentile that weights each sample by request count /
+    bytes served, which the unweighted ``exact_percentiles`` cannot
+    express. Returns one row per key with a ``p{q}`` column per
+    requested percent plus ``total_w``.
+
+    Exactness: the reach test is the integer cross-multiplication
+    ``100 * cumw >= q * W`` — no float quantile position anywhere, and
+    every output is an exact input value. Ties in v collapse in a
+    (key, v) pre-aggregate, so the cumulative window runs over a
+    unique order — engine-deterministic.
+
+    Plan shape: one (key, v) hash aggregate, ONE key-partitioned
+    running-frame window over the collapsed (distinct-value-sized)
+    relation, one final min-aggregate — the key shuffle is shared by
+    all three.
+    """
+    for q in percents:
+        if not 0 < q <= 100:
+            raise ValueError(f"percent {q} out of (0, 100]")
+    d = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.col(value_col).cast("long").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .groupBy("key", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    win = (
+        W.partitionBy("key")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot = W.partitionBy("key")
+    c = d.select(
+        "key",
+        "v",
+        F.sum("w").over(win).alias("cumw"),
+        F.sum("w").over(tot).alias("total_w"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.lit(100) * F.col("cumw") >= F.lit(q) * F.col("total_w"),
+                F.col("v"),
+            )
+        ).alias(f"p{q}")
+        for q in percents
+    ]
+    return c.groupBy("key").agg(
+        F.max("total_w").cast("long").alias("total_w"), *aggs
     )
 
 

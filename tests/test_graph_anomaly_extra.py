@@ -438,3 +438,17 @@ def test_degree_assortativity_star_and_path(spark):
     assert r2.r_num == 6 * 16 - 100 == -4
     assert r2.r_den == 6 * 18 - 100 == 8
     assert r2.assortativity == -0.5
+
+
+def test_graph_reciprocity_hand_graph(spark):
+    """4 directed edges, one mutual pair, loop dropped: 2 of 4
+    reciprocal."""
+    import pandas as pd
+
+    from spartan2_spark.operators.graph import graph_reciprocity
+
+    rows = [(1, 2), (2, 1), (1, 3), (3, 4), (5, 5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst"]))
+    r = graph_reciprocity(df).collect()[0]
+    assert r.n_edges == 4 and r.n_reciprocal == 2
+    assert r.reciprocity == 0.5

@@ -176,6 +176,9 @@ AUDIT_QUERIES = [
     "url_path_rollup",
     "dup_rate_by_source",
     "ngram_novelty",
+    "interval_concurrency",
+    "weighted_percentiles",
+    "graph_reciprocity",
 ]
 
 
@@ -388,3 +391,21 @@ def test_ngram_novelty_day_join_broadcasts(spark, sf_dir):
     plan = plan_of(E.queries()["ngram_novelty"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_concurrency_shares_key_shuffle(spark, sf_dir):
+    """interval_concurrency's (key,t) aggregate and running window
+    must share the key exchange family — no join, bounded exchanges."""
+    plan = plan_of(E.queries()["interval_concurrency"](spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_weighted_percentiles_collapses_before_window(spark, sf_dir):
+    """weighted_percentiles runs its cumulative window over the
+    (key, v)-collapsed relation, not the raw samples: the (key, v)
+    aggregate must appear below the Window in the plan, and the window
+    partitions on the key."""
+    plan = plan_of(E.queries()["weighted_percentiles"](spark, sf_dir), "simple")
+    assert "Window" in plan and "Join" not in plan
+    assert plan.index("HashAggregate") < plan.index("Window"), plan

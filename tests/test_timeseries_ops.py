@@ -1165,3 +1165,46 @@ def test_counter_changes_resets_and_endpoints(spark):
     assert r.n_samples == 5
     assert r.first_value == 10
     assert r.last_value == 20
+
+
+def test_interval_concurrency_sweep(spark):
+    """Hand case: overlap peaks at 2; an interval ending exactly when
+    another starts does NOT overlap it (half-open)."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import interval_concurrency
+
+    rows = [
+        ("k", 0, 10),
+        ("k", 5, 15),    # overlaps the first -> concurrency 2 at t=5
+        ("k", 15, 20),   # starts exactly when the second ends -> no overlap
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "start_us", "end_us"])
+    )
+    out = {r.t_us: r for r in interval_concurrency(df).collect()}
+    assert out[0].concurrent == 1
+    assert out[5].concurrent == 2
+    assert out[10].concurrent == 1
+    assert out[15].starts == 1 and out[15].ends == 1
+    assert out[15].concurrent == 1  # end processed with start at same t
+    assert out[20].concurrent == 0
+    assert max(r.concurrent for r in out.values()) == 2
+
+
+def test_weighted_percentiles_lower_rule(spark):
+    """Weighted median: values 1,2,3 with weights 1,1,8 -> p50 is 3
+    (cumw reaches 5 of 10 only at v=3); unweighted it would be 2."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import weighted_percentiles
+
+    rows = [("a", 1, 1), ("a", 2, 1), ("a", 3, 8)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "value", "weight"])
+    )
+    r = weighted_percentiles(df, percents=(20, 50, 95)).collect()[0]
+    assert r.total_w == 10
+    assert r.p20 == 2   # cumw 1 < 2 at v=1; cumw 2 >= 2 at v=2
+    assert r.p50 == 3
+    assert r.p95 == 3
