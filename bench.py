@@ -95,6 +95,15 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "pow2_hist_quantile",
     "url_version_intervals",
+    # round-4 session-final: candle rollup, weighted percentiles,
+    # sweep-line concurrency, rolling median, sitemap rollup, phrase
+    # search (all lazily constructed — no eager counts/checkpoints)
+    "ohlc_bars",
+    "weighted_percentiles",
+    "interval_concurrency",
+    "rolling_median",
+    "url_path_rollup",
+    "phrase_match",
 ]
 
 
