@@ -9167,6 +9167,82 @@ _RECIPROCITY_SQL = """
 """
 
 
+def _q_hll_tier_distinct(spark, sf_dir):
+    """Distinct users per event class per DAY via the mergeable HLL
+    register TIER: hour-bucket register state tiered up to day by
+    register-wise max (the COUNT DISTINCT continuous aggregate the
+    cnt/sum/min/max ladder can't express), beside the exact per-day
+    distinct. The DuckDB twin computes the day registers DIRECTLY from
+    raw — equality with the Spark hour->day tier path IS the
+    re-aggregability proof, oracle-checked."""
+    from spartan2_spark.functions.sketches import (
+        hll_tier,
+        hll_tier_estimate,
+        hll_tier_up,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        "ts",
+        F.col("user_id").cast("string").alias("item"),
+    )
+    st_h = hll_tier(ev, tier="1h", m=256)
+    st_d = hll_tier_up(st_h, "1d")
+    est = hll_tier_estimate(st_d, m=256)
+    exact = ev.groupBy(
+        "key", F.date_trunc("day", F.col("ts")).alias("bucket_ts")
+    ).agg(F.count_distinct("item").cast("long").alias("exact_distinct"))
+    return (
+        est.join(exact, ["key", "bucket_ts"])
+        .select(
+            "key",
+            F.unix_timestamp(F.col("bucket_ts").cast("timestamp"))
+            .cast("long")
+            .alias("day_s"),
+            "n_occupied",
+            "z_sum",
+            "hll_estimate",
+            "exact_distinct",
+        )
+    )
+
+
+_HLL_TIER_SQL = """
+    WITH ev AS (SELECT event_type AS key, date_trunc('day', ts) AS b,
+                       user_id::VARCHAR AS item
+                FROM events),
+    h0 AS (SELECT key, b,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(item, ''),
+                                   c -> ascii(c)::BIGINT)),
+                    (a, x) -> (a * 31 + x) % 2147483647) AS h
+           FROM ev),
+    h AS (SELECT key, b,
+                 h * 48271 % 2147483647 * 48271 % 2147483647 AS h
+          FROM h0),
+    rw AS (SELECT key, b, h % 256 AS reg, (h - h % 256) // 256 AS w
+           FROM h),
+    rho AS (SELECT key, b, reg,
+                   CASE WHEN w > 0 THEN 24 - length(bin(w))
+                        ELSE 24 END AS rho
+            FROM rw),
+    regs AS (SELECT key, b, reg, CAST(max(rho) AS BIGINT) AS max_rho
+             FROM rho GROUP BY key, b, reg),
+    z AS (SELECT key, b, count(*)::BIGINT AS n_occupied,
+                 sum(1.0 / (1::BIGINT << max_rho))
+                   + CAST(256 - count(*) AS DOUBLE) AS z_sum
+          FROM regs GROUP BY key, b),
+    ex AS (SELECT key, b, count(DISTINCT item)::BIGINT AS exact_distinct
+           FROM ev GROUP BY key, b)
+    SELECT z.key, CAST(epoch(z.b) AS BIGINT) AS day_s, z.n_occupied,
+           z.z_sum,
+           0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / z.z_sum
+             AS hll_estimate,
+           ex.exact_distinct
+    FROM z JOIN ex ON z.key = ex.key AND z.b = ex.b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9407,6 +9483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_concurrency": _q_interval_concurrency,
         "weighted_percentiles": _q_weighted_percentiles,
         "graph_reciprocity": _q_graph_reciprocity,
+        "hll_tier_distinct": _q_hll_tier_distinct,
     }
 
 
@@ -9631,6 +9708,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_concurrency": _INTERVAL_CONCURRENCY_SQL,
         "weighted_percentiles": _WEIGHTED_PCT_SQL,
         "graph_reciprocity": _RECIPROCITY_SQL,
+        "hll_tier_distinct": _HLL_TIER_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

@@ -36,6 +36,9 @@ __all__ = [
     "bloom_probe",
     "hll_registers",
     "hll_estimate",
+    "hll_tier",
+    "hll_tier_up",
+    "hll_tier_estimate",
     "kmv_distinct",
 ]
 
@@ -403,6 +406,91 @@ def hll_estimate(registers, m: int = 256):
             + (F.lit(m) - F.count(F.lit(1))).cast("double")
         ).alias("z_sum"),
     ).select(
+        "n_occupied",
+        "z_sum",
+        (
+            F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
+            * F.lit(float(m * m))
+            / F.col("z_sum")
+        ).alias("hll_estimate"),
+    )
+
+
+def hll_tier(
+    df,
+    key_col: str = "key",
+    time_col: str = "ts",
+    item_col: str = "item",
+    tier: str = "1h",
+    m: int = 256,
+):
+    """Bucketed HLL register state — the COUNT DISTINCT continuous
+    aggregate the cnt/sum/min/max tier ladder cannot express (distinct
+    counts are not re-aggregable exactly; HLL registers ARE, by
+    register-wise max). One row per (key, bucket_ts, reg) with
+    ``max_rho`` — same portable poly-hash/rho construction as
+    :func:`hll_registers`, same merge discipline as the rollup tiers:
+    a commutative, associative max-merge, so tier-up state is
+    bit-identical at any parallelism and to raw-computed state.
+
+    Plan shape: ONE scalar hash aggregation over (key, bucket, reg) —
+    partial map-side combine + final; state per bucket is <= m rows.
+    """
+    from spartan2_spark.operators.rollup import TIERS
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
+
+    unit = TIERS[tier]
+    h = _poly_hash(F.col(item_col).cast("string"))
+    h = (h * 48271) % _POLY_P
+    h = (h * 48271) % _POLY_P
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(time_col)).alias("bucket_ts"),
+        h.alias("_h"),
+    ).select(
+        "key",
+        "bucket_ts",
+        (F.col("_h") % m).alias("reg"),
+        ((F.col("_h") - F.col("_h") % m) / m).cast("long").alias("_w"),
+    )
+    rho = F.when(
+        F.col("_w") > 0, F.lit(_HLL_W + 1) - F.length(F.bin("_w"))
+    ).otherwise(F.lit(_HLL_W + 1))
+    return (
+        d.select("key", "bucket_ts", "reg", rho.alias("_rho"))
+        .groupBy("key", "bucket_ts", "reg")
+        .agg(F.max("_rho").cast("long").alias("max_rho"))
+    )
+
+
+def hll_tier_up(state, tier: str):
+    """Coarser-bucket HLL state FROM STORED STATE only: register-wise
+    max over the re-bucketed rows — ONE scalar hash aggregation, the
+    exact analogue of ``rollup_tier_up`` for distinct counts."""
+    from spartan2_spark.operators.rollup import TIERS
+
+    unit = TIERS[tier]
+    return state.groupBy(
+        "key",
+        F.date_trunc(unit, F.col("bucket_ts")).alias("bucket_ts"),
+        "reg",
+    ).agg(F.max("max_rho").cast("long").alias("max_rho"))
+
+
+def hll_tier_estimate(state, m: int = 256):
+    """Per-(key, bucket) raw HLL estimate from tier state — same exact
+    dyadic 2^-rho arithmetic as :func:`hll_estimate`, grouped."""
+    inv_pow2 = F.lit(1.0) / F.expr("shiftleft(1L, cast(max_rho as int))")
+    z = state.groupBy("key", "bucket_ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        (
+            F.sum(inv_pow2) + (F.lit(m) - F.count(F.lit(1))).cast("double")
+        ).alias("z_sum"),
+    )
+    return z.select(
+        "key",
+        "bucket_ts",
         "n_occupied",
         "z_sum",
         (

@@ -179,6 +179,7 @@ AUDIT_QUERIES = [
     "interval_concurrency",
     "weighted_percentiles",
     "graph_reciprocity",
+    "hll_tier_distinct",
 ]
 
 
@@ -409,3 +410,12 @@ def test_weighted_percentiles_collapses_before_window(spark, sf_dir):
     plan = plan_of(E.queries()["weighted_percentiles"](spark, sf_dir), "simple")
     assert "Window" in plan and "Join" not in plan
     assert plan.index("HashAggregate") < plan.index("Window"), plan
+
+
+def test_hll_tier_is_agg_only_no_window(spark, sf_dir):
+    """The HLL tier chain is hash aggregates end-to-end (register state
+    + tier-up + estimate + the exact-side agg and closing join): no
+    window anywhere, no cartesian product."""
+    plan = plan_of(E.queries()["hll_tier_distinct"](spark, sf_dir), "simple")
+    assert "Window" not in plan
+    assert "Cartesian" not in plan

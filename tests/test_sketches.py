@@ -122,3 +122,54 @@ def test_hll_estimate_and_merge(spark):
     )
     whole = {(r.reg, r.max_rho) for r in regs.collect()}
     assert {(r.reg, r.max_rho) for r in merged.collect()} == whole
+
+
+def test_hll_tier_up_parity_and_accuracy(spark):
+    """Register max-merge is associative: day state tiered up from
+    hour state == day state computed directly from raw; the estimate
+    lands within the ~6.5% m=256 error band on a known cardinality."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.functions.sketches import (
+        hll_tier,
+        hll_tier_estimate,
+        hll_tier_up,
+    )
+
+    t0 = 1_699_920_000  # midnight UTC — hours 0..47 span EXACTLY 2 days
+    # 500 distinct items spread over two days, many repeats
+    rows = [
+        ("k", t0 + (i % 48) * 3600, f"item{i % 500}") for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "t", "item"])
+    ).select("key", F.to_timestamp("t").alias("ts"), "item")
+
+    st_h = hll_tier(df, tier="1h")
+    via_tier = (
+        hll_tier_up(st_h, "1d").orderBy("key", "bucket_ts", "reg").collect()
+    )
+    direct = hll_tier(df, tier="1d").orderBy("key", "bucket_ts", "reg").collect()
+    assert [tuple(r) for r in via_tier] == [tuple(r) for r in direct]
+
+    # accuracy: compare each day's RAW estimate against that day's true
+    # distinct count (computed exactly here) with a generous band — the
+    # raw estimator carries no small-range correction, so the bound is
+    # loose; the bit-exact property under test is the PARITY above
+    from pyspark.sql import functions as FF
+
+    exact = {
+        (r.key, r.d): r.n
+        for r in df.groupBy(
+            "key", FF.date_trunc("day", "ts").alias("d")
+        )
+        .agg(FF.count_distinct("item").alias("n"))
+        .collect()
+    }
+    est = hll_tier_estimate(hll_tier_up(st_h, "1d")).collect()
+    assert len(est) == 2  # exactly two day buckets
+    for r in est:
+        true_n = exact[(r.key, r.bucket_ts)]
+        assert 0.5 * true_n <= r.hll_estimate <= 1.6 * true_n, (r, true_n)
