@@ -37,6 +37,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = [
     "stream_rollup",
+    "stream_ohlc",
     "stream_rollup_to_tier",
     "stream_running_extremes",
     "stream_zero_out",
@@ -76,6 +77,57 @@ def stream_rollup(
             "vmin",
             "vmax",
         )
+    )
+
+
+def stream_ohlc(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    qty_col: str | None = None,
+) -> DataFrame:
+    """Streaming OHLC candle aggregation — the first/last continuous
+    aggregate as a plain watermarked windowed agg: endpoint picks are
+    the same LEXICOGRAPHIC (epoch_us, value) struct min/max as the
+    batch :func:`operators.rollup.ohlc_bars`, and struct min/max is
+    associative, so cross-micro-batch state merge is exact — streaming
+    output == batch output on the same rows (parity-tested). With
+    ``qty_col``: volume + exact pvsum for VWAP at read time.
+    State per (key, window) is O(1); the watermark bounds window count.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = stream.withColumn("_t_us", us).withColumn(
+        "_v", F.col(value_col).cast("long")
+    )
+    if qty_col:
+        base = base.withColumn("_q", F.col(qty_col).cast("long"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min(F.struct("_t_us", "_v")).getField("_t_us").alias("open_ts_us"),
+        F.min(F.struct("_t_us", "_v")).getField("_v").alias("open"),
+        F.max(F.struct("_t_us", "_v")).getField("_t_us").alias("close_ts_us"),
+        F.max(F.struct("_t_us", "_v")).getField("_v").alias("close"),
+        F.min("_v").alias("low"),
+        F.max("_v").alias("high"),
+    ]
+    if qty_col:
+        aggs += [
+            F.sum("_q").cast("long").alias("volume"),
+            F.sum(F.col("_v") * F.col("_q")).cast("long").alias("pvsum"),
+        ]
+    return (
+        base.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(*aggs)
+        .select(F.col("win.start").alias("bucket_ts"), key_col, *[
+            c for c in (
+                "cnt", "open_ts_us", "open", "close_ts_us", "close",
+                "low", "high", *(("volume", "pvsum") if qty_col else ()),
+            )
+        ])
     )
 
 

@@ -625,3 +625,51 @@ def test_stream_version_intervals_matches_batch(spark, tmp_path):
     for col in ("url", "version_md5", "valid_from_us", "valid_to_us",
                 "n_snapshots"):
         assert list(got[col]) == list(batch[col]), col
+
+
+def test_stream_ohlc_matches_batch(spark, tmp_path):
+    """Streaming OHLC across forced micro-batches == batch ohlc_bars on
+    the same rows: the lexicographic endpoint-struct merge is
+    associative, so cross-batch state merge is exact (bit-for-bit)."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import ohlc_bars
+    from spartan2_spark.streaming.rollup_stream import stream_ohlc
+
+    t0 = 1_699_920_000
+    rows = [
+        ("k%d" % (i % 3), t0 + i * 137, (i * 7919) % 1000, i % 5 + 1)
+        for i in range(600)
+    ]
+    pdf = pd.DataFrame(rows, columns=["key", "t", "value", "qty"])
+    df = spark.createDataFrame(pdf).select(
+        "key", F.to_timestamp("t").alias("ts"), "value", "qty"
+    )
+    d = str(tmp_path / "ohlc_pts")
+    df.repartition(5).write.parquet(d)
+
+    stored = spark.read.parquet(d)
+    stream = IO.load_tensor_stream(
+        spark, d, stored.schema, fmt="parquet",
+        options={"maxFilesPerTrigger": 1},
+    )
+    agg = stream_ohlc(stream, window="1 hour", watermark="0 seconds",
+                      qty_col="qty")
+    from spartan2_spark.streaming.rollup_stream import run_stream_to_memory
+
+    run_stream_to_memory(agg, "stream_ohlc_parity", "complete")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "select key, bucket_ts, cnt, open_ts_us, open, close_ts_us,"
+            " close, low, high, volume, pvsum from stream_ohlc_parity"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ohlc_bars(stored, "1h", qty_col="qty")
+        .select("key", "bucket_ts", "cnt", "open_ts_us", "open",
+                "close_ts_us", "close", "low", "high", "volume", "pvsum")
+        .collect()
+    )
+    assert got == want and len(got) >= 6
