@@ -9243,6 +9243,85 @@ _HLL_TIER_SQL = """
 """
 
 
+def _q_bm25(spark, sf_dir):
+    """Okapi BM25 top-100 ranking of the corpus against the query bag
+    {hash, join, spark}: per-(doc,term) partial scores quantized to
+    1e-6 BIGINTs BEFORE the per-doc sum (order-independent reduction,
+    the adamic_adar discipline), postings-sized relations only."""
+    from spartan2_spark.operators.text import bm25_scores
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_scores(d, ["hash", "join", "spark"], top_k=100)
+
+
+_BM25_SQL = """
+    WITH toks AS (SELECT doc_id AS id,
+                         string_split_regex(trim(lower(text)), ' +') AS tok
+                  FROM documents),
+    dl AS (SELECT id, len(tok)::BIGINT AS dl FROM toks),
+    stats AS (SELECT count(*)::BIGINT AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT id, term, count(*)::BIGINT AS tf
+           FROM (SELECT id, unnest(tok) AS term FROM toks)
+           WHERE term IN ('hash', 'join', 'spark') GROUP BY id, term),
+    dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    part AS (SELECT tf.id,
+                    CAST(round(
+                      (1000000.0
+                       * ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)
+                              + 0.5) / (CAST(df AS DOUBLE) + 0.5)) + 1.0))
+                      * ((CAST(tf AS DOUBLE) * ((120.0 / 100.0) + 1.0))
+                         / (CAST(tf AS DOUBLE)
+                            + (120.0 / 100.0)
+                              * (1.0 - (75.0 / 100.0)
+                                 + (75.0 / 100.0) * CAST(dl AS DOUBLE)
+                                   / (CAST(sum_dl AS DOUBLE)
+                                      / CAST(n_docs AS DOUBLE)))))
+                    ) AS BIGINT) AS sq
+             FROM tf JOIN dfq USING (term) JOIN dl USING (id), stats),
+    sc AS (SELECT id, CAST(sum(sq) AS BIGINT) AS score_q,
+                  count(*)::BIGINT AS n_terms_hit
+           FROM part GROUP BY id)
+    SELECT id, n_terms_hit, score_q, score_q / 1000000.0 AS bm25
+    FROM sc ORDER BY score_q DESC, id LIMIT 100
+"""
+
+
+def _q_url_template(spark, sf_dir):
+    """Crawler-trap census: digit runs collapsed to N per synthetic
+    url; per template fetches / distinct urls / max depth / min
+    example — a calendar trap shows as one template with a huge
+    distinct-url count."""
+    from spartan2_spark.operators.text import url_template_stats
+
+    u = _events(spark, sf_dir).select(
+        F.concat_ws(
+            "/",
+            F.col("event_type"),
+            (F.col("user_id") % 31).cast("string"),
+            F.concat(F.lit("p"), (F.col("event_id") % 13).cast("string")),
+        ).alias("url")
+    )
+    return url_template_stats(u, min_urls=2)
+
+
+_URL_TEMPLATE_SQL = """
+    WITH u AS (SELECT event_type || '/' ||
+                        CAST(user_id % 31 AS VARCHAR) || '/' ||
+                        'p' || CAST(event_id % 13 AS VARCHAR) AS url
+               FROM events),
+    b AS (SELECT regexp_replace(url, '[0-9]+', 'N', 'g') AS template,
+                 url,
+                 CAST(len(string_split(url, '/')) AS BIGINT) AS depth
+          FROM u)
+    SELECT template, count(*)::BIGINT AS fetches,
+           count(DISTINCT url)::BIGINT AS distinct_urls,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           min(url) AS example_url
+    FROM b GROUP BY template HAVING count(DISTINCT url) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9484,6 +9563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_percentiles": _q_weighted_percentiles,
         "graph_reciprocity": _q_graph_reciprocity,
         "hll_tier_distinct": _q_hll_tier_distinct,
+        "bm25_scores": _q_bm25,
+        "url_template_stats": _q_url_template,
     }
 
 
@@ -9709,6 +9790,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_percentiles": _WEIGHTED_PCT_SQL,
         "graph_reciprocity": _RECIPROCITY_SQL,
         "hll_tier_distinct": _HLL_TIER_SQL,
+        "bm25_scores": _BM25_SQL,
+        "url_template_stats": _URL_TEMPLATE_SQL,
         # specgreedy_block / svd_power_spokes: iterative spectral -> rows-only
         # rpeak_hamilton: sequential adaptive-threshold detector (FIR
         # filter + 8-deep running buffers + search-back) — not

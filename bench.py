@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "rolling_median",
     "url_path_rollup",
     "phrase_match",
+    "bm25_scores",
+    "url_template_stats",
 ]
 
 

@@ -32,6 +32,8 @@ __all__ = [
     "doc_entropy",
     "phrase_match",
     "ngram_novelty",
+    "bm25_scores",
+    "url_template_stats",
     "boilerplate_lines",
     "boilerplate_strip",
     "outlink_domain_graph",
@@ -683,6 +685,128 @@ def pmi_collocations(
         j.select("gram", "c_xy", F.round(pmi, 8).alias("pmi"))
         .orderBy(F.col("pmi").desc(), "gram")
         .limit(top_n)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1_centi: int = 120,
+    b_centi: int = 75,
+    top_k: int = 100,
+) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a bag of query terms —
+    the scoring complement of :func:`phrase_match`'s boolean retrieval
+    and the consumer of the index ``postings_plan`` sizes. Classic
+    formula (Robertson & Spärck Jones), k1/b passed as exact centi
+    integers (defaults 1.2 / 0.75).
+
+    Exactness discipline (same as ``adamic_adar``): each (doc, term)
+    partial score is one deterministic double expression, quantized to
+    ``round(1e6 * s)`` BIGINT BEFORE the per-doc sum — the reduction is
+    an order-independent integer sum, so the ranking and every emitted
+    score are engine-exact. IDF uses the standard
+    ``ln((N - df + 0.5) / (df + 0.5) + 1)`` (always positive).
+
+    Plan shape: one explode -> (doc, term) tf aggregate filtered to
+    the query's own terms INSIDE the aggregate's input (postings-sized
+    relations only), a broadcast of the O(|query|) df relation and the
+    2-scalar corpus stats, one per-doc sum, TakeOrdered top-k. At 10^12
+    docs the only data-sized exchange is the (doc, term) tf aggregate
+    over query-term postings.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("tok")
+    )
+    dl = toks.select("id", F.size("tok").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        toks.select("id", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    k1 = F.lit(k1_centi).cast("double") / F.lit(100.0)
+    b = F.lit(b_centi).cast("double") / F.lit(100.0)
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    tfn = (
+        F.col("tf").cast("double") * (k1 + F.lit(1.0))
+    ) / (
+        F.col("tf").cast("double")
+        + k1 * (F.lit(1.0) - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    part = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.round(F.lit(1e6) * idf * tfn).cast("long").alias("score_q"),
+        )
+    )
+    scored = part.groupBy("id").agg(
+        F.sum("score_q").cast("long").alias("score_q"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    return (
+        scored.orderBy(F.desc("score_q"), F.asc("id"))
+        .limit(top_k)
+        .select(
+            "id", "n_terms_hit", "score_q",
+            (F.col("score_q") / 1e6).alias("bm25"),
+        )
+    )
+
+
+def url_template_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    min_urls: int = 2,
+) -> DataFrame:
+    """Crawler-trap / template census: collapse every digit run in the
+    url to ``N`` and aggregate per template — a calendar trap or
+    session-id explosion shows as one template with a huge distinct-url
+    count (the input ``recrawl_plan``'s budget should never be spent
+    on). Returns per template (>= min_urls distinct urls): fetches,
+    distinct urls, max path depth, and the lexicographically smallest
+    example url — all exact.
+
+    Plan shape: the template is one regexp_replace in the scan
+    projection; ONE hash aggregate on the template (count + distinct
+    via two-phase expansion + min example). Template cardinality is
+    site-structure-sized, not fetch-sized.
+    """
+    tpl = F.regexp_replace(F.col(url_col), "[0-9]+", "N")
+    base = df.select(
+        tpl.alias("template"),
+        F.col(url_col).alias("url"),
+        F.size(F.split(F.col(url_col), "/")).cast("long").alias("depth"),
+    )
+    return (
+        base.groupBy("template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("fetches"),
+            F.count_distinct("url").cast("long").alias("distinct_urls"),
+            F.max("depth").cast("long").alias("max_depth"),
+            F.min("url").alias("example_url"),
+        )
+        .filter(F.col("distinct_urls") >= min_urls)
     )
 
 

@@ -180,6 +180,8 @@ AUDIT_QUERIES = [
     "weighted_percentiles",
     "graph_reciprocity",
     "hll_tier_distinct",
+    "bm25_scores",
+    "url_template_stats",
 ]
 
 
@@ -419,3 +421,21 @@ def test_hll_tier_is_agg_only_no_window(spark, sf_dir):
     plan = plan_of(E.queries()["hll_tier_distinct"](spark, sf_dir), "simple")
     assert "Window" not in plan
     assert "Cartesian" not in plan
+
+
+def test_bm25_broadcasts_df_and_stats(spark, sf_dir):
+    """bm25_scores must broadcast the O(|query|) df relation and the
+    2-scalar corpus stats; the only data-sized relations entering
+    joins are query-term postings. No cartesian on data."""
+    plan = plan_of(E.queries()["bm25_scores"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_url_template_single_agg(spark, sf_dir):
+    """url_template_stats = template expr in the scan projection + ONE
+    hash aggregate family (two-phase distinct expansion shares the
+    template key): no window, no join."""
+    plan = plan_of(E.queries()["url_template_stats"](spark, sf_dir), "simple")
+    assert "Window" not in plan and "Join" not in plan

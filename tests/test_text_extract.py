@@ -225,3 +225,49 @@ def test_ngram_novelty_two_day_split(spark):
     assert out[0].novelty_ratio == 1.0
     assert out[1].distinct_grams == 4 and out[1].novel_grams == 2
     assert out[1].novelty_ratio == 0.5
+
+
+def test_bm25_ranking_hand_case(spark):
+    """BM25 orders docs by term relevance: the doc with more query-term
+    hits and shorter length outranks the longer one; docs without any
+    query term are absent; IDF favors the rarer term."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import bm25_scores
+
+    rows = [
+        (1, "hash join hash join"),            # tf(hash)=2 tf(join)=2, short
+        (2, "hash " + "filler " * 50),          # tf(hash)=1, long
+        (3, "sort merge only"),                 # no query terms
+        (4, "join"),                            # rare-term doc
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = bm25_scores(df, ["hash", "join"], top_k=10).collect()
+    ids = [r.id for r in out]
+    assert 3 not in ids
+    assert ids[0] == 1                       # both terms, high tf, short
+    assert out[0].n_terms_hit == 2
+    by_id = {r.id: r for r in out}
+    assert by_id[2].n_terms_hit == 1 and by_id[4].n_terms_hit == 1
+    # doc 2 is 51 tokens of mostly filler — length normalization must
+    # push it below the one-word doc 4
+    assert by_id[4].score_q > by_id[2].score_q
+
+
+def test_url_template_trap_detection(spark):
+    """A digit-parameterized template aggregates its urls; distinct
+    literal urls below min_urls are dropped."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import url_template_stats
+
+    rows = [(u,) for u in (
+        "a.com/day/1", "a.com/day/2", "a.com/day/3", "a.com/day/1",
+        "b.com/about",
+    )]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url"]))
+    out = {r.template: r for r in url_template_stats(df, min_urls=2).collect()}
+    assert set(out) == {"a.com/day/N"}
+    t = out["a.com/day/N"]
+    assert t.fetches == 4 and t.distinct_urls == 3
+    assert t.example_url == "a.com/day/1" and t.max_depth == 3
