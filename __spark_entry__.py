@@ -9322,6 +9322,227 @@ _URL_TEMPLATE_SQL = """
 """
 
 
+def _q_rolling_corr(spark, sf_dir):
+    """Trailing 6-hour Pearson correlation between an event class's
+    hourly volume and its hourly mean level
+    (timeseries.rolling_corr): exact BIGINT moment sums in ONE
+    key-partitioned running window; the only floats are the final
+    num / (sqrt(dx)*sqrt(dy)) — the tier-state co-movement monitor."""
+    from spartan2_spark.operators.timeseries import rolling_corr
+
+    b = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
+        )
+        .select(
+            "key",
+            F.unix_timestamp("bucket_ts").alias("t_s"),
+            "x",
+            F.floor(F.col("sc").cast("double") / F.col("x").cast("double"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return rolling_corr(b, key_col="key", order_col="t_s", x_col="x", y_col="y", window=6)
+
+
+_ROLLING_CORR_SQL = """
+    WITH b AS (SELECT event_type AS key,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t_s,
+                      count(*)::BIGINT AS x,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT key, t_s, x, sc // x AS y FROM b),
+    w AS (SELECT key, t_s,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(sum(x) OVER win AS BIGINT) AS sx,
+                 CAST(sum(y) OVER win AS BIGINT) AS sy,
+                 CAST(sum(x * x) OVER win AS BIGINT) AS sxx,
+                 CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+                 CAST(sum(x * y) OVER win AS BIGINT) AS sxy
+          FROM m
+          WINDOW win AS (PARTITION BY key ORDER BY t_s
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+    d AS (SELECT key, t_s, n, sx, sy,
+                 n * sxx - sx * sx AS dx,
+                 n * syy - sy * sy AS dy,
+                 n * sxy - sx * sy AS num
+          FROM w)
+    SELECT key, t_s, n, sx, sy, dx, dy, num,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                THEN CAST(num AS DOUBLE)
+                     / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+           END AS corr
+    FROM d
+"""
+
+
+def _q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test over each event class's daily-sum
+    series (timeseries.mann_kendall): S and the pair count are pure
+    integer pairwise aggregation (one key-partitioned self-join), tau
+    is one IEEE divide — the distribution-free drift triage for tier
+    capacity."""
+    from spartan2_spark.operators.timeseries import mann_kendall
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .select("key", F.unix_timestamp("bucket_ts").alias("t_s"), "v")
+    )
+    return mann_kendall(d, key_col="key", order_col="t_s", value_col="v")
+
+
+_MANN_KENDALL_SQL = """
+    WITH d AS (SELECT event_type AS key,
+                      CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    p AS (SELECT a.key AS key,
+                 CAST(sum(CASE WHEN b.v > a.v THEN 1
+                               WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat,
+                 count(*)::BIGINT AS n_pairs
+          FROM d a JOIN d b ON a.key = b.key AND a.t < b.t
+          GROUP BY 1)
+    SELECT key, s_stat, n_pairs,
+           CAST(s_stat AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS tau
+    FROM p
+"""
+
+
+def _q_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive (24h) vs naive (1h) backtest per event class on
+    the hourly-sum tier (timeseries.forecast_backtest): gap-correct
+    shifted equi-joins, exact BIGINT error sums, three single-divide
+    ratios (mae / wmape / skill) — the scoreboard that validates the
+    ses/holt_winters forecasters."""
+    from spartan2_spark.operators.timeseries import forecast_backtest
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .select("key", F.unix_timestamp("bucket_ts").alias("t_s"), "v")
+    )
+    return forecast_backtest(
+        h, key_col="key", order_col="t_s", value_col="v",
+        season_s=86400, step_s=3600,
+    )
+
+
+_FORECAST_BACKTEST_SQL = """
+    WITH h AS (SELECT event_type AS key,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    j AS (SELECT a.key AS key, a.v AS v,
+                 s.v AS f_seasonal, n.v AS f_naive
+          FROM h a
+          JOIN h s ON a.key = s.key AND a.t = s.t + 86400
+          JOIN h n ON a.key = n.key AND a.t = n.t + 3600),
+    g AS (SELECT key, count(*)::BIGINT AS n_eval,
+                 CAST(sum(abs(v - f_seasonal)) AS BIGINT) AS sae_seasonal,
+                 CAST(sum(abs(v - f_naive)) AS BIGINT) AS sae_naive,
+                 CAST(sum(abs(v)) AS BIGINT) AS sum_abs_actual
+          FROM j GROUP BY 1)
+    SELECT key, n_eval, sae_seasonal, sae_naive, sum_abs_actual,
+           CAST(sae_seasonal AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae,
+           CASE WHEN sum_abs_actual > 0
+                THEN CAST(sae_seasonal AS DOUBLE) / CAST(sum_abs_actual AS DOUBLE)
+           END AS wmape,
+           CASE WHEN sae_naive > 0
+                THEN 1.0 - CAST(sae_seasonal AS DOUBLE) / CAST(sae_naive AS DOUBLE)
+           END AS skill
+    FROM g
+"""
+
+
+def _q_readability(spark, sf_dir):
+    """Flesch reading-ease + FK grade per document
+    (text.readability_scores): exact BIGINT regexp-run counts
+    (words / vowel-group syllables / clamped sentences) feeding two
+    fixed-order IEEE score expressions — per-row projection, no
+    shuffle, whole-stage codegen."""
+    from spartan2_spark.operators.text import readability_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability_scores(docs, id_col="doc_id", text_col="text")
+
+
+_READABILITY_SQL = """
+    WITH c AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+                        AS words,
+                      greatest(CAST(1 AS BIGINT),
+                        CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                        AS sentences,
+                      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                        AS syllables
+               FROM documents)
+    SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words > 0
+                THEN 206.835
+                     - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                     - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+           END AS flesch,
+           CASE WHEN words > 0
+                THEN 0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                     + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                     - 15.59
+           END AS fk_grade
+    FROM c
+"""
+
+
+def _q_politeness_plan(spark, sf_dir):
+    """Politeness-constrained crawl-window feasibility per domain
+    (rollup.politeness_plan): serialized (fetches-1)*delay_ms wall
+    clock vs a 10-minute window at 500 ms crawl-delay; all-BIGINT,
+    the ppm share is an explicit floor — one domain hash aggregate
+    plus a broadcast scalar total."""
+    from spartan2_spark.operators.rollup import politeness_plan
+
+    pages = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url")
+    )
+    return politeness_plan(pages, delay_ms=500, deadline_s=600)
+
+
+_POLITENESS_SQL = """
+    WITH p AS (SELECT split_part('u' || user_id || '/' || event_type, '/', 1)
+                        AS domain
+               FROM events),
+    per AS (SELECT domain, count(*)::BIGINT AS fetches,
+                   CAST((count(*) - 1) * 500 AS BIGINT) AS crawl_ms
+            FROM p GROUP BY 1),
+    t AS (SELECT *, CAST(sum(crawl_ms) OVER () AS BIGINT) AS total_ms FROM per)
+    SELECT domain, fetches, crawl_ms,
+           CAST(600000 - crawl_ms AS BIGINT) AS slack_ms,
+           CAST(CASE WHEN crawl_ms <= 600000 THEN 1 ELSE 0 END AS INT)
+             AS feasible,
+           CASE WHEN total_ms > 0
+                THEN CAST(crawl_ms * 1000000 // total_ms AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS share_ppm
+    FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9385,6 +9606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
+        "rolling_corr": _q_rolling_corr,
+        "mann_kendall": _q_mann_kendall,
+        "forecast_backtest": _q_forecast_backtest,
+        "readability_scores": _q_readability,
+        "politeness_plan": _q_politeness_plan,
         "gauge_delta": _q_gauge_delta,
         "predict_linear": _q_predict_linear,
         "xor_bitwidth_stats": _q_xor_stats,
@@ -9733,6 +9959,11 @@ def oracle_sql() -> dict[str, str]:
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         "monlad_cfd": _MONLAD_CFD_SQL,
+        "rolling_corr": _ROLLING_CORR_SQL,
+        "mann_kendall": _MANN_KENDALL_SQL,
+        "forecast_backtest": _FORECAST_BACKTEST_SQL,
+        "readability_scores": _READABILITY_SQL,
+        "politeness_plan": _POLITENESS_SQL,
         "gauge_delta": _GAUGE_DELTA_SQL,
         "predict_linear": _PREDICT_LINEAR_SQL,
         "xor_bitwidth_stats": _XOR_STATS_SQL,

@@ -106,6 +106,14 @@ BENCH_QUERIES = [
     "phrase_match",
     "bm25_scores",
     "url_template_stats",
+    # round-4 wrap-2 batch: rolling correlation monitor, trend test,
+    # forecast scoreboard, readability scan, politeness feasibility
+    # (all lazily constructed — no eager counts/checkpoints)
+    "rolling_corr",
+    "mann_kendall",
+    "forecast_backtest",
+    "readability_scores",
+    "politeness_plan",
 ]
 
 

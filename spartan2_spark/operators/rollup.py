@@ -1186,3 +1186,69 @@ def crawl_budget_apportion(
             .alias("quota"),
         )
     )
+
+
+def politeness_plan(
+    pages: DataFrame,
+    delay_ms: int,
+    deadline_s: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-constrained re-crawl feasibility per domain — the
+    scheduler check that pairs with :func:`recrawl_plan`'s work list:
+    one fetch per ``delay_ms`` per domain (the robots.txt crawl-delay
+    model) means a domain with f urls needs ``(f - 1) * delay_ms`` of
+    wall clock NO amount of parallelism can compress (fetches within a
+    domain are serialized by politeness; domains are independent).
+    Emits per domain: fetch count, the serialized ``crawl_ms``, the
+    slack against the crawl-window deadline, a ``feasible`` flag
+    (infeasible domains need a longer window or a sitemap diff, not
+    more hosts), and the domain's exact ``share_ppm`` of total fleet
+    busy-time (parts-per-million, the host-assignment weight).
+
+    Exactness: every column is exact BIGINT arithmetic — the ppm share
+    is integer cross-multiplication ``crawl_ms * 1_000_000 / total``
+    under integer division, never a float percent.
+
+    Plan shape: one hash aggregate on the domain prefix (map-side
+    combinable; url strings die at the scan — only the prefix crosses
+    the shuffle), one scalar total via a single-row cross join
+    (broadcast). Head-domain skew costs nothing here: the aggregate
+    state is one counter per domain.
+    """
+    if delay_ms <= 0:
+        raise ValueError("delay_ms must be positive")
+    dom = F.substring_index(F.col(url_col), "/", 1)
+    per = pages.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("fetches")
+    )
+    per = per.select(
+        "domain",
+        "fetches",
+        ((F.col("fetches") - 1) * F.lit(int(delay_ms))).cast("long").alias("crawl_ms"),
+    )
+    total = per.agg(F.sum("crawl_ms").cast("long").alias("total_ms"))
+    deadline_ms = int(deadline_s) * 1000
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "domain",
+            "fetches",
+            "crawl_ms",
+            (F.lit(deadline_ms) - F.col("crawl_ms")).cast("long").alias("slack_ms"),
+            F.when(F.col("crawl_ms") <= F.lit(deadline_ms), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("feasible"),
+            F.when(
+                F.col("total_ms") > 0,
+                F.floor(
+                    (F.col("crawl_ms") * F.lit(1_000_000)).cast("double")
+                    / F.col("total_ms").cast("double")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

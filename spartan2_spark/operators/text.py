@@ -1112,3 +1112,64 @@ def outlink_domain_graph(
         .groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
     )
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch readability per document — the grade-level signal a
+    training-data quality pipeline files next to stopword/length
+    ratios (reference scope: spartan2 has no text ops; this extends
+    the engine's C4-style quality family): word, sentence and
+    vowel-group-syllable counts feed Flesch Reading Ease
+
+        206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    and the Flesch-Kincaid grade ``0.39*(w/s) + 11.8*(syl/w) - 15.59``.
+    Syllables use the standard [aeiouy]+ vowel-run heuristic (exact
+    per-word syllabification needs a dictionary; the run count is the
+    accepted corpus-scale stand-in and is what matters for RANKING
+    docs). Sentence count is clamped to >= 1 so fragment-only docs
+    (no terminal punctuation) still score.
+
+    Exactness: the three counts are exact BIGINT regexp-run counts on
+    ASCII classes (identical across regex engines); both scores are
+    fixed-order IEEE expressions over the exact counts. Docs with zero
+    words emit NULL scores.
+
+    Plan shape: pure per-row projection — no shuffle, no UDF; the
+    regexp_extract_all + size pipeline stays inside whole-stage
+    codegen and scales linearly with corpus bytes.
+    """
+    words = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[A-Za-z]+"), 0)).cast("long")
+    syls = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[.!?]+"), 0)).cast("long"),
+    )
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("words"),
+        sents.alias("sentences"),
+        syls.alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return d.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.when(
+            F.col("words") > 0,
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        ).alias("flesch"),
+        F.when(
+            F.col("words") > 0,
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+        ).alias("fk_grade"),
+    )

@@ -2245,3 +2245,198 @@ def apdex_score(
             ).alias("apdex"),
         )
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "t_s",
+    x_col: str = "x",
+    y_col: str = "y",
+    window: int = 6,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two co-sampled
+    integer tracks per series — the co-movement monitor ("does error
+    count still track request count?", "is fetch latency decoupling
+    from page size?") that a rollup tier feeds directly: x and y are
+    tier-state columns (cnt, sum) of the SAME bucket row, so no
+    alignment join is ever needed.
+
+    Exactness: x and y must be exact BIGINTs (counts / centi-scaled
+    sums); the five moment sums and the two variance determinants
+    ``dx = n*Sxx - Sx^2``, ``dy = n*Syy - Sy^2`` are exact BIGINT
+    window arithmetic. The only floats are the final
+    ``num / (sqrt(dx) * sqrt(dy))`` — three IEEE ops in a fixed order,
+    bit-identical cross-engine (dx*dy is deliberately NOT formed as an
+    integer: the split sqrt keeps every intermediate in range).
+    Windows shorter than 2 buckets or with a constant track emit NULL,
+    not a fake 0.
+
+    Plan shape: ONE key-partitioned running window evaluates all six
+    trailing sums in a single pass (one shuffle on the key, shared by
+    every frame); per-key state is the trailing ``window`` rows —
+    O(window) memory per series regardless of corpus size.
+    """
+    if window < 2:
+        raise ValueError("rolling_corr needs window >= 2")
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(order_col)
+        .rowsBetween(-(int(window) - 1), W.currentRow)
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum(x).over(w).cast("long")
+    sy = F.sum(y).over(w).cast("long")
+    sxx = F.sum(x * x).over(w).cast("long")
+    syy = F.sum(y * y).over(w).cast("long")
+    sxy = F.sum(x * y).over(w).cast("long")
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("t_s"),
+        n.alias("n"),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        (n * sxx - sx * sx).alias("dx"),
+        (n * syy - sy * sy).alias("dy"),
+        (n * sxy - sx * sy).alias("num"),
+    )
+    return d.select(
+        "key",
+        "t_s",
+        "n",
+        "sx",
+        "sy",
+        "dx",
+        "dy",
+        "num",
+        F.when(
+            (F.col("n") >= 2) & (F.col("dx") > 0) & (F.col("dy") > 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("dx").cast("double"))
+                * F.sqrt(F.col("dy").cast("double"))
+            ),
+        ).alias("corr"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "t_s",
+    value_col: str = "v",
+) -> DataFrame:
+    """Mann-Kendall trend test per series (Mann 1945 / Kendall 1975 —
+    the standard nonparametric "is this metric drifting?" monitor):
+    ``S = sum over i<j of sign(v_j - v_i)`` and Kendall's
+    ``tau = S / (n*(n-1)/2)``. Distribution-free — it sees monotone
+    drift through seasonality-sized noise where a linear fit's slope
+    is drowned, the right triage score for tier-level capacity drift.
+
+    Exactness: values must be exact BIGINTs (tier sums / centi-scaled
+    means); S and the pair count are pure integer aggregation, tau is
+    ONE IEEE divide. sign() is a three-way CASE, never float signum.
+
+    Plan shape: a per-key self-join on the key (the ONE shuffle, both
+    sides identically partitioned) with the ``a.t < b.t`` pair
+    predicate — O(n^2) pairs per key where n is the series length at
+    the queried tier, bounded by retention (a 1d tier holds ~365
+    points/yr -> ~66k pairs), NEVER corpus-size. The quadratic is
+    per-series and embarrassingly parallel across keys.
+    """
+    s = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, on="key").where(F.col("a.t") < F.col("b.t"))
+    sgn = (
+        F.when(F.col("b.v") > F.col("a.v"), 1)
+        .when(F.col("b.v") < F.col("a.v"), -1)
+        .otherwise(0)
+    )
+    agg = pairs.groupBy("key").agg(
+        F.sum(sgn).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return agg.select(
+        "key",
+        "s_stat",
+        "n_pairs",
+        (
+            F.col("s_stat").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("tau"),
+    )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "t_s",
+    value_col: str = "v",
+    season_s: int = 86400,
+    step_s: int = 3600,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest per series — the accuracy
+    scoreboard that decides whether :func:`ses_forecast` /
+    ``holt_winters_forecast`` earn their keep: forecast(t) = v(t -
+    season), baseline(t) = v(t - step), scored only at instants where
+    actual AND both references exist (gap buckets are excluded, never
+    imputed — a backtest must not grade imputed ground truth).
+
+    Emits per key: ``n_eval``, exact absolute-error sums for both
+    predictors (``sae_seasonal``, ``sae_naive``), ``sum_abs_actual``,
+    then ``mae`` and ``wmape`` (weighted MAPE — the sum ratio, immune
+    to the per-row MAPE's divide-by-zero) for the seasonal predictor,
+    and ``skill = 1 - sae_seasonal/sae_naive`` (MASE-style: > 0 means
+    seasonality carries real signal at this tier).
+
+    Exactness: values are exact BIGINTs, every error sum is integer;
+    the three ratios are single IEEE divides on exact operands —
+    bit-identical cross-engine. ``sae_naive = 0`` (constant series)
+    yields NULL skill.
+
+    Plan shape: TWO equi-joins of the series against itself shifted by
+    exact epoch arithmetic (t - season, t - step) — lag-by-ROWS would
+    silently mis-forecast across gaps; the shifted join is
+    gap-correct. All three relations hash-partition on (key, t), and
+    the final per-key aggregate is map-side combinable.
+    """
+    s = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    f24 = s.select("key", (F.col("t") + F.lit(int(season_s))).alias("t"), F.col("v").alias("f_seasonal"))
+    f1 = s.select("key", (F.col("t") + F.lit(int(step_s))).alias("t"), F.col("v").alias("f_naive"))
+    joined = s.join(f24, on=["key", "t"]).join(f1, on=["key", "t"])
+    agg = joined.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("v") - F.col("f_seasonal"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("v") - F.col("f_naive"))).cast("long").alias("sae_naive"),
+        F.sum(F.abs(F.col("v"))).cast("long").alias("sum_abs_actual"),
+    )
+    return agg.select(
+        "key",
+        "n_eval",
+        "sae_seasonal",
+        "sae_naive",
+        "sum_abs_actual",
+        (
+            F.col("sae_seasonal").cast("double") / F.col("n_eval").cast("double")
+        ).alias("mae"),
+        F.when(
+            F.col("sum_abs_actual") > 0,
+            F.col("sae_seasonal").cast("double")
+            / F.col("sum_abs_actual").cast("double"),
+        ).alias("wmape"),
+        F.when(
+            F.col("sae_naive") > 0,
+            F.lit(1.0)
+            - F.col("sae_seasonal").cast("double")
+            / F.col("sae_naive").cast("double"),
+        ).alias("skill"),
+    )

@@ -560,3 +560,24 @@ def test_url_path_rollup_prefix_sums(spark):
     assert out["a.com/x/1"].fetches == 1
     assert out["b.com"].fetches == 1 and out["b.com"].depth == 1
     assert out["a.com/x/2"].depth == 3
+
+
+def test_politeness_plan_exact(spark):
+    """(fetches-1)*delay serialized wall clock, integer ppm shares
+    that floor (never round), and the feasibility flag against the
+    window."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import politeness_plan
+
+    rows = (["a/p"] * 7) + (["b/p"] * 3) + ["c/q"]
+    df = spark.createDataFrame(pd.DataFrame({"url": rows}))
+    out = {r.domain: r for r in politeness_plan(df, delay_ms=1000, deadline_s=4).collect()}
+    assert out["a"].crawl_ms == 6000 and out["a"].feasible == 0
+    assert out["b"].crawl_ms == 2000 and out["b"].feasible == 1
+    assert out["c"].crawl_ms == 0 and out["c"].feasible == 1
+    total = 8000
+    assert out["a"].share_ppm == 6000 * 1_000_000 // total
+    assert out["b"].share_ppm == 2000 * 1_000_000 // total
+    assert out["c"].share_ppm == 0
+    assert out["a"].slack_ms == 4000 - 6000

@@ -271,3 +271,35 @@ def test_url_template_trap_detection(spark):
     t = out["a.com/day/N"]
     assert t.fetches == 4 and t.distinct_urls == 3
     assert t.example_url == "a.com/day/1" and t.max_depth == 3
+
+
+def test_readability_known_text(spark):
+    """Hand-counted sentence: 9 words, 2 sentences (clamped >= 1 for
+    the fragment doc), vowel-run syllables; Flesch/FK reproduce the
+    formula on the exact counts."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import readability_scores
+
+    t1 = "The quick brown fox jumps over the lazy dog. It sleeps!"
+    # words: The quick brown fox jumps over the lazy dog It sleeps = 11
+    # vowel runs: e,ui,o,o,u,o,e,e,a,o,I,ee = count below
+    t2 = "no punctuation fragment"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [t1, t2]})
+    )
+    out = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = out[1]
+    assert r1.words == 11 and r1.sentences == 2
+    import re
+    syl = len(re.findall(r"[aeiouy]+", t1.lower()))
+    assert r1.syllables == syl
+    want = 206.835 - 1.015 * (11 / 2) - 84.6 * (syl / 11)
+    assert abs(r1.flesch - want) < 1e-9
+    r2 = out[2]
+    assert r2.sentences == 1  # clamped
+    assert r2.words == 3
+    # empty-word doc -> NULL scores
+    df0 = spark.createDataFrame(pd.DataFrame({"doc_id": [3], "text": ["123 456"]}))
+    r3 = readability_scores(df0).collect()[0]
+    assert r3.words == 0 and r3.flesch is None and r3.fk_grade is None

@@ -1208,3 +1208,80 @@ def test_weighted_percentiles_lower_rule(spark):
     assert r.p20 == 2   # cumw 1 < 2 at v=1; cumw 2 >= 2 at v=2
     assert r.p50 == 3
     assert r.p95 == 3
+
+
+def test_rolling_corr_matches_numpy(spark):
+    """Trailing-3 window over a planted (x, y) pair per key equals
+    numpy's corrcoef at every full window; short windows follow the
+    same exact-moment formula; constant-track windows emit NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import rolling_corr
+
+    x = [3, 1, 4, 1, 5, 9, 2, 6]
+    y = [2, 7, 1, 8, 2, 8, 1, 8]
+    rows = [("k", t, x[t], y[t]) for t in range(8)]
+    # a second key with a constant x track -> dx == 0 -> NULL corr
+    rows += [("c", t, 5, t + 1) for t in range(4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "t_s", "x", "y"])
+    )
+    out = {
+        (r.key, r.t_s): r
+        for r in rolling_corr(df, window=3).collect()
+    }
+    for t in range(2, 8):
+        want = np.corrcoef(x[t - 2 : t + 1], y[t - 2 : t + 1])[0, 1]
+        got = out[("k", t)].corr
+        assert got is not None and abs(got - want) < 1e-12, (t, got, want)
+    assert out[("k", 0)].corr is None  # n == 1
+    for t in range(4):
+        assert out[("c", t)].corr is None  # constant x -> dx == 0
+    # moment columns are exact integers
+    r = out[("k", 4)]
+    assert (r.n, r.sx, r.sy) == (3, 10, 11)
+
+
+def test_mann_kendall_planted_trends(spark):
+    """Strictly increasing -> S = n(n-1)/2, tau = 1; strictly
+    decreasing -> tau = -1; a tie contributes 0 to S."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import mann_kendall
+
+    rows = (
+        [("up", t, 10 + t) for t in range(5)]
+        + [("dn", t, 50 - 3 * t) for t in range(4)]
+        + [("tie", 0, 7), ("tie", 1, 7), ("tie", 2, 9)]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t_s", "v"]))
+    out = {r.key: r for r in mann_kendall(df).collect()}
+    assert out["up"].s_stat == 10 and out["up"].n_pairs == 10
+    assert out["up"].tau == 1.0
+    assert out["dn"].tau == -1.0
+    # pairs (0,1) ties -> 0; (0,2) and (1,2) rise -> +2 of 3 pairs
+    assert out["tie"].s_stat == 2 and out["tie"].n_pairs == 3
+
+
+def test_forecast_backtest_gap_correct(spark):
+    """Seasonal-naive scoring joins on exact epoch shifts: a missing
+    bucket never becomes a wrong-lag forecast, and eval rows require
+    actual + both references. Planted: season 10, step 1."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import forecast_backtest
+
+    # series at t = 0,1,10,11,21: t=10 has both t-10=0 and... t-1=9 missing
+    # -> only t=11 (refs t=1 and t=10 both present) is scored.
+    rows = [("k", 0, 100), ("k", 1, 110), ("k", 10, 130),
+            ("k", 11, 150), ("k", 21, 170)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t_s", "v"]))
+    r = forecast_backtest(df, season_s=10, step_s=1).collect()
+    assert len(r) == 1 and r[0].n_eval == 1
+    # at t=11: actual 150, seasonal ref v(1)=110 -> |err| 40; naive v(10)=130 -> 20
+    assert r[0].sae_seasonal == 40 and r[0].sae_naive == 20
+    assert r[0].sum_abs_actual == 150
+    assert abs(r[0].mae - 40.0) < 1e-12
+    assert abs(r[0].wmape - 40.0 / 150.0) < 1e-12
+    assert abs(r[0].skill - (1.0 - 2.0)) < 1e-12  # seasonal 2x worse -> skill -1
