@@ -9543,6 +9543,228 @@ _POLITENESS_SQL = """
 """
 
 
+def _q_snapshot_diff(spark, sf_dir):
+    """Iceberg-style snapshot diff between two partition manifests
+    (manifest.snapshot_diff): added/removed/changed/same per
+    (event_type, day) partition from all-BIGINT counts + content CRCs;
+    ONE manifest-sized full-outer join — the lineage primitive behind
+    resume-without-recompute."""
+    from spartan2_spark.operators.manifest import snapshot_diff
+
+    part = F.concat(
+        F.col("event_type"), F.lit("/"), F.date_format(F.col("ts"), "yyyy-MM-dd")
+    )
+    crc = F.sum(F.round(F.col("value") * 100).cast("long")).alias("crc")
+
+    def manifest(df):
+        return df.groupBy(part.alias("part")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"), crc
+        )
+
+    ev = _events(spark, sf_dir)
+    snap_a = manifest(ev.filter(F.col("event_id") % 31 != 0))
+    snap_b = manifest(
+        ev.filter((F.col("event_id") % 37 != 0) & (F.dayofmonth("ts") > 2))
+    )
+    return snapshot_diff(snap_a, snap_b)
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH a AS (SELECT event_type || '/' || strftime(ts, '%Y-%m-%d') AS part,
+                      count(*)::BIGINT AS rows_a,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                        AS crc_a
+               FROM events WHERE event_id % 31 <> 0 GROUP BY 1),
+    b AS (SELECT event_type || '/' || strftime(ts, '%Y-%m-%d') AS part,
+                 count(*)::BIGINT AS rows_b,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS crc_b
+          FROM events WHERE event_id % 37 <> 0 AND day(ts) > 2 GROUP BY 1)
+    SELECT coalesce(a.part, b.part) AS part, rows_a, rows_b, crc_a, crc_b,
+           CASE WHEN rows_a IS NULL THEN 'added'
+                WHEN rows_b IS NULL THEN 'removed'
+                WHEN rows_a <> rows_b OR crc_a <> crc_b THEN 'changed'
+                ELSE 'same' END AS status,
+           CAST(coalesce(rows_b, 0) - coalesce(rows_a, 0) AS BIGINT)
+             AS delta_rows
+    FROM a FULL OUTER JOIN b ON a.part = b.part
+"""
+
+
+def _q_join_strategy_plan(spark, sf_dir):
+    """Cost-based join layout decision (partitioning.join_strategy_plan):
+    top-20 fact keys with exact ppm shares + ceil salt factors, dim
+    measured with exact octet accounting, broadcast-vs-shuffle CASE —
+    the engine's own salting/broadcast rules as an assertable
+    relation."""
+    from spartan2_spark.operators.partitioning import join_strategy_plan
+
+    fact = _events(spark, sf_dir).select(
+        (F.col("user_id") % 41).cast("long").alias("jkey")
+    )
+    dim = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return join_strategy_plan(
+        fact, dim, key_col="jkey",
+        broadcast_bytes=256 * 1024 * 1024,
+        rows_per_task=500, skew_ppm=30_000, top_k=20,
+    )
+
+
+_JOIN_STRATEGY_SQL = """
+    WITH pk AS (SELECT user_id % 41 AS key, count(*)::BIGINT AS cnt
+                FROM events GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS fact_rows FROM pk),
+    d AS (SELECT count(*)::BIGINT AS dim_rows,
+                 CAST(sum(strlen(n_name) + 8 + 8) AS BIGINT) AS dim_bytes
+          FROM nation),
+    r AS (SELECT key, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+          FROM pk)
+    SELECT CAST(r.key AS VARCHAR) AS key, cnt, CAST(rnk AS INT) AS rnk,
+           fact_rows, dim_rows, dim_bytes,
+           CAST(cnt * 1000000 // fact_rows AS BIGINT) AS share_ppm,
+           CAST((cnt + 499) // 500 AS BIGINT) AS salt_parts,
+           CAST(CASE WHEN cnt * 1000000 // fact_rows > 30000
+                     THEN 1 ELSE 0 END AS INT) AS salted,
+           CASE WHEN dim_bytes <= 268435456 THEN 'broadcast'
+                ELSE 'shuffle' END AS strategy
+    FROM r, t, d WHERE rnk <= 20
+"""
+
+
+def _q_acf_multi(spark, sf_dir):
+    """Multi-lag ACF per event class on the hourly-sum tier
+    (timeseries.acf_multi): gap-correct shifted equi-joins at exact
+    epoch lags 1h/2h/24h, exact BIGINT moments per (key, lag), ACF via
+    split-sqrt — the seasonality detector feeding forecast_backtest."""
+    from spartan2_spark.operators.timeseries import acf_multi
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .select("key", F.unix_timestamp("bucket_ts").alias("t_s"), "v")
+    )
+    return acf_multi(h, lags_s=(3600, 7200, 86400))
+
+
+_ACF_MULTI_SQL = """
+    WITH h AS (SELECT event_type AS key,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT CAST(lag_s AS BIGINT) AS lag_s
+          FROM (VALUES (3600), (7200), (86400)) AS v(lag_s)),
+    p AS (SELECT a.key AS key, l.lag_s AS lag_s, a.v AS v, b.v AS v_lag
+          FROM l, h a, h b
+          WHERE a.key = b.key AND a.t = b.t + l.lag_s),
+    g AS (SELECT key, lag_s, count(*)::BIGINT AS n,
+                 CAST(sum(v) AS BIGINT) AS sx,
+                 CAST(sum(v_lag) AS BIGINT) AS sy,
+                 CAST(sum(v * v) AS BIGINT) AS sxx,
+                 CAST(sum(v_lag * v_lag) AS BIGINT) AS syy,
+                 CAST(sum(v * v_lag) AS BIGINT) AS sxy
+          FROM p GROUP BY 1, 2),
+    dd AS (SELECT key, lag_s, n,
+                  n * sxx - sx * sx AS dx,
+                  n * syy - sy * sy AS dy,
+                  n * sxy - sx * sy AS num
+           FROM g)
+    SELECT key, lag_s, n,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                THEN CAST(num AS DOUBLE)
+                     / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE)))
+           END AS acf
+    FROM dd
+"""
+
+
+def _q_watermark_lag_audit(spark, sf_dir):
+    """Watermark sizing audit per event class
+    (timeseries.watermark_lag_audit): deterministic synthetic arrival
+    jitter (0..3000 s from a Knuth-hash of event_id), exact late
+    counts at 1x and 2x the 600 s watermark, floor ppm, one IEEE mean
+    — the batch evidence behind every withWatermark() in streaming/."""
+    from spartan2_spark.operators.timeseries import watermark_lag_audit
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") * F.lit(2654435761)) % 3000 * F.lit(1_000_000)
+        ).alias("arrival_us"),
+    )
+    return watermark_lag_audit(e, watermark_s=600)
+
+
+_WATERMARK_LAG_SQL = """
+    WITH e AS (SELECT event_type AS key,
+                      epoch_us(ts) AS event_us,
+                      epoch_us(ts) + (event_id * 2654435761) % 3000 * 1000000
+                        AS arrival_us
+               FROM events),
+    d AS (SELECT key,
+                 CAST(floor(CAST(arrival_us - event_us AS DOUBLE)
+                            / 1000000.0) AS BIGINT) AS lag_s
+          FROM e),
+    g AS (SELECT key, count(*)::BIGINT AS n,
+                 CAST(sum(CASE WHEN lag_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late,
+                 CAST(sum(CASE WHEN lag_s > 1200 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_late_2x,
+                 CAST(max(lag_s) AS BIGINT) AS max_lag_s,
+                 CAST(sum(lag_s) AS BIGINT) AS sum_lag_s
+          FROM d GROUP BY 1)
+    SELECT key, n, n_late, n_late_2x, max_lag_s,
+           CAST(floor(CAST(n_late * 1000000 AS DOUBLE) / CAST(n AS DOUBLE))
+                AS BIGINT) AS late_ppm,
+           CAST(sum_lag_s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_lag_s
+    FROM g
+"""
+
+
+def _q_traffic_tiers(spark, sf_dir):
+    """Head/torso/tail crawl concentration (partitioning.traffic_tiers):
+    integer-ceil tier cuts on the domain rank, exact floor ppm fetch
+    shares — the skew report that sizes domain_salt_map and the
+    politeness fleet."""
+    from spartan2_spark.operators.partitioning import traffic_tiers
+
+    pages = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url")
+    )
+    return traffic_tiers(pages, head_pct=1, torso_pct=10)
+
+
+_TRAFFIC_TIERS_SQL = """
+    WITH per AS (SELECT 'u' || user_id AS domain, count(*)::BIGINT AS cnt
+                 FROM events GROUP BY 1),
+    t AS (SELECT count(*)::BIGINT AS n_dom, CAST(sum(cnt) AS BIGINT) AS n_fetch
+          FROM per),
+    r AS (SELECT domain, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, domain ASC)
+                      AS BIGINT) AS rnk
+          FROM per),
+    c AS (SELECT r.*, t.n_dom, t.n_fetch FROM r, t),
+    tc AS (SELECT CASE WHEN rnk <= (n_dom * 1 + 99) // 100 THEN 'head'
+                       WHEN rnk <= (n_dom * 10 + 99) // 100 THEN 'torso'
+                       ELSE 'tail' END AS tier,
+                  cnt, n_fetch
+           FROM c)
+    SELECT tier, count(*)::BIGINT AS n_domains,
+           CAST(sum(cnt) AS BIGINT) AS fetches,
+           CAST(CAST(sum(cnt) AS BIGINT) * 1000000 // max(n_fetch) AS BIGINT)
+             AS share_ppm
+    FROM tc GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9606,6 +9828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
+        "snapshot_diff": _q_snapshot_diff,
+        "join_strategy_plan": _q_join_strategy_plan,
+        "acf_multi": _q_acf_multi,
+        "watermark_lag_audit": _q_watermark_lag_audit,
+        "traffic_tiers": _q_traffic_tiers,
         "rolling_corr": _q_rolling_corr,
         "mann_kendall": _q_mann_kendall,
         "forecast_backtest": _q_forecast_backtest,
@@ -9959,6 +10186,11 @@ def oracle_sql() -> dict[str, str]:
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         "monlad_cfd": _MONLAD_CFD_SQL,
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        "join_strategy_plan": _JOIN_STRATEGY_SQL,
+        "acf_multi": _ACF_MULTI_SQL,
+        "watermark_lag_audit": _WATERMARK_LAG_SQL,
+        "traffic_tiers": _TRAFFIC_TIERS_SQL,
         "rolling_corr": _ROLLING_CORR_SQL,
         "mann_kendall": _MANN_KENDALL_SQL,
         "forecast_backtest": _FORECAST_BACKTEST_SQL,

@@ -114,6 +114,13 @@ BENCH_QUERIES = [
     "forecast_backtest",
     "readability_scores",
     "politeness_plan",
+    # round-4 wrap-2b: lineage diff, join-layout audit, seasonality
+    # detector, watermark audit, skew tiers (lazily constructed)
+    "snapshot_diff",
+    "join_strategy_plan",
+    "acf_multi",
+    "watermark_lag_audit",
+    "traffic_tiers",
 ]
 
 

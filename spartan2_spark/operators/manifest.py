@@ -196,3 +196,63 @@ def pending_partitions(
     if not done:
         return df
     return df.filter(~F.col(dt_col).cast("string").isin(sorted(done)))
+
+
+def snapshot_diff(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    part_col: str = "part",
+    rows_col: str = "n_rows",
+    crc_col: str = "crc",
+) -> DataFrame:
+    """Iceberg-style snapshot diff over two partition manifests — the
+    DataFrame twin of the file-manifest resume logic above
+    (``pending_partitions``): classify every partition as ``added``
+    (only in B), ``removed`` (only in A), ``changed`` (present in both
+    with a different row count or content CRC) or ``same``, and emit
+    the exact row delta. This is what an incremental tier rebuild
+    reads to schedule ONLY the dirty partitions, and what a lineage
+    audit reads to explain a tier discrepancy ("which partitions moved
+    between snapshot 41 and 47?").
+
+    Exactness: all-BIGINT counts/CRCs, the status is a four-way CASE
+    on null-markers and integer equality — no floats anywhere.
+
+    Plan shape: ONE full-outer equi-join on the partition key (both
+    manifests are partition-count-sized — thousands of rows per tier,
+    never data-sized — so the join broadcasts); output is manifest-
+    sized.
+    """
+    a = snap_a.select(
+        F.col(part_col).alias("part"),
+        F.col(rows_col).cast("long").alias("rows_a"),
+        F.col(crc_col).cast("long").alias("crc_a"),
+    )
+    b = snap_b.select(
+        F.col(part_col).alias("part"),
+        F.col(rows_col).cast("long").alias("rows_b"),
+        F.col(crc_col).cast("long").alias("crc_b"),
+    )
+    j = a.join(b, on="part", how="full_outer")
+    status = (
+        F.when(F.col("rows_a").isNull(), F.lit("added"))
+        .when(F.col("rows_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("rows_a") != F.col("rows_b"))
+            | (F.col("crc_a") != F.col("crc_b")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        "part",
+        "rows_a",
+        "rows_b",
+        "crc_a",
+        "crc_b",
+        status.alias("status"),
+        (
+            F.coalesce(F.col("rows_b"), F.lit(0))
+            - F.coalesce(F.col("rows_a"), F.lit(0))
+        ).cast("long").alias("delta_rows"),
+    )

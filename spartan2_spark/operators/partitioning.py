@@ -16,7 +16,9 @@ hot-domain salt map.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "with_domain",
@@ -453,4 +455,152 @@ def partition_split_plan(
         numbered.join(F.broadcast(ranks), numbered["rn"] == ranks["rank"])
         .select("split_idx", "rank", "rows_in_bucket", *order_cols)
         .orderBy("split_idx")
+    )
+
+
+def join_strategy_plan(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    dim_key_col: str | None = None,
+    broadcast_bytes: int = 256 * 1024 * 1024,
+    rows_per_task: int = 2_000_000,
+    skew_ppm: int = 50_000,
+    top_k: int = 20,
+) -> DataFrame:
+    """Cost-based join-strategy decision, codified as a query — the
+    planning rule this engine applies by hand everywhere (broadcast
+    small dims, salt skewed keys) emitted as an auditable relation so
+    a pipeline can ASSERT its join layout instead of hoping: for the
+    top-``top_k`` heaviest fact keys, the fact-side share (ppm), the
+    per-key salt factor ``ceil(cnt / rows_per_task)``, and the
+    table-level decision — ``broadcast`` when the dim's measured bytes
+    (exact UTF-8 + fixed-width accounting, the same estimate Spark's
+    own statistics use) fit the broadcast threshold, else ``shuffle``,
+    with ``salted=1`` on any key whose share crosses ``skew_ppm``.
+
+    Exactness: byte sizes are exact octet_length sums; shares and salt
+    factors are integer floor/ceil cross-multiplication — no floats.
+
+    Plan shape: one fact-side key aggregate (map-side combinable) +
+    a rank window over the top-k slice (WindowGroupLimit keeps it
+    k-sized), one scalar dim aggregate cross-joined (1 row, broadcast).
+    The decision query itself never shuffles more than the key census.
+    """
+    dkey = dim_key_col or key_col
+    per_key = fact.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("long").alias("fact_rows"),
+        F.count(F.lit(1)).cast("long").alias("fact_keys"),
+    )
+    size_cols = [
+        (
+            F.octet_length(F.col(f.name))
+            if isinstance(f.dataType, T.StringType)
+            else F.lit(8)
+        )
+        for f in dim.schema.fields
+    ]
+    row_bytes = size_cols[0]
+    for c in size_cols[1:]:
+        row_bytes = row_bytes + c
+    dstat = dim.agg(
+        F.count(F.lit(1)).cast("long").alias("dim_rows"),
+        F.sum(row_bytes).cast("long").alias("dim_bytes"),
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    top = (
+        per_key.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= int(top_k))
+    )
+    out = top.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(dstat))
+    share = F.floor(
+        (F.col("cnt") * F.lit(1_000_000)).cast("double")
+        / F.col("fact_rows").cast("double")
+    ).cast("long")
+    salt = F.floor(
+        (F.col("cnt") + F.lit(int(rows_per_task) - 1)).cast("double")
+        / F.lit(int(rows_per_task)).cast("double")
+    ).cast("long")
+    return out.select(
+        F.col("key").cast("string").alias("key"),
+        "cnt",
+        F.col("rnk").cast("int").alias("rnk"),
+        "fact_rows",
+        "dim_rows",
+        "dim_bytes",
+        share.alias("share_ppm"),
+        salt.alias("salt_parts"),
+        F.when(share > F.lit(int(skew_ppm)), 1).otherwise(0).cast("int").alias("salted"),
+        F.when(F.col("dim_bytes") <= F.lit(int(broadcast_bytes)), F.lit("broadcast"))
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+    )
+
+
+def traffic_tiers(
+    pages: DataFrame,
+    url_col: str = "url",
+    head_pct: int = 1,
+    torso_pct: int = 10,
+) -> DataFrame:
+    """Head/torso/tail concentration report over the domain traffic
+    distribution — the one-page answer to "how skewed is this crawl?"
+    that sizes the salting map (``domain_salt_map``) and the
+    politeness fleet: domains ranked by fetch count; the top
+    ``head_pct``% of domains (ceil) are the head, the next up to
+    ``torso_pct``% the torso, the rest the tail. Emits per tier:
+    domain count, total fetches, and the exact fetch share in ppm.
+
+    Exactness: tier cuts are integer ceil cross-multiplication on the
+    rank (``rnk <= (D + 99) // 100``), shares are integer floor ppm —
+    a float percentile would misplace boundary domains.
+
+    Plan shape: one domain hash aggregate, ONE global rank window over
+    the domain census (domain-count-sized, not fetch-sized — fine up
+    to hundreds of millions of domains on one partition of longs;
+    past that, swap in global_row_numbers), one 3-row final aggregate.
+    """
+    if not (0 < head_pct < torso_pct <= 100):
+        raise ValueError("need 0 < head_pct < torso_pct <= 100")
+    dom = F.substring_index(F.col(url_col), "/", 1)
+    per = pages.groupBy(dom.alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("domain").asc())
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dom"),
+        F.sum("cnt").cast("long").alias("n_fetch"),
+    )
+    ranked = per.select(
+        "domain", "cnt", F.row_number().over(w).cast("long").alias("rnk")
+    ).crossJoin(F.broadcast(tot))
+    head_cut = F.floor(
+        (F.col("n_dom") * F.lit(int(head_pct)) + F.lit(99)).cast("double")
+        / F.lit(100.0)
+    )
+    torso_cut = F.floor(
+        (F.col("n_dom") * F.lit(int(torso_pct)) + F.lit(99)).cast("double")
+        / F.lit(100.0)
+    )
+    tier = (
+        F.when(F.col("rnk") <= head_cut, F.lit("head"))
+        .when(F.col("rnk") <= torso_cut, F.lit("torso"))
+        .otherwise(F.lit("tail"))
+    )
+    g = ranked.select(tier.alias("tier"), "cnt", "n_fetch").groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+        F.sum("cnt").cast("long").alias("fetches"),
+        F.max("n_fetch").alias("_tot"),
+    )
+    return g.select(
+        "tier",
+        "n_domains",
+        "fetches",
+        F.floor(
+            (F.col("fetches") * F.lit(1_000_000)).cast("double")
+            / F.col("_tot").cast("double")
+        ).cast("long").alias("share_ppm"),
     )

@@ -2440,3 +2440,140 @@ def forecast_backtest(
             / F.col("sae_naive").cast("double"),
         ).alias("skill"),
     )
+
+
+def acf_multi(
+    df: DataFrame,
+    lags_s: tuple[int, ...] = (1, 2, 3),
+    key_col: str = "key",
+    order_col: str = "t_s",
+    value_col: str = "v",
+) -> DataFrame:
+    """Autocorrelation function per series at a set of exact epoch
+    lags — the seasonality detector that tells :func:`forecast_backtest`
+    WHICH season to test (a daily cycle shows as a spike at lag
+    86400): for each lag the proper Pearson ACF over the lag-paired
+    subset, from exact BIGINT moments (the :func:`rolling_corr`
+    discipline applied per (key, lag) instead of per window).
+
+    Gap-correct by construction: pairs come from an equi-join on
+    ``t = t' + lag`` in exact epoch seconds, so a missing bucket drops
+    its pairs instead of silently correlating mismatched offsets the
+    way lag-by-ROWS would.
+
+    Exactness: six BIGINT moment sums per (key, lag); the ACF is
+    ``num / (sqrt(dx) * sqrt(dy))`` — three IEEE ops, split sqrt.
+    Degenerate lags (n < 2 or a constant side) emit NULL.
+
+    Plan shape: one shifted equi-join per lag (all hash-partitioned on
+    (key, t) — AQE reuses the exchange), a union of K lag relations,
+    ONE map-side-combinable (key, lag) aggregate. K is a handful;
+    per-lag pair volume is series length, never corpus-squared.
+    """
+    if not lags_s:
+        raise ValueError("need at least one lag")
+    s = df.select(
+        F.col(key_col).alias("key"),
+        F.col(order_col).cast("long").alias("t"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    parts = []
+    for lag in lags_s:
+        shifted = s.select(
+            "key",
+            (F.col("t") + F.lit(int(lag))).alias("t"),
+            F.col("v").alias("v_lag"),
+        )
+        parts.append(
+            s.join(shifted, on=["key", "t"]).select(
+                "key", F.lit(int(lag)).cast("long").alias("lag_s"), "v", "v_lag"
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    x, y = F.col("v"), F.col("v_lag")
+    g = pairs.groupBy("key", "lag_s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    d = g.select(
+        "key",
+        "lag_s",
+        "n",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+    )
+    return d.select(
+        "key",
+        "lag_s",
+        "n",
+        F.when(
+            (F.col("n") >= 2) & (F.col("dx") > 0) & (F.col("dy") > 0),
+            F.col("num").cast("double")
+            / (
+                F.sqrt(F.col("dx").cast("double"))
+                * F.sqrt(F.col("dy").cast("double"))
+            ),
+        ).alias("acf"),
+    )
+
+
+def watermark_lag_audit(
+    df: DataFrame,
+    key_col: str = "key",
+    event_ts_col: str = "event_us",
+    arrival_ts_col: str = "arrival_us",
+    watermark_s: int = 600,
+) -> DataFrame:
+    """Ingestion-lag audit per stream key — the batch health check
+    behind every watermark choice in ``streaming/``: given event time
+    and arrival (processing) time, how much data would a
+    ``withWatermark(<watermark_s>)`` have dropped, and what lag should
+    the watermark actually be? Emits per key: sample count, late count
+    beyond the watermark, the exact late fraction in ppm, max and mean
+    lag (seconds), and the exact count that would survive a 2x
+    watermark — the "is doubling the watermark worth the state?"
+    number.
+
+    Exactness: lags are exact microsecond differences floored to
+    seconds by integer division semantics (both operands positive);
+    counts and the ppm are pure integers (floor), mean lag is one IEEE
+    divide.
+
+    Plan shape: per-row lag projection + ONE map-side-combinable key
+    aggregate — no window, no join; linear in arrivals.
+    """
+    lag_s = F.floor(
+        (F.col(arrival_ts_col).cast("long") - F.col(event_ts_col).cast("long"))
+        .cast("double")
+        / F.lit(1_000_000.0)
+    ).cast("long")
+    d = df.select(F.col(key_col).alias("key"), lag_s.alias("lag_s"))
+    wm = int(watermark_s)
+    g = d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("lag_s") > wm).cast("int")).cast("long").alias("n_late"),
+        F.sum((F.col("lag_s") > 2 * wm).cast("int")).cast("long").alias("n_late_2x"),
+        F.max("lag_s").cast("long").alias("max_lag_s"),
+        F.sum("lag_s").cast("long").alias("sum_lag_s"),
+    )
+    return g.select(
+        "key",
+        "n",
+        "n_late",
+        "n_late_2x",
+        "max_lag_s",
+        F.floor(
+            (F.col("n_late") * F.lit(1_000_000)).cast("double")
+            / F.col("n").cast("double")
+        ).cast("long").alias("late_ppm"),
+        (
+            F.col("sum_lag_s").cast("double") / F.col("n").cast("double")
+        ).alias("mean_lag_s"),
+    )

@@ -231,3 +231,56 @@ def test_partition_split_plan_uneven_counts(spark):
     assert [r["rank"] for r in plan] == [3, 6]
     assert [r["rows_in_bucket"] for r in plan] == [3, 3]
     assert [r["v"] for r in plan] == [2, 5]
+
+
+def test_join_strategy_plan_decisions(spark):
+    """Broadcast flips to shuffle on the byte threshold; salt factor
+    is exact ceil; skew flag follows the ppm cut."""
+    import pandas as pd
+
+    from spartan2_spark.operators.partitioning import join_strategy_plan
+
+    fact = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 70 + ["b"] * 25 + ["c"] * 5})
+    )
+    dim = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "b", "c"], "name": ["xx", "yyy", "z"]})
+    )
+    out = {
+        r.key: r
+        for r in join_strategy_plan(
+            fact, dim, key_col="k", broadcast_bytes=1000,
+            rows_per_task=30, skew_ppm=500_000, top_k=10,
+        ).collect()
+    }
+    # dim bytes: per row 8 (k is string? no -> k IS string: octets) ...
+    # k strings: 1 byte each; name 2+3+1 = 6; total 3*1 + 6 = 9 bytes
+    assert out["a"].dim_bytes == 9 and out["a"].strategy == "broadcast"
+    assert out["a"].cnt == 70 and out["a"].share_ppm == 700_000
+    assert out["a"].salted == 1 and out["b"].salted == 0
+    assert out["a"].salt_parts == 3  # ceil(70/30)
+    assert out["c"].salt_parts == 1
+    tiny = join_strategy_plan(
+        fact, dim, key_col="k", broadcast_bytes=8, rows_per_task=30,
+    ).collect()[0]
+    assert tiny.strategy == "shuffle"
+
+
+def test_traffic_tiers_exact_cuts(spark):
+    """10 domains, head 10% / torso 30%: ceil cuts put exactly 1
+    domain in the head and 2 more in the torso; ppm shares floor."""
+    import pandas as pd
+
+    from spartan2_spark.operators.partitioning import traffic_tiers
+
+    rows = []
+    for i, n in enumerate([100, 50, 30, 10, 5, 4, 3, 2, 2, 1]):
+        rows += [f"d{i}/x"] * n
+    df = spark.createDataFrame(pd.DataFrame({"url": rows}))
+    out = {r.tier: r for r in traffic_tiers(df, head_pct=10, torso_pct=30).collect()}
+    total = 207
+    assert out["head"].n_domains == 1 and out["head"].fetches == 100
+    assert out["torso"].n_domains == 2 and out["torso"].fetches == 80
+    assert out["tail"].n_domains == 7 and out["tail"].fetches == 27
+    assert out["head"].share_ppm == 100 * 1_000_000 // total
+    assert out["tail"].share_ppm == 27 * 1_000_000 // total

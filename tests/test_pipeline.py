@@ -342,3 +342,29 @@ def test_bloom_filter_plan_sizing(spark):
     # exact power of two stays put: 16 keys at 8 bits/key = 128
     out8 = {r["grp"]: r for r in bloom_filter_plan(df, "grp", "key", 8).collect()}
     assert out8["g3"]["m_bits"] == 128
+
+
+def test_snapshot_diff_statuses(spark):
+    """Four-way classification on planted manifests: added/removed/
+    changed (count OR crc) / same, with exact row deltas."""
+    import pandas as pd
+
+    from spartan2_spark.operators.manifest import snapshot_diff
+
+    a = spark.createDataFrame(pd.DataFrame({
+        "part": ["p1", "p2", "p3", "p4"],
+        "n_rows": [10, 20, 30, 40],
+        "crc": [111, 222, 333, 444],
+    }))
+    b = spark.createDataFrame(pd.DataFrame({
+        "part": ["p1", "p2", "p3", "p5"],
+        "n_rows": [10, 25, 30, 7],
+        "crc": [111, 222, 999, 50],
+    }))
+    out = {r.part: r for r in snapshot_diff(a, b).collect()}
+    assert out["p1"].status == "same" and out["p1"].delta_rows == 0
+    assert out["p2"].status == "changed" and out["p2"].delta_rows == 5
+    assert out["p3"].status == "changed"  # crc moved, count identical
+    assert out["p4"].status == "removed" and out["p4"].delta_rows == -40
+    assert out["p5"].status == "added" and out["p5"].delta_rows == 7
+    assert len(out) == 5

@@ -1285,3 +1285,41 @@ def test_forecast_backtest_gap_correct(spark):
     assert abs(r[0].mae - 40.0) < 1e-12
     assert abs(r[0].wmape - 40.0 / 150.0) < 1e-12
     assert abs(r[0].skill - (1.0 - 2.0)) < 1e-12  # seasonal 2x worse -> skill -1
+
+
+def test_acf_multi_planted_period(spark):
+    """A period-2 alternating series has ACF -1 at lag 1 and +1 at
+    lag 2 (exact sign flip); gaps drop pairs instead of shifting
+    them."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import acf_multi
+
+    rows = [("k", t, 10 if t % 2 == 0 else 20) for t in range(8)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t_s", "v"]))
+    out = {r.lag_s: r for r in acf_multi(df, lags_s=(1, 2)).collect()}
+    assert abs(out[1].acf - (-1.0)) < 1e-12 and out[1].n == 7
+    assert abs(out[2].acf - 1.0) < 1e-12 and out[2].n == 6
+    # remove t=4: lag-1 pairs using t=4 vanish (t=4 and t=5 anchors)
+    df2 = df.filter("t_s <> 4")
+    out2 = {r.lag_s: r for r in acf_multi(df2, lags_s=(1,)).collect()}
+    assert out2[1].n == 5
+
+
+def test_watermark_lag_audit_exact_counts(spark):
+    """Late counts at 1x/2x the watermark, floor ppm, exact mean."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import watermark_lag_audit
+
+    # lags in seconds: 0, 100, 700, 1300 (wm=600 -> 2 late, 1 beyond 2x)
+    rows = [("k", 0, 0), ("k", 0, 100_000_000),
+            ("k", 0, 700_000_000), ("k", 0, 1_300_000_000)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "event_us", "arrival_us"])
+    )
+    r = watermark_lag_audit(df, watermark_s=600).collect()[0]
+    assert r.n == 4 and r.n_late == 2 and r.n_late_2x == 1
+    assert r.max_lag_s == 1300
+    assert r.late_ppm == 2 * 1_000_000 // 4
+    assert abs(r.mean_lag_s - (0 + 100 + 700 + 1300) / 4.0) < 1e-12
