@@ -482,18 +482,16 @@ def join_strategy_plan(
     Exactness: byte sizes are exact octet_length sums; shares and salt
     factors are integer floor/ceil cross-multiplication — no floats.
 
-    Plan shape: one fact-side key aggregate (map-side combinable) +
-    a rank window over the top-k slice (WindowGroupLimit keeps it
-    k-sized), one scalar dim aggregate cross-joined (1 row, broadcast).
-    The decision query itself never shuffles more than the key census.
+    Plan shape: one fact-side key aggregate (map-side combinable);
+    rank AND fleet total both come from the same unpartitioned window
+    over the key census (one pass — a scalar-agg cross join would
+    re-scan the fact table); one scalar dim aggregate cross-joined
+    (1 row, broadcast). The decision query itself never shuffles more
+    than the key census.
     """
     dkey = dim_key_col or key_col
     per_key = fact.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    tot = per_key.agg(
-        F.sum("cnt").cast("long").alias("fact_rows"),
-        F.count(F.lit(1)).cast("long").alias("fact_keys"),
     )
     size_cols = [
         (
@@ -511,11 +509,16 @@ def join_strategy_plan(
         F.sum(row_bytes).cast("long").alias("dim_bytes"),
     )
     w = W.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    glob = W.partitionBy()
     top = (
-        per_key.select("*", F.row_number().over(w).alias("rnk"))
+        per_key.select(
+            "*",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("cnt").over(glob).cast("long").alias("fact_rows"),
+        )
         .filter(F.col("rnk") <= int(top_k))
     )
-    out = top.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(dstat))
+    out = top.crossJoin(F.broadcast(dstat))
     share = F.floor(
         (F.col("cnt") * F.lit(1_000_000)).cast("double")
         / F.col("fact_rows").cast("double")
@@ -558,9 +561,10 @@ def traffic_tiers(
     rank (``rnk <= (D + 99) // 100``), shares are integer floor ppm —
     a float percentile would misplace boundary domains.
 
-    Plan shape: one domain hash aggregate, ONE global rank window over
-    the domain census (domain-count-sized, not fetch-sized — fine up
-    to hundreds of millions of domains on one partition of longs;
+    Plan shape: one domain hash aggregate, then rank AND the two
+    fleet totals from the SAME global window over the domain census
+    (one pass, no re-scan; domain-count-sized, not fetch-sized — fine
+    up to hundreds of millions of domains on one partition of longs;
     past that, swap in global_row_numbers), one 3-row final aggregate.
     """
     if not (0 < head_pct < torso_pct <= 100):
@@ -570,13 +574,14 @@ def traffic_tiers(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     w = W.orderBy(F.col("cnt").desc(), F.col("domain").asc())
-    tot = per.agg(
-        F.count(F.lit(1)).cast("long").alias("n_dom"),
-        F.sum("cnt").cast("long").alias("n_fetch"),
-    )
+    glob = W.partitionBy()
     ranked = per.select(
-        "domain", "cnt", F.row_number().over(w).cast("long").alias("rnk")
-    ).crossJoin(F.broadcast(tot))
+        "domain",
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(glob).cast("long").alias("n_dom"),
+        F.sum("cnt").over(glob).cast("long").alias("n_fetch"),
+    )
     head_cut = F.floor(
         (F.col("n_dom") * F.lit(int(head_pct)) + F.lit(99)).cast("double")
         / F.lit(100.0)

@@ -1212,9 +1212,12 @@ def politeness_plan(
 
     Plan shape: one hash aggregate on the domain prefix (map-side
     combinable; url strings die at the scan — only the prefix crosses
-    the shuffle), one scalar total via a single-row cross join
-    (broadcast). Head-domain skew costs nothing here: the aggregate
-    state is one counter per domain.
+    the shuffle), then the fleet total as an unpartitioned window SUM
+    over the DOMAIN CENSUS — one pass, no second scan (a scalar-agg
+    cross join would re-read the input); the census is
+    domain-count-sized, so the single-partition window is bounded by
+    the domain universe, never by fetches. Head-domain skew costs
+    nothing here: the aggregate state is one counter per domain.
     """
     if delay_ms <= 0:
         raise ValueError("delay_ms must be positive")
@@ -1227,10 +1230,11 @@ def politeness_plan(
         "fetches",
         ((F.col("fetches") - 1) * F.lit(int(delay_ms))).cast("long").alias("crawl_ms"),
     )
-    total = per.agg(F.sum("crawl_ms").cast("long").alias("total_ms"))
     deadline_ms = int(deadline_s) * 1000
     return (
-        per.crossJoin(F.broadcast(total))
+        per.withColumn(
+            "total_ms", F.sum("crawl_ms").over(W.partitionBy()).cast("long")
+        )
         .select(
             "domain",
             "fetches",

@@ -439,3 +439,97 @@ def test_url_template_single_agg(spark, sf_dir):
     template key): no window, no join."""
     plan = plan_of(E.queries()["url_template_stats"](spark, sf_dir), "simple")
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_rolling_corr_one_window_no_join(spark, sf_dir):
+    """rolling_corr evaluates all six trailing moment sums in ONE
+    window over the hourly aggregate: one Window node, no join, and
+    the window shares the key-family exchange with the bucket agg."""
+    plan = plan_of(E.queries()["rolling_corr"](spark, sf_dir), "simple")
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
+def test_mann_kendall_key_partitioned_self_join(spark, sf_dir):
+    """mann_kendall's pairwise stage is an equi-join ON THE KEY — the
+    quadratic stays per-series; no cartesian product anywhere."""
+    plan = plan_of(E.queries()["mann_kendall"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_forecast_backtest_equi_joins_only(spark, sf_dir):
+    """forecast_backtest's two shifted references are (key, t)
+    equi-joins (gap-correct), never windows, never cartesian; the
+    closing per-key aggregate is map-side combinable."""
+    plan = plan_of(E.queries()["forecast_backtest"](spark, sf_dir), "simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_readability_stays_codegen_no_exchange(spark, sf_dir):
+    """readability_scores is a pure per-row projection: zero
+    exchanges, zero Python eval nodes, inside whole-stage codegen."""
+    plan = plan_of(E.queries()["readability_scores"](spark, sf_dir), "simple")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+    assert "*(1)" in plan, plan  # whole-stage-codegen stage marker
+
+
+def test_politeness_plan_single_pass_total(spark, sf_dir):
+    """politeness_plan = ONE domain aggregate, fleet total as a
+    window over the domain census (no join, no second scan of the
+    input): exactly one data-sized exchange and one parquet scan."""
+    plan = plan_of(E.queries()["politeness_plan"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning") <= 1, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_snapshot_diff_single_outer_join(spark, sf_dir):
+    """snapshot_diff is ONE full-outer join of two manifest-sized
+    aggregates — no window, no second join layer."""
+    plan = plan_of(E.queries()["snapshot_diff"](spark, sf_dir), "simple")
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    assert "Window" not in plan
+
+
+def test_acf_multi_no_cartesian_one_agg_family(spark, sf_dir):
+    """acf_multi's K lag joins are all (key, t) equi-joins; the union
+    feeds ONE (key, lag) aggregate; no cartesian product."""
+    plan = plan_of(E.queries()["acf_multi"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_watermark_audit_single_agg_no_join(spark, sf_dir):
+    """watermark_lag_audit is a projection + ONE map-side-combinable
+    key aggregate: no join, no window, one exchange."""
+    plan = plan_of(E.queries()["watermark_lag_audit"](spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("hashpartitioning") <= 1, plan
+
+
+def test_traffic_tiers_census_sized_rank(spark, sf_dir):
+    """traffic_tiers ranks the DOMAIN CENSUS (one global window over
+    the aggregated domain relation), never the raw fetches: the
+    domain aggregate must sit below the Window, and the scalar total
+    broadcasts."""
+    plan = plan_of(E.queries()["traffic_tiers"](spark, sf_dir), "simple")
+    assert "Window" in plan
+    assert plan.index("HashAggregate") < plan.index("Window"), plan
+    assert "Join" not in plan, plan  # totals ride the census window
+    assert plan.count("FileScan parquet") == 1, plan  # no re-scan
+
+
+def test_join_strategy_plan_topk_window_limit(spark, sf_dir):
+    """join_strategy_plan's rank runs over the key census; the two
+    scalar relations broadcast; no cartesian on data."""
+    plan = plan_of(E.queries()["join_strategy_plan"](spark, sf_dir), "simple")
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row dim stats
+    assert "CartesianProduct" not in plan
+    # fact scanned once (census window carries the total), dim once
+    assert plan.count("FileScan parquet") == 2, plan
