@@ -9765,6 +9765,59 @@ _TRAFFIC_TIERS_SQL = """
 """
 
 
+def _q_tier_incremental_merge(spark, sf_dir):
+    """Continuous-aggregate refresh (rollup.tier_merge): the stored 1h
+    tier of days <= 20 merged with the rollup of the late raw (days
+    > 20); the DuckDB twin computes the FULL 1h rollup directly, so
+    twin equality IS the incremental-refresh == full-recompute proof
+    (the property that lets the raw tier be touched once per bucket,
+    ever). Union + ONE scalar hash aggregation."""
+    pts = _event_points(spark, sf_dir)
+    stored = R.rollup_from_points(
+        pts.filter(F.dayofmonth("ts") <= 20), "1h", bin_mode="int"
+    )
+    late = R.rollup_from_points(
+        pts.filter(F.dayofmonth("ts") > 20), "1h", bin_mode="int"
+    )
+    merged = R.tier_merge(stored, late)
+    return R.tier_view(merged, bin_mode="int").select(
+        F.col("url").alias("series_key"), _epoch(), "cnt", "vmin", "vmax",
+        "vmean", "p95",
+    )
+
+
+def _q_cache_admission(spark, sf_dir):
+    """LFU serving-cache admission curve (rollup.cache_admission_plan):
+    top-50 urls by fetch count with exact BIGINT cumulative hits and
+    floor ppm hit rate — rank, running sum, and fleet total all from
+    one unpartitioned window pass over the url census."""
+    from spartan2_spark.operators.rollup import cache_admission_plan
+
+    pages = _events(spark, sf_dir).select(
+        F.concat(
+            F.lit("u"), F.col("user_id"), F.lit("/"), F.col("event_type")
+        ).alias("url")
+    )
+    return cache_admission_plan(pages, capacity=50)
+
+
+_CACHE_ADMISSION_SQL = """
+    WITH per AS (SELECT 'u' || user_id || '/' || event_type AS url,
+                        count(*)::BIGINT AS cnt
+                 FROM events GROUP BY 1),
+    r AS (SELECT url, cnt,
+                 CAST(row_number() OVER w AS BIGINT) AS rnk,
+                 CAST(sum(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT) AS cum_hits,
+                 CAST(sum(cnt) OVER () AS BIGINT) AS total_fetches
+          FROM per
+          WINDOW w AS (ORDER BY cnt DESC, url ASC))
+    SELECT url, rnk, cnt, cum_hits, total_fetches,
+           CAST(cum_hits * 1000000 // total_fetches AS BIGINT) AS cum_hit_ppm
+    FROM r WHERE rnk <= 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9828,6 +9881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_hapax": _q_vocab_hapax,
         # --- block 2: r5 gate candidates (r3 positions 101-153; insert
         # new r4 queries HERE, at the head) ---
+        "tier_incremental_merge": _q_tier_incremental_merge,
+        "cache_admission_plan": _q_cache_admission,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10186,6 +10241,8 @@ def oracle_sql() -> dict[str, str]:
         "score_level_users": _SCORE_LEVEL_SQL,
         "monlad_zeroout": _MONLAD_SQL,
         "monlad_cfd": _MONLAD_CFD_SQL,
+        "tier_incremental_merge": _rollup_oracle("hour"),
+        "cache_admission_plan": _CACHE_ADMISSION_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     "acf_multi",
     "watermark_lag_audit",
     "traffic_tiers",
+    # round-4 wrap-2c: continuous-aggregate refresh, LFU serving cache
+    "tier_incremental_merge",
+    "cache_admission_plan",
 ]
 
 

@@ -1256,3 +1256,85 @@ def politeness_plan(
             .alias("share_ppm"),
         )
     )
+
+
+def tier_merge(*states: DataFrame) -> DataFrame:
+    """Continuous-aggregate REFRESH: merge any number of same-tier
+    state relations — yesterday's stored tier plus the rollup of
+    newly-arrived raw, or two backfill shards — into one consistent
+    tier. Because every state column is a commutative monoid
+    (cnt/vsum sum, vmin/vmax min/max, the p95 histogram is the sparse
+    (bin, cnt) relation itself), ``merge(stored, rollup(late)) ==
+    rollup(all)`` EXACTLY: incremental refresh never drifts from a
+    full recompute, which is what lets the 10^12-row raw tier be
+    touched once per bucket, ever.
+
+    Exactness: integer-valued metrics (the centi convention) sum
+    exactly in doubles below 2^53, so the merged state is
+    bit-identical to the recompute at any merge order or parallelism.
+
+    Plan shape: union + ONE scalar hash aggregation on (url, bucket,
+    bin) — map-side partials collapse each input before the shuffle;
+    the late side is days-of-data sized, the stored side is
+    tier-state sized (not raw-sized).
+    """
+    if not states:
+        raise ValueError("tier_merge needs at least one state relation")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("url", "bucket_ts", "bin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def cache_admission_plan(
+    pages: DataFrame,
+    capacity: int,
+    url_col: str = "url",
+) -> DataFrame:
+    """LFU cache admission for the serving tier: which ``capacity``
+    urls to pin so the largest exact share of fetches hits memory.
+    Emits the admitted set with rank, fetch count, cumulative hits at
+    that rank, and the exact cumulative hit rate in ppm — the curve an
+    operator reads to pick the capacity knee ("the top 50 urls already
+    absorb 38% of traffic").
+
+    Exactness: ranks break count ties on the url string; cumulative
+    hits ride an exact BIGINT running window; the hit rate is integer
+    floor cross-multiplication — never a float percent.
+
+    Plan shape: one url hash aggregate, then rank + running hits +
+    fleet total from the SAME unpartitioned window pass over the url
+    census (top-``capacity`` slice keeps output tiny); census-sized,
+    never fetch-sized.
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    per = pages.groupBy(F.col(url_col).alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    order = W.orderBy(F.col("cnt").desc(), F.col("url").asc())
+    run = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    glob = W.partitionBy()
+    ranked = per.select(
+        "url",
+        "cnt",
+        F.row_number().over(order).cast("long").alias("rnk"),
+        F.sum("cnt").over(run).cast("long").alias("cum_hits"),
+        F.sum("cnt").over(glob).cast("long").alias("total_fetches"),
+    )
+    return ranked.filter(F.col("rnk") <= int(capacity)).select(
+        "url",
+        "rnk",
+        "cnt",
+        "cum_hits",
+        "total_fetches",
+        F.floor(
+            (F.col("cum_hits") * F.lit(1_000_000)).cast("double")
+            / F.col("total_fetches").cast("double")
+        ).cast("long").alias("cum_hit_ppm"),
+    )

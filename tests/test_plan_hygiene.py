@@ -533,3 +533,24 @@ def test_join_strategy_plan_topk_window_limit(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # fact scanned once (census window carries the total), dim once
     assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_tier_merge_is_union_plus_one_agg(spark, sf_dir):
+    """tier_incremental_merge: the two shard rollups and the merge
+    collapse into ONE hash-aggregate family over the union — no join,
+    and only the tier_view's array finalization adds a second
+    aggregate; no window anywhere."""
+    plan = plan_of(E.queries()["tier_incremental_merge"](spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert "Union" in plan
+
+
+def test_cache_admission_census_window_single_scan(spark, sf_dir):
+    """cache_admission_plan ranks the url census, not raw fetches:
+    aggregate below the window, one parquet scan, no join."""
+    plan = plan_of(E.queries()["cache_admission_plan"](spark, sf_dir), "simple")
+    assert "Join" not in plan
+    # census agg is UPSTREAM of the window (prints below it): the
+    # window sorts ~|urls| aggregated rows, never raw fetches
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+    assert plan.count("FileScan parquet") == 1, plan

@@ -581,3 +581,49 @@ def test_politeness_plan_exact(spark):
     assert out["b"].share_ppm == 2000 * 1_000_000 // total
     assert out["c"].share_ppm == 0
     assert out["a"].slack_ms == 4000 - 6000
+
+
+def test_tier_merge_equals_full_recompute(spark):
+    """merge(rollup(early), rollup(late)) is EXACTLY rollup(all) —
+    the incremental-refresh invariant — including a 3-way split and
+    an empty shard."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import rollup_from_points, tier_merge
+
+    rows = []
+    for d in range(1, 7):
+        for i in range(5):
+            rows.append((f"u{i%2}", pd.Timestamp(f"2024-01-0{d} 03:{i:02d}:00"),
+                         float(10 * d + i)))
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "ts", "value"]))
+    full = rollup_from_points(pts, "1h")
+    a = rollup_from_points(pts.filter("day(ts) <= 2"), "1h")
+    b = rollup_from_points(pts.filter("day(ts) > 2 and day(ts) <= 4"), "1h")
+    c = rollup_from_points(pts.filter("day(ts) > 4"), "1h")
+    key = lambda r: (r.url, r.bucket_ts, r.bin)
+    want = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax) for r in full.collect()}
+    got = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax)
+           for r in tier_merge(a, b, c).collect()}
+    assert got == want
+    empty = rollup_from_points(pts.filter("1=0"), "1h")
+    got2 = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax)
+            for r in tier_merge(full, empty).collect()}
+    assert got2 == want
+
+
+def test_cache_admission_exact_curve(spark):
+    """Planted counts: ranks break ties on url; cumulative hits and
+    ppm are exact; the slice stops at capacity."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import cache_admission_plan
+
+    rows = ["a"] * 6 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1
+    df = spark.createDataFrame(pd.DataFrame({"url": rows}))
+    out = sorted(cache_admission_plan(df, capacity=3).collect(),
+                 key=lambda r: r.rnk)
+    assert [r.url for r in out] == ["a", "b", "c"]  # b before c on tie
+    assert [r.cum_hits for r in out] == [6, 9, 12]
+    assert out[0].total_fetches == 13
+    assert out[2].cum_hit_ppm == 12 * 1_000_000 // 13
