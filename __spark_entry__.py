@@ -9818,6 +9818,69 @@ _CACHE_ADMISSION_SQL = """
 """
 
 
+def _q_hits(spark, sf_dir):
+    """Integer fixed-point HITS (graph.hits_fixedpoint) on the
+    directed customer->supplier purchase graph: hubs = customers,
+    authorities = suppliers; 3 rounds, max-rescale to 2^20 by integer
+    DIV — bit-exact on any engine; fixed-unroll twin."""
+    from spartan2_spark.operators.graph import hits_fixedpoint
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    eo = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_fixedpoint(eo, rounds=3, scale_bits=20)
+
+
+def _hits_sql(rounds: int = 3, scale_bits: int = 20) -> str:
+    scale = 1 << scale_bits
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT 'c' || o_custkey AS u, "
+        "'s' || l_suppkey AS v FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e))",
+        f"h0 AS (SELECT node, {scale}::BIGINT AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"a{r}r AS (SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) AS a "
+            f"FROM nodes n LEFT JOIN (SELECT e.v AS node, "
+            f"CAST(sum(p.h) AS BIGINT) AS m FROM e JOIN {prev_h} p "
+            f"ON e.u = p.node GROUP BY 1) s ON n.node = s.node)"
+        )
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT node, CAST(a * {scale} // "
+            f"greatest(1, (SELECT max(a) FROM a{r}r)) AS BIGINT) AS a "
+            f"FROM a{r}r)"
+        )
+        parts.append(
+            f"h{r}r AS (SELECT n.node, CAST(coalesce(s.m, 0) AS BIGINT) AS h "
+            f"FROM nodes n LEFT JOIN (SELECT e.u AS node, "
+            f"CAST(sum(p.a) AS BIGINT) AS m FROM e JOIN a{r} p "
+            f"ON e.v = p.node GROUP BY 1) s ON n.node = s.node)"
+        )
+        parts.append(
+            f"h{r} AS MATERIALIZED (SELECT node, CAST(h * {scale} // "
+            f"greatest(1, (SELECT max(h) FROM h{r}r)) AS BIGINT) AS h "
+            f"FROM h{r}r)"
+        )
+        prev_h = f"h{r}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT a{rounds}.node AS node, a{rounds}.a AS auth_mass, "
+        f"h{rounds}.h AS hub_mass "
+        f"FROM a{rounds} JOIN h{rounds} USING (node)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9883,6 +9946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new r4 queries HERE, at the head) ---
         "tier_incremental_merge": _q_tier_incremental_merge,
         "cache_admission_plan": _q_cache_admission,
+        "hits_scores": _q_hits,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10243,6 +10307,7 @@ def oracle_sql() -> dict[str, str]:
         "monlad_cfd": _MONLAD_CFD_SQL,
         "tier_incremental_merge": _rollup_oracle("hour"),
         "cache_admission_plan": _CACHE_ADMISSION_SQL,
+        "hits_scores": _hits_sql(rounds=3, scale_bits=20),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

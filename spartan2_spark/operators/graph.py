@@ -860,3 +860,76 @@ def neighbor_jaccard(
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("u"), F.col("v")
     ).limit(top_k)
+
+
+def hits_fixedpoint(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hub/authority scores in pure integer
+    arithmetic — the bipartite-flavored centrality PageRank can't
+    express (a crawl frontier wants authorities; a seed list wants
+    hubs). Each round: authority = sum of in-neighbor hub mass, then
+    integer-rescale so max(authority) == 2^scale_bits; hubs likewise
+    from the rescaled authorities. The max-rescale replaces the
+    textbook L2 normalization: it is order-free integer arithmetic
+    (DIV by the scalar max), preserves the RANKING exactly (the only
+    thing HITS scores mean), and keeps every intermediate bounded by
+    max_degree * 2^(2*scale_bits) — size scale_bits so that stays
+    under 2^63 (degree < 2^23 at the default 20).
+
+    Bit-exact on any engine: sums of longs + integer DIV, no floats
+    anywhere (the pagerank_fixedpoint discipline,
+    reference parity: spartan2 ships eigen-centrality via SVD —
+    model/eigenspokes; HITS is its directed-graph sibling).
+
+    Plan shape per round: two (edge join + agg) passes + a scalar max
+    via an unpartitioned window over the NODE census; barrier()
+    truncates lineage each round like kcore/pagerank.
+    """
+    scale = 1 << scale_bits
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).transform(barrier)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .transform(barrier)
+    )
+    glob = W.partitionBy()
+    h = nodes.withColumn("h", F.lit(scale).cast("long"))
+    a = None
+    for _ in range(rounds):
+        in_mass = (
+            e.join(h.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("m"))
+        )
+        a_raw = nodes.join(in_mass, "node", "left").select(
+            "node", F.coalesce("m", F.lit(0)).cast("long").alias("a")
+        )
+        a = a_raw.select(
+            "node",
+            F.expr(
+                f"(a * {scale}) div greatest(1L, max(a) over ())"
+            ).alias("a"),
+        ).transform(barrier)
+        out_mass = (
+            e.join(a.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("m"))
+        )
+        h_raw = nodes.join(out_mass, "node", "left").select(
+            "node", F.coalesce("m", F.lit(0)).cast("long").alias("h")
+        )
+        h = h_raw.select(
+            "node",
+            F.expr(
+                f"(h * {scale}) div greatest(1L, max(h) over ())"
+            ).alias("h"),
+        ).transform(barrier)
+    return a.withColumnRenamed("a", "auth_mass").join(
+        h.withColumnRenamed("h", "hub_mass"), "node"
+    )

@@ -452,3 +452,41 @@ def test_graph_reciprocity_hand_graph(spark):
     r = graph_reciprocity(df).collect()[0]
     assert r.n_edges == 4 and r.n_reciprocal == 2
     assert r.reciprocity == 0.5
+
+
+def test_hits_fixedpoint_matches_python_recurrence(spark):
+    """The Spark HITS rounds reproduce a pure-Python integer
+    reference of the same recurrence (sum -> max-rescale by integer
+    div) exactly, and the authority ranking is the Kleinberg one:
+    the node cited by more hubs wins."""
+    import pandas as pd
+
+    from spartan2_spark.operators.graph import hits_fixedpoint
+
+    edges = [("x", "p"), ("x", "q"), ("y", "p"), ("z", "p"), ("z", "q"),
+             ("q", "x")]  # q also points back: not purely bipartite
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    rounds, scale_bits = 3, 20
+    scale = 1 << scale_bits
+
+    nodes = sorted({n for e in edges for n in e})
+    h = {n: scale for n in nodes}
+    a = {}
+    for _ in range(rounds):
+        a = {n: sum(h[u] for u, v in edges if v == n) for n in nodes}
+        mx = max(1, max(a.values()))
+        a = {n: (a[n] * scale) // mx for n in nodes}
+        h = {n: sum(a[v] for u, v in edges if u == n) for n in nodes}
+        mx = max(1, max(h.values()))
+        h = {n: (h[n] * scale) // mx for n in nodes}
+
+    out = {r.node: r for r in hits_fixedpoint(df, rounds=rounds,
+                                              scale_bits=scale_bits).collect()}
+    assert len(out) == len(nodes)
+    for n in nodes:
+        assert out[n].auth_mass == a[n], (n, out[n].auth_mass, a[n])
+        assert out[n].hub_mass == h[n], (n, out[n].hub_mass, h[n])
+    # p is cited by 3 hubs, q by 2: p is the top authority at scale
+    assert out["p"].auth_mass == scale
+    assert out["q"].auth_mass < scale
+    assert out["y"].auth_mass == 0  # never cited
