@@ -437,30 +437,20 @@ def hll_tier(
     partial map-side combine + final; state per bucket is <= m rows.
     """
     from spartan2_spark.operators.rollup import TIERS
-    from spartan2_spark.operators.spectral import _POLY_P
-    from spartan2_spark.operators.text import _poly_hash
 
     unit = TIERS[tier]
-    h = _poly_hash(F.col(item_col).cast("string"))
-    h = (h * 48271) % _POLY_P
-    h = (h * 48271) % _POLY_P
-    d = df.select(
-        F.col(key_col).alias("key"),
-        F.date_trunc(unit, F.col(time_col)).alias("bucket_ts"),
-        h.alias("_h"),
-    ).select(
-        "key",
-        "bucket_ts",
-        (F.col("_h") % m).alias("reg"),
-        ((F.col("_h") - F.col("_h") % m) / m).cast("long").alias("_w"),
+    pts = hll_point_registers(
+        df, key_col=key_col, time_col=time_col, item_col=item_col, m=m
     )
-    rho = F.when(
-        F.col("_w") > 0, F.lit(_HLL_W + 1) - F.length(F.bin("_w"))
-    ).otherwise(F.lit(_HLL_W + 1))
     return (
-        d.select("key", "bucket_ts", "reg", rho.alias("_rho"))
+        pts.select(
+            "key",
+            F.date_trunc(unit, F.col("ts")).alias("bucket_ts"),
+            "reg",
+            "rho",
+        )
         .groupBy("key", "bucket_ts", "reg")
-        .agg(F.max("_rho").cast("long").alias("max_rho"))
+        .agg(F.max("rho").cast("long").alias("max_rho"))
     )
 
 
@@ -530,3 +520,36 @@ def kmv_distinct(df, key_col: str = "key", k: int = 64):
             / F.col("kth_hash")
         ).alias("kmv_estimate"),
     )
+
+
+def hll_point_registers(
+    df,
+    key_col: str = "key",
+    time_col: str = "ts",
+    item_col: str = "item",
+    m: int = 256,
+):
+    """Per-ROW register projection shared by the batch
+    (:func:`hll_tier`) and streaming (``stream_hll_tier``) distinct
+    tiers: (key, ts, reg, rho) before any bucketing — the hash/rho
+    math lives here ONCE so the two paths cannot drift."""
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
+
+    h = _poly_hash(F.col(item_col).cast("string"))
+    h = (h * 48271) % _POLY_P
+    h = (h * 48271) % _POLY_P
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("ts"),
+        h.alias("_h"),
+    ).select(
+        "key",
+        "ts",
+        (F.col("_h") % m).alias("reg"),
+        ((F.col("_h") - F.col("_h") % m) / m).cast("long").alias("_w"),
+    )
+    rho = F.when(
+        F.col("_w") > 0, F.lit(_HLL_W + 1) - F.length(F.bin("_w"))
+    ).otherwise(F.lit(_HLL_W + 1))
+    return d.select("key", "ts", "reg", rho.cast("long").alias("rho"))

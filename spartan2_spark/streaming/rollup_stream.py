@@ -705,3 +705,36 @@ def stream_version_intervals(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hll_tier(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    item_col: str = "item",
+    m: int = 256,
+) -> DataFrame:
+    """Streaming COUNT DISTINCT tier: the bucketed HyperLogLog
+    register state (:func:`functions.sketches.hll_tier`) as a plain
+    watermarked windowed aggregate. The per-row hash/rho projection is
+    the SHARED :func:`functions.sketches.hll_point_registers` (one
+    source of truth with the batch path), and register-wise max is
+    associative+commutative, so cross-micro-batch state merge is
+    exact — streaming register state is bit-identical to the batch
+    tier on the same rows (parity-tested). State per (key, window) is
+    <= m rows; the watermark bounds open windows. Estimate at read
+    time with ``hll_tier_estimate``.
+    """
+    from spartan2_spark.functions.sketches import hll_point_registers
+
+    pts = hll_point_registers(
+        stream, key_col=key_col, time_col=ts_col, item_col=item_col, m=m
+    )
+    return (
+        pts.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("win"), "key", "reg")
+        .agg(F.max("rho").cast("long").alias("max_rho"))
+        .select(F.col("win.start").alias("bucket_ts"), "key", "reg", "max_rho")
+    )

@@ -673,3 +673,61 @@ def test_stream_ohlc_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) >= 6
+
+
+def test_stream_hll_tier_matches_batch(spark, tmp_path):
+    """Streaming HLL register state across forced micro-batches ==
+    batch hll_tier on the same rows (register-wise max merge is
+    associative -> bit-identical), and the estimate read off the
+    streamed state equals the batch estimate."""
+    import pandas as pd
+
+    from spartan2_spark.functions.sketches import hll_tier, hll_tier_estimate
+    from spartan2_spark.streaming.rollup_stream import (
+        run_stream_to_memory,
+        stream_hll_tier,
+    )
+
+    t0 = 1_699_920_000
+    rows = [
+        ("k%d" % (i % 2), t0 + i * 211, "item%d" % ((i * 13) % 97))
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(rows, columns=["key", "t", "item"])
+    df = spark.createDataFrame(pdf).select(
+        "key", F.to_timestamp("t").alias("ts"), "item"
+    )
+    d = str(tmp_path / "hll_pts")
+    df.repartition(5).write.parquet(d)
+
+    stored = spark.read.parquet(d)
+    stream = IO.load_tensor_stream(
+        spark, d, stored.schema, fmt="parquet",
+        options={"maxFilesPerTrigger": 1},
+    )
+    agg = stream_hll_tier(stream, window="1 hour", watermark="0 seconds")
+    run_stream_to_memory(agg, "stream_hll_parity", "complete")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "select key, bucket_ts, reg, max_rho from stream_hll_parity"
+        ).collect()
+    )
+    batch_state = hll_tier(stored, key_col="key", time_col="ts",
+                           item_col="item", tier="1h")
+    want = sorted(
+        tuple(r)
+        for r in batch_state.select("key", "bucket_ts", "reg", "max_rho").collect()
+    )
+    assert got == want and len(got) > 50
+    est_stream = {
+        (r.key, r.bucket_ts): r.hll_estimate
+        for r in hll_tier_estimate(
+            spark.sql("select key, bucket_ts, reg, max_rho from stream_hll_parity")
+        ).collect()
+    }
+    est_batch = {
+        (r.key, r.bucket_ts): r.hll_estimate
+        for r in hll_tier_estimate(batch_state).collect()
+    }
+    assert est_stream == est_batch
