@@ -9881,6 +9881,66 @@ def _hits_sql(rounds: int = 3, scale_bits: int = 20) -> str:
     )
 
 
+def _q_kmeans(spark, sf_dir):
+    """Integer fixed-point Lloyd k-means over the embeddings table
+    (similarity.kmeans_fixedpoint): basis-point quantization, exact
+    integer squared distances, lowest-cluster-id tie break, explicit
+    floor centroid updates — bit-exact on any engine; fixed-unroll
+    twin (k=8, 2 Lloyd rounds + final assignment)."""
+    from spartan2_spark.operators.similarity import kmeans_fixedpoint
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_fixedpoint(emb, k=8, rounds=2)
+
+
+def _kmeans_sql(k: int = 8, rounds: int = 2, quant: int = 10_000) -> str:
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id, "
+        "CAST(unnest(range(len(embedding))) AS INT) AS dim, "
+        f"CAST(round(CAST(unnest(embedding) AS DOUBLE) * {quant}) AS BIGINT) AS q "
+        "FROM embeddings)",
+        f"seeds AS (SELECT DISTINCT vec_id FROM pts ORDER BY vec_id LIMIT {k})",
+        "c0 AS MATERIALIZED (SELECT p.vec_id AS cluster, p.dim, p.q AS c "
+        "FROM pts p JOIN seeds s ON p.vec_id = s.vec_id)",
+    ]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"dist{r} AS (SELECT p.vec_id, c.cluster, "
+            f"CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist "
+            f"FROM pts p JOIN {prev} c USING (dim) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"best{r} AS (SELECT vec_id, min(dist) AS md FROM dist{r} GROUP BY 1)"
+        )
+        parts.append(
+            f"asg{r} AS (SELECT d.vec_id, min(d.cluster) AS cluster "
+            f"FROM dist{r} d JOIN best{r} b "
+            f"ON d.vec_id = b.vec_id AND d.dist = b.md GROUP BY 1)"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT a.cluster, p.dim, "
+            f"CAST(floor(CAST(sum(p.q) AS DOUBLE) / count(*)) AS BIGINT) AS c "
+            f"FROM pts p JOIN asg{r} a ON p.vec_id = a.vec_id GROUP BY 1, 2)"
+        )
+        prev = f"c{r}"
+    parts.append(
+        f"distF AS (SELECT p.vec_id, c.cluster, "
+        f"CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS dist "
+        f"FROM pts p JOIN {prev} c USING (dim) GROUP BY 1, 2)"
+    )
+    parts.append(
+        "bestF AS (SELECT vec_id, min(dist) AS md FROM distF GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT d.vec_id AS vec_id, CAST(min(d.cluster) AS BIGINT) AS cluster, "
+        "CAST(min(b.md) AS BIGINT) AS dist_sq "
+        "FROM distF d JOIN bestF b ON d.vec_id = b.vec_id AND d.dist = b.md "
+        "GROUP BY 1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -9947,6 +10007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_incremental_merge": _q_tier_incremental_merge,
         "cache_admission_plan": _q_cache_admission,
         "hits_scores": _q_hits,
+        "kmeans_clusters": _q_kmeans,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10308,6 +10369,7 @@ def oracle_sql() -> dict[str, str]:
         "tier_incremental_merge": _rollup_oracle("hour"),
         "cache_admission_plan": _CACHE_ADMISSION_SQL,
         "hits_scores": _hits_sql(rounds=3, scale_bits=20),
+        "kmeans_clusters": _kmeans_sql(k=8, rounds=2),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

@@ -313,3 +313,84 @@ def lsh_label_purity(
         F.sum("n_b").cast("long").alias("n_vecs"),
         F.round(F.sum("maj") / F.sum("n_b"), 8).alias("purity"),
     )
+
+
+def kmeans_fixedpoint(
+    emb: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 10_000,
+) -> DataFrame:
+    """Lloyd's k-means in pure integer arithmetic — the clustering
+    stage of an embedding-dedup / IVF-routing pipeline, engineered for
+    cross-engine bit-exactness the way pagerank/HITS are: vectors are
+    quantized to BIGINT basis points (round(v * quant) — exact, float32
+    mantissas fit a double product), distances are exact integer
+    squared sums, the argmin breaks distance ties on the LOWEST
+    cluster id, and centroid updates are floor(sum/cnt) (explicit
+    floor, not engine-dependent integer division, so negative sums
+    floor identically everywhere). Seeds are the k lowest-id vectors.
+    Returns the final (vec_id, cluster, dist_sq) assignment.
+
+    Empty clusters drop out (both engines identically) — standard
+    Lloyd behavior; re-seed externally if k must be preserved.
+
+    Plan shape per round: pts x centroids equi-join ON THE DIMENSION
+    (the k-fold expansion is over the exploded dim relation, so the
+    shuffle is rows*k, never rows^2), two aggregates for the
+    tie-broken argmin, one (cluster, dim) update aggregate; barrier()
+    truncates lineage between rounds. At web scale pts is
+    hash-partitioned once on vec_id and reused by every round's
+    assignment join.
+    """
+    if k <= 0 or rounds < 1:
+        raise ValueError("need k > 0 and rounds >= 1")
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("_v").cast("double") * quant).cast("long").alias("q"),
+    ).transform(barrier)
+    seed_ids = (
+        pts.select("vec_id").distinct().orderBy("vec_id").limit(int(k))
+    )
+    cent = (
+        pts.join(F.broadcast(seed_ids), "vec_id")
+        .select(F.col("vec_id").alias("cluster"), "dim", F.col("q").alias("c"))
+        .transform(barrier)
+    )
+
+    def assign(c):
+        d = (
+            pts.join(c, "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias("dist"))
+        )
+        best = d.groupBy("vec_id").agg(F.min("dist").alias("md"))
+        return (
+            d.join(best, "vec_id")
+            .filter(F.col("dist") == F.col("md"))
+            .groupBy("vec_id")
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min("md").cast("long").alias("dist_sq"),
+            )
+        )
+
+    for _ in range(rounds):
+        asg = assign(cent).transform(barrier)
+        cent = (
+            pts.join(asg.select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(
+                    F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+                ).cast("long").alias("c")
+            )
+            .transform(barrier)
+        )
+    return assign(cent).select("vec_id", "cluster", "dist_sq")

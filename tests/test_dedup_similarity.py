@@ -892,3 +892,56 @@ def test_dup_rate_by_source_planted(spark):
     assert out["a"].n_docs == 2 and out["a"].n_dup_docs == 1
     assert out["a"].n_dup_canonicals == 1 and out["a"].dup_ratio == 0.5
     assert out["b"].n_dup_docs == 1 and out["b"].n_dup_canonicals == 0
+
+
+def test_kmeans_fixedpoint_matches_python_reference(spark):
+    """The Spark rounds reproduce a pure-Python integer Lloyd
+    reference (quantize -> exact sq dist -> lowest-id tie break ->
+    floor centroid update) exactly, and two planted blobs separate."""
+    import pandas as pd
+
+    from spartan2_spark.operators.similarity import kmeans_fixedpoint
+
+    # blob A around (1, 1, ...), blob B around (-1, -1, ...); seeds are
+    # vec 0 (in A) and vec 1 (deliberately also in A — the second round
+    # must still pull B's members onto the updated centroid)
+    vecs = {
+        0: [1.0, 1.1, 0.9, 1.0], 1: [1.2, 0.8, 1.0, 1.1],
+        2: [0.9, 1.0, 1.1, 0.8], 3: [-1.0, -1.1, -0.9, -1.0],
+        4: [-1.2, -0.8, -1.0, -1.1], 5: [-0.9, -1.0, -1.1, -0.8],
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(vecs), "embedding": list(vecs.values())})
+    )
+    k, rounds, quant = 2, 2, 10_000
+    q = {i: [round(v * quant) for v in vs] for i, vs in vecs.items()}
+    cent = {i: q[i][:] for i in sorted(q)[:k]}
+
+    def assign(c):
+        out = {}
+        for i, vq in q.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(vq, cv)), cl)
+                for cl, cv in c.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    import math
+    for _ in range(rounds):
+        asg = assign(cent)
+        cent = {}
+        for cl in {a[0] for a in asg.values()}:
+            members = [q[i] for i, a in asg.items() if a[0] == cl]
+            cent[cl] = [
+                math.floor(sum(col) / len(members)) for col in zip(*members)
+            ]
+    want = assign(cent)
+
+    got = {r.vec_id: (r.cluster, r.dist_sq)
+           for r in kmeans_fixedpoint(df, k=k, rounds=rounds).collect()}
+    assert got == want
+    # the two blobs end in different clusters
+    assert len({got[i][0] for i in (0, 1, 2)}) == 1
+    assert len({got[i][0] for i in (3, 4, 5)}) == 1
+    assert got[0][0] != got[3][0]
