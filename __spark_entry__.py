@@ -9941,6 +9941,81 @@ def _kmeans_sql(k: int = 8, rounds: int = 2, quant: int = 10_000) -> str:
     )
 
 
+def _q_rollup_1w(spark, sf_dir):
+    """Weekly retention tier via the full re-aggregable ladder
+    (1m -> 1h -> 1d -> 1w from stored state only): extends the
+    north-rule chain one hop; the DuckDB twin computes the week
+    rollup directly from raw, so twin equality proves the THREE-hop
+    tier-up is still exact."""
+    t1m = R.rollup_from_points(_event_points(spark, sf_dir), "1m", bin_mode="int")
+    t1w = R.rollup_tier_up(
+        R.rollup_tier_up(R.rollup_tier_up(t1m, "1h"), "1d"), "1w"
+    )
+    return R.tier_view(t1w, bin_mode="int").select(
+        F.col("url").alias("series_key"), _epoch(), "cnt", "vmin", "vmax",
+        "vmean", "p95",
+    )
+
+
+def _q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between corpus sources
+    (text.source_vocab_overlap): exact distinct-token set sizes,
+    inclusion-exclusion union, one IEEE divide — the mirror detector
+    for corpus slices."""
+    from spartan2_spark.operators.text import source_vocab_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_vocab_overlap(docs)
+
+
+_SOURCE_VOCAB_SQL = """
+    WITH toks AS (SELECT DISTINCT source AS src,
+                         unnest(regexp_split_to_array(lower(text),
+                                                      '[^a-z0-9]+')) AS tok
+                  FROM documents),
+    t AS (SELECT src, tok FROM toks WHERE tok <> ''),
+    sizes AS (SELECT src, count(*)::BIGINT AS n FROM t GROUP BY 1),
+    inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS inter
+              FROM t a JOIN t b ON a.tok = b.tok AND a.src < b.src
+              GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, sa.n AS n_a, sb.n AS n_b, i.inter,
+           CAST(sa.n + sb.n - i.inter AS BIGINT) AS union_n,
+           CAST(i.inter AS DOUBLE)
+             / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.src
+    JOIN sizes sb ON i.src_b = sb.src
+    WHERE i.inter >= 1
+"""
+
+
+def _q_cooccurrence_lift(spark, sf_dir):
+    """Market-basket lift between event classes over distinct
+    (user, event_type) incidence (funnel.cooccurrence_lift): exact
+    BIGINT count products, one IEEE divide — the behavioral
+    association matrix."""
+    from spartan2_spark.operators.funnel import cooccurrence_lift
+
+    return cooccurrence_lift(_events(spark, sf_dir))
+
+
+_COOCCURRENCE_SQL = """
+    WITH inc AS (SELECT DISTINCT user_id AS u, event_type AS it FROM events),
+    nu AS (SELECT count(DISTINCT u)::BIGINT AS n_users FROM inc),
+    per AS (SELECT it AS item, count(*)::BIGINT AS n FROM inc GROUP BY 1),
+    pairs AS (SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS n_ab
+              FROM inc a JOIN inc b ON a.u = b.u AND a.it < b.it
+              GROUP BY 1, 2)
+    SELECT p.item_a, p.item_b, pa.n AS n_a, pb.n AS n_b, p.n_ab, nu.n_users,
+           CAST(p.n_ab * nu.n_users AS DOUBLE)
+             / CAST(pa.n * pb.n AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN per pa ON p.item_a = pa.item
+    JOIN per pb ON p.item_b = pb.item
+    CROSS JOIN nu
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10008,6 +10083,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cache_admission_plan": _q_cache_admission,
         "hits_scores": _q_hits,
         "kmeans_clusters": _q_kmeans,
+        "rollup_1w_tierup": _q_rollup_1w,
+        "source_vocab_overlap": _q_source_vocab_overlap,
+        "cooccurrence_lift": _q_cooccurrence_lift,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10370,6 +10448,9 @@ def oracle_sql() -> dict[str, str]:
         "cache_admission_plan": _CACHE_ADMISSION_SQL,
         "hits_scores": _hits_sql(rounds=3, scale_bits=20),
         "kmeans_clusters": _kmeans_sql(k=8, rounds=2),
+        "rollup_1w_tierup": _rollup_oracle("week"),
+        "source_vocab_overlap": _SOURCE_VOCAB_SQL,
+        "cooccurrence_lift": _COOCCURRENCE_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

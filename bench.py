@@ -124,6 +124,10 @@ BENCH_QUERIES = [
     # round-4 wrap-2c: continuous-aggregate refresh, LFU serving cache
     "tier_incremental_merge",
     "cache_admission_plan",
+    # round-4 wrap-2d: iterative integer kernels (timed end-to-end —
+    # run_query's window includes their eager barriered rounds)
+    "hits_scores",
+    "kmeans_clusters",
 ]
 
 

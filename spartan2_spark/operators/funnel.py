@@ -221,3 +221,74 @@ def session_paths(
         .limit(top_n)
     )
     return paths
+
+
+def cooccurrence_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+) -> DataFrame:
+    """Market-basket lift between behaviors: for each ordered item
+    pair (a < b), how much more often do users who do A also do B
+    than independence predicts —
+
+        lift = (n_ab * n_users) / (n_a * n_b)
+
+    over DISTINCT (user, item) incidence (repeat events don't inflate
+    the association). lift > 1: the behaviors attract; < 1: they
+    repel. The segmentation signal funnel/cohort analysis starts from.
+
+    Exactness: all four counts are exact BIGINT distinct aggregates;
+    numerator and denominator are exact BIGINT products (bounded by
+    users^2 * items — size checked against 2^63 well past 10^8 users);
+    lift is ONE IEEE divide.
+
+    Plan shape: one (user, item) dedup aggregate (incidence-sized), a
+    self-join ON THE USER for pair counts (items-per-user bounded by
+    the item universe, so the expansion is users * items^2 worst
+    case, never users^2), one pair aggregate, broadcast joins to the
+    per-item counts and the 1-row user total.
+    """
+    inc = events.select(
+        F.col(user_col).alias("u"), F.col(item_col).alias("it")
+    ).distinct()
+    n_users = inc.select("u").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    per_item = inc.groupBy(F.col("it").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = inc.alias("a"), inc.alias("b")
+    pairs = (
+        a.join(b, on="u")
+        .where(F.col("a.it") < F.col("b.it"))
+        .groupBy(F.col("a.it").alias("item_a"), F.col("b.it").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                per_item.withColumnsRenamed({"item": "item_a", "n": "n_a"})
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                per_item.withColumnsRenamed({"item": "item_b", "n": "n_b"})
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        "n_users",
+        (
+            (F.col("n_ab") * F.col("n_users")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )

@@ -67,8 +67,9 @@ __all__ = [
     "url_version_intervals",
 ]
 
-# tier name -> date_trunc unit
-TIERS = {"1m": "minute", "1h": "hour", "1d": "day"}
+# tier name -> date_trunc unit (1w: ISO weeks, Monday-start in both
+# Spark and DuckDB date_trunc — the long-retention tier above 1d)
+TIERS = {"1m": "minute", "1h": "hour", "1d": "day", "1w": "week"}
 
 _LOG_SCALE = 693.0  # bins per e-fold => ~0.144% max relative bin error
 

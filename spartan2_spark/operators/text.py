@@ -1173,3 +1173,71 @@ def readability_scores(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
         ).alias("fk_grade"),
     )
+
+
+def source_vocab_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices — the corpus
+    comparison behind "is src7 just a mirror of src3?" and "which
+    source actually adds new vocabulary?": per source the distinct
+    lowercase token set; per source pair (a < b) the exact
+    |A∩B| / |A∪B|.
+
+    Exactness: all set sizes are exact BIGINT distinct counts; the
+    union size is the inclusion-exclusion ``n_a + n_b - inter`` (never
+    a second distinct pass that could disagree); Jaccard is ONE IEEE
+    divide.
+
+    Plan shape: one explode + (source, token) dedup aggregate
+    (vocab-sized, not corpus-sized), a self-join ON THE TOKEN for the
+    intersection (each token contributes its source-pair combinations
+    — bounded by sources^2 per token, and sources is a handful), one
+    pair aggregate + a broadcast join back to the per-source sizes.
+    """
+    toks = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, on="tok")
+        .where(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+        .filter(F.col("inter") >= int(min_shared))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnsRenamed({"src": "src_a", "n": "n_a"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"src": "src_b", "n": "n_b"})),
+            "src_b",
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "inter",
+        (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+    )

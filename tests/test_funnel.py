@@ -104,3 +104,22 @@ def test_session_stats_planted(spark, sf_dir):
     for uid, r in s1.items():
         assert r.n_sessions == s2[uid]
         assert r.max_dur_us >= 0 and r.mean_events >= 1.0
+
+
+def test_cooccurrence_lift_exact(spark):
+    """3 users: A&B always co-occur (lift > 1), A&C never (pair
+    absent); repeat events don't inflate incidence."""
+    import pandas as pd
+
+    from spartan2_spark.operators.funnel import cooccurrence_lift
+
+    rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "C")]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_type"])
+    )
+    out = {(r.item_a, r.item_b): r for r in cooccurrence_lift(df).collect()}
+    r = out[("A", "B")]
+    # n_a=2, n_b=2, n_ab=2, users=3 -> lift = 2*3/(2*2) = 1.5
+    assert (r.n_a, r.n_b, r.n_ab, r.n_users) == (2, 2, 2, 3)
+    assert abs(r.lift - 1.5) < 1e-15
+    assert ("A", "C") not in out  # never co-occur

@@ -627,3 +627,29 @@ def test_cache_admission_exact_curve(spark):
     assert [r.cum_hits for r in out] == [6, 9, 12]
     assert out[0].total_fetches == 13
     assert out[2].cum_hit_ppm == 12 * 1_000_000 // 13
+
+
+def test_week_tier_up_equals_direct(spark):
+    """1m -> 1h -> 1d -> 1w from state only equals the direct week
+    rollup from raw (the re-aggregability proof one hop further)."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import (
+        rollup_from_points,
+        rollup_tier_up,
+    )
+
+    rows = []
+    for d in range(1, 15):
+        rows.append(("u", pd.Timestamp(f"2024-01-{d:02d} 10:00:00"),
+                     float(d * 3)))
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "ts", "value"]))
+    chain = rollup_tier_up(
+        rollup_tier_up(rollup_tier_up(rollup_from_points(pts, "1m"), "1h"), "1d"),
+        "1w",
+    )
+    direct = rollup_from_points(pts, "1w")
+    key = lambda r: (r.url, r.bucket_ts, r.bin)
+    got = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax) for r in chain.collect()}
+    want = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax) for r in direct.collect()}
+    assert got == want and len(got) >= 3  # Jan 2024 spans >= 3 ISO weeks

@@ -303,3 +303,25 @@ def test_readability_known_text(spark):
     df0 = spark.createDataFrame(pd.DataFrame({"doc_id": [3], "text": ["123 456"]}))
     r3 = readability_scores(df0).collect()[0]
     assert r3.words == 0 and r3.flesch is None and r3.fk_grade is None
+
+
+def test_source_vocab_overlap_exact_jaccard(spark):
+    """Hand-built vocab sets: Jaccard from inclusion-exclusion,
+    tokens case-folded and split on non-alphanumerics."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import source_vocab_overlap
+
+    docs = pd.DataFrame({
+        "source": ["s1", "s1", "s2", "s3"],
+        "text": ["Alpha beta GAMMA", "beta delta", "alpha beta xi",
+                 "omega!!"],
+    })
+    out = {(r.src_a, r.src_b): r
+           for r in source_vocab_overlap(spark.createDataFrame(docs)).collect()}
+    # s1 = {alpha,beta,gamma,delta}, s2 = {alpha,beta,xi}: inter 2, union 5
+    r = out[("s1", "s2")]
+    assert (r.n_a, r.n_b, r.inter, r.union_n) == (4, 3, 2, 5)
+    assert abs(r.jaccard - 2 / 5) < 1e-15
+    # s3 shares nothing -> pair absent (min_shared = 1)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
