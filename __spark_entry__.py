@@ -10016,6 +10016,107 @@ _COOCCURRENCE_SQL = """
 """
 
 
+def _q_tier_amplification(spark, sf_dir):
+    """Storage amplification of the raw->1m->1h->1d->1w ladder
+    (rollup.tier_amplification_audit): exact state-row counts per
+    level and floor ppm rows-per-raw ratios — the 'does this tier earn
+    its storage' audit."""
+    return R.tier_amplification_audit(
+        _event_points(spark, sf_dir), tiers=("1m", "1h", "1d", "1w")
+    )
+
+
+_TIER_AMPLIFICATION_SQL = """
+    WITH p AS (SELECT event_type AS url, ts,
+                      CAST(round(value * 100) AS BIGINT) AS bin
+               FROM events),
+    lvl AS (
+      SELECT 'raw' AS tier, count(*)::BIGINT AS state_rows FROM p
+      UNION ALL
+      SELECT '1m', count(*)::BIGINT FROM
+        (SELECT DISTINCT url, date_trunc('minute', ts), bin FROM p)
+      UNION ALL
+      SELECT '1h', count(*)::BIGINT FROM
+        (SELECT DISTINCT url, date_trunc('hour', ts), bin FROM p)
+      UNION ALL
+      SELECT '1d', count(*)::BIGINT FROM
+        (SELECT DISTINCT url, date_trunc('day', ts), bin FROM p)
+      UNION ALL
+      SELECT '1w', count(*)::BIGINT FROM
+        (SELECT DISTINCT url, date_trunc('week', ts), bin FROM p))
+    SELECT tier, state_rows,
+           CAST(floor(CAST(state_rows * 1000000 AS DOUBLE)
+                      / (SELECT CAST(count(*) AS DOUBLE) FROM p))
+                AS BIGINT) AS rows_per_raw_ppm
+    FROM lvl
+"""
+
+
+def _q_bloom_fpr(spark, sf_dir):
+    """Measured Bloom false-positive rate (dedup.bloom_fpr_audit):
+    relational bitset from portable poly-hashed supplier keys
+    (m=512, k=3), customer keys probed exactly — one summary row with
+    exact floor-ppm load and FPR; the empirical check on
+    bloom_filter_plan's sizing math."""
+    from spartan2_spark.operators.dedup import bloom_fpr_audit
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("key")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("key")
+    )
+    return bloom_fpr_audit(sup, cust, m_bits=512, k_hashes=3)
+
+
+_BLOOM_FPR_SQL = """
+    WITH mem AS (SELECT DISTINCT 's' || s_suppkey AS key FROM supplier),
+    prb AS (SELECT DISTINCT 'c' || c_custkey AS key FROM customer
+            WHERE 'c' || c_custkey NOT IN (SELECT key FROM mem)),
+    mh AS (SELECT key,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(key, ''),
+                                   c -> ascii(c)::BIGINT)),
+                    (a, x) -> (a * 31 + x) % 2147483647)
+                  * 48271 % 2147483647 * 48271 % 2147483647 AS h
+           FROM mem),
+    bitset AS (SELECT DISTINCT unnest(list_value(
+                 (h * 1 + 0) % 512, (h * 3 + 97) % 512,
+                 (h * 5 + 194) % 512)) AS bit
+               FROM mh),
+    ph AS (SELECT key,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(string_split(key, ''),
+                                   c -> ascii(c)::BIGINT)),
+                    (a, x) -> (a * 31 + x) % 2147483647)
+                  * 48271 % 2147483647 * 48271 % 2147483647 AS h
+           FROM prb),
+    ppos AS (SELECT DISTINCT key, unnest(list_value(
+               (h * 1 + 0) % 512, (h * 3 + 97) % 512,
+               (h * 5 + 194) % 512)) AS bit
+             FROM ph),
+    per AS (SELECT p.key, count(*)::BIGINT AS n_pos,
+                   CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM ppos p LEFT JOIN bitset b ON p.bit = b.bit
+            GROUP BY 1),
+    s AS (SELECT count(*)::BIGINT AS n_probes,
+                 CAST(sum(CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_fp
+          FROM per),
+    bs AS (SELECT count(*)::BIGINT AS bits_set FROM bitset),
+    nm AS (SELECT count(*)::BIGINT AS n_members FROM mem)
+    SELECT CAST(512 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k_hashes,
+           nm.n_members, bs.bits_set,
+           CAST(floor(CAST(bs.bits_set * 1000000 AS DOUBLE) / 512.0)
+                AS BIGINT) AS load_ppm,
+           s.n_probes, s.n_fp,
+           CAST(floor(CAST(s.n_fp * 1000000 AS DOUBLE)
+                      / CAST(s.n_probes AS DOUBLE)) AS BIGINT) AS fpr_ppm
+    FROM s, bs, nm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10086,6 +10187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1w_tierup": _q_rollup_1w,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "cooccurrence_lift": _q_cooccurrence_lift,
+        "tier_amplification_audit": _q_tier_amplification,
+        "bloom_fpr_audit": _q_bloom_fpr,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10451,6 +10554,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1w_tierup": _rollup_oracle("week"),
         "source_vocab_overlap": _SOURCE_VOCAB_SQL,
         "cooccurrence_lift": _COOCCURRENCE_SQL,
+        "tier_amplification_audit": _TIER_AMPLIFICATION_SQL,
+        "bloom_fpr_audit": _BLOOM_FPR_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

@@ -1284,3 +1284,99 @@ def paragraph_dedup(
             F.col("id").alias(id_col), "text_clean", "n_paras", "n_kept"
         )
     )
+
+
+def bloom_fpr_audit(
+    member_keys: DataFrame,
+    probe_keys: DataFrame,
+    m_bits: int = 512,
+    k_hashes: int = 3,
+    key_col: str = "key",
+) -> DataFrame:
+    """MEASURED Bloom-filter false-positive rate, exactly — the
+    empirical check on :func:`bloom_filter_plan`'s sizing math and on
+    the native ``bloom_semi_join``'s advisory filter: the bitset is
+    materialized RELATIONALLY (the distinct set of k double-hashed bit
+    positions over the member keys, portable poly-hash so any engine
+    reproduces it bit-for-bit), every probe key outside the member
+    set is tested against it, and a probe is a false positive iff ALL
+    its distinct positions are set. One summary row: bits set, load,
+    false positives, exact floor-ppm FPR.
+
+    Exactness: positions are pure BIGINT arithmetic
+    ``(h*(2i+1) + 97i) mod m``; the all-positions-set test compares
+    exact distinct counts; ratios are integer floor ppm.
+
+    Plan shape: member positions collapse to <= m_bits rows (the
+    bitset relation BROADCASTS); probes explode to k rows each, one
+    broadcast semi-ish join + per-probe count + one final 1-row
+    aggregate. Linear in probes, never probes x members.
+    """
+    if m_bits <= 0 or k_hashes <= 0:
+        raise ValueError("need positive m_bits and k_hashes")
+    from spartan2_spark.operators.spectral import _POLY_P
+    from spartan2_spark.operators.text import _poly_hash
+
+    def mixed(col):
+        h = _poly_hash(col.cast("string"))
+        h = (h * 48271) % _POLY_P
+        return (h * 48271) % _POLY_P
+
+    def positions(df):
+        h = mixed(F.col(key_col))
+        pos = F.array(
+            *[
+                ((h * (2 * i + 1) + 97 * i) % m_bits).cast("long")
+                for i in range(k_hashes)
+            ]
+        )
+        return df.select(F.col(key_col).alias("key"), pos.alias("pos"))
+
+    bitset = (
+        positions(member_keys)
+        .select(F.explode("pos").alias("bit"))
+        .distinct()
+    )
+    n_mem = member_keys.select(key_col).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    probes = (
+        positions(probe_keys)
+        .join(member_keys.select(F.col(key_col).alias("key")), "key", "left_anti")
+        .select("key", F.explode(F.array_distinct("pos")).alias("bit"))
+    )
+    per_probe = (
+        probes.join(F.broadcast(bitset.withColumn("_hit", F.lit(1))), "bit", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pos"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    summary = per_probe.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum((F.col("n_hit") == F.col("n_pos")).cast("int"))
+        .cast("long")
+        .alias("n_fp"),
+    )
+    bits = bitset.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    return (
+        summary.crossJoin(F.broadcast(bits))
+        .crossJoin(F.broadcast(n_mem))
+        .select(
+            F.lit(int(m_bits)).cast("long").alias("m_bits"),
+            F.lit(int(k_hashes)).cast("long").alias("k_hashes"),
+            "n_members",
+            "bits_set",
+            F.floor(
+                (F.col("bits_set") * F.lit(1_000_000)).cast("double")
+                / F.lit(float(m_bits))
+            ).cast("long").alias("load_ppm"),
+            "n_probes",
+            "n_fp",
+            F.floor(
+                (F.col("n_fp") * F.lit(1_000_000)).cast("double")
+                / F.col("n_probes").cast("double")
+            ).cast("long").alias("fpr_ppm"),
+        )
+    )

@@ -1339,3 +1339,53 @@ def cache_admission_plan(
             / F.col("total_fetches").cast("double")
         ).cast("long").alias("cum_hit_ppm"),
     )
+
+
+def tier_amplification_audit(
+    points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d", "1w"),
+    bin_mode: str = "int",
+) -> DataFrame:
+    """Storage-amplification audit of the tier ladder: state rows per
+    tier versus raw points, as exact ppm ratios — the number that
+    says whether a tier EARNS its storage ("1m state is 40% of raw:
+    keep raw shorter or widen the first tier"). One row per level
+    (raw + each tier) with ``state_rows`` and ``rows_per_raw_ppm``
+    (floor).
+
+    Plan shape: the tier chain is built once (each hop from the
+    previous tier's state); each level contributes a 1-row count
+    aggregate; the union is levels-sized. Counting state rows is the
+    same aggregate the tier write itself performs — no extra shuffle
+    class.
+    """
+    raw_cnt = points.agg(F.count(F.lit(1)).cast("long").alias("state_rows"))
+    levels = [raw_cnt.select(F.lit("raw").alias("tier"), "state_rows")]
+    state = None
+    prev_order = None
+    order = {"1m": 0, "1h": 1, "1d": 2, "1w": 3}
+    for t in tiers:
+        if prev_order is None:
+            state = rollup_from_points(points, t, bin_mode=bin_mode)
+        else:
+            if order[t] <= prev_order:
+                raise ValueError("tiers must be strictly coarsening")
+            state = rollup_tier_up(state, t)
+        prev_order = order[t]
+        levels.append(
+            state.agg(F.count(F.lit(1)).cast("long").alias("state_rows"))
+            .select(F.lit(t).alias("tier"), "state_rows")
+        )
+    u = levels[0]
+    for l in levels[1:]:
+        u = u.unionByName(l)
+    raw_total = F.max(F.when(F.col("tier") == "raw", F.col("state_rows"))).over(
+        W.partitionBy()
+    )
+    return u.select(
+        "tier",
+        "state_rows",
+        F.floor(
+            (F.col("state_rows") * F.lit(1_000_000)).cast("double")
+            / raw_total.cast("double")
+        ).cast("long").alias("rows_per_raw_ppm"),
+    )

@@ -945,3 +945,40 @@ def test_kmeans_fixedpoint_matches_python_reference(spark):
     assert len({got[i][0] for i in (0, 1, 2)}) == 1
     assert len({got[i][0] for i in (3, 4, 5)}) == 1
     assert got[0][0] != got[3][0]
+
+
+def test_bloom_fpr_audit_exact(spark):
+    """The relational Bloom measures exactly: members always pass
+    (sanity via probing the members themselves yields FPR 0 against a
+    disjoint probe set computed by hand), bits/load/fpr are exact."""
+    import pandas as pd
+
+    from spartan2_spark.operators.dedup import bloom_fpr_audit
+    from spartan2_spark.operators.spectral import _POLY_P
+
+    members = ["m1", "m2", "m3"]
+    probes = ["p1", "p2", "p3", "p4"]
+    m_bits, k = 16, 2
+
+    def poly(s):
+        h = 0
+        for c in s:
+            h = (h * 31 + ord(c)) % _POLY_P
+        h = (h * 48271) % _POLY_P
+        return (h * 48271) % _POLY_P
+
+    def pos(s):
+        h = poly(s)
+        return {(h * (2 * i + 1) + 97 * i) % m_bits for i in range(k)}
+
+    bitset = set().union(*(pos(s) for s in members))
+    want_fp = sum(1 for p in probes if pos(p) <= bitset)
+
+    mdf = spark.createDataFrame(pd.DataFrame({"key": members}))
+    pdf = spark.createDataFrame(pd.DataFrame({"key": probes}))
+    r = bloom_fpr_audit(mdf, pdf, m_bits=m_bits, k_hashes=k).collect()[0]
+    assert r.n_members == 3 and r.n_probes == 4
+    assert r.bits_set == len(bitset)
+    assert r.n_fp == want_fp
+    assert r.load_ppm == len(bitset) * 1_000_000 // m_bits
+    assert r.fpr_ppm == want_fp * 1_000_000 // 4

@@ -653,3 +653,27 @@ def test_week_tier_up_equals_direct(spark):
     got = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax) for r in chain.collect()}
     want = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax) for r in direct.collect()}
     assert got == want and len(got) >= 3  # Jan 2024 spans >= 3 ISO weeks
+
+
+def test_tier_amplification_exact_ratios(spark):
+    """Planted points: known distinct-group counts per tier and exact
+    floor ppm ratios; raw level is 1,000,000 ppm of itself."""
+    import pandas as pd
+
+    from spartan2_spark.operators.rollup import tier_amplification_audit
+
+    rows = [
+        ("u", pd.Timestamp("2024-01-01 10:00:05"), 1.0),
+        ("u", pd.Timestamp("2024-01-01 10:00:30"), 1.0),  # same 1m bucket+bin
+        ("u", pd.Timestamp("2024-01-01 10:01:00"), 2.0),
+        ("u", pd.Timestamp("2024-01-01 11:00:00"), 1.0),
+    ]
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "ts", "value"]))
+    out = {r.tier: r for r in
+           tier_amplification_audit(pts, tiers=("1m", "1h", "1d")).collect()}
+    assert out["raw"].state_rows == 4
+    assert out["raw"].rows_per_raw_ppm == 1_000_000
+    assert out["1m"].state_rows == 3   # the first two rows collapse
+    assert out["1h"].state_rows == 3   # 10h has bins {1,2}, 11h has {1}
+    assert out["1d"].state_rows == 2   # one day, bins {1,2}
+    assert out["1d"].rows_per_raw_ppm == 2 * 1_000_000 // 4
