@@ -128,6 +128,13 @@ BENCH_QUERIES = [
     # run_query's window includes their eager barriered rounds)
     "hits_scores",
     "kmeans_clusters",
+    # round-4 wrap-2e: week tier, corpus overlap, basket lift,
+    # amplification + Bloom audits (lazily constructed)
+    "rollup_1w_tierup",
+    "source_vocab_overlap",
+    "cooccurrence_lift",
+    "tier_amplification_audit",
+    "bloom_fpr_audit",
 ]
 
 
