@@ -10117,6 +10117,66 @@ _BLOOM_FPR_SQL = """
 """
 
 
+def _q_sliding_quantile(spark, sf_dir):
+    """Trailing-24h p90 per event class served from hourly pow2
+    sketch state (histogram.sliding_hist_quantile): gap-correct
+    epoch-bound range join over sketch rows (never raw), BIGINT
+    histogram merge, integer bucket selection, one IEEE
+    interpolation."""
+    from spartan2_spark.operators.histogram import sliding_hist_quantile
+
+    pts = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return sliding_hist_quantile(
+        pts, window_buckets=24, bucket_s=3600, q_num=9, q_den=10
+    )
+
+
+_SLIDING_QUANTILE_SQL = """
+    WITH p AS (SELECT event_type AS key,
+                      CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600.0)
+                           AS BIGINT) * 3600 AS t_s,
+                      CAST(round(value * 100) AS BIGINT) AS v
+               FROM events),
+    h AS (SELECT key, t_s,
+                 CASE WHEN v = 0 THEN 0 ELSE length(bin(v))::INT END AS b,
+                 count(*)::BIGINT AS cnt
+          FROM p WHERE v >= 0 GROUP BY 1, 2, 3),
+    ends AS (SELECT DISTINCT key, t_s FROM h),
+    m AS (SELECT e.key, e.t_s, s.b, CAST(sum(s.cnt) AS BIGINT) AS cnt
+          FROM ends e JOIN h s
+            ON e.key = s.key
+           AND s.t_s >= e.t_s - 82800 AND s.t_s <= e.t_s
+          GROUP BY 1, 2, 3),
+    eb AS (SELECT key, t_s,
+                  CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+                       ELSE (1::BIGINT << (b - 1)) END AS lo,
+                  CASE WHEN b = 0 THEN CAST(0 AS BIGINT)
+                       ELSE (1::BIGINT << (b - 1))
+                            + ((1::BIGINT << (b - 1)) - 1) END AS hi,
+                  cnt
+           FROM m),
+    c AS (SELECT key, t_s, lo, hi, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY key, t_s ORDER BY lo
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY key, t_s) AS BIGINT)
+                   AS total
+          FROM eb),
+    hit AS (SELECT *, row_number() OVER (PARTITION BY key, t_s ORDER BY lo)
+                   AS rn
+            FROM c WHERE 10 * cum >= 9 * total)
+    SELECT key, t_s, total, lo AS bucket_lo, hi AS bucket_hi,
+           lo + (hi - lo)
+             * (CAST(9 * total - 10 * (cum - cnt) AS DOUBLE)
+                / CAST(10 * cnt AS DOUBLE)) AS quantile
+    FROM hit WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10189,6 +10249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_lift": _q_cooccurrence_lift,
         "tier_amplification_audit": _q_tier_amplification,
         "bloom_fpr_audit": _q_bloom_fpr,
+        "sliding_hist_quantile": _q_sliding_quantile,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10556,6 +10617,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_lift": _COOCCURRENCE_SQL,
         "tier_amplification_audit": _TIER_AMPLIFICATION_SQL,
         "bloom_fpr_audit": _BLOOM_FPR_SQL,
+        "sliding_hist_quantile": _SLIDING_QUANTILE_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "cooccurrence_lift",
     "tier_amplification_audit",
     "bloom_fpr_audit",
+    "sliding_hist_quantile",
 ]
 
 

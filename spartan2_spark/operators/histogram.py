@@ -1183,3 +1183,123 @@ def pow2_histogram(
             "cnt",
         )
     )
+
+
+def sliding_hist_quantile(
+    df: DataFrame,
+    key_col: str = "key",
+    time_col: str = "ts",
+    value_col: str = "v",
+    window_buckets: int = 24,
+    bucket_s: int = 3600,
+    q_num: int = 9,
+    q_den: int = 10,
+) -> DataFrame:
+    """Trailing-window quantile served FROM MERGEABLE SKETCH STATE —
+    the dashboard's "p90 over the last 24 h, updated hourly" without
+    ever re-reading raw points: the per-(key, hour) power-of-two
+    histogram (:func:`pow2_histogram` binning) is range-joined over
+    the trailing ``window_buckets`` buckets (gap-correct: the join is
+    on exact epoch bounds, so a silent empty hour contributes nothing
+    instead of stretching the window), bucket counts sum (the
+    histogram merge IS addition), and the PromQL-style quantile walk
+    runs per (key, window-end).
+
+    Exactness: bucket index is ``length(bin(v))`` (never float log2);
+    merge is BIGINT addition; the selection predicate is the integer
+    cross-multiplication ``q_den*cum >= q_num*total``; only the
+    closing interpolation is IEEE, fixed order — bit-identical
+    cross-engine (:func:`histogram_quantile` discipline).
+
+    Plan shape: ONE (key, hour, bucket) hash aggregate (<= 64 rows per
+    key-hour), a bounded range join (x window_buckets expansion over
+    SKETCH rows, never raw rows), one merge aggregate, two window
+    passes partitioned by (key, window-end). Raw data is touched once.
+    """
+    if not (0 < q_num <= q_den):
+        raise ValueError("need 0 < q_num/q_den <= 1")
+    if window_buckets < 1 or bucket_s <= 0:
+        raise ValueError("need window_buckets >= 1 and bucket_s > 0")
+    v = F.col(value_col).cast("long")
+    b = F.when(F.col("__v") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("__v")))
+    )
+    hist = (
+        df.select(
+            F.col(key_col).alias("key"),
+            # epoch-floored bucket start: exact for any bucket_s (the
+            # calendar date_trunc would silently disagree with a
+            # non-hour bucket_s)
+            (
+                F.floor(
+                    F.unix_timestamp(F.col(time_col)).cast("double")
+                    / F.lit(float(bucket_s))
+                ).cast("long")
+                * F.lit(int(bucket_s))
+            ).alias("t_s"),
+            v.alias("__v"),
+        )
+        .filter(F.col("__v") >= 0)
+        .withColumn("bucket", b.cast("int"))
+        .groupBy("key", "t_s", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        # the window-end axis and the join source BOTH read the sketch:
+        # without a barrier Spark re-computes the whole raw aggregation
+        # per consumer (two raw scans — fatal at 10^12 rows); the
+        # checkpointed state is sketch-sized (<= 64 rows per key-hour)
+        .transform(barrier)
+    )
+    span = (int(window_buckets) - 1) * int(bucket_s)
+    ends = hist.select("key", "t_s").distinct()
+    src = hist.select(
+        F.col("key"), F.col("t_s").alias("s_s"), "bucket", "cnt"
+    )
+    merged = (
+        ends.join(src, on="key")
+        .where(
+            (F.col("s_s") >= F.col("t_s") - F.lit(span))
+            & (F.col("s_s") <= F.col("t_s"))
+        )
+        .groupBy("key", "t_s", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(
+            "key",
+            "t_s",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.expr("shiftleft(1L, bucket - 1)"))
+            .cast("long")
+            .alias("lo"),
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "shiftleft(1L, bucket - 1) + (shiftleft(1L, bucket - 1)"
+                    " - 1L)"
+                )
+            )
+            .cast("long")
+            .alias("hi"),
+            "cnt",
+        )
+    )
+    w_ord = W.partitionBy("key", "t_s").orderBy("lo")
+    w_all = W.partitionBy("key", "t_s")
+    c = merged.withColumn(
+        "__cum", F.sum("cnt").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("__total", F.sum("cnt").over(w_all))
+    hit = c.filter(
+        F.lit(q_den) * F.col("__cum") >= F.lit(q_num) * F.col("__total")
+    ).withColumn("__rn", F.row_number().over(w_ord))
+    sel = hit.filter(F.col("__rn") == 1)
+    tn = F.lit(q_num) * F.col("__total")
+    cum_before = F.col("__cum") - F.col("cnt")
+    frac = (tn - F.lit(q_den) * cum_before).cast("double") / (
+        F.lit(q_den) * F.col("cnt")
+    ).cast("double")
+    return sel.select(
+        "key",
+        "t_s",
+        F.col("__total").cast("long").alias("total"),
+        F.col("lo").alias("bucket_lo"),
+        F.col("hi").alias("bucket_hi"),
+        (F.col("lo") + (F.col("hi") - F.col("lo")) * frac).alias("quantile"),
+    )

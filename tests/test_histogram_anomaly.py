@@ -632,3 +632,35 @@ def test_pow2_histogram_boundary_values_exact(spark):
     assert sorted(r["lo"] for r in rows) == [2**i for i in range(0, 63)]
     assert all(r["hi"] == 2 * r["lo"] - 1 for r in rows)
     assert all(r["cnt"] == 1 for r in rows)
+
+
+def test_sliding_hist_quantile_gap_correct(spark):
+    """Hand-checkable sliding p90 from sketch state: window of 2
+    hourly buckets; an EMPTY hour between samples contributes nothing
+    (gap-correct epoch bounds), and a window covering both sample
+    hours merges their histograms."""
+    import pandas as pd
+
+    from spartan2_spark.operators.histogram import sliding_hist_quantile
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # hour 0: values 1..8 (buckets 1..4); hour 1: EMPTY; hour 2: 16x8
+    for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8]):
+        rows.append(("k", t0 + pd.Timedelta(minutes=i), v))
+    for i in range(16):
+        rows.append(("k", t0 + pd.Timedelta(hours=2, minutes=i), 8))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "v"]))
+    out = {r.t_s: r for r in sliding_hist_quantile(
+        df, window_buckets=2, bucket_s=3600, q_num=1, q_den=2).collect()}
+    h0 = int(t0.timestamp())
+    # window ending hour 0: only hour 0's 8 values; p50 -> cum rule:
+    # buckets: b0:{} b1:{1} b2:{2,3} b3:{4..7} b4:{8}; total 8, need
+    # cum*2 >= 8 -> first bucket with cum >= 4 is [4,7] (cum 7)
+    assert out[h0].bucket_lo == 4 and out[h0].total == 8
+    # window ending hour 2 spans hours 1-2 -> ONLY hour 2 (hour 0 out
+    # of range, hour 1 empty): all 16 values are 8 -> bucket [8,15]
+    h2 = h0 + 7200
+    assert out[h2].total == 16 and out[h2].bucket_lo == 8
+    # no window row for the empty hour 1 (no samples ended there)
+    assert h0 + 3600 not in out

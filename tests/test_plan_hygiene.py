@@ -201,6 +201,7 @@ AUDIT_QUERIES = [
     "cooccurrence_lift",
     "tier_amplification_audit",
     "bloom_fpr_audit",
+    "sliding_hist_quantile",
 ]
 
 
@@ -606,3 +607,15 @@ def test_week_tierup_is_agg_chain_only(spark, sf_dir):
     no join, no window before the tier_view finalization."""
     plan = plan_of(E.queries()["rollup_1w_tierup"](spark, sf_dir), "simple")
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_sliding_quantile_joins_sketch_not_raw(spark, sf_dir):
+    """sliding_hist_quantile's range join expands SKETCH rows: the
+    (key,hour,bucket) aggregate is barriered, so BOTH join sides read
+    the checkpointed sketch — the downstream plan contains NO raw
+    parquet scan at all (raw was read exactly once, into the
+    barrier), and no cartesian product appears."""
+    plan = plan_of(E.queries()["sliding_hist_quantile"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Join" in plan
