@@ -490,3 +490,35 @@ def test_hits_fixedpoint_matches_python_recurrence(spark):
     assert out["p"].auth_mass == scale
     assert out["q"].auth_mass < scale
     assert out["y"].auth_mass == 0  # never cited
+
+
+def test_modularity_score_two_triangles(spark):
+    """Two triangles + one bridge, labeled by triangle: hand-computed
+    e_in/d_sum/num per community; global Q = sum(num)/(4m^2) =
+    70/196. Exact integers everywhere."""
+    import pandas as pd
+
+    from spartan2_spark.operators.graph import modularity_score
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")]
+    labs = [("a", "X"), ("b", "X"), ("c", "X"),
+            ("d", "Y"), ("e", "Y"), ("f", "Y")]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    l = spark.createDataFrame(pd.DataFrame(labs, columns=["node", "label"]))
+    out = {r.community: r for r in modularity_score(e, l).collect()}
+    for c in ("X", "Y"):
+        assert out[c].n_nodes == 3
+        assert out[c].e_in == 3
+        assert out[c].d_sum == 7
+        assert out[c].m_edges == 7
+        assert out[c].num == 4 * 7 * 3 - 49
+    q = sum(r.num for r in out.values()) / (4 * 7 * 7)
+    assert abs(q - 70 / 196) < 1e-15
+    # sanity: a garbage split (X = {a, d} ...) scores lower
+    labs2 = [("a", "P"), ("d", "P"), ("b", "Q"), ("c", "Q"),
+             ("e", "Q"), ("f", "Q")]
+    l2 = spark.createDataFrame(pd.DataFrame(labs2, columns=["node", "label"]))
+    out2 = modularity_score(e, l2).collect()
+    q2 = sum(r.num for r in out2) / (4 * 7 * 7)
+    assert q2 < q
