@@ -10257,6 +10257,73 @@ def _modularity_sql(rounds: int = 4) -> str:
     )
 
 
+def _q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (timeseries.asof_join_nearest): every event
+    aligned to its user's CLOSEST daily-noon snapshot, before or
+    after, ties backward — union + two running last(ignoreNulls)
+    passes on one key shuffle, exact integer microsecond gap compare;
+    the twin replicates the union+window construction."""
+    from spartan2_spark.operators.timeseries import asof_join_nearest
+
+    e = _events_series(spark, sf_dir).select("key", "ts", "event_id")
+    snaps = (
+        _events_series(spark, sf_dir)
+        .groupBy(
+            "key",
+            (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 12 HOURS")).alias("ts"),
+        )
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("snap"))
+    )
+    out = asof_join_nearest(e, snaps, value_cols=("snap",))
+    return out.select(
+        "key",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("asof_ts_us"),
+        F.col("snap_asof").alias("snap"),
+        F.col("dir_asof").alias("dir"),
+    )
+
+
+_ASOF_NEAREST_SQL = """
+    WITH e AS (SELECT user_id AS key, ts, event_id FROM events),
+    snap AS (SELECT user_id AS key,
+                    date_trunc('day', ts) + INTERVAL 12 HOUR AS ts,
+                    CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                      AS snap
+             FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT key, ts, event_id,
+             CAST(NULL AS TIMESTAMP) AS bts, CAST(NULL AS BIGINT) AS bval,
+             1 AS side
+      FROM e
+      UNION ALL
+      SELECT key, ts, CAST(NULL AS BIGINT), ts, snap, 0 FROM snap),
+    wv AS (SELECT key, ts, event_id, side,
+                  last_value(bts IGNORE NULLS) OVER wb AS b_ts,
+                  last_value(bval IGNORE NULLS) OVER wb AS b_val,
+                  last_value(bts IGNORE NULLS) OVER wf AS f_ts,
+                  last_value(bval IGNORE NULLS) OVER wf AS f_val
+           FROM u
+           WINDOW wb AS (PARTITION BY key ORDER BY ts ASC, side ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY key ORDER BY ts DESC, side ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    pick AS (SELECT key, ts, event_id, b_ts, b_val, f_ts, f_val,
+                    (b_ts IS NOT NULL AND (f_ts IS NULL OR
+                      epoch_us(ts) - epoch_us(b_ts)
+                        <= epoch_us(f_ts) - epoch_us(ts))) AS back
+             FROM wv WHERE side = 1)
+    SELECT key, event_id, epoch_us(ts) AS ts_us,
+           epoch_us(CASE WHEN back THEN b_ts ELSE f_ts END) AS asof_ts_us,
+           CASE WHEN back THEN b_val ELSE f_val END AS snap,
+           CAST(CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                     WHEN back AND epoch_us(ts) = epoch_us(b_ts) THEN 0
+                     WHEN back THEN -1 ELSE 1 END AS INT) AS dir
+    FROM pick
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10331,6 +10398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_audit": _q_bloom_fpr,
         "sliding_hist_quantile": _q_sliding_quantile,
         "modularity_score": _q_modularity,
+        "asof_join_nearest": _q_asof_nearest,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10700,6 +10768,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr_audit": _BLOOM_FPR_SQL,
         "sliding_hist_quantile": _SLIDING_QUANTILE_SQL,
         "modularity_score": _modularity_sql(rounds=4),
+        "asof_join_nearest": _ASOF_NEAREST_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

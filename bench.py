@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "tier_amplification_audit",
     "bloom_fpr_audit",
     "sliding_hist_quantile",
+    "modularity_score",
+    "asof_join_nearest",
 ]
 
 

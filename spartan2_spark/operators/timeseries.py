@@ -2577,3 +2577,82 @@ def watermark_lag_audit(
             F.col("sum_lag_s").cast("double") / F.col("n").cast("double")
         ).alias("mean_lag_s"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "key",
+    time_col: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """NEAREST as-of join: attach to every left row the right-side row
+    closest in time in EITHER direction, ties to the backward
+    (earlier-or-equal) match — the sensor-alignment variant
+    :func:`asof_join` (backward-only) can't express, e.g. "label each
+    crawl with the closest DNS snapshot, before or after".
+
+    Spark-first plan, same discipline as :func:`asof_join`: NO range
+    join — one tagged union, then TWO running last(ignoreNulls)
+    window passes over the same key partitioning (ascending carries
+    the latest earlier right row; descending carries the earliest
+    later one); the nearest pick is a per-row exact integer gap
+    compare in microseconds. ONE shuffle on the key, O(|L| + |R|).
+    Emits the matched values, ``ts<suffix>`` (matched right
+    timestamp) and ``dir<suffix>`` (-1 backward, +1 forward, 0 exact,
+    NULL no match).
+
+    Right side must be unique per (key, ts); left rows with no right
+    row at all get NULLs.
+    """
+    sfx = lambda c: f"{c}{suffix}"  # noqa: E731
+    b = lambda c: f"__b_{c}"  # noqa: E731
+    f_ = lambda c: f"__f_{c}"  # noqa: E731
+    carried = [time_col] + list(value_cols)
+    r_named = right.select(
+        F.col(on).alias(on),
+        F.col(time_col).alias(time_col),
+        *[F.col(c).alias(b(c)) for c in carried],
+    ).withColumn("__side", F.lit(0))
+    l_named = left
+    for c in carried:
+        l_named = l_named.withColumn(
+            b(c), F.lit(None).cast(r_named.schema[b(c)].dataType)
+        )
+    l_named = l_named.withColumn("__side", F.lit(1))
+    u = l_named.unionByName(r_named, allowMissingColumns=True)
+    w_back = (
+        W.partitionBy(on)
+        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy(on)
+        .orderBy(F.col(time_col).desc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    for c in carried:
+        u = u.withColumn(f_(c), F.last(b(c), ignorenulls=True).over(w_fwd))
+    for c in carried:
+        u = u.withColumn(b(c), F.last(b(c), ignorenulls=True).over(w_back))
+    us = lambda col: F.unix_micros(col.cast("timestamp"))  # noqa: E731
+    gap_b = us(F.col(time_col)) - us(F.col(b(time_col)))
+    gap_f = us(F.col(f_(time_col))) - us(F.col(time_col))
+    pick_back = F.col(b(time_col)).isNotNull() & (
+        F.col(f_(time_col)).isNull() | (gap_b <= gap_f)
+    )
+    sel = [
+        F.when(pick_back, F.col(b(c))).otherwise(F.col(f_(c))).alias(sfx(c))
+        for c in carried
+    ]
+    direction = (
+        F.when(F.col(b(time_col)).isNull() & F.col(f_(time_col)).isNull(), F.lit(None).cast("int"))
+        .when(pick_back & (gap_b == 0), F.lit(0))
+        .when(pick_back, F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    return (
+        u.filter(F.col("__side") == 1)
+        .select(*left.columns, *sel, direction.alias(sfx("dir")))
+    )

@@ -738,3 +738,36 @@ def stream_hll_tier(
         .agg(F.max("rho").cast("long").alias("max_rho"))
         .select(F.col("win.start").alias("bucket_ts"), "key", "reg", "max_rho")
     )
+
+
+def stream_pow2_hist(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    key_col: str = "key",
+    ts_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Streaming power-of-two histogram tier: the per-bucket counts of
+    :func:`operators.histogram.pow2_histogram` as a watermarked
+    windowed aggregate — count addition is the histogram merge, so
+    cross-micro-batch state merge is exact and the streamed state is
+    bit-identical to the batch histogram on the same rows
+    (parity-tested). Serve quantiles downstream with
+    ``histogram_quantile`` / ``sliding_hist_quantile`` — this stream
+    IS their state producer at ingest time. State per (key, window)
+    is <= 64 buckets.
+    """
+    v = F.col(value_col).cast("long")
+    b = F.when(v == 0, F.lit(0)).otherwise(F.length(F.bin(v)))
+    d = stream.filter(v >= 0).withColumn("__bucket", b.cast("int"))
+    return (
+        d.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.col(key_col),
+            F.col("__bucket").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(F.col("win.start").alias("bucket_ts"), key_col, "bucket", "cnt")
+    )

@@ -202,6 +202,7 @@ AUDIT_QUERIES = [
     "tier_amplification_audit",
     "bloom_fpr_audit",
     "sliding_hist_quantile",
+    "asof_join_nearest",
 ]
 
 
@@ -619,3 +620,13 @@ def test_sliding_quantile_joins_sketch_not_raw(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("FileScan parquet") == 0, plan
     assert "Join" in plan
+
+
+def test_asof_nearest_single_shuffle_no_range_join(spark, sf_dir):
+    """asof_join_nearest must stay the union+window construction: no
+    join node at all (the snapshot relation unions in), and the two
+    directional windows share one key partitioning family."""
+    plan = plan_of(E.queries()["asof_join_nearest"](spark, sf_dir), "simple")
+    assert "Join" not in plan, plan
+    assert "Union" in plan
+    assert plan.count("hashpartitioning(key") <= 2, plan

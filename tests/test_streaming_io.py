@@ -731,3 +731,54 @@ def test_stream_hll_tier_matches_batch(spark, tmp_path):
         for r in hll_tier_estimate(batch_state).collect()
     }
     assert est_stream == est_batch
+
+
+def test_stream_pow2_hist_matches_batch(spark, tmp_path):
+    """Streaming pow2 histogram across forced micro-batches == the
+    batch per-hour bucket counts on the same rows (count addition is
+    the merge -> bit-identical)."""
+    import pandas as pd
+
+    from spartan2_spark.streaming.rollup_stream import (
+        run_stream_to_memory,
+        stream_pow2_hist,
+    )
+
+    t0 = 1_699_920_000
+    rows = [("k%d" % (i % 2), t0 + i * 211, (i * 37) % 300)
+            for i in range(400)]
+    pdf = pd.DataFrame(rows, columns=["key", "t", "v"])
+    df = spark.createDataFrame(pdf).select(
+        "key", F.to_timestamp("t").alias("ts"), "v"
+    )
+    d = str(tmp_path / "p2h_pts")
+    df.repartition(4).write.parquet(d)
+
+    stored = spark.read.parquet(d)
+    stream = IO.load_tensor_stream(
+        spark, d, stored.schema, fmt="parquet",
+        options={"maxFilesPerTrigger": 1},
+    )
+    agg = stream_pow2_hist(stream, window="1 hour", watermark="0 seconds")
+    run_stream_to_memory(agg, "stream_p2h_parity", "complete")
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "select key, bucket_ts, bucket, cnt from stream_p2h_parity"
+        ).collect()
+    )
+    vb = F.col("v").cast("long")
+    b = F.when(vb == 0, F.lit(0)).otherwise(F.length(F.bin(vb)))
+    want = sorted(
+        tuple(r)
+        for r in stored.filter(vb >= 0)
+        .groupBy(
+            "key",
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+            b.cast("int").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select("key", "bucket_ts", "bucket", "cnt")
+        .collect()
+    )
+    assert got == want and len(got) > 20

@@ -1323,3 +1323,34 @@ def test_watermark_lag_audit_exact_counts(spark):
     assert r.max_lag_s == 1300
     assert r.late_ppm == 2 * 1_000_000 // 4
     assert abs(r.mean_lag_s - (0 + 100 + 700 + 1300) / 4.0) < 1e-12
+
+
+def test_asof_join_nearest_directions(spark):
+    """Planted alignment: backward pick, forward pick, exact tie
+    (dir 0), tie-breaks-backward at equal gaps, and no-match NULLs."""
+    import pandas as pd
+
+    t = lambda s: pd.Timestamp(s)  # noqa: E731
+    from spartan2_spark.operators.timeseries import asof_join_nearest
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "key": ["k"] * 4 + ["lonely"],
+        "ts": [t("2024-01-01 00:10"),   # nearest snap 00:00 (back)
+               t("2024-01-01 00:50"),   # nearest snap 01:00 (fwd)
+               t("2024-01-01 01:00"),   # exact -> dir 0
+               t("2024-01-01 00:30"),   # equidistant -> backward wins
+               t("2024-01-01 09:00")],  # no right rows for this key
+        "row": [1, 2, 3, 4, 5],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "key": ["k", "k"],
+        "ts": [t("2024-01-01 00:00"), t("2024-01-01 01:00")],
+        "v": [10, 20],
+    }))
+    out = {r.row: r for r in
+           asof_join_nearest(left, right, value_cols=("v",)).collect()}
+    assert out[1].v_asof == 10 and out[1].dir_asof == -1
+    assert out[2].v_asof == 20 and out[2].dir_asof == 1
+    assert out[3].v_asof == 20 and out[3].dir_asof == 0
+    assert out[4].v_asof == 10 and out[4].dir_asof == -1  # tie -> back
+    assert out[5].v_asof is None and out[5].dir_asof is None
