@@ -10324,6 +10324,80 @@ _ASOF_NEAREST_SQL = """
 """
 
 
+def _q_oov_rate(spark, sf_dir):
+    """Tokenizer-vocabulary coverage per source (text.oov_rate): exact
+    OOV occurrence fraction against the corpus-global top-200 vocab
+    (df, tf, token ranking) — the tokenizer go/no-go number for a new
+    corpus slice."""
+    from spartan2_spark.operators.text import oov_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return oov_rate(docs, vocab_k=200)
+
+
+_OOV_RATE_SQL = """
+    WITH toks AS (SELECT source AS src, doc_id,
+                         unnest(string_split(trim(lower(text)), ' ')) AS token
+                  FROM documents),
+    t AS (SELECT src, doc_id, token FROM toks WHERE token <> ''),
+    census AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df,
+                      count(*)::BIGINT AS tf
+               FROM t GROUP BY 1),
+    vocab AS (SELECT token FROM
+                (SELECT token, row_number() OVER (ORDER BY df DESC, tf DESC,
+                                                  token ASC) AS rnk
+                 FROM census)
+              WHERE rnk <= 200),
+    per AS (SELECT src, token, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+    g AS (SELECT per.src AS source,
+                 CAST(sum(per.n) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN v.token IS NULL THEN per.n ELSE 0 END)
+                      AS BIGINT) AS n_oov
+          FROM per LEFT JOIN vocab v ON per.token = v.token
+          GROUP BY 1)
+    SELECT source, n_tokens, n_oov,
+           CAST(floor(CAST(n_oov * 1000000 AS DOUBLE)
+                      / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS oov_ppm
+    FROM g
+"""
+
+
+def _q_packing_plan(spark, sf_dir):
+    """Sequence-packing feasibility at ctx 512 over document lengths
+    (text.packing_plan): pow2 length-bucket census + the exact
+    bin-packing lower bound max(ceil(total/ctx), n_over_half) — the
+    deterministic planning number any packer must respect."""
+    from spartan2_spark.operators.text import packing_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing_plan(docs, ctx_len=512)
+
+
+_PACKING_PLAN_SQL = """
+    WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+               FROM documents WHERE n_chars > 0),
+    per AS (SELECT length(bin(len))::INT AS bucket,
+                   count(*)::BIGINT AS docs,
+                   CAST(sum(len) AS BIGINT) AS tokens,
+                   CAST(sum(CASE WHEN len * 2 > 512 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS over_half,
+                   CAST(sum(CASE WHEN len > 512 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS truncated
+            FROM d GROUP BY 1),
+    t AS (SELECT bucket, docs, tokens,
+                 CAST(sum(tokens) OVER () AS BIGINT) AS total_tokens,
+                 CAST(sum(over_half) OVER () AS BIGINT) AS n_over_half,
+                 CAST(sum(truncated) OVER () AS BIGINT) AS n_truncated
+          FROM per)
+    SELECT bucket, (1::BIGINT << (bucket - 1)) AS bucket_lo, docs, tokens,
+           total_tokens, n_truncated, CAST(512 AS BIGINT) AS ctx_len,
+           greatest(
+             CAST(floor(CAST(total_tokens + 511 AS DOUBLE) / 512.0) AS BIGINT),
+             n_over_half) AS bins_lower_bound
+    FROM t
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10399,6 +10473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hist_quantile": _q_sliding_quantile,
         "modularity_score": _q_modularity,
         "asof_join_nearest": _q_asof_nearest,
+        "oov_rate": _q_oov_rate,
+        "packing_plan": _q_packing_plan,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10769,6 +10845,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_hist_quantile": _SLIDING_QUANTILE_SQL,
         "modularity_score": _modularity_sql(rounds=4),
         "asof_join_nearest": _ASOF_NEAREST_SQL,
+        "oov_rate": _OOV_RATE_SQL,
+        "packing_plan": _PACKING_PLAN_SQL,
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

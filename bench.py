@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "sliding_hist_quantile",
     "modularity_score",
     "asof_join_nearest",
+    "oov_rate",
+    "packing_plan",
 ]
 
 

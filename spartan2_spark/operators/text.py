@@ -9,6 +9,7 @@ so every op is a single codegen'd projection over the documents scan.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -1240,4 +1241,132 @@ def source_vocab_overlap(
             F.col("inter").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
         ).alias("jaccard"),
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab_k: int = 200,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per corpus slice: with the
+    corpus-global top-``vocab_k`` tokens as the vocabulary (the
+    :func:`vocab_topk` ranking — document frequency, then total count,
+    then token), what exact fraction of each source's token
+    OCCURRENCES would be out-of-vocabulary? The go/no-go number for
+    sizing a tokenizer against a new corpus slice before training.
+
+    Exactness: counts are exact BIGINTs; ranking ties break on the
+    token string; the rate is integer floor ppm.
+
+    Plan shape: one explode + (token) census aggregate for the vocab
+    (rank via one global window over the census, top-k slice
+    broadcasts), one (source, token) occurrence aggregate, a broadcast
+    left-anti-style join (left + null-flag), one source aggregate.
+    Corpus bytes are read once per aggregate family, never joined
+    row-to-row.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src"),
+        F.col("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), " +")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    census = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+    w = W.orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("token").asc())
+    vocab = (
+        census.select("token", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= int(vocab_k))
+        .select("token")
+    )
+    per = toks.groupBy("src", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    flagged = per.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "token", "left"
+    )
+    g = flagged.groupBy(F.col("src").alias("source")).agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    return g.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.floor(
+            (F.col("n_oov") * F.lit(1_000_000)).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).cast("long").alias("oov_ppm"),
+    )
+
+
+def packing_plan(
+    docs: DataFrame,
+    ctx_len: int,
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing feasibility for LLM-training batch assembly:
+    given per-document lengths and a context length, the pow2
+    length-bucket census plus, replicated on every row, the exact
+    bin-packing LOWER BOUND ``max(ceil(total/ctx), n_over_half)`` —
+    any packer (first-fit-decreasing included) needs at least that
+    many context windows, because two documents longer than ctx/2
+    can never share one. Docs longer than ctx are counted as
+    ``n_truncated`` (they must be split upstream). A greedy packer's
+    exact bin count is order-dependent and sequential — the bound is
+    the deterministic, engine-exact planning number.
+
+    Exactness: buckets via ``length(bin(len))`` (never float log2),
+    bounds via integer ceil cross-multiplication.
+
+    Plan shape: one bucket hash aggregate + the global totals from one
+    unpartitioned window over the <= 64-row bucket census.
+    """
+    if ctx_len <= 0:
+        raise ValueError("ctx_len must be positive")
+    ln = F.col(len_col).cast("long")
+    d = docs.select(F.col(id_col).alias("id"), ln.alias("len")).filter(
+        F.col("len") > 0
+    )
+    b = F.length(F.bin(F.col("len")))
+    per = d.groupBy(b.cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("len").cast("long").alias("tokens"),
+        F.sum((F.col("len") * 2 > F.lit(int(ctx_len))).cast("int"))
+        .cast("long")
+        .alias("over_half"),
+        F.sum((F.col("len") > F.lit(int(ctx_len))).cast("int"))
+        .cast("long")
+        .alias("truncated"),
+    )
+    glob = W.partitionBy()
+    tot = per.select(
+        "bucket",
+        "docs",
+        "tokens",
+        F.sum("tokens").over(glob).cast("long").alias("total_tokens"),
+        F.sum("over_half").over(glob).cast("long").alias("n_over_half"),
+        F.sum("truncated").over(glob).cast("long").alias("n_truncated"),
+    )
+    ceil_bins = F.floor(
+        (F.col("total_tokens") + F.lit(int(ctx_len) - 1)).cast("double")
+        / F.lit(float(ctx_len))
+    ).cast("long")
+    return tot.select(
+        "bucket",
+        F.expr("shiftleft(1L, bucket - 1)").cast("long").alias("bucket_lo"),
+        "docs",
+        "tokens",
+        "total_tokens",
+        "n_truncated",
+        F.lit(int(ctx_len)).cast("long").alias("ctx_len"),
+        F.greatest(ceil_bins, F.col("n_over_half")).alias("bins_lower_bound"),
     )

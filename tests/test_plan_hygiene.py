@@ -203,6 +203,8 @@ AUDIT_QUERIES = [
     "bloom_fpr_audit",
     "sliding_hist_quantile",
     "asof_join_nearest",
+    "oov_rate",
+    "packing_plan",
 ]
 
 

@@ -325,3 +325,50 @@ def test_source_vocab_overlap_exact_jaccard(spark):
     assert abs(r.jaccard - 2 / 5) < 1e-15
     # s3 shares nothing -> pair absent (min_shared = 1)
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_oov_rate_exact(spark):
+    """Vocab = top-1 token by (df, tf, token): 'the' wins; per-source
+    OOV occurrence ppm computed by hand."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import oov_rate
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": ["s1", "s1", "s2"],
+        "text": ["the cat the dog", "the fish", "bird the"],
+    })
+    out = {r.source: r for r in
+           oov_rate(spark.createDataFrame(docs), vocab_k=1).collect()}
+    # 'the' df=3: the only vocab entry
+    # s1: tokens 6, oov = cat,dog,fish = 3 -> 500000 ppm
+    assert out["s1"].n_tokens == 6 and out["s1"].n_oov == 3
+    assert out["s1"].oov_ppm == 500_000
+    # s2: tokens 2, oov = bird -> 500000 ppm
+    assert out["s2"].n_tokens == 2 and out["s2"].n_oov == 1
+
+
+def test_packing_plan_lower_bound(spark):
+    """ceil(total/ctx) vs the over-half count: the binding constraint
+    flips depending on the length mix."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import packing_plan
+
+    # ctx 100: three docs of 60 (> ctx/2 -> pairwise exclusive) but
+    # total 180 -> ceil 2; bound must be 3 (over_half wins)
+    d1 = pd.DataFrame({"doc_id": [1, 2, 3], "n_chars": [60, 60, 60]})
+    r1 = packing_plan(spark.createDataFrame(d1), ctx_len=100).collect()[0]
+    assert r1.bins_lower_bound == 3 and r1.n_truncated == 0
+    # ctx 100: many small docs, total 450 -> ceil 5 wins; one doc of
+    # 120 is truncated
+    d2 = pd.DataFrame({"doc_id": range(12),
+                       "n_chars": [30] * 11 + [120]})
+    rows = packing_plan(spark.createDataFrame(d2), ctx_len=100).collect()
+    r2 = rows[0]
+    assert r2.total_tokens == 450 and r2.bins_lower_bound == 5
+    assert r2.n_truncated == 1
+    # bucket census is exact: 30 -> bucket 5 (bin len of 11110), 11 docs
+    buckets = {r.bucket: r for r in rows}
+    assert buckets[5].docs == 11 and buckets[5].tokens == 330
