@@ -10398,6 +10398,68 @@ _PACKING_PLAN_SQL = """
 """
 
 
+def _q_filter_funnel(spark, sf_dir):
+    """C4 cleaning-filter survival funnel (text.filter_funnel over
+    text.c4_line_filters): ordered stages charge each doc's loss to
+    the FIRST filter it fails; entered/failed/surviving + floor-ppm
+    local fail rate per stage from ONE global aggregate."""
+    from spartan2_spark.operators.text import c4_line_filters, filter_funnel
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = c4_line_filters(d)
+    stages = [
+        ("low_end_punct", F.col("end_punct_frac") < 0.2),
+        ("curly_brace", F.col("has_curly") == 1),
+        ("lorem_ipsum", F.col("has_lorem") == 1),
+        ("javascript", F.col("has_javascript") == 1),
+        ("short_lines", F.col("short_line_frac") > 0.5),
+    ]
+    return filter_funnel(flags, stages)
+
+
+def _filter_funnel_sql() -> str:
+    # reuse the C4 flag construction (t, f CTEs) from the c4_filters
+    # twin; swap its final per-doc SELECT for the funnel aggregation
+    base = _C4_FILTERS_SQL[: _C4_FILTERS_SQL.rindex("SELECT")].rstrip()
+    assert base.endswith(")"), base[-40:]
+    return (
+        base
+        + """,
+    ff AS (SELECT CASE WHEN end_punct_frac < 0.2 THEN 1
+                       WHEN has_curly = 1 THEN 2
+                       WHEN has_lorem = 1 THEN 3
+                       WHEN has_javascript = 1 THEN 4
+                       WHEN short_line_frac > 0.5 THEN 5
+                       ELSE 0 END AS ff
+           FROM f),
+    g AS (SELECT
+      CAST(sum(CASE WHEN ff = 0 OR ff >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+      CAST(sum(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      CAST(sum(CASE WHEN ff = 0 OR ff >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+      CAST(sum(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+      CAST(sum(CASE WHEN ff = 0 OR ff >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS e3,
+      CAST(sum(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+      CAST(sum(CASE WHEN ff = 0 OR ff >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS e4,
+      CAST(sum(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+      CAST(sum(CASE WHEN ff = 0 OR ff >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS e5,
+      CAST(sum(CASE WHEN ff = 5 THEN 1 ELSE 0 END) AS BIGINT) AS f5
+      FROM ff),
+    rows AS (
+      SELECT 'low_end_punct' AS stage, 1 AS rank, e1 AS entered, f1 AS failed FROM g
+      UNION ALL SELECT 'curly_brace', 2, e2, f2 FROM g
+      UNION ALL SELECT 'lorem_ipsum', 3, e3, f3 FROM g
+      UNION ALL SELECT 'javascript', 4, e4, f4 FROM g
+      UNION ALL SELECT 'short_lines', 5, e5, f5 FROM g)
+    SELECT stage, CAST(rank AS INT) AS rank, entered, failed,
+           CAST(entered - failed AS BIGINT) AS surviving,
+           CASE WHEN entered > 0
+                THEN CAST(floor(CAST(failed * 1000000 AS DOUBLE)
+                                / CAST(entered AS DOUBLE)) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS fail_ppm
+    FROM rows"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10475,6 +10537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_nearest": _q_asof_nearest,
         "oov_rate": _q_oov_rate,
         "packing_plan": _q_packing_plan,
+        "filter_funnel": _q_filter_funnel,
         "snapshot_diff": _q_snapshot_diff,
         "join_strategy_plan": _q_join_strategy_plan,
         "acf_multi": _q_acf_multi,
@@ -10847,6 +10910,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_nearest": _ASOF_NEAREST_SQL,
         "oov_rate": _OOV_RATE_SQL,
         "packing_plan": _PACKING_PLAN_SQL,
+        "filter_funnel": _filter_funnel_sql(),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "join_strategy_plan": _JOIN_STRATEGY_SQL,
         "acf_multi": _ACF_MULTI_SQL,

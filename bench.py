@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "asof_join_nearest",
     "oov_rate",
     "packing_plan",
+    "filter_funnel",
 ]
 
 

@@ -1370,3 +1370,69 @@ def packing_plan(
         F.lit(int(ctx_len)).cast("long").alias("ctx_len"),
         F.greatest(ceil_bins, F.col("n_over_half")).alias("bins_lower_bound"),
     )
+
+
+def filter_funnel(
+    flags: DataFrame,
+    stages: "list[tuple[str, Column]]",
+) -> DataFrame:
+    """Sequential-filter survival funnel — the per-stage accounting a
+    cleaning pipeline publishes ("end-punct killed 12%, the curly
+    filter another 3% of what remained"): stages are evaluated IN
+    ORDER, a document charges its loss to the FIRST stage it fails
+    (the same document must not be double-counted downstream), and
+    each stage reports entered / failed / surviving plus the exact
+    floor-ppm local fail rate.
+
+    Exactness: the first-failing-stage index is one ordered CASE; all
+    counts are exact BIGINT conditional sums out of a SINGLE global
+    aggregate; the ppm is integer floor.
+
+    Plan shape: one codegen projection (the CASE), ONE 1-row global
+    aggregate carrying 2 sums per stage, then a stages-sized stack —
+    no shuffle beyond the scalar aggregate, regardless of corpus
+    size.
+    """
+    if not stages:
+        raise ValueError("need at least one stage")
+    expr = None
+    for i, (_, cond) in enumerate(stages, 1):
+        expr = (expr.when(cond, i) if expr is not None else F.when(cond, i))
+    ff = expr.otherwise(0)
+    d = flags.select(ff.cast("int").alias("ff"))
+    aggs = []
+    for i, (name, _) in enumerate(stages, 1):
+        aggs.append(
+            F.sum(((F.col("ff") == 0) | (F.col("ff") >= i)).cast("int"))
+            .cast("long")
+            .alias(f"e{i}")
+        )
+        aggs.append(
+            F.sum((F.col("ff") == i).cast("int")).cast("long").alias(f"f{i}")
+        )
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {i}, e{i}, f{i}" for i, (name, _) in enumerate(stages, 1)
+    )
+    rows = one.select(
+        F.expr(
+            f"stack({len(stages)}, {stack_args}) AS (stage, rank, entered, failed)"
+        )
+    )
+    return rows.select(
+        "stage",
+        F.col("rank").cast("int").alias("rank"),
+        "entered",
+        "failed",
+        (F.col("entered") - F.col("failed")).cast("long").alias("surviving"),
+        F.when(
+            F.col("entered") > 0,
+            F.floor(
+                (F.col("failed") * F.lit(1_000_000)).cast("double")
+                / F.col("entered").cast("double")
+            ),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("fail_ppm"),
+    )

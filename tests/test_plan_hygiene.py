@@ -205,6 +205,7 @@ AUDIT_QUERIES = [
     "asof_join_nearest",
     "oov_rate",
     "packing_plan",
+    "filter_funnel",
 ]
 
 

@@ -372,3 +372,25 @@ def test_packing_plan_lower_bound(spark):
     # bucket census is exact: 30 -> bucket 5 (bin len of 11110), 11 docs
     buckets = {r.bucket: r for r in rows}
     assert buckets[5].docs == 11 and buckets[5].tokens == 330
+
+
+def test_filter_funnel_first_fail_charging(spark):
+    """A doc failing stages 1 AND 2 charges only stage 1; stage 2's
+    entered excludes it; ppm is exact floor."""
+    import pandas as pd
+
+    from spartan2_spark.operators.text import filter_funnel
+
+    flags = spark.createDataFrame(pd.DataFrame({
+        "a": [1, 1, 0, 0, 0, 0],
+        "b": [1, 0, 1, 0, 0, 0],
+    }))
+    out = {r.stage: r for r in filter_funnel(
+        flags, [("A", F.col("a") == 1), ("B", F.col("b") == 1)]).collect()}
+    # docs 1,2 fail A (doc 1 also fails B but charges A)
+    assert out["A"].entered == 6 and out["A"].failed == 2
+    assert out["A"].surviving == 4
+    assert out["A"].fail_ppm == 2 * 1_000_000 // 6
+    # B sees only the 4 A-survivors; doc 3 fails it
+    assert out["B"].entered == 4 and out["B"].failed == 1
+    assert out["B"].surviving == 3
