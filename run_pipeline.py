@@ -23,6 +23,8 @@ def main() -> None:
     ap.add_argument("--pages", required=True, help="parquet path or synth:<n_rows>")
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--week-tier", action="store_true",
+                    help="append the 1w long-retention hop (t1d -> t1w)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--target-rows-per-salt", type=int, default=1_000_000)
     ap.add_argument(
@@ -81,6 +83,7 @@ def main() -> None:
         resume=not args.no_resume,
         target_rows_per_salt=args.target_rows_per_salt,
         detect_late_data=not args.assume_frozen_input,
+        week_tier=args.week_tier,
     )
     out = {"elapsed_sec": round(time.time() - t0, 2), "stages": reports}
 

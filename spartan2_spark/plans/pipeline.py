@@ -131,6 +131,7 @@ def run_pipeline(
     bin_mode: str = "int",
     target_rows_per_salt: int = 1_000_000,
     detect_late_data: bool = True,
+    week_tier: bool = False,
 ) -> list[dict]:
     """Full ladder. Returns per-stage stats (for PROGRESS/BENCH logs).
 
@@ -199,8 +200,14 @@ def run_pipeline(
         )
     )
 
-    # -- 1m -> 1h -> 1d from stored state only (per-dt lineage chaining)
-    for src, dst, tier in (("t1m", "t1h", "1h"), ("t1h", "t1d", "1d")):
+    # -- 1m -> 1h -> 1d (-> 1w, opt-in) from stored state only
+    # (per-dt lineage chaining). week_tier appends the long-retention
+    # hop without changing the default stage list the driver bench and
+    # resume tests pin.
+    hops = [("t1m", "t1h", "1h"), ("t1h", "t1d", "1d")]
+    if week_tier:
+        hops.append(("t1d", "t1w", "1w"))
+    for src, dst, tier in hops:
         src_dir = os.path.join(out_root, src)
         reports.append(
             _run_stage(

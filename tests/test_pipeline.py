@@ -368,3 +368,26 @@ def test_snapshot_diff_statuses(spark):
     assert out["p4"].status == "removed" and out["p4"].delta_rows == -40
     assert out["p5"].status == "added" and out["p5"].delta_rows == 7
     assert len(out) == 5
+
+
+def test_week_tier_opt_in(spark, tmp_path):
+    """week_tier=True appends the t1w hop: stage list gains t1w, the
+    week tier's cnt mass equals t1m's (lossless re-aggregation), and
+    the default stage list is unchanged without the flag."""
+    import os
+
+    from spartan2_spark.datagen import ensure_pages
+    from spartan2_spark.plans.pipeline import run_pipeline
+
+    pages = ensure_pages(spark, str(tmp_path / "cache"), 4_000)
+    out = str(tmp_path / "tiers_w")
+    reports = run_pipeline(spark, pages, out, week_tier=True)
+    stages = [r["stage"] for r in reports]
+    assert "t1w" in stages
+    assert stages.index("t1w") == stages.index("t1d") + 1
+    t1m = spark.read.parquet(os.path.join(out, "t1m"))
+    t1w = spark.read.parquet(os.path.join(out, "t1w"))
+    assert (
+        t1m.agg(F.sum("cnt")).collect()[0][0]
+        == t1w.agg(F.sum("cnt")).collect()[0][0]
+    )
