@@ -677,3 +677,52 @@ def test_tier_amplification_exact_ratios(spark):
     assert out["1h"].state_rows == 3   # 10h has bins {1,2}, 11h has {1}
     assert out["1d"].state_rows == 2   # one day, bins {1,2}
     assert out["1d"].rows_per_raw_ppm == 2 * 1_000_000 // 4
+
+
+def test_tier_merge_random_splits_property(spark):
+    """Property: for RANDOM point sets and RANDOM 3-way shard
+    assignments, merge(rollup(shard_i)) == rollup(all) exactly —
+    the refresh invariant under adversarial splits, not just the
+    planted calendar split."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spartan2_spark.operators.rollup import rollup_from_points, tier_merge
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 2),        # url id
+                st.integers(0, 5_000),    # minute offset
+                st.integers(-50, 50),     # integer metric value
+                st.integers(0, 2),        # shard assignment
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=5, deadline=None)
+    def prop(rows):
+        base = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame(
+            {
+                "url": [f"u{r[0]}" for r in rows],
+                "ts": [base + pd.Timedelta(minutes=r[1]) for r in rows],
+                "value": [float(r[2]) for r in rows],
+                "shard": [r[3] for r in rows],
+            }
+        )
+        pts = spark.createDataFrame(pdf)
+        full = rollup_from_points(pts.drop("shard"), "1h")
+        shards = [
+            rollup_from_points(pts.filter(f"shard = {i}").drop("shard"), "1h")
+            for i in range(3)
+        ]
+        key = lambda r: (r.url, r.bucket_ts, r.bin)
+        want = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax) for r in full.collect()}
+        got = {key(r): (r.cnt, r.vsum, r.vmin, r.vmax)
+               for r in tier_merge(*shards).collect()}
+        assert got == want
+
+    prop()
