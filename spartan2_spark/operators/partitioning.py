@@ -462,7 +462,6 @@ def join_strategy_plan(
     fact: DataFrame,
     dim: DataFrame,
     key_col: str,
-    dim_key_col: str | None = None,
     broadcast_bytes: int = 256 * 1024 * 1024,
     rows_per_task: int = 2_000_000,
     skew_ppm: int = 50_000,
@@ -489,7 +488,6 @@ def join_strategy_plan(
     (1 row, broadcast). The decision query itself never shuffles more
     than the key census.
     """
-    dkey = dim_key_col or key_col
     per_key = fact.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
