@@ -4961,7 +4961,7 @@ def _q_holoscope_shaving(spark, sf_dir):
     return (
         res["nodes"]
         .withColumn("rnd", F.lit(res["round"]))
-        .withColumn("objective", F.round(F.lit(res["objective"]), 8))
+        .withColumn("objective", F.lit(float(res["objective"])))
     )
 
 
@@ -5006,7 +5006,7 @@ def _holoscope_shave_sql(rounds: int = 12) -> str:
         + "\n    best AS (SELECT rnd, obj FROM objs ORDER BY obj DESC, rnd ASC LIMIT 1),"
         + f"\n    tagged AS ({tagged})"
         + "\n    SELECT t.user_id, t.credit, best.rnd AS rnd,"
-        + " round(best.obj, 8) AS objective"
+        + " best.obj AS objective"
         + "\n    FROM tagged t JOIN best ON t.rnd = best.rnd"
     )
 
@@ -5134,7 +5134,7 @@ def _q_flow_peel_block(spark, sf_dir):
     return (
         res["nodes"]
         .withColumn("rnd", F.lit(res["round"]))
-        .withColumn("objective4", F.round(F.lit(res["objective"]), 8))
+        .withColumn("objective4", F.lit(float(res["objective"])))
     )
 
 
@@ -5173,7 +5173,7 @@ def _flow_peel_sql(rounds: int = 12) -> str:
         + "\n    best AS (SELECT rnd, obj FROM objs ORDER BY obj DESC, rnd ASC LIMIT 1),"
         + f"\n    tagged AS ({tagged})"
         + "\n    SELECT t.mid, t.iscore4, best.rnd AS rnd,"
-        + " round(best.obj, 8) AS objective4"
+        + " best.obj AS objective4"
         + "\n    FROM tagged t JOIN best ON t.rnd = best.rnd"
     )
 
@@ -5217,7 +5217,7 @@ def _q_cubeflow_plus(spark, sf_dir):
         "n_c",
         "f",
         "imbalance",
-        F.round("score", 8).alias("score"),
+        F.col("score").alias("score"),
     )
 
 
@@ -5314,8 +5314,8 @@ def _cubeflow_plus_sql(k: int = 12, limit: int = 6, rounds: int = 12,
     SELECT c.component, c.n_a, c.n_m, c.n_c,
            coalesce(s.f, 0)::BIGINT AS f,
            coalesce(s.imbalance, 0)::BIGINT AS imbalance,
-           round(CAST((({a_den - a_num}) * coalesce(s.f, 0) - {a_num} * coalesce(s.imbalance, 0)) AS DOUBLE)
-             / ({a_den} * (c.n_a + c.n_m + c.n_c)), 8) AS score
+           CAST((({a_den - a_num}) * coalesce(s.f, 0) - {a_num} * coalesce(s.imbalance, 0)) AS DOUBLE)
+             / ({a_den} * (c.n_a + c.n_m + c.n_c)) AS score
     FROM cnts c LEFT JOIN msum s USING (component)""")
 
 
@@ -5343,7 +5343,7 @@ def _q_flowscope_peel(spark, sf_dir):
         res["nodes"]
         .select("side", "node", F.col("p").alias("priority"))
         .withColumn("rnd", F.lit(res["round"]))
-        .withColumn("objective", F.round(F.lit(res["objective"]), 8))
+        .withColumn("objective", F.lit(float(res["objective"])))
     )
 
 
@@ -5431,7 +5431,7 @@ def _flowscope_peel_sql(rounds: int = 6) -> str:
         + "\n    best AS (SELECT rnd, obj FROM objs ORDER BY obj DESC, rnd ASC LIMIT 1),"
         + f"\n    tagged AS ({tagged})"
         + "\n    SELECT t.side, t.node, t.p AS priority, best.rnd AS rnd,"
-        + " round(best.obj, 8) AS objective"
+        + " best.obj AS objective"
         + "\n    FROM tagged t JOIN best ON t.rnd = best.rnd"
     )
 
