@@ -70,6 +70,10 @@ def load_tensor(
 
     if ext == "parquet":
         df = spark.read.parquet(path)
+    elif ext == "orc":
+        # columnar alternative the JVM ships natively (no extra jars);
+        # same positional-projection contract as parquet
+        df = spark.read.orc(path)
     elif ext == "json":
         df = spark.read.json(path)
     elif ext in ("npy", "npz"):

@@ -782,3 +782,18 @@ def test_stream_pow2_hist_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) > 20
+
+
+def test_load_tensor_orc_roundtrip(spark, tmp_path):
+    """ORC joins the extension dispatch: write a frame as ORC, load it
+    through load_tensor with a positional projection, values match."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.5, 1.5, 2.5]})
+    )
+    d = str(tmp_path / "t.orc")
+    df.write.orc(d)
+    got = IO.load_tensor(spark, d, col_idx=[0, 2], col_types=[int, float])
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows == [(1, 0.5), (2, 1.5), (3, 2.5)]
