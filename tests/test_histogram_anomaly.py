@@ -664,3 +664,38 @@ def test_sliding_hist_quantile_gap_correct(spark):
     assert out[h2].total == 16 and out[h2].bucket_lo == 8
     # no window row for the empty hour 1 (no samples ended there)
     assert h0 + 3600 not in out
+
+
+def test_sliding_quantile_bucket_contains_true_quantile(spark):
+    """Property: for random non-negative integer samples in one
+    window, the selected pow2 bucket always CONTAINS the true
+    nearest-rank p90 (the sketch's relative-error contract)."""
+    import math
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from spartan2_spark.operators.histogram import sliding_hist_quantile
+
+    @given(st.lists(st.integers(0, 10_000), min_size=1, max_size=80))
+    @settings(max_examples=5, deadline=None)
+    def prop(vals):
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        pdf = pd.DataFrame({
+            "key": ["k"] * len(vals),
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(len(vals))],
+            "v": vals,
+        })
+        df = spark.createDataFrame(pdf)
+        rows = sliding_hist_quantile(
+            df, window_buckets=1, bucket_s=3600, q_num=9, q_den=10
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        s = sorted(vals)
+        true_q = s[math.ceil(0.9 * len(s)) - 1]  # nearest-rank lower
+        assert r.bucket_lo <= true_q <= r.bucket_hi, (r, true_q)
+        assert r.total == len(vals)
+
+    prop()
