@@ -9349,7 +9349,10 @@ def _q_rolling_corr(spark, sf_dir):
             .alias("y"),
         )
     )
-    return rolling_corr(b, key_col="key", order_col="t_s", x_col="x", y_col="y", window=6)
+    return rolling_corr(
+        b, key_col="key", order_col="t_s", x_col="x", y_col="y",
+        window=6, step_s=3600,
+    )
 
 
 _ROLLING_CORR_SQL = """
@@ -9368,7 +9371,7 @@ _ROLLING_CORR_SQL = """
                  CAST(sum(x * y) OVER win AS BIGINT) AS sxy
           FROM m
           WINDOW win AS (PARTITION BY key ORDER BY t_s
-                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+                         RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)),
     d AS (SELECT key, t_s, n, sx, sy,
                  n * sxx - sx * sx AS dx,
                  n * syy - sy * sy AS dy,

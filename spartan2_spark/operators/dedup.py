@@ -1355,7 +1355,11 @@ def bloom_fpr_audit(
     )
     summary = per_probe.agg(
         F.count(F.lit(1)).cast("long").alias("n_probes"),
-        F.sum((F.col("n_hit") == F.col("n_pos")).cast("int"))
+        # coalesce: zero probe rows (probes subset of members) must read
+        # as 0 false positives, not NULL
+        F.coalesce(
+            F.sum((F.col("n_hit") == F.col("n_pos")).cast("int")), F.lit(0)
+        )
         .cast("long")
         .alias("n_fp"),
     )
@@ -1374,9 +1378,12 @@ def bloom_fpr_audit(
             ).cast("long").alias("load_ppm"),
             "n_probes",
             "n_fp",
-            F.floor(
-                (F.col("n_fp") * F.lit(1_000_000)).cast("double")
-                / F.col("n_probes").cast("double")
-            ).cast("long").alias("fpr_ppm"),
+            F.when(
+                F.col("n_probes") > 0,
+                F.floor(
+                    (F.col("n_fp") * F.lit(1_000_000)).cast("double")
+                    / F.col("n_probes").cast("double")
+                ),
+            ).otherwise(0).cast("long").alias("fpr_ppm"),
         )
     )

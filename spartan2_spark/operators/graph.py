@@ -890,6 +890,8 @@ def hits_fixedpoint(
     via an unpartitioned window over the NODE census; barrier()
     truncates lineage each round like kcore/pagerank.
     """
+    if rounds < 1:
+        raise ValueError("hits_fixedpoint needs rounds >= 1")
     scale = 1 << scale_bits
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).transform(barrier)
     nodes = (

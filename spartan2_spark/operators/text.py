@@ -1249,6 +1249,7 @@ def oov_rate(
     vocab_k: int = 200,
     source_col: str = "source",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenizer-vocabulary coverage per corpus slice: with the
     corpus-global top-``vocab_k`` tokens as the vocabulary (the
@@ -1269,13 +1270,13 @@ def oov_rate(
     """
     toks = docs.select(
         F.col(source_col).alias("src"),
-        F.col("doc_id"),
+        F.col(id_col).alias("__did"),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), " +")
         ).alias("token"),
     ).filter(F.col("token") != "")
     census = toks.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.countDistinct("__did").cast("long").alias("df"),
         F.count(F.lit(1)).cast("long").alias("tf"),
     )
     w = W.orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("token").asc())
@@ -1395,6 +1396,13 @@ def filter_funnel(
     """
     if not stages:
         raise ValueError("need at least one stage")
+    import re as _re
+
+    for name, _ in stages:
+        # names are interpolated into a stack() SQL literal — keep them
+        # to a safe charset rather than invent quoting rules
+        if not _re.fullmatch(r"[A-Za-z0-9_ .:/-]+", name):
+            raise ValueError(f"stage name {name!r} must match [A-Za-z0-9_ .:/-]+")
     expr = None
     for i, (_, cond) in enumerate(stages, 1):
         expr = (expr.when(cond, i) if expr is not None else F.when(cond, i))

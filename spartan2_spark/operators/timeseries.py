@@ -2254,6 +2254,7 @@ def rolling_corr(
     x_col: str = "x",
     y_col: str = "y",
     window: int = 6,
+    step_s: int = 1,
 ) -> DataFrame:
     """Trailing-window Pearson correlation between two co-sampled
     integer tracks per series — the co-movement monitor ("does error
@@ -2272,17 +2273,26 @@ def rolling_corr(
     Windows shorter than 2 buckets or with a constant track emit NULL,
     not a fake 0.
 
+    Gap-correct by construction: the frame is a RANGE over exact
+    ``order_col`` values — ``window`` buckets of ``step_s`` each — so
+    a silent empty bucket shrinks the sample instead of stretching the
+    trailing span across the gap (a ROWS frame would correlate stale
+    pre-gap data during an outage, the exact lag-by-ROWS failure
+    acf_multi / forecast_backtest also engineer around).
+
     Plan shape: ONE key-partitioned running window evaluates all six
     trailing sums in a single pass (one shuffle on the key, shared by
-    every frame); per-key state is the trailing ``window`` rows —
+    every frame); per-key state is the trailing ``window`` buckets —
     O(window) memory per series regardless of corpus size.
     """
     if window < 2:
         raise ValueError("rolling_corr needs window >= 2")
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
     w = (
         W.partitionBy(key_col)
-        .orderBy(order_col)
-        .rowsBetween(-(int(window) - 1), W.currentRow)
+        .orderBy(F.col(order_col).cast("long"))
+        .rangeBetween(-(int(window) - 1) * int(step_s), W.currentRow)
     )
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")

@@ -200,14 +200,11 @@ def run_pipeline(
         )
     )
 
-    # -- 1m -> 1h -> 1d (-> 1w, opt-in) from stored state only
-    # (per-dt lineage chaining). week_tier appends the long-retention
-    # hop without changing the default stage list the driver bench and
-    # resume tests pin.
-    hops = [("t1m", "t1h", "1h"), ("t1h", "t1d", "1d")]
-    if week_tier:
-        hops.append(("t1d", "t1w", "1w"))
-    for src, dst, tier in hops:
+    # -- 1m -> 1h -> 1d from stored state only (per-dt lineage
+    # chaining; these hops are per-dt resumable because input and
+    # output dts coincide — a day tier row rebuilds from that day's
+    # hour rows only)
+    for src, dst, tier in (("t1m", "t1h", "1h"), ("t1h", "t1d", "1d")):
         src_dir = os.path.join(out_root, src)
         reports.append(
             _run_stage(
@@ -220,6 +217,51 @@ def run_pipeline(
                 upstream=M.upstream_crcs(out_root, src),
             )
         )
+
+    # -- opt-in 1w long-retention hop. ALL-OR-NOTHING like the gapfill
+    # view, NOT per-dt resumable: a week partition (dt = ISO Monday)
+    # aggregates SEVEN t1d day partitions, so per-dt input pruning
+    # against completed week dts would drop only the Monday day and
+    # silently rebuild every done week from 6/7 of its days on resume.
+    # The week tier is the coarsest state (smallest of the ladder), so
+    # rebuild-on-any-t1d-change is cheap and keeps resume exact: the
+    # stage is pinned to a global fingerprint of the t1d manifest.
+    if week_tier:
+        t1d_dir = os.path.join(out_root, "t1d")
+        fp_w = _global_fingerprint(out_root, "t1d")
+        w_man = M.read_manifest(out_root, "t1w")
+        w_valid = bool(w_man) and all(e.get("input_crc") == fp_w for e in w_man)
+        if resume and w_valid:
+            reports.append(
+                {
+                    "stage": "t1w",
+                    "new_partitions": 0,
+                    "rows_written": 0,
+                    "bytes_written": 0,
+                    "skipped_partitions": len(w_man),
+                    "version": M.table_version(os.path.join(out_root, "t1w")),
+                    "wall_sec": 0.0,
+                }
+            )
+        else:
+            reports.append(
+                _run_stage(
+                    spark, out_root, "t1w",
+                    spark.read.parquet(t1d_dir), F.lit("__none__"),
+                    lambda df: R.rollup_tier_up(df.drop("dt"), "1w").withColumn(
+                        "dt", F.to_date("bucket_ts")
+                    ),
+                    M.table_version(t1d_dir), False,
+                    upstream={},  # placeholder; entries pinned below
+                )
+            )
+            man = M.read_manifest(out_root, "t1w")
+            M.write_partition_entries(
+                out_root, "t1w",
+                man,
+                M.table_version(t1d_dir),
+                {e["dt"]: fp_w for e in man},
+            )
 
     # -- gap-filled 1h view (materialized for readers/BeatLex).
     # Interpolation crosses dates -> all-or-nothing, pinned to a global

@@ -982,3 +982,16 @@ def test_bloom_fpr_audit_exact(spark):
     assert r.n_fp == want_fp
     assert r.load_ppm == len(bitset) * 1_000_000 // m_bits
     assert r.fpr_ppm == want_fp * 1_000_000 // 4
+
+
+def test_bloom_fpr_audit_all_probes_are_members(spark):
+    """probes subset of members -> zero probe rows after the anti-join:
+    n_fp and fpr_ppm must read 0, never NULL."""
+    import pandas as pd
+
+    from spartan2_spark.operators.dedup import bloom_fpr_audit
+
+    mdf = spark.createDataFrame(pd.DataFrame({"key": ["a", "b", "c"]}))
+    pdf = spark.createDataFrame(pd.DataFrame({"key": ["a", "b"]}))
+    r = bloom_fpr_audit(mdf, pdf, m_bits=16, k_hashes=2).collect()[0]
+    assert r.n_probes == 0 and r.n_fp == 0 and r.fpr_ppm == 0

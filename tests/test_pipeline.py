@@ -372,8 +372,11 @@ def test_snapshot_diff_statuses(spark):
 
 def test_week_tier_opt_in(spark, tmp_path):
     """week_tier=True appends the t1w hop: stage list gains t1w, the
-    week tier's cnt mass equals t1m's (lossless re-aggregation), and
-    the default stage list is unchanged without the flag."""
+    week tier's cnt mass equals t1m's (lossless re-aggregation), and —
+    because a week partition aggregates SEVEN day partitions — resume
+    must be ALL-OR-NOTHING: a second run skips the whole stage and the
+    week state stays bit-identical (per-dt pruning would silently
+    rebuild done weeks from 6/7 of their days)."""
     import os
 
     from spartan2_spark.datagen import ensure_pages
@@ -391,3 +394,17 @@ def test_week_tier_opt_in(spark, tmp_path):
         t1m.agg(F.sum("cnt")).collect()[0][0]
         == t1w.agg(F.sum("cnt")).collect()[0][0]
     )
+    before = sorted(
+        tuple(r)
+        for r in t1w.select("url", "bucket_ts", "bin", "cnt", "vsum").collect()
+    )
+    r2 = {r["stage"]: r for r in run_pipeline(spark, pages, out, week_tier=True)}
+    assert r2["t1w"]["new_partitions"] == 0
+    assert r2["t1w"]["skipped_partitions"] > 0
+    after = sorted(
+        tuple(r)
+        for r in spark.read.parquet(os.path.join(out, "t1w"))
+        .select("url", "bucket_ts", "bin", "cnt", "vsum")
+        .collect()
+    )
+    assert after == before

@@ -602,7 +602,7 @@ def test_bloom_fpr_bitset_broadcasts(spark, sf_dir):
     join — probes never shuffle against members."""
     plan = plan_of(E.queries()["bloom_fpr_audit"](spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan.split("LeftAnti")[0] or True
+    assert "SortMergeJoin" not in plan, plan  # bitset AND anti both broadcast
     assert "CartesianProduct" not in plan
 
 

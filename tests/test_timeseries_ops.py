@@ -1229,7 +1229,7 @@ def test_rolling_corr_matches_numpy(spark):
     )
     out = {
         (r.key, r.t_s): r
-        for r in rolling_corr(df, window=3).collect()
+        for r in rolling_corr(df, window=3, step_s=1).collect()
     }
     for t in range(2, 8):
         want = np.corrcoef(x[t - 2 : t + 1], y[t - 2 : t + 1])[0, 1]
@@ -1241,6 +1241,13 @@ def test_rolling_corr_matches_numpy(spark):
     # moment columns are exact integers
     r = out[("k", 4)]
     assert (r.n, r.sx, r.sy) == (3, 10, 11)
+    # gap-correctness: with a hole at t=5 the RANGE frame at t=6
+    # covers only {4, 6} (n == 2), never stretching back to t=3 the
+    # way a ROWS frame would
+    gap = df.filter("not (key = 'k' and t_s = 5)")
+    g = {(r.key, r.t_s): r for r in rolling_corr(gap, window=3, step_s=1).collect()}
+    assert g[("k", 6)].n == 2
+    assert g[("k", 6)].sx == x[4] + x[6]
 
 
 def test_mann_kendall_planted_trends(spark):

@@ -61,8 +61,13 @@ def main() -> int:
             return 2
         json_out = args[i + 1]
         del args[i : i + 2]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
-    only = [a for a in args if "/" not in a]
+    import os as _os
+
+    def _is_dir_arg(a: str) -> bool:
+        return "/" in a or _os.path.isdir(a)
+
+    sf_dir = args[0] if args and _is_dir_arg(args[0]) else "/root/testdata/sf0.001"
+    only = [a for a in args if not _is_dir_arg(a)]
 
     import __spark_entry__ as E
     from spartan2_spark.session import get_spark
