@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from spartan2_spark.operators.barrier import barrier as _barrier
+
 from spartan2_spark.operators import rollup as R
 from spartan2_spark.operators import gapfill as G
 from spartan2_spark.operators import timeseries as TS
@@ -4338,6 +4340,13 @@ def _sampled_copart_edges(spark, sf_dir):
             < rate
         )
         .distinct()
+        # barrier: five queries fan out from this relation with
+        # multi-self-join plans (neighbor sets, wedges, degree moments)
+        # that would otherwise re-evaluate the whole co-part build per
+        # consumer branch — measured 24-32 parquet scans of
+        # lineitem per query in PLAN_AUDIT before the checkpoint,
+        # 0 after (the edge relation is sample-capped and tiny)
+        .transform(_barrier)
     )
 
 
@@ -4869,12 +4878,17 @@ def _q_holoscope_fusion(spark, sf_dir):
         "rbucket",
         F.when(F.col("value") < 50, 0).when(F.col("value") < 100, 1).otherwise(2).cast("long"),
     )
+    # barrier both score relations: they are sink-count-sized (a
+    # handful of rows) but the RRF rank windows reference each input
+    # several times — without the checkpoint the whole raw-scan KL /
+    # burst build re-evaluates per reference (24 parquet scans measured
+    # in PLAN_AUDIT; 0 after)
     kl = kl_divergence_per_sink(ev, "event_type", "rbucket", n_buckets=3).select(
         "event_type", F.round("kl", 8).alias("s_kl")
-    )
+    ).transform(_barrier)
     bi = burst_involvement(ev, "event_type", "ts", 3600).select(
         "event_type", F.col("involv").alias("s_burst")
-    )
+    ).transform(_barrier)
     fused = reciprocal_rank_fusion(
         kl.join(bi, "event_type"), "event_type", ["s_kl", "s_burst"]
     )
@@ -10208,6 +10222,9 @@ def _q_modularity(spark, sf_dir):
         .select(
             F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
         )
+        # barrier: LPA and the modularity aggregates both fan out from
+        # this ring relation (node-count-sized) — checkpoint once
+        .transform(_barrier)
     )
     labels = label_propagation(pairs, rounds=4)
     return modularity_score(pairs, labels)

@@ -6,7 +6,15 @@ join strategies, and any Python eval nodes (BatchEvalPython is the
 banned row-at-a-time form; the Arrow-vectorized forms are allowed) —
 plus a summary rollup. Plans are built at a small sf (construction of
 iterative queries runs their real barriered rounds; everything else
-stays lazy), so the audit is cheap and runs per round:
+stays lazy), so the audit is cheap and runs per round.
+
+Known-bounded flags (expected in the summary, not defects): the five
+eaglemine_* queries carry ONE CartesianProduct — an inequality
+self-join over the distinct water-LEVEL relation of the histogram
+contour tree (tens of rows, bounded by the level quantization, never
+data-sized).
+
+Usage:
 
     python tools/plan_audit.py [--json PLAN_AUDIT.json] [sf_dir] [names...]
 """
