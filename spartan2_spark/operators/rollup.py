@@ -1364,6 +1364,8 @@ def tier_amplification_audit(
     same aggregate the tier write itself performs — no extra shuffle
     class.
     """
+    from spartan2_spark.operators.barrier import barrier
+
     raw_cnt = points.agg(F.count(F.lit(1)).cast("long").alias("state_rows"))
     levels = [raw_cnt.select(F.lit("raw").alias("tier"), "state_rows")]
     state = None
@@ -1376,6 +1378,10 @@ def tier_amplification_audit(
             if order[t] <= prev_order:
                 raise ValueError("tiers must be strictly coarsening")
             state = rollup_tier_up(state, t)
+        # barrier: each level feeds BOTH its own count branch and the
+        # next hop — unbarriered, level k re-evaluates the whole chain
+        # from raw (k+1 scans); the state is tier-sized
+        state = barrier(state)
         prev_order = order[t]
         levels.append(
             state.agg(F.count(F.lit(1)).cast("long").alias("state_rows"))

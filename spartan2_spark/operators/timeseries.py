@@ -2356,11 +2356,16 @@ def mann_kendall(
     points/yr -> ~66k pairs), NEVER corpus-size. The quadratic is
     per-series and embarrassingly parallel across keys.
     """
+    from spartan2_spark.operators.barrier import barrier
+
+    # barrier: both self-join sides reference this relation — without
+    # the checkpoint the caller's upstream (often a raw-scan rollup)
+    # re-evaluates per side; the bucketed series is tier-sized
     s = df.select(
         F.col(key_col).alias("key"),
         F.col(order_col).cast("long").alias("t"),
         F.col(value_col).cast("long").alias("v"),
-    )
+    ).transform(barrier)
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(b, on="key").where(F.col("a.t") < F.col("b.t"))
     sgn = (
@@ -2415,11 +2420,16 @@ def forecast_backtest(
     gap-correct. All three relations hash-partition on (key, t), and
     the final per-key aggregate is map-side combinable.
     """
+    from spartan2_spark.operators.barrier import barrier
+
+    # barrier: the actuals and BOTH shifted reference relations read
+    # this series — checkpoint once (tier-sized), not three upstream
+    # re-evaluations
     s = df.select(
         F.col(key_col).alias("key"),
         F.col(order_col).cast("long").alias("t"),
         F.col(value_col).cast("long").alias("v"),
-    )
+    ).transform(barrier)
     f24 = s.select("key", (F.col("t") + F.lit(int(season_s))).alias("t"), F.col("v").alias("f_seasonal"))
     f1 = s.select("key", (F.col("t") + F.lit(int(step_s))).alias("t"), F.col("v").alias("f_naive"))
     joined = s.join(f24, on=["key", "t"]).join(f1, on=["key", "t"])
@@ -2482,11 +2492,15 @@ def acf_multi(
     """
     if not lags_s:
         raise ValueError("need at least one lag")
+    from spartan2_spark.operators.barrier import barrier
+
+    # barrier: 2 references per lag (anchor + shifted) — K lags would
+    # otherwise re-evaluate the caller's rollup 2K times
     s = df.select(
         F.col(key_col).alias("key"),
         F.col(order_col).cast("long").alias("t"),
         F.col(value_col).cast("long").alias("v"),
-    )
+    ).transform(barrier)
     parts = []
     for lag in lags_s:
         shifted = s.select(
