@@ -1295,6 +1295,9 @@ def _q_clustering_coeff(spark, sf_dir):
             F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
         )
         .distinct()
+        # barrier: the triangle + degree branches fan out 8 ways from
+        # this relation (PLAN_AUDIT measured 8 raw scans unbarriered)
+        .transform(_barrier)
     )
     return clustering_coeff(pairs)
 
@@ -1911,13 +1914,17 @@ def _q_countmin(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("key")
     )
-    sk = countmin_build(ev, depth=4, width=256)
+    # barrier the two state-sized relations: the estimate probe and the
+    # closing join re-reference them, which re-scanned raw 6x
+    # (PLAN_AUDIT); raw itself is read exactly twice (sketch build +
+    # exact census), which is the true lower bound here
+    sk = countmin_build(ev, depth=4, width=256).transform(_barrier)
     exact = (
         ev.groupBy("key")
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc("key"))
         .limit(20)
-    )
+    ).transform(_barrier)
     est = countmin_estimate(sk, exact.select("key"), depth=4, width=256)
     return exact.join(est, "key").select(
         F.col("key").cast("long").alias("user_id"),

@@ -1332,12 +1332,21 @@ def bloom_fpr_audit(
         )
         return df.select(F.col(key_col).alias("key"), pos.alias("pos"))
 
+    from spartan2_spark.operators.barrier import barrier
+
+    # barrier the probe positions (and keep the bitset/member census
+    # single-pass): member_keys is referenced by the bitset, the member
+    # count, and the anti-join; probe positions feed the hit join —
+    # unbarriered this re-scanned both inputs 5x (PLAN_AUDIT)
+    member_keys = member_keys.select(
+        F.col(key_col).alias(key_col)
+    ).distinct().transform(barrier)
     bitset = (
         positions(member_keys)
         .select(F.explode("pos").alias("bit"))
         .distinct()
     )
-    n_mem = member_keys.select(key_col).distinct().agg(
+    n_mem = member_keys.agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
     probes = (

@@ -249,9 +249,14 @@ def cooccurrence_lift(
     case, never users^2), one pair aggregate, broadcast joins to the
     per-item counts and the 1-row user total.
     """
+    from spartan2_spark.operators.barrier import barrier
+
+    # barrier: the incidence relation feeds the user total, the
+    # per-item counts and BOTH self-join sides — checkpoint once
+    # (incidence-sized), not four raw re-scans
     inc = events.select(
         F.col(user_col).alias("u"), F.col(item_col).alias("it")
-    ).distinct()
+    ).distinct().transform(barrier)
     n_users = inc.select("u").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )

@@ -1160,6 +1160,13 @@ def crawl_budget_apportion(
         F.col(key_col).alias("key"),
         F.col(weight_col).cast("long").alias("w"),
     )
+    from spartan2_spark.operators.barrier import barrier
+
+    # barrier: the weight census feeds the total, the base shares, the
+    # leftover count and the ranking — unbarriered each branch re-scans
+    # the caller's raw input (6x in PLAN_AUDIT); the census is
+    # key-sized
+    g = barrier(g)
     tot = g.agg(F.sum("w").cast("long").alias("wsum"))
     base = g.crossJoin(F.broadcast(tot)).select(
         "key",

@@ -1137,6 +1137,8 @@ def theilsen_trend(
     key, quadratic only within a bounded group.
     """
     w = W.partitionBy(key_col).orderBy(time_col, *order_cols)
+    from spartan2_spark.operators.barrier import barrier as _barrier
+
     idx = df.select(
         F.col(key_col).alias("key"),
         (F.row_number().over(w) - 1).alias("i"),
@@ -1155,6 +1157,9 @@ def theilsen_trend(
             F.col("stride").isNull() | (F.col("i") % F.col("stride") == 0)
         )
         .select("key", "i", "y")
+        # barrier: the pair self-join (2 refs) + median stages would
+        # re-evaluate the strided series from raw per reference
+        .transform(_barrier)
     )
     a, b_ = idx.alias("a"), idx.alias("b")
     pairs = (
