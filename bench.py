@@ -74,8 +74,9 @@ BENCH_QUERIES = [
     "uptime_sla",
     "dod_bitwidth_stats",
     # round-4 wrap 2: gauge monitoring, value-track planning, tier
-    # freshness/routing/mode serving, drift triage (all lazily
-    # constructed — safe for the end-to-end per-query timer)
+    # freshness/routing/mode serving, drift triage (tier_freshness now
+    # barriers its shared relations at construction; all are timed
+    # end-to-end by run_query either way)
     "gauge_delta",
     "predict_linear",
     "xor_bitwidth_stats",
@@ -108,14 +109,16 @@ BENCH_QUERIES = [
     "url_template_stats",
     # round-4 wrap-2 batch: rolling correlation monitor, trend test,
     # forecast scoreboard, readability scan, politeness feasibility
-    # (all lazily constructed — no eager counts/checkpoints)
+    # (mann_kendall / forecast_backtest barrier their bucketed series
+    # at construction — run_query's end-to-end window times that)
     "rolling_corr",
     "mann_kendall",
     "forecast_backtest",
     "readability_scores",
     "politeness_plan",
     # round-4 wrap-2b: lineage diff, join-layout audit, seasonality
-    # detector, watermark audit, skew tiers (lazily constructed)
+    # detector, watermark audit, skew tiers (acf_multi barriers its
+    # series at construction; the rest stay lazy)
     "snapshot_diff",
     "join_strategy_plan",
     "acf_multi",
@@ -129,7 +132,9 @@ BENCH_QUERIES = [
     "hits_scores",
     "kmeans_clusters",
     # round-4 wrap-2e: week tier, corpus overlap, basket lift,
-    # amplification + Bloom audits (lazily constructed)
+    # amplification + Bloom audits (the last four barrier state-sized
+    # relations at construction — timed end-to-end like the iterative
+    # kernels)
     "rollup_1w_tierup",
     "source_vocab_overlap",
     "cooccurrence_lift",
