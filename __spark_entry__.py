@@ -10487,6 +10487,47 @@ def _filter_funnel_sql() -> str:
     )
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient ladder on the sampled co-part graph
+    (graph.rich_club): exact induced-subgraph densities above degree
+    cuts 2/4/8/16 — the hub-core connectivity audit next to
+    degree_assortativity; twin replays the same cuts over the shared
+    MATERIALIZED edge CTE."""
+    from spartan2_spark.operators.graph import rich_club
+
+    return rich_club(_sampled_copart_edges(spark, sf_dir))
+
+
+def _rich_club_sql(cuts: tuple[int, ...] = (2, 4, 8, 16)) -> str:
+    rows = []
+    for k in cuts:
+        rows.append(
+            f"(SELECT CAST({k} AS BIGINT) AS k, "
+            f"(SELECT count(*)::BIGINT FROM deg WHERE deg > {k}) AS n_k, "
+            f"(SELECT count(*)::BIGINT FROM e "
+            f" WHERE u IN (SELECT node FROM deg WHERE deg > {k}) "
+            f"   AND v IN (SELECT node FROM deg WHERE deg > {k})) AS e_k)"
+        )
+        # phi computed in the outer select from the exact counts
+    union = "\n      UNION ALL ".join(rows)
+    return (
+        "WITH "
+        + _COPART_E_CTE.strip()
+        + """,
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1),
+    cuts AS ("""
+        + union
+        + """)
+    SELECT k, n_k, e_k,
+           CASE WHEN n_k >= 2
+                THEN CAST(2 * e_k AS DOUBLE)
+                     / CAST(n_k * (n_k - 1) AS DOUBLE)
+           END AS phi
+    FROM cuts"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10561,6 +10602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_audit": _q_bloom_fpr,
         "sliding_hist_quantile": _q_sliding_quantile,
         "modularity_score": _q_modularity,
+        "rich_club": _q_rich_club,
         "asof_join_nearest": _q_asof_nearest,
         "oov_rate": _q_oov_rate,
         "packing_plan": _q_packing_plan,
@@ -10934,6 +10976,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_fpr_audit": _BLOOM_FPR_SQL,
         "sliding_hist_quantile": _SLIDING_QUANTILE_SQL,
         "modularity_score": _modularity_sql(rounds=4),
+        "rich_club": _rich_club_sql(),
         "asof_join_nearest": _ASOF_NEAREST_SQL,
         "oov_rate": _OOV_RATE_SQL,
         "packing_plan": _PACKING_PLAN_SQL,

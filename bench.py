@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "sliding_hist_quantile",
     "modularity_score",
     "asof_join_nearest",
+    "rich_club",
     "oov_rate",
     "packing_plan",
     "filter_funnel",

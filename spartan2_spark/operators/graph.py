@@ -1019,3 +1019,66 @@ def modularity_score(
         num.cast("long").alias("num"),
         q_contrib.alias("q_contrib"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    degree_cuts: tuple[int, ...] = (2, 4, 8, 16),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragon 2004) at a ladder of
+    degree cuts — "do the hubs preferentially link to each other?",
+    the elite-connectivity complement of :func:`degree_assortativity`
+    (which averages over ALL edges): for each cut k, the nodes with
+    degree > k and the exact density of the subgraph they induce,
+
+        phi(k) = 2 * e_k / (n_k * (n_k - 1))
+
+    A crawl hostgraph with phi rising toward 1 at high k has a
+    tightly-coupled hub core (link farms / CDN clusters); a flat phi
+    is hub-egalitarian.
+
+    Input contract: one row per undirected edge with src < dst, no
+    self loops (the :func:`modularity_score` contract).
+
+    Exactness: node and induced-edge counts are exact BIGINTs; phi is
+    ONE IEEE divide per cut. n_k < 2 emits NULL (no pairs to close).
+
+    Plan shape: one symmetrized degree aggregate (barriered — every
+    cut reuses it), then per cut two broadcast-able semi-joins of the
+    edge list against the (tiny) rich-node set + 1-row counts; the
+    cuts relation unions. Nothing is ever edge x edge.
+    """
+    if not degree_cuts:
+        raise ValueError("need at least one degree cut")
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).transform(
+        barrier
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .transform(barrier)
+    )
+    out = None
+    for k in degree_cuts:
+        rich = deg.filter(F.col("deg") > int(k)).select("node")
+        nk = rich.agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+        ek = (
+            e.join(rich.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(rich.withColumnRenamed("node", "v"), "v", "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+        )
+        row = nk.crossJoin(ek).select(
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_k",
+            "e_k",
+            F.when(
+                F.col("n_k") >= 2,
+                (F.lit(2) * F.col("e_k")).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+            ).alias("phi"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -522,3 +522,24 @@ def test_modularity_score_two_triangles(spark):
     out2 = modularity_score(e, l2).collect()
     q2 = sum(r.num for r in out2) / (4 * 7 * 7)
     assert q2 < q
+
+
+def test_rich_club_planted_core(spark):
+    """A 4-clique core with pendant spokes: above cut k=2 only the
+    clique nodes survive and phi = 1.0; above k=4 nobody survives
+    (NULL phi); counts exact."""
+    import pandas as pd
+
+    from spartan2_spark.operators.graph import rich_club
+
+    core = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(core) for y in core[i + 1:]]
+    # one pendant per core node: degree(core) = 4, degree(pendant) = 1
+    edges += [(n, n + "p") for n in core]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    out = {r.k: r for r in rich_club(df, degree_cuts=(2, 4)).collect()}
+    r2 = out[2]
+    assert r2.n_k == 4 and r2.e_k == 6  # the clique, fully dense
+    assert abs(r2.phi - 1.0) < 1e-15
+    r4 = out[4]
+    assert r4.n_k == 0 and r4.e_k == 0 and r4.phi is None
