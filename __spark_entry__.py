@@ -10528,6 +10528,80 @@ def _rich_club_sql(cuts: tuple[int, ...] = (2, 4, 8, 16)) -> str:
     )
 
 
+def _q_ooo_rate(spark, sf_dir):
+    """Out-of-order ingestion audit (timeseries.ooo_rate): events
+    walked in synthetic arrival order (the watermark_lag_audit jitter
+    family), exact adjacent-inversion counts + floor ppm + deepest
+    regression — the ordering complement of the lateness audit."""
+    from spartan2_spark.operators.timeseries import ooo_rate
+
+    e = _events(spark, sf_dir).select(
+        F.col("event_type").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("event_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("event_id") * F.lit(2654435761)) % 3000 * F.lit(1_000_000)
+        ).alias("arrival_seq"),
+    )
+    return ooo_rate(e)
+
+
+_OOO_RATE_SQL = """
+    WITH e AS (SELECT event_type AS key,
+                      epoch_us(ts) AS t,
+                      epoch_us(ts) + (event_id * 2654435761) % 3000 * 1000000
+                        AS arr
+               FROM events),
+    d AS (SELECT key, t,
+                 lag(t) OVER (PARTITION BY key ORDER BY arr ASC) AS prev_t
+          FROM e),
+    g AS (SELECT key, count(*)::BIGINT AS n,
+                 CAST(sum(CASE WHEN prev_t IS NOT NULL AND t < prev_t
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+                 max(CASE WHEN t < prev_t THEN prev_t - t END)
+                   AS max_regression_us
+          FROM d GROUP BY 1)
+    SELECT key, n, n_inversions,
+           CAST(floor(CAST(n_inversions * 1000000 AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS BIGINT) AS inversion_ppm,
+           CAST(coalesce(max_regression_us, 0) AS BIGINT) AS max_regression_us
+    FROM g
+"""
+
+
+def _q_week_over_week(spark, sf_dir):
+    """Week-over-week growth served from the 1w tier
+    (timeseries.week_over_week over the full tier-up chain): exact
+    calendar-week shift join (never lag-by-ROWS), BIGINT deltas, one
+    IEEE ratio — the report the long-retention tier exists for."""
+    from spartan2_spark.operators.timeseries import week_over_week
+
+    t1m = R.rollup_from_points(_event_points(spark, sf_dir), "1m", bin_mode="int")
+    t1w = R.rollup_tier_up(
+        R.rollup_tier_up(R.rollup_tier_up(t1m, "1h"), "1d"), "1w"
+    )
+    return week_over_week(t1w)
+
+
+_WOW_SQL = """
+    WITH wk AS (SELECT event_type AS key,
+                       date_trunc('week', ts) AS week_ts,
+                       count(*)::BIGINT AS cnt,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                         AS vsum
+                FROM events GROUP BY 1, 2)
+    SELECT a.key, CAST(epoch(a.week_ts) AS BIGINT) AS week_s,
+           a.cnt, a.vsum,
+           b.cnt AS prev_cnt, b.vsum AS prev_vsum,
+           CAST(a.cnt - coalesce(b.cnt, 0) AS BIGINT) AS cnt_delta,
+           CASE WHEN b.cnt > 0
+                THEN CAST(a.cnt AS DOUBLE) / CAST(b.cnt AS DOUBLE)
+           END AS cnt_ratio
+    FROM wk a LEFT JOIN wk b
+      ON a.key = b.key AND a.week_ts = b.week_ts + INTERVAL 7 DAY
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10603,6 +10677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_hist_quantile": _q_sliding_quantile,
         "modularity_score": _q_modularity,
         "rich_club": _q_rich_club,
+        "ooo_rate": _q_ooo_rate,
+        "week_over_week": _q_week_over_week,
         "asof_join_nearest": _q_asof_nearest,
         "oov_rate": _q_oov_rate,
         "packing_plan": _q_packing_plan,
@@ -10977,6 +11053,8 @@ def oracle_sql() -> dict[str, str]:
         "sliding_hist_quantile": _SLIDING_QUANTILE_SQL,
         "modularity_score": _modularity_sql(rounds=4),
         "rich_club": _rich_club_sql(),
+        "ooo_rate": _OOO_RATE_SQL,
+        "week_over_week": _WOW_SQL,
         "asof_join_nearest": _ASOF_NEAREST_SQL,
         "oov_rate": _OOV_RATE_SQL,
         "packing_plan": _PACKING_PLAN_SQL,

@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "modularity_score",
     "asof_join_nearest",
     "rich_club",
+    "ooo_rate",
+    "week_over_week",
     "oov_rate",
     "packing_plan",
     "filter_funnel",

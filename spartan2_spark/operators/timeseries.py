@@ -2685,3 +2685,112 @@ def asof_join_nearest(
         u.filter(F.col("__side") == 1)
         .select(*left.columns, *sel, direction.alias(sfx("dir")))
     )
+
+
+def ooo_rate(
+    df: DataFrame,
+    key_col: str = "key",
+    event_ts_col: str = "event_us",
+    arrival_seq_col: str = "arrival_seq",
+) -> DataFrame:
+    """Out-of-order ingestion audit per stream key — the ORDERING
+    complement of :func:`watermark_lag_audit` (which measures
+    lateness): walking events in ARRIVAL order, how often does event
+    time regress, and by how much at worst? High inversion rates mean
+    the watermark will seal buckets that still have in-flight
+    predecessors — the signal that decides buffer-and-sort vs
+    accept-late-repair at the ingest edge.
+
+    Emits per key: n (arrivals), n_inversions (adjacent arrival pairs
+    whose event time strictly regresses), exact floor-ppm inversion
+    rate, and max_regression_us (the deepest single step back).
+
+    Exactness: one lag window over the arrival order; counts BIGINT,
+    the ppm integer floor. Ties (equal event times) are NOT
+    inversions.
+
+    Plan shape: ONE key-partitioned window + one map-side-combinable
+    aggregate — a single shuffle on the key.
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(arrival_seq_col).asc())
+    prev = F.lag(F.col(event_ts_col).cast("long")).over(w)
+    d = df.select(
+        F.col(key_col).alias("key"),
+        F.col(event_ts_col).cast("long").alias("t"),
+        prev.alias("prev_t"),
+    )
+    inv = (F.col("prev_t").isNotNull() & (F.col("t") < F.col("prev_t"))).cast(
+        "int"
+    )
+    g = d.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(inv).cast("long").alias("n_inversions"),
+        F.max(
+            F.when(F.col("t") < F.col("prev_t"), F.col("prev_t") - F.col("t"))
+        ).alias("max_regression_us"),
+    )
+    return g.select(
+        "key",
+        "n",
+        "n_inversions",
+        F.floor(
+            (F.col("n_inversions") * F.lit(1_000_000)).cast("double")
+            / F.col("n").cast("double")
+        ).cast("long").alias("inversion_ppm"),
+        F.coalesce("max_regression_us", F.lit(0)).cast("long").alias(
+            "max_regression_us"
+        ),
+    )
+
+
+def week_over_week(
+    state: DataFrame,
+    key_col: str = "url",
+    bucket_col: str = "bucket_ts",
+    cnt_col: str = "cnt",
+    sum_col: str = "vsum",
+) -> DataFrame:
+    """Week-over-week growth read DIRECTLY from the 1w tier state —
+    the report the long-retention tier exists to serve: per (key,
+    week), this week's exact cnt/sum next to the previous CALENDAR
+    week's (an exact 7-day epoch shift join, not lag-by-ROWS — a
+    missing week yields NULL priors, never a silently mislabeled
+    comparison), with exact integer deltas and one-divide ratios.
+
+    Exactness: integer-valued vsum per the tier convention; deltas
+    BIGINT; growth is a single IEEE divide, NULL when no prior week.
+
+    Plan shape: one (key, week) pre-aggregate over the state (the 1w
+    tier carries per-bin rows; the report collapses bins), one shifted
+    equi-join on (key, week_start) — both sides hash-partition on the
+    key family.
+    """
+    wk = state.groupBy(
+        F.col(key_col).alias("key"),
+        F.col(bucket_col).alias("week_ts"),
+    ).agg(
+        F.sum(cnt_col).cast("long").alias("cnt"),
+        F.sum(sum_col).cast("long").alias("vsum"),
+    )
+    prev = wk.select(
+        "key",
+        (F.col("week_ts") + F.expr("INTERVAL 7 DAYS")).alias("week_ts"),
+        F.col("cnt").alias("prev_cnt"),
+        F.col("vsum").alias("prev_vsum"),
+    )
+    j = wk.join(prev, ["key", "week_ts"], "left")
+    return j.select(
+        "key",
+        F.unix_timestamp("week_ts").alias("week_s"),
+        "cnt",
+        "vsum",
+        "prev_cnt",
+        "prev_vsum",
+        (F.col("cnt") - F.coalesce("prev_cnt", F.lit(0))).cast("long").alias(
+            "cnt_delta"
+        ),
+        F.when(
+            F.col("prev_cnt") > 0,
+            F.col("cnt").cast("double") / F.col("prev_cnt").cast("double"),
+        ).alias("cnt_ratio"),
+    )

@@ -206,6 +206,8 @@ AUDIT_QUERIES = [
     "oov_rate",
     "packing_plan",
     "filter_funnel",
+    "ooo_rate",
+    "week_over_week",
 ]
 
 

@@ -1361,3 +1361,54 @@ def test_asof_join_nearest_directions(spark):
     assert out[3].v_asof == 20 and out[3].dir_asof == 0
     assert out[4].v_asof == 10 and out[4].dir_asof == -1  # tie -> back
     assert out[5].v_asof is None and out[5].dir_asof is None
+
+
+def test_ooo_rate_planted_inversions(spark):
+    """Arrival order 1,2,3,4 with event times 10,30,20,20: one strict
+    inversion (30 -> 20), the tie (20 -> 20) is NOT an inversion,
+    regression depth exact."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import ooo_rate
+
+    rows = [("k", 10, 1), ("k", 30, 2), ("k", 20, 3), ("k", 20, 4)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["key", "event_us", "arrival_seq"])
+    )
+    r = ooo_rate(df).collect()[0]
+    assert r.n == 4 and r.n_inversions == 1
+    assert r.inversion_ppm == 1_000_000 // 4
+    assert r.max_regression_us == 10
+    # fully ordered key -> zero inversions, zero regression
+    df2 = spark.createDataFrame(
+        pd.DataFrame([("o", i * 10, i) for i in range(4)],
+                     columns=["key", "event_us", "arrival_seq"])
+    )
+    r2 = ooo_rate(df2).collect()[0]
+    assert r2.n_inversions == 0 and r2.max_regression_us == 0
+
+
+def test_week_over_week_calendar_shift(spark):
+    """A missing middle week yields NULL priors for the week after it
+    (exact calendar shift, not lag-by-rows); ratios exact."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import week_over_week
+
+    w1 = pd.Timestamp("2024-01-01")   # Monday
+    w2 = pd.Timestamp("2024-01-08")
+    w4 = pd.Timestamp("2024-01-22")   # week 3 missing
+    rows = [
+        ("u", w1, 0, 10, 100), ("u", w2, 0, 30, 300), ("u", w4, 0, 7, 70),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "bucket_ts", "bin", "cnt", "vsum"])
+    )
+    out = {r.week_s: r for r in week_over_week(df).collect()}
+    t = lambda ts: int(ts.timestamp())  # noqa: E731
+    assert out[t(w2)].prev_cnt == 10
+    assert abs(out[t(w2)].cnt_ratio - 3.0) < 1e-15
+    assert out[t(w2)].cnt_delta == 20
+    assert out[t(w4)].prev_cnt is None and out[t(w4)].cnt_ratio is None
+    assert out[t(w4)].cnt_delta == 7  # vs coalesced 0
+    assert out[t(w1)].prev_cnt is None
