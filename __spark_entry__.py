@@ -10602,6 +10602,77 @@ _WOW_SQL = """
 """
 
 
+def _q_pacf(spark, sf_dir):
+    """PACF at lags 1-3h per event class (timeseries.pacf3): the
+    closed-form Durbin-Levinson unroll over the exact-moment hourly
+    ACF — a FIXED IEEE expression tree both engines evaluate
+    identically; the AR-order diagnostic completing the ACF/backtest
+    family."""
+    from spartan2_spark.operators.timeseries import pacf3
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.col("event_type").alias("key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .select("key", F.unix_timestamp("bucket_ts").alias("t_s"), "v")
+    )
+    return pacf3(h, step_s=3600)
+
+
+_PACF_SQL = """
+    WITH h AS (SELECT event_type AS key,
+                      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS t,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1, 2),
+    l AS (SELECT CAST(lag_s AS BIGINT) AS lag_s
+          FROM (VALUES (3600), (7200), (10800)) AS v(lag_s)),
+    p AS (SELECT a.key AS key, l.lag_s AS lag_s, a.v AS v, b.v AS v_lag
+          FROM l, h a, h b
+          WHERE a.key = b.key AND a.t = b.t + l.lag_s),
+    g AS (SELECT key, lag_s, count(*)::BIGINT AS n,
+                 CAST(sum(v) AS BIGINT) AS sx,
+                 CAST(sum(v_lag) AS BIGINT) AS sy,
+                 CAST(sum(v * v) AS BIGINT) AS sxx,
+                 CAST(sum(v_lag * v_lag) AS BIGINT) AS syy,
+                 CAST(sum(v * v_lag) AS BIGINT) AS sxy
+          FROM p GROUP BY 1, 2),
+    dd AS (SELECT key, lag_s, n,
+                  n * sxx - sx * sx AS dx,
+                  n * syy - sy * sy AS dy,
+                  n * sxy - sx * sy AS num
+           FROM g),
+    acf AS (SELECT key, lag_s,
+                   CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                        THEN CAST(num AS DOUBLE)
+                             / (sqrt(CAST(dx AS DOUBLE))
+                                * sqrt(CAST(dy AS DOUBLE)))
+                   END AS r
+            FROM dd),
+    wide AS (SELECT key,
+                    max(CASE WHEN lag_s = 3600 THEN r END) AS r1,
+                    max(CASE WHEN lag_s = 7200 THEN r END) AS r2,
+                    max(CASE WHEN lag_s = 10800 THEN r END) AS r3
+             FROM acf GROUP BY 1),
+    lev AS (SELECT key, r1, r2, r3,
+                   r1 AS phi11,
+                   (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22
+            FROM wide),
+    lev2 AS (SELECT *, phi11 - phi22 * phi11 AS phi21 FROM lev)
+    SELECT key, r1, r2, r3,
+           phi11 AS pacf1,
+           CASE WHEN (1.0 - r1 * r1) <> 0 THEN phi22 END AS pacf2,
+           CASE WHEN (1.0 - r1 * r1) <> 0
+                 AND (1.0 - phi21 * r1 - phi22 * r2) <> 0
+                THEN (r3 - phi21 * r2 - phi22 * r1)
+                     / (1.0 - phi21 * r1 - phi22 * r2)
+           END AS pacf3
+    FROM lev2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
     # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
@@ -10679,6 +10750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": _q_rich_club,
         "ooo_rate": _q_ooo_rate,
         "week_over_week": _q_week_over_week,
+        "pacf_lags": _q_pacf,
         "asof_join_nearest": _q_asof_nearest,
         "oov_rate": _q_oov_rate,
         "packing_plan": _q_packing_plan,
@@ -11055,6 +11127,7 @@ def oracle_sql() -> dict[str, str]:
         "rich_club": _rich_club_sql(),
         "ooo_rate": _OOO_RATE_SQL,
         "week_over_week": _WOW_SQL,
+        "pacf_lags": _PACF_SQL,
         "asof_join_nearest": _ASOF_NEAREST_SQL,
         "oov_rate": _OOV_RATE_SQL,
         "packing_plan": _PACKING_PLAN_SQL,

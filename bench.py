@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "rich_club",
     "ooo_rate",
     "week_over_week",
+    "pacf_lags",
     "oov_rate",
     "packing_plan",
     "filter_funnel",

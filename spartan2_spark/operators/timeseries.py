@@ -2794,3 +2794,64 @@ def week_over_week(
             F.col("cnt").cast("double") / F.col("prev_cnt").cast("double"),
         ).alias("cnt_ratio"),
     )
+
+
+def pacf3(
+    df: DataFrame,
+    key_col: str = "key",
+    order_col: str = "t_s",
+    value_col: str = "v",
+    step_s: int = 3600,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1-3 per series — the AR-order
+    diagnostic that completes the :func:`acf_multi` /
+    :func:`forecast_backtest` family (an AR(1) process shows ACF
+    decaying geometrically but PACF cutting off sharply after lag 1 —
+    the cut tells the forecaster how many lags carry INDEPENDENT
+    signal). Computed by the closed-form Durbin-Levinson unroll over
+    the exact-moment ACF values r1..r3:
+
+        phi11 = r1
+        phi22 = (r2 - r1^2) / (1 - r1^2)
+        phi21 = phi11 - phi22 * phi11
+        phi33 = (r3 - phi21*r2 - phi22*r1) / (1 - phi21*r1 - phi22*r2)
+
+    Exactness: the r_k come from :func:`acf_multi`'s exact BIGINT
+    moments (bit-identical cross-engine); the recursion is a FIXED
+    expression tree of IEEE ops — any engine evaluating the same tree
+    over the same doubles lands on the same bits, the
+    readability/flesch discipline at one more level of composition.
+    Degenerate denominators (|r1| = 1, constant windows) emit NULL.
+
+    Plan shape: the three gap-correct lag joins + ONE (key, lag)
+    aggregate from acf_multi, then a pivot to one row per key and a
+    pure projection — no additional shuffle beyond the ACF's own.
+    """
+    acf = acf_multi(
+        df,
+        lags_s=(int(step_s), 2 * int(step_s), 3 * int(step_s)),
+        key_col=key_col,
+        order_col=order_col,
+        value_col=value_col,
+    )
+    wide = acf.groupBy("key").agg(
+        F.max(F.when(F.col("lag_s") == int(step_s), F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag_s") == 2 * int(step_s), F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag_s") == 3 * int(step_s), F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    phi11 = r1
+    den2 = F.lit(1.0) - r1 * r1
+    phi22 = (r2 - r1 * r1) / den2
+    phi21 = phi11 - phi22 * phi11
+    den3 = F.lit(1.0) - phi21 * r1 - phi22 * r2
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / den3
+    return wide.select(
+        "key",
+        "r1",
+        "r2",
+        "r3",
+        phi11.alias("pacf1"),
+        F.when(den2 != 0, phi22).alias("pacf2"),
+        F.when((den2 != 0) & (den3 != 0), phi33).alias("pacf3"),
+    )

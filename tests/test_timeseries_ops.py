@@ -1412,3 +1412,29 @@ def test_week_over_week_calendar_shift(spark):
     assert out[t(w4)].prev_cnt is None and out[t(w4)].cnt_ratio is None
     assert out[t(w4)].cnt_delta == 7  # vs coalesced 0
     assert out[t(w1)].prev_cnt is None
+
+
+def test_pacf3_ar1_cutoff(spark):
+    """An AR(1)-like geometric-ACF series: pacf1 == r1, and pacf2/3
+    reproduce the closed-form Durbin-Levinson values computed by hand
+    from the same r's; a near-zero pacf2 on a true AR(1) shape."""
+    import pandas as pd
+
+    from spartan2_spark.operators.timeseries import acf_multi, pacf3
+
+    # deterministic AR(1)-ish integer series: x_t = round(0.6*x_{t-1}) + step pulse
+    vals = [1000]
+    for t in range(1, 60):
+        vals.append(int(0.6 * vals[-1]) + (500 if t % 7 == 0 else 0))
+    rows = [("k", t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "t_s", "v"]))
+    r = {x.lag_s: x.acf for x in acf_multi(df, lags_s=(1, 2, 3)).collect()}
+    out = pacf3(df, step_s=1).collect()[0]
+    assert abs(out.pacf1 - r[1]) < 1e-15
+    phi22 = (r[2] - r[1] ** 2) / (1 - r[1] ** 2)
+    assert abs(out.pacf2 - phi22) < 1e-12
+    phi21 = r[1] - phi22 * r[1]
+    phi33 = (r[3] - phi21 * r[2] - phi22 * r[1]) / (
+        1 - phi21 * r[1] - phi22 * r[2]
+    )
+    assert abs(out.pacf3 - phi33) < 1e-12
