@@ -10673,14 +10673,43 @@ _PACF_SQL = """
 """
 
 
+# ROTATION r5 (SURVEY.md rotation plan, executed): the driver gate checks
+# the FIRST 50 entries of queries() only. r3's gate covered its then-front
+# 50 (CORRECTNESS_r03.json), r4 fronted a disjoint 50 (CORRECTNESS_r04.json).
+# This round fronts the 50 never-driver-checked value-exact queries
+# enumerated in SURVEY.md's r5 instructions, in the written order. The
+# underlying registry dict below keeps its r4 grouping for diff-friendliness;
+# queries() reorders it so _R5_GATE_FRONT comes first and everything else
+# follows in registry order. tests/test_rotation.py asserts the front-50
+# match this list exactly and overlap neither r3's nor r4's gate set.
+_R5_GATE_FRONT = [
+    "gauge_delta", "predict_linear", "xor_bitwidth_stats", "tier_freshness",
+    "heavy_change_topk", "tier_serving_plan", "tier_mode", "tier_purge_plan",
+    "tier_consistency_audit", "monlad_cfd", "ses_forecast",
+    "substring_dedup_spans", "xcorr_lagged", "adamic_adar_linkpred",
+    "theilsen_trend", "changepoint_binary", "source_mix_sample",
+    "tier_compaction_plan", "counter_rate", "counter_rate_buckets",
+    "peak_window_count", "burn_rate_alerts", "url_frontcode_plan",
+    "recrawl_plan", "rle_plan", "roaring_container_plan",
+    "snapshot_expiry_plan", "bucket_coverage", "boilerplate_lines",
+    "time_weighted_avg", "late_repair_plan", "url_churn", "ppr_fixedpoint",
+    "histogram_quantile_p90", "shard_pack_plan", "uptime_sla",
+    "dod_bitwidth_stats", "pmi_collocations", "lsh_label_purity",
+    "doc_entropy", "clustering_coeff", "burst_islands", "session_stats",
+    "weighted_sample", "paragraph_dedup", "partition_split_plan",
+    "dict_encoding_plan", "pow2_hist_quantile", "url_version_intervals",
+    "outlink_domain_graph",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ROTATION r4 (SURVEY.md rotation plan): the driver gate checks the
-    # FIRST 50 entries only. r3's gate covered the then-positions 1-50;
-    # this round fronts r3's positions 51-100 so they get their first
-    # driver-grade CORRECTNESS row. Block 2 = r3's positions 101-153
-    # (r5 fronts these next round; new r4 queries are inserted at the
-    # head of block 2 so they fall inside r5's window). Block 3 = r3's
-    # gate set (driver-verified green in CORRECTNESS_r03.json).
+    base = _registry()
+    ordered = {k: base[k] for k in _R5_GATE_FRONT}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- block 1: r4 driver gate (r3 positions 51-100, locally
         # oracle-verified in ORACLE_LOCAL_r03.json, never driver-checked) ---
