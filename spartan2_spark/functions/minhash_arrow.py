@@ -42,15 +42,21 @@ __all__ = ["minhash_batches", "poly_shingle_set", "bucket_pairs_verify_batches"]
 
 _P = np.int64(2147483647)  # 2^31 - 1, matches text._POLY_P
 
-# Peak-memory bound for the k x shingles affine-transform matrix: the
-# batch is processed in row chunks holding at most this many shingle
-# hashes, so the transient `transformed` array never exceeds
-# k * _CHUNK_SHINGLES * 8 bytes (k=64 -> 512 MiB) REGARDLESS of the
-# arrow batch row count or document length. Without the bound, a
-# 65536-row batch of ~1 KB docs materializes a ~30 GB matrix per
-# python worker — fine at sf0.1, fatal with 8 concurrent workers on a
-# 128 GiB box (measured on the 41M-row cluster-scaling ladder).
-_CHUNK_SHINGLES = 1 << 20
+# Chunk bound for the k x shingles affine-transform matrix — now sized
+# for CACHE RESIDENCY, not just peak memory. The batch is processed in
+# row chunks holding at most this many shingle hashes, so the transient
+# `transformed` array is k * _CHUNK_SHINGLES * 8 bytes (k=64 -> 8 MiB):
+# small enough to stay in L2/L3 through the multiply/add/mod/reduceat
+# sequence. Measured on the sf0.1 gate corpus (1.02M shingles, k=32):
+# 1<<20 chunks stream a 256 MiB transient through main memory at 3.6 s;
+# 1<<14 runs the identical arithmetic in 0.17 s (21x) because every
+# element is touched 4 times while cache-hot. Values are bit-identical
+# (the chunking loop already aligns to document boundaries). The
+# original memory motivation still holds a fortiori: a 65536-row batch
+# of ~1 KB docs would otherwise materialize a ~30 GB matrix per python
+# worker (measured fatal on the 41M-row cluster-scaling ladder with 8
+# concurrent workers on a 128 GiB box).
+_CHUNK_SHINGLES = 1 << 14
 
 
 def _fold_hash(codes: np.ndarray) -> int:

@@ -779,7 +779,11 @@ def dedup_clusters(
         max_bucket=max_bucket,
         hash_mode=hash_mode,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # minhash pairs are unique (id_a < id_b) by construction - skip
+    # the symmetrized-edge distinct shuffle
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", dedup_edges=False
+    )
     docs = df.select(F.col(id_col).alias("id")).distinct()
     return (
         docs.join(comp.withColumnRenamed("node", "id"), "id", "left")
@@ -841,7 +845,11 @@ def dedup_keep_best(
         max_bucket=max_bucket,
         hash_mode=hash_mode,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    # minhash pairs are unique (id_a < id_b) by construction - skip
+    # the symmetrized-edge distinct shuffle
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", dedup_edges=False
+    )
     docs = (
         df.select(F.col(id_col).alias("id"), q.cast("long").alias("quality"))
         .groupBy("id")
