@@ -9639,7 +9639,9 @@ _JOIN_STRATEGY_SQL = """
                 FROM events GROUP BY 1),
     t AS (SELECT CAST(sum(cnt) AS BIGINT) AS fact_rows FROM pk),
     d AS (SELECT count(*)::BIGINT AS dim_rows,
-                 CAST(sum(strlen(n_name) + 8 + 8) AS BIGINT) AS dim_bytes
+                 -- typed byte model: INTEGER nation/region keys are 4 B
+                 -- each (r5 per-type accounting), strings exact octets
+                 CAST(sum(strlen(n_name) + 4 + 4) AS BIGINT) AS dim_bytes
           FROM nation),
     r AS (SELECT key, cnt,
                  row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
@@ -10553,7 +10555,8 @@ _OOO_RATE_SQL = """
                         AS arr
                FROM events),
     d AS (SELECT key, t,
-                 lag(t) OVER (PARTITION BY key ORDER BY arr ASC) AS prev_t
+                 lag(t) OVER (PARTITION BY key ORDER BY arr ASC, t ASC)
+                   AS prev_t
           FROM e),
     g AS (SELECT key, count(*)::BIGINT AS n,
                  CAST(sum(CASE WHEN prev_t IS NOT NULL AND t < prev_t

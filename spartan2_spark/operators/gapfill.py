@@ -31,7 +31,18 @@ __all__ = [
     "fill_from_descriptors",
 ]
 
-_TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+# derived from the rollup module's single tier registry so any tier
+# name valid there (incl. "1w") densifies here instead of KeyError-ing
+from spartan2_spark.operators.rollup import TIER_WIDTH_S as _TIER_SECONDS  # noqa: E402
+
+
+def _tier_step(tier_name: str) -> int:
+    if tier_name not in _TIER_SECONDS:
+        raise ValueError(
+            f"unknown tier name {tier_name!r}; supported tiers: "
+            f"{list(_TIER_SECONDS)}"
+        )
+    return _TIER_SECONDS[tier_name]
 
 
 def densify(
@@ -45,7 +56,7 @@ def densify(
     Missing buckets appear as rows with NULL measures — the relational
     analogue of the reference's NaN gap rows (tensor.py:117).
     """
-    step = _TIER_SECONDS[tier_name]
+    step = _tier_step(tier_name)
     span = tier.groupBy(key).agg(
         F.min(bucket).alias("__min_b"), F.max(bucket).alias("__max_b")
     )
@@ -92,7 +103,7 @@ def gap_descriptors(
     __prev_<v>, __nxt_<v> per value col); gap_start/gap_end are the
     first/last MISSING buckets of the run, inclusive.
     """
-    step = _TIER_SECONDS[tier_name]
+    step = _tier_step(tier_name)
     w = W.partitionBy(key).orderBy(bucket)
     t = F.unix_timestamp(F.col(bucket)).cast("double")
     paired = tier.select(
@@ -132,7 +143,7 @@ def fill_from_descriptors(
     descriptors round-robin first — cheap (sparse side) — so the
     explosion and downstream consumers scale with the cluster.
     """
-    step = _TIER_SECONDS[tier_name]
+    step = _tier_step(tier_name)
     sc = desc.sparkSession.sparkContext
     desc = desc.repartition(sc.defaultParallelism * 2)
     axis = desc.select(

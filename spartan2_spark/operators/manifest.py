@@ -133,11 +133,20 @@ def write_partition_entries(
     entries: list[dict],
     input_snapshot: int,
     input_crcs: dict[str, int] | None = None,
+    replace: bool = False,
 ) -> None:
     """Merge new per-partition entries into the stage manifest
-    (last-writer-wins per dt), atomically."""
+    (last-writer-wins per dt), atomically.
+
+    ``replace=True`` drops every existing entry first — the manifest
+    becomes exactly ``entries``. Used by all-or-nothing stages (t1w,
+    gapfill_1h) after a static-overwrite rebuild: the rebuild's output
+    IS the whole table, so entries for dts the rebuild did not produce
+    describe partitions that no longer exist and must not survive the
+    merge (a merged orphan entry would later be re-stamped with the new
+    upstream fingerprint and laundered back into the valid set)."""
     now = time.time()
-    merged = {e["dt"]: e for e in read_manifest(root, stage)}
+    merged = {} if replace else {e["dt"]: e for e in read_manifest(root, stage)}
     for e in entries:
         e = dict(e)
         e["stage"] = stage

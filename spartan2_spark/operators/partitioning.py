@@ -491,14 +491,36 @@ def join_strategy_plan(
     per_key = fact.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    size_cols = [
-        (
-            F.octet_length(F.col(f.name))
-            if isinstance(f.dataType, T.StringType)
-            else F.lit(8)
+
+    # per-type byte accounting (ADVICE r4: a flat 8 B for every
+    # non-string column drastically under-counted array/struct/map/
+    # decimal dims and could flip the broadcast decision): variable-
+    # width types measure their actual octets, fixed-width types their
+    # true width, and nested types fall back to octet_length(to_json) —
+    # a serialized-size proxy, imperfect but data-dependent and
+    # conservative where it matters (a wide nested dim now counts wide).
+    _fixed = {
+        T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2,
+        T.IntegerType: 4, T.FloatType: 4, T.DateType: 4,
+        T.LongType: 8, T.DoubleType: 8, T.TimestampType: 8,
+        T.TimestampNTZType: 8,
+    }
+
+    def _col_bytes(f):
+        dt = f.dataType
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return F.coalesce(F.octet_length(F.col(f.name)), F.lit(0))
+        if isinstance(dt, T.DecimalType):
+            return F.lit(8 if dt.precision <= 18 else 16)
+        for klass, width in _fixed.items():
+            if isinstance(dt, klass):
+                return F.lit(width)
+        # arrays / maps / structs / anything else: serialized-size proxy
+        return F.coalesce(
+            F.octet_length(F.to_json(F.col(f.name))), F.lit(0)
         )
-        for f in dim.schema.fields
-    ]
+
+    size_cols = [_col_bytes(f) for f in dim.schema.fields]
     row_bytes = size_cols[0]
     for c in size_cols[1:]:
         row_bytes = row_bytes + c

@@ -68,8 +68,32 @@ __all__ = [
 ]
 
 # tier name -> date_trunc unit (1w: ISO weeks, Monday-start in both
-# Spark and DuckDB date_trunc — the long-retention tier above 1d)
+# Spark and DuckDB date_trunc — the long-retention tier above 1d).
+# Insertion order IS the coarsening order; every tier-consuming helper
+# below derives its unit/width/order maps from this dict (via
+# _tier_units / TIER_WIDTH_S / _tier_order) so a tier name valid in one
+# API can never KeyError in another — adding a tier here is the single
+# point of extension.
 TIERS = {"1m": "minute", "1h": "hour", "1d": "day", "1w": "week"}
+
+# fixed bucket width in seconds per tier (1w: ISO weeks are a fixed
+# 7 * 86400 s under the engine's UTC-pinned session timezone — no DST)
+TIER_WIDTH_S = {"1m": 60, "1h": 3600, "1d": 86400, "1w": 604800}
+
+
+def _tier_units(tiers) -> dict:
+    """Validate tier names against :data:`TIERS`; return name -> unit."""
+    bad = [t for t in tiers if t not in TIERS]
+    if bad:
+        raise ValueError(
+            f"unknown tier name(s) {bad}; supported tiers: {list(TIERS)}"
+        )
+    return {t: TIERS[t] for t in tiers}
+
+
+def _tier_order() -> dict:
+    """name -> coarsening rank, derived from TIERS insertion order."""
+    return {t: i for i, t in enumerate(TIERS)}
 
 _LOG_SCALE = 693.0  # bins per e-fold => ~0.144% max relative bin error
 
@@ -285,7 +309,7 @@ def late_repair_plan(
     multiplies the (small) late set, never the corpus. Scale-safe: cost
     is O(|late|), not O(|points|), after the filter.
     """
-    unit_of = {"1m": "minute", "1h": "hour", "1d": "day"}
+    unit_of = _tier_units(tiers)
     bounds = points.agg(
         F.max(seq_col).alias("__max_seq"),
         F.max("ts").alias("__max_ts"),
@@ -577,8 +601,8 @@ def tier_freshness(
     on url (all shuffles keyed on url); the 3 tier branches union.
     Cost is O(|state|), not O(|points|), after the first distinct.
     """
-    unit_of = {"1m": "minute", "1h": "hour", "1d": "day"}
-    width_of = {"1m": 60, "1h": 3600, "1d": 86400}
+    unit_of = _tier_units(tiers)
+    width_of = {t: TIER_WIDTH_S[t] for t in tiers}
     from spartan2_spark.operators.barrier import barrier
 
     # barrier all three shared relations: each is referenced once per
@@ -1377,7 +1401,8 @@ def tier_amplification_audit(
     levels = [raw_cnt.select(F.lit("raw").alias("tier"), "state_rows")]
     state = None
     prev_order = None
-    order = {"1m": 0, "1h": 1, "1d": 2, "1w": 3}
+    _tier_units(tiers)  # validate names before building the chain
+    order = _tier_order()
     for t in tiers:
         if prev_order is None:
             state = rollup_from_points(points, t, bin_mode=bin_mode)

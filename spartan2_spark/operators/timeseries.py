@@ -2278,6 +2278,14 @@ def rolling_corr(
     Windows shorter than 2 buckets or with a constant track emit NULL,
     not a fake 0.
 
+    Magnitude bound: the determinant ``n*Sxx - Sx^2`` must stay under
+    2^63, which holds when ``|value| * sqrt(window) < 2^31`` in the
+    value's exact units (e.g. centi-scaled metrics up to ~4e8 over a
+    24-bucket window; values near 7e8 overflow). Under Spark's default
+    ANSI mode the overflow THROWS (as DuckDB does) rather than wrapping;
+    with ANSI disabled it would wrap silently — keep ANSI on, or
+    pre-scale values to honor the bound.
+
     Gap-correct by construction: the frame is a RANGE over exact
     ``order_col`` values — ``window`` buckets of ``step_s`` each — so
     a silent empty bucket shrinks the sample instead of stretching the
@@ -2488,7 +2496,10 @@ def acf_multi(
 
     Exactness: six BIGINT moment sums per (key, lag); the ACF is
     ``num / (sqrt(dx) * sqrt(dy))`` — three IEEE ops, split sqrt.
-    Degenerate lags (n < 2 or a constant side) emit NULL.
+    Degenerate lags (n < 2 or a constant side) emit NULL. Same
+    magnitude bound as :func:`rolling_corr`: ``n*Sxx - Sx^2`` needs
+    ``|value| * sqrt(n)`` under 2^31 in exact units; Spark's default
+    ANSI mode throws on overflow exactly like DuckDB (keep ANSI on).
 
     Plan shape: one shifted equi-join per lag (all hash-partitioned on
     (key, t) — AQE reuses the exchange), a union of K lag relations,
@@ -2707,12 +2718,19 @@ def ooo_rate(
 
     Exactness: one lag window over the arrival order; counts BIGINT,
     the ppm integer floor. Ties (equal event times) are NOT
-    inversions.
+    inversions. The window orders by (arrival_seq, event_ts) — the
+    event time is a deterministic secondary key, so two events whose
+    synthetic/real arrival sequence collides still walk in one
+    engine-independent order (ADVICE r4: arrival_seq-only ordering let
+    tied arrivals pick a nondeterministic prev_t and flake the
+    cross-engine parity).
 
     Plan shape: ONE key-partitioned window + one map-side-combinable
     aggregate — a single shuffle on the key.
     """
-    w = W.partitionBy(key_col).orderBy(F.col(arrival_seq_col).asc())
+    w = W.partitionBy(key_col).orderBy(
+        F.col(arrival_seq_col).asc(), F.col(event_ts_col).cast("long").asc()
+    )
     prev = F.lag(F.col(event_ts_col).cast("long")).over(w)
     d = df.select(
         F.col(key_col).alias("key"),

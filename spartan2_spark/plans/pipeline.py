@@ -59,9 +59,18 @@ def _run_stage(
     input_snapshot: int,
     resume: bool,
     upstream: dict[str, int] | None = None,
+    all_or_nothing: bool = False,
 ) -> dict:
     """Stage protocol: resume-prune input -> build -> dynamic-overwrite
     write -> per-partition lineage -> manifest merge -> version bump.
+
+    ``all_or_nothing=True`` is the full-rebuild protocol (t1w,
+    gapfill_1h): the build's output IS the whole table, so the write
+    uses STATIC partition overwrite (the stage dir is wiped — orphan
+    partitions from a previous, larger upstream cannot survive a
+    retention trim) and the manifest is REPLACED with exactly the
+    produced dts rather than merged. Incompatible with resume pruning
+    (the caller decides staleness via a global fingerprint instead).
 
     Metrics: each manifest entry additionally records the partition's
     physical bytes + file count at write time, and the stage report
@@ -69,6 +78,11 @@ def _run_stage(
     rule pairs with lineage."""
     import time as _time
 
+    if all_or_nothing and resume:
+        raise ValueError(
+            "all_or_nothing stages cannot resume-prune: validity is "
+            "decided by the caller's global fingerprint"
+        )
     t_start = _time.time()
     out_dir = os.path.join(out_root, stage)
     # with crc lineage chaining the snapshot pin is redundant (and would
@@ -85,7 +99,10 @@ def _run_stage(
         return df.filter(~col.cast("string").isin(sorted(done))) if done else df
 
     out_df = build(not_done(input_df, input_dt_col))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "static" if all_or_nothing else "dynamic",
+    )
     out_df.write.mode("overwrite").partitionBy("dt").parquet(out_dir)
 
     written = spark.read.parquet(out_dir)
@@ -102,7 +119,10 @@ def _run_stage(
     sizes = M.partition_sizes(out_dir)
     for e in entries:
         e.update(sizes.get(e["dt"], {}))
-    M.write_partition_entries(out_root, stage, entries, input_snapshot, upstream)
+    M.write_partition_entries(
+        out_root, stage, entries, input_snapshot, upstream,
+        replace=all_or_nothing,
+    )
     # snapshot semantics: a run that added no partitions is not a new
     # snapshot (otherwise downstream version pins would churn on no-ops)
     version = M.bump_table_version(out_dir) if entries else M.table_version(out_dir)
@@ -253,8 +273,14 @@ def run_pipeline(
                     ),
                     M.table_version(t1d_dir), False,
                     upstream={},  # placeholder; entries pinned below
+                    all_or_nothing=True,
                 )
             )
+            # pin exactly the dts this rebuild produced: the static
+            # overwrite wiped any orphan week partitions and the replace
+            # merge dropped their manifest entries, so the read-back IS
+            # the produced set — a t1d retention trim can no longer
+            # launder stale weeks into the valid lineage
             man = M.read_manifest(out_root, "t1w")
             M.write_partition_entries(
                 out_root, "t1w",
@@ -306,6 +332,7 @@ def run_pipeline(
                 spark.read.parquet(t1h_dir), F.lit("__none__"),
                 build_gap, M.table_version(t1h_dir), False,
                 upstream={},  # placeholder; entries pinned below
+                all_or_nothing=True,
             )
         )
         # pin every entry to the global fingerprint (entries pass through

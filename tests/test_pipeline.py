@@ -408,3 +408,65 @@ def test_week_tier_opt_in(spark, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_all_or_nothing_rebuild_purges_orphans(spark, tmp_path):
+    """ADVICE r4: a t1d retention trim must not launder orphan week
+    partitions into the t1w manifest. The all-or-nothing rebuild now
+    uses STATIC overwrite (orphan partitions wiped from disk) and a
+    manifest REPLACE (orphan entries dropped), so after the upstream
+    shrinks, t1w's disk and manifest both contain exactly the weeks
+    derivable from the surviving days."""
+    import shutil
+
+    from spartan2_spark.datagen import synth_pages as _synth
+    from spartan2_spark.operators import manifest as _M
+
+    # two ISO weeks of data -> two week partitions
+    pages = _synth(spark, 4000, n_urls=40, days=10)
+    out = str(tmp_path / "tiers_orphan")
+    run_pipeline(spark, pages, out, week_tier=True)
+    t1w_dir = os.path.join(out, "t1w")
+    weeks_before = {
+        d for d in os.listdir(t1w_dir) if d.startswith("dt=")
+    }
+    assert len(weeks_before) >= 2
+
+    # retention trim: a dt is dropped from EVERY tier (what
+    # retention.apply_retention does) — remove enough trailing days to
+    # eliminate the final ISO week entirely, from disk and manifests
+    t1d_man = _M.read_manifest(out, "t1d")
+    kept_days = sorted(e["dt"] for e in t1d_man)
+    drop = set(kept_days[-4:])
+    for stage in ("t1m", "t1h", "t1d"):
+        sdir = os.path.join(out, stage)
+        sman = _M.read_manifest(out, stage)
+        for d in drop:
+            p = os.path.join(sdir, f"dt={d}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        _M._atomic_write(
+            _M.stage_manifest_path(out, stage),
+            json.dumps([e for e in sman if e["dt"] not in drop], indent=0),
+        )
+
+    # resumed run over the trimmed corpus: the completed upstream dts
+    # are skipped, the t1w fingerprint mismatch forces the week rebuild
+    trimmed = pages.filter(
+        F.to_date("warc_ts").cast("string") < min(drop)
+    )
+    run_pipeline(spark, trimmed, out, week_tier=True)
+    weeks_after = {d for d in os.listdir(t1w_dir) if d.startswith("dt=")}
+    man_after = {e["dt"] for e in _M.read_manifest(out, "t1w")}
+    # disk and manifest agree, and both match the weeks of surviving days
+    assert weeks_after == {f"dt={d}" for d in man_after}
+    import datetime as dt
+
+    surviving_weeks = {
+        (dt.date.fromisoformat(d) - dt.timedelta(
+            days=dt.date.fromisoformat(d).weekday())).isoformat()
+        for e in _M.read_manifest(out, "t1d")
+        for d in [e["dt"]]
+    }
+    assert man_after == surviving_weeks
+    assert len(weeks_after) < len(weeks_before)

@@ -726,3 +726,45 @@ def test_tier_merge_random_splits_property(spark):
         assert got == want
 
     prop()
+
+
+def test_tier_maps_derive_from_registry(spark):
+    """ADVICE r4: a tier name valid in one API must not KeyError in
+    another — every tier consumer derives its unit/width/order maps
+    from rollup.TIERS, and invalid names raise a clear ValueError."""
+    import datetime as dt
+
+    import pytest
+
+    from spartan2_spark.operators.gapfill import densify
+    from spartan2_spark.operators.rollup import (
+        TIER_WIDTH_S,
+        TIERS,
+        late_repair_plan,
+        tier_freshness,
+    )
+
+    assert set(TIER_WIDTH_S) == set(TIERS)
+
+    rows = [
+        ("u", dt.datetime(2024, 1, 1 + d, h, 0, 0), 10 + d, d)
+        for d in range(3)
+        for h in range(4)
+    ]
+    pts = spark.createDataFrame(rows, "url string, ts timestamp, v long, seq long")
+
+    # "1w" now valid everywhere TIERS advertises it
+    fresh = tier_freshness(pts, tiers=("1m", "1w")).collect()
+    assert {r.tier for r in fresh} == {"1m", "1w"}
+    assert late_repair_plan(pts, seq_col="seq", tiers=("1w",)).count() >= 0
+
+    # invalid names raise ValueError naming the supported set, not KeyError
+    with pytest.raises(ValueError, match="1q"):
+        tier_freshness(pts, tiers=("1q",))
+    with pytest.raises(ValueError, match="bogus"):
+        late_repair_plan(pts, seq_col="seq", tiers=("bogus",))
+    tier = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), 1)], "url string, bucket_ts timestamp, cnt long"
+    )
+    with pytest.raises(ValueError, match="5s"):
+        densify(tier, tier_name="5s")
