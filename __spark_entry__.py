@@ -6194,6 +6194,129 @@ for _cte in ("c AS (", "alive AS (", "e AS (", "lab AS (", "surv AS (",
     )
 
 
+def _q_eaglemine_anderson(spark, sf_dir):
+    """EagleMine Anderson-Darling island normality check
+    (desc/statistic_hypothesis_test.py:45-80 _gaussian_anderson_ /
+    _gaussian_check): eigen-axis projection, population
+    standardization, and the A-D statistic computed from grouped
+    cumulative multiplicities (ceil-log2 expansion, never
+    materialized), against scipy's size-adjusted 3-decimal critical
+    values at strictness 4. Shared A&S-7.1.26 erf polynomial on both
+    engines; round(6) discipline on the A^2 chains."""
+    from spartan2_spark.operators.histogram import (
+        anderson_islands,
+        hist2d_log,
+        water_level_tree,
+    )
+
+    li = _lineitem(spark, sf_dir)
+    hist = hist2d_log(li, "l_quantity", "l_extendedprice", bins_per_decade=4)
+    tree = water_level_tree(hist, min_hcubes=4, smooth=True)
+    d = anderson_islands(tree, strictness=4)
+    return d.select(
+        "level",
+        "node",
+        "mass",
+        "n",
+        F.round("a2_1", 6).alias("a2_1"),
+        F.round("a2_2", 6).alias("a2_2"),
+        "crit",
+        "accepted",
+    )
+
+
+def _eaglemine_anderson_sql() -> str:
+    phi_pos = _PHI_SQL.format(z="z.z")
+    phi_neg = _PHI_SQL.format(z="-z.z")
+    return _EAGLEMINE_TREE_CTES + f"""
+    , tree AS (SELECT o.level, o.node, c.bin_x, c.bin_y, c.cnt,
+                      round(log2(CAST(c.cnt AS DOUBLE) + 1.0) * 100.0, 0) AS wv
+               FROM surv o JOIN c ON c.cid = o.cid),
+    m AS (SELECT level, node, CAST(sum(cnt) AS BIGINT) AS mass,
+                 sum(wv) AS W,
+                 sum(wv * (bin_x + 0.5)) AS sx,
+                 sum(wv * (bin_y + 0.5)) AS sy,
+                 sum(wv * (bin_x + 0.5) * (bin_x + 0.5)) AS sxx,
+                 sum(wv * (bin_x + 0.5) * (bin_y + 0.5)) AS sxy,
+                 sum(wv * (bin_y + 0.5) * (bin_y + 0.5)) AS syy
+          FROM tree GROUP BY 1, 2),
+    prm AS (SELECT level, node, mass,
+                   sxx / W - (sx / W) * (sx / W) AS a,
+                   sxy / W - (sx / W) * (sy / W) AS b,
+                   syy / W - (sy / W) * (sy / W) AS cc
+            FROM m),
+    eg AS (SELECT *,
+                  ((a + cc) + sqrt((a - cc) * (a - cc) + 4.0 * b * b)) / 2.0 AS l1,
+                  ((a + cc) - sqrt((a - cc) * (a - cc) + 4.0 * b * b)) / 2.0 AS l2,
+                  (abs(b) <= 1e-12) AS aligned
+           FROM prm),
+    axes AS (
+      SELECT level, node, 1 AS axis,
+             CASE WHEN aligned THEN (CASE WHEN a >= cc THEN 1.0 ELSE 0.0 END)
+                  ELSE b END AS vx,
+             CASE WHEN aligned THEN (CASE WHEN a >= cc THEN 0.0 ELSE 1.0 END)
+                  ELSE l1 - a END AS vy
+      FROM eg
+      UNION ALL
+      SELECT level, node, 2 AS axis,
+             CASE WHEN aligned THEN (CASE WHEN a >= cc THEN 0.0 ELSE 1.0 END)
+                  ELSE b END AS vx,
+             CASE WHEN aligned THEN (CASE WHEN a >= cc THEN 1.0 ELSE 0.0 END)
+                  ELSE l2 - a END AS vy
+      FROM eg),
+    cells AS (SELECT level, node, bin_x + 0.5 AS cx, bin_y + 0.5 AS cy,
+                     CAST(ceil(wv / 100.0) AS BIGINT) AS c
+              FROM tree),
+    proj AS (SELECT t.level, t.node, x.axis, t.c,
+                    (t.cx * x.vx + t.cy * x.vy) / (x.vx * x.vx + x.vy * x.vy) AS p
+             FROM cells t JOIN axes x ON x.level = t.level AND x.node = t.node),
+    grp AS (SELECT level, node, axis, p, CAST(sum(c) AS BIGINT) AS c
+            FROM proj GROUP BY 1, 2, 3, 4),
+    st AS (SELECT level, node, axis, CAST(sum(c) AS BIGINT) AS n,
+                  sum(c * p) AS sp, sum(c * p * p) AS spp
+           FROM grp GROUP BY 1, 2, 3),
+    zed AS (SELECT g.level, g.node, g.axis, g.p, g.c, s.n,
+                   CASE WHEN s.spp / s.n - (s.sp / s.n) * (s.sp / s.n) > 0
+                        THEN (g.p - s.sp / s.n)
+                             / sqrt(s.spp / s.n - (s.sp / s.n) * (s.sp / s.n))
+                        ELSE 0.0 END AS z
+            FROM grp g JOIN st s
+              ON s.level = g.level AND s.node = g.node AND s.axis = g.axis),
+    zc AS (SELECT *, CAST(sum(c) OVER (PARTITION BY level, node, axis
+                                       ORDER BY p
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+           FROM zed),
+    pa AS (SELECT z.level, z.node, z.axis, z.n,
+                  sum(CAST(z.c AS DOUBLE) * (2.0 * z.e - z.c) * ln({phi_pos})
+                      + CAST(z.c AS DOUBLE) * (2.0 * (z.n - z.e) + z.c)
+                        * ln({phi_neg})) AS s
+           FROM zc z GROUP BY 1, 2, 3, 4),
+    scored AS (SELECT level, node, axis, n,
+                      -CAST(n AS DOUBLE) - s / n AS a2,
+                      round(1.092 / (1.0 + 4.0 / n - 25.0 / (CAST(n AS DOUBLE) * n)), 3)
+                        AS crit
+               FROM pa),
+    fin AS (SELECT level, node, max(n) AS n,
+                   max(CASE WHEN axis = 1 THEN a2 END) AS a2_1,
+                   max(CASE WHEN axis = 2 THEN a2 END) AS a2_2,
+                   max(crit) AS crit,
+                   min(CASE WHEN a2 <= crit THEN 1 ELSE 0 END) AS ok
+            FROM scored GROUP BY 1, 2)
+    SELECT f.level, f.node, p.mass, f.n,
+           round(f.a2_1, 6) AS a2_1, round(f.a2_2, 6) AS a2_2,
+           f.crit, (f.ok = 1) AS accepted
+    FROM fin f JOIN prm p ON p.level = f.level AND p.node = f.node
+"""
+
+
+_EAGLEMINE_ANDERSON_SQL = _eaglemine_anderson_sql()
+for _cte in ("c AS (", "alive AS (", "lab AS (", "surv AS (", "tree AS (",
+             "grp AS (", "st AS ("):
+    _EAGLEMINE_ANDERSON_SQL = _EAGLEMINE_ANDERSON_SQL.replace(
+        _cte, _cte.replace("AS (", "AS MATERIALIZED ("), 1
+    )
+
+
 def _q_specgreedy(spark, sf_dir):
     """SpecGreedy-style spectrally-seeded densest block
     (SpecGreedy.py:19-257): power-iteration seeding + parallel
@@ -10811,6 +10934,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monlad_cfd": _q_monlad_cfd,
         "eaglemine_describe_trunc": _q_eaglemine_describe_trunc,
         "eaglemine_describe_dtm": _q_eaglemine_describe_dtm,
+        "eaglemine_anderson": _q_eaglemine_anderson,
         "beatgan_ae_recon": _q_beatgan_ae,
         "cubeflow_plus": _q_cubeflow_plus,
         "ses_forecast": _q_ses_forecast,
@@ -11139,6 +11263,7 @@ def oracle_sql() -> dict[str, str]:
         "eaglemine_describe_dtm": _eaglemine_desc_dtm_sql(),
         "eaglemine_stitch": _EAGLEMINE_STITCH_SQL,
         "eaglemine_gof": _EAGLEMINE_GOF_SQL,
+        "eaglemine_anderson": _EAGLEMINE_ANDERSON_SQL,
         "gorilla_roundtrip": _GORILLA_SQL,
         "gorilla_read_range": _GORILLA_READ_RANGE_SQL,
         "html_extract_text": _HTML_EXTRACT_SQL,

@@ -44,6 +44,7 @@ __all__ = [
     "describe_islands",
     "stitch_islands",
     "gof_islands",
+    "anderson_islands",
     "gof_accept_tree",
     "JB_CHI2_4DOF_5PCT",
     "histogram_quantile",
@@ -1003,6 +1004,189 @@ def gof_islands(tree: DataFrame, threshold: float = JB_CHI2_4DOF_5PCT) -> DataFr
         F.when(stat.isNull(), F.lit(True))
         .otherwise(stat <= F.lit(threshold))
         .alias("accepted"),
+    )
+
+
+# Anderson-Darling critical values for the normal family with estimated
+# parameters (scipy.stats.anderson `_Avals_norm`), significance levels
+# 15 / 10 / 5 / 2.5 / 1 % — strictness 0..4 indexes them, 4 = strictest
+AD_CRIT_NORM = (0.576, 0.656, 0.787, 0.918, 1.092)
+
+
+def anderson_islands(tree: DataFrame, strictness: int = 4) -> DataFrame:
+    """EagleMine's Anderson-Darling island normality check
+    (desc/statistic_hypothesis_test.py:45-80 ``_gaussian_anderson_`` /
+    ``_gaussian_check``): per water-level-tree island, project the cell
+    sample onto the fitted covariance's eigen-axes, standardize each
+    projection, and run the A-D normality test per axis; the island is
+    ``accepted`` iff EVERY axis passes at the chosen ``strictness``
+    (0..4 indexing the 15/10/5/2.5/1% critical values, reference
+    default 4 = very strict) — completing the desc/ hypothesis family
+    next to the JB-based :func:`gof_islands`.
+
+    Reference semantics reproduced, re-expressed without materializing
+    the expanded sample:
+
+    * weights: the reference fits desc parameters with ``values =
+      log2(count+1)`` and expands each cell ``ceil(values)`` times
+      before testing (eaglemine_model.py:296-318 + ``_expand_``). Here
+      the covariance uses the same centi-quantized log2 weights as
+      :func:`gof_islands` (:func:`_wlog`) and the expansion multiplicity
+      is ``c = ceil(wlog/100)`` — an integer per cell, never a
+      materialized row explosion;
+    * eigen-axes: closed-form 2x2 eigenvectors ``(b, lambda - a)``
+      ordered by eigenvalue descending (|cov_xy| <= 1e-12 falls back to
+      the aligned axes, larger-variance first) — deterministic where
+      numpy's ``eig`` order is not; the reference's projection
+      ``x.v/(v.v)`` is kept verbatim (its scale cancels in the
+      standardization, as does the reference's +min_float shift);
+    * standardization: population mean/std over the expanded
+      multiplicities (sklearn ``scale`` ddof=0); a zero-variance axis
+      standardizes to all-zeros exactly like sklearn's guard;
+    * the A-D statistic over the expanded sorted sample
+      ``A^2 = -n - (1/n) sum_i (2i-1)(ln Phi(z_i) + ln Phi(-z_{n+1-i}))``
+      collapses over equal-value groups to exact closed-form
+      coefficients: a group with multiplicity ``c`` ending at cumulative
+      position ``e`` contributes ``c(2e-c) ln Phi(z) +
+      c(2(n-e)+c) ln Phi(-z)`` — one window cumsum per (island, axis),
+      no expansion;
+    * decision: ``A^2 <= round(crit / (1 + 4/n - 25/n^2), 3)`` — the
+      same size-adjusted, 3-decimal-rounded critical scipy's
+      ``anderson`` returns.
+
+    Phi is the shared A&S 7.1.26 polynomial (:func:`_std_normal_cdf`),
+    so the DuckDB twin evaluates the identical doubles; A^2 is a
+    multi-op float chain and follows the round(6) emission discipline.
+
+    Plan shape: all relations are island- or cell-sized (bounded by the
+    histogram, not the corpus): one moment aggregate, a 2-row axis
+    explode, one cell x axis join, one window cumsum partitioned by
+    (island, axis), one final aggregate.
+
+    Returns (level, node, mass, n, a2_1, a2_2, crit, accepted) — a2_1
+    the major (larger-eigenvalue) axis.
+    """
+    if not 0 <= int(strictness) <= 4:
+        raise ValueError("strictness must be in 0..4 (reference contract)")
+    keys = ["level", "node"]
+    wl = _wlog()
+    cx, cy = _cx(), _cy()
+    m = tree.groupBy(*keys).agg(
+        F.sum("cnt").alias("mass"),
+        F.sum(wl).alias("W"),
+        F.sum(wl * cx).alias("sx"),
+        F.sum(wl * cy).alias("sy"),
+        F.sum(wl * cx * cx).alias("sxx"),
+        F.sum(wl * cx * cy).alias("sxy"),
+        F.sum(wl * cy * cy).alias("syy"),
+    )
+    params = _gauss_params(m)
+    a, b, c = F.col("cov_xx"), F.col("cov_xy"), F.col("cov_yy")
+    disc = F.sqrt((a - c) * (a - c) + 4.0 * b * b)
+    l1 = ((a + c) + disc) / 2.0
+    l2 = ((a + c) - disc) / 2.0
+    aligned = F.abs(b) <= F.lit(1e-12)
+
+    def _axis(vx, vy):
+        return F.struct(vx.alias("vx"), vy.alias("vy"))
+
+    ax1 = F.when(
+        aligned,
+        F.when(a >= c, _axis(F.lit(1.0), F.lit(0.0))).otherwise(
+            _axis(F.lit(0.0), F.lit(1.0))
+        ),
+    ).otherwise(_axis(b, l1 - a))
+    ax2 = F.when(
+        aligned,
+        F.when(a >= c, _axis(F.lit(0.0), F.lit(1.0))).otherwise(
+            _axis(F.lit(1.0), F.lit(0.0))
+        ),
+    ).otherwise(_axis(b, l2 - a))
+    axes = params.select(
+        *keys, "mass", F.posexplode(F.array(ax1, ax2))
+    ).select(
+        *keys,
+        "mass",
+        (F.col("pos") + 1).cast("int").alias("axis"),
+        F.col("col.vx").alias("vx"),
+        F.col("col.vy").alias("vy"),
+    ).transform(barrier)
+    cells = tree.select(
+        *keys,
+        cx.alias("cx"),
+        cy.alias("cy"),
+        F.ceil(wl / 100.0).cast("long").alias("c"),
+    )
+    proj = cells.join(axes, keys).select(
+        *keys,
+        "axis",
+        "c",
+        (
+            (F.col("cx") * F.col("vx") + F.col("cy") * F.col("vy"))
+            / (F.col("vx") * F.col("vx") + F.col("vy") * F.col("vy"))
+        ).alias("p"),
+    )
+    grp = proj.groupBy(*keys, "axis", "p").agg(F.sum("c").alias("c"))
+    st = grp.groupBy(*keys, "axis").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("p")).alias("sp"),
+        F.sum(F.col("c") * F.col("p") * F.col("p")).alias("spp"),
+    )
+    mean = F.col("sp") / F.col("n")
+    var = F.col("spp") / F.col("n") - mean * mean
+    zed = grp.join(st, [*keys, "axis"]).select(
+        *keys,
+        "axis",
+        "p",
+        "c",
+        "n",
+        F.when(var > 0, (F.col("p") - mean) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    w = (
+        W.partitionBy(*keys, "axis")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    zc = zed.withColumn("e", F.sum("c").over(w))
+    cD, eD, nD = (
+        F.col("c").cast("double"),
+        F.col("e").cast("double"),
+        F.col("n").cast("double"),
+    )
+    term = cD * (2.0 * eD - cD) * F.log(_std_normal_cdf(F.col("z"))) + cD * (
+        2.0 * (nD - eD) + cD
+    ) * F.log(_std_normal_cdf(-F.col("z")))
+    per_axis = zc.groupBy(*keys, "axis", "n").agg(F.sum(term).alias("s"))
+    crit = F.round(
+        F.lit(float(AD_CRIT_NORM[int(strictness)]))
+        / (1.0 + 4.0 / nD - 25.0 / (nD * nD)),
+        3,
+    )
+    scored = per_axis.select(
+        *keys,
+        "axis",
+        "n",
+        (-nD - F.col("s") / nD).alias("a2"),
+        crit.alias("crit"),
+    )
+    out = scored.groupBy(*keys).agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("axis") == 1, F.col("a2"))).alias("a2_1"),
+        F.max(F.when(F.col("axis") == 2, F.col("a2"))).alias("a2_2"),
+        F.max("crit").alias("crit"),
+        F.min((F.col("a2") <= F.col("crit")).cast("int")).alias("__ok"),
+    )
+    mass = m.select(*keys, "mass")
+    return out.join(mass, keys).select(
+        *keys,
+        "mass",
+        "n",
+        "a2_1",
+        "a2_2",
+        "crit",
+        (F.col("__ok") == 1).alias("accepted"),
     )
 
 

@@ -699,3 +699,112 @@ def test_sliding_quantile_bucket_contains_true_quantile(spark):
         assert r.total == len(vals)
 
     prop()
+
+
+def _ad_reference(cells):
+    """Pure-numpy replay of the reference's hypothesis test
+    (statistic_hypothesis_test.py apply/_gaussian_check): ceil-log2
+    expansion, numpy eig of the wlog-weighted covariance, reference
+    projection x.v/(v.v), population standardization, textbook A-D
+    statistic with the TRUE erf (so the engine's A&S polynomial is
+    checked against an independent Phi). Returns sorted [A2_1, A2_2]
+    plus the size-adjusted strictness-4 critical and n."""
+    import math
+
+    import numpy as np
+
+    cells = np.asarray(cells, dtype=np.float64)  # rows: (bin_x, bin_y, cnt)
+    centers = cells[:, :2] + 0.5
+    wv = np.round(np.log2(cells[:, 2] + 1.0) * 100.0)
+    mu = (wv[:, None] * centers).sum(0) / wv.sum()
+    d = centers - mu
+    cov = (wv[:, None, None] * d[:, :, None] * d[:, None, :]).sum(0) / wv.sum()
+    _, v = np.linalg.eig(cov)
+    mult = np.ceil(wv / 100.0).astype(int)
+    xs = np.repeat(centers, mult, axis=0)
+    n = xs.shape[0]
+    a2s = []
+    for k in range(2):
+        kv = v[:, k]
+        p = xs.dot(kv) / kv.dot(kv)
+        sd = p.std()  # population, sklearn-scale convention
+        z = np.zeros_like(p) if sd <= 0 else (p - p.mean()) / sd
+        z = np.sort(z)
+        cdf = np.array([0.5 * (1 + math.erf(t / math.sqrt(2))) for t in z])
+        i = np.arange(1, n + 1)
+        a2 = -n - ((2 * i - 1) * (np.log(cdf) + np.log(1 - cdf[::-1]))).sum() / n
+        a2s.append(a2)
+    crit = round(1.092 / (1.0 + 4.0 / n - 25.0 / (n * n)), 3)
+    return sorted(a2s), crit, n
+
+
+def test_anderson_islands_matches_reference_formula(spark):
+    """Engine A-D (grouped cumulative coefficients, closed-form eigen
+    axes, A&S erf) vs the independent expanded-sample numpy replay."""
+    import numpy as np
+
+    from spartan2_spark.operators.histogram import anderson_islands
+
+    rng = np.random.default_rng(7)
+    # island 10: correlated blob (exercises the non-aligned eigen branch)
+    pts = rng.multivariate_normal([0, 0], [[4.0, 2.4], [2.4, 3.0]], size=400)
+    uniq, counts = np.unique(np.round(pts).astype(int), axis=0, return_counts=True)
+    rows = [(1, 10, int(x), int(y), int(c)) for (x, y), c in zip(uniq, counts)]
+    # island 20: parabola with mixed counts (ties in one projection)
+    for x in range(12):
+        rows.append((1, 20, x, (x * x) // 5, 3 + (x % 4) * 7))
+    tree = spark.createDataFrame(
+        rows, "level int, node int, bin_x long, bin_y long, cnt long"
+    )
+    out = {r.node: r for r in anderson_islands(tree, strictness=4).collect()}
+    for node in (10, 20):
+        cells = [(r[2], r[3], r[4]) for r in rows if r[1] == node]
+        ref_a2, ref_crit, ref_n = _ad_reference(cells)
+        got = sorted([out[node].a2_1, out[node].a2_2])
+        assert out[node].n == ref_n
+        assert abs(out[node].crit - ref_crit) < 1e-9
+        for g, r in zip(got, ref_a2):
+            # A&S erf |err| <= 1.5e-7 per point; the log-sum keeps the
+            # statistic within ~1e-4 of the true-erf value
+            assert abs(g - r) < 5e-4, (node, got, ref_a2)
+        assert out[node].accepted == bool(
+            out[node].a2_1 <= out[node].crit
+            and out[node].a2_2 <= out[node].crit
+        )
+
+
+def test_anderson_islands_accept_and_reject_paths(spark):
+    """A product grid of normal-quantile points is accepted (both
+    eigen-axis projections are near-perfect normal samples); a uniform
+    grid of the same shape is rejected at the same strictness; an
+    invalid strictness raises."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from spartan2_spark.operators.histogram import anderson_islands
+
+    def inv_phi(q):  # Beasley-Springer-Moro is overkill: bisection
+        lo, hi = -8.0, 8.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < q:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    k = 21
+    qs = [inv_phi((i + 0.5) / k) for i in range(k)]
+    norm_bins = sorted({int(round(q * 40)) for q in qs})
+    rows = [(1, 1, x, y, 1) for x in norm_bins for y in norm_bins]
+    rows += [(1, 2, x, y, 1) for x in range(k) for y in range(k)]
+    tree = spark.createDataFrame(
+        rows, "level int, node int, bin_x long, bin_y long, cnt long"
+    )
+    out = {r.node: r for r in anderson_islands(tree, strictness=4).collect()}
+    assert out[1].accepted, (out[1].a2_1, out[1].a2_2, out[1].crit)
+    assert not out[2].accepted, (out[2].a2_1, out[2].a2_2, out[2].crit)
+    with pytest.raises(ValueError):
+        anderson_islands(tree, strictness=5)
