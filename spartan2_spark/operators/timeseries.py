@@ -1699,6 +1699,7 @@ def matrix_profile_discords(
     key_col: str = "key",
     time_col: str = "ts",
     value_col: str = "value",
+    max_series_len: int = 32_768,
 ) -> DataFrame:
     """Top-k DISCORDS per key via the STOMP matrix profile
     (functions/matrix_profile.py): the k subsequences of length ``m``
@@ -1721,7 +1722,7 @@ def matrix_profile_discords(
     from spartan2_spark.functions.matrix_profile import top_discords
 
     return _matrix_profile_pick(
-        df, top_discords, m, k, key_col, time_col, value_col
+        df, top_discords, m, k, key_col, time_col, value_col, max_series_len
     )
 
 
@@ -1732,6 +1733,7 @@ def matrix_profile_motifs(
     key_col: str = "key",
     time_col: str = "ts",
     value_col: str = "value",
+    max_series_len: int = 32_768,
 ) -> DataFrame:
     """Top-k MOTIF pairs per key — the repeated-pattern complement of
     :func:`matrix_profile_discords` on the same STOMP profile: the k
@@ -1742,7 +1744,7 @@ def matrix_profile_motifs(
     from spartan2_spark.functions.matrix_profile import top_motifs
 
     return _matrix_profile_pick(
-        df, top_motifs, m, k, key_col, time_col, value_col
+        df, top_motifs, m, k, key_col, time_col, value_col, max_series_len
     )
 
 
@@ -1754,6 +1756,7 @@ def _matrix_profile_pick(
     key_col: str,
     time_col: str,
     value_col: str,
+    max_series_len: int = 32_768,
 ) -> DataFrame:
     from spartan2_spark.operators.grouped import batched_group_apply
 
@@ -1777,6 +1780,16 @@ def _matrix_profile_pick(
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # loud O(n^2) guard (r4 verdict): the STOMP kernel is quadratic
+        # in series length by design, sized for retention-bounded tier
+        # windows; an oversized series fails the task instead of running
+        # quadratically for hours
+        if len(pdf) > max_series_len:
+            raise ValueError(
+                f"matrix_profile: series '{pdf[key_col].iloc[0]}' has "
+                f"{len(pdf)} points (> max_series_len={max_series_len}); "
+                "serve from a coarser tier or raise the cap explicitly"
+            )
         pdf = pdf.sort_values(time_col, kind="mergesort")
         x = pdf[value_col].to_numpy(np.float64)
         t = pdf[time_col].to_numpy(np.float64)
@@ -2350,6 +2363,7 @@ def mann_kendall(
     key_col: str = "key",
     order_col: str = "t_s",
     value_col: str = "v",
+    max_series_points: int = 10_000,
 ) -> DataFrame:
     """Mann-Kendall trend test per series (Mann 1945 / Kendall 1975 —
     the standard nonparametric "is this metric drifting?" monitor):
@@ -2368,6 +2382,13 @@ def mann_kendall(
     the queried tier, bounded by retention (a 1d tier holds ~365
     points/yr -> ~66k pairs), NEVER corpus-size. The quadratic is
     per-series and embarrassingly parallel across keys.
+
+    ``max_series_points`` makes the retention-bound assumption LOUD
+    (r4 verdict: a convention-only cap can be silently dropped by a
+    future edit): a key longer than the cap raises before the pair
+    join runs — the 10k default is ~5e7 pairs in ONE task, the edge of
+    reasonable; pre-aggregate to a coarser tier or thin
+    (:func:`theilsen_trend`-style) instead of raising the cap.
     """
     from spartan2_spark.operators.barrier import barrier
 
@@ -2379,6 +2400,19 @@ def mann_kendall(
         F.col(order_col).cast("long").alias("t"),
         F.col(value_col).cast("long").alias("v"),
     ).transform(barrier)
+    longest = (
+        s.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    ) or 0
+    if longest > int(max_series_points):
+        raise ValueError(
+            f"mann_kendall: a series has {longest} points "
+            f"(> max_series_points={max_series_points}); the per-key "
+            "pair join would be quadratic in that length — aggregate "
+            "to a coarser tier or thin the series first"
+        )
     a, b = s.alias("a"), s.alias("b")
     pairs = a.join(b, on="key").where(F.col("a.t") < F.col("b.t"))
     sgn = (

@@ -635,3 +635,34 @@ def test_asof_nearest_single_shuffle_no_range_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Union" in plan
     assert plan.count("hashpartitioning(key") <= 2, plan
+
+
+def test_cartesian_classifier_bounded_vs_risky(spark, sf_dir):
+    """r5 plan-audit rule: a CartesianProduct whose subtree reads no
+    data source (eaglemine's <=63-row level-ladder self-join) is
+    bounded; a genuine data-sided cartesian still trips the flag."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import bounded_cartesians
+
+    # eaglemine: its one cartesian must classify as bounded
+    plan = plan_of(E.queries()["eaglemine_clusters"](spark, sf_dir), "simple")
+    b, r = bounded_cartesians(plan)
+    assert b >= 1 and r == 0, (b, r)
+
+    # planted GENUINE cartesian: non-equi join of two parquet scans
+    # (auto-broadcast disabled so the planner can't hide it behind a
+    # BroadcastNestedLoopJoin — at web scale neither side broadcasts)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        c = spark.read.parquet(f"{sf_dir}/region.parquet")
+        bad = a.join(c, a["n_nationkey"] > c["r_regionkey"])
+        plan2 = plan_of(bad, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    b2, r2 = bounded_cartesians(plan2)
+    assert r2 >= 1, plan2
+    assert b2 == 0

@@ -1438,3 +1438,33 @@ def test_pacf3_ar1_cutoff(spark):
         1 - phi21 * r[1] - phi22 * r[2]
     )
     assert abs(out.pacf3 - phi33) < 1e-12
+
+
+def test_quadratic_caps_fail_loudly(spark):
+    """r4 verdict item 5: the O(n^2)-per-key operators must refuse an
+    oversized series instead of silently running quadratically."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from spartan2_spark.operators.timeseries import (
+        mann_kendall,
+        matrix_profile_discords,
+    )
+
+    big = spark.range(0, 200).select(
+        F.lit("k").alias("key"),
+        F.col("id").alias("t_s"),
+        (F.col("id") % 7).alias("v"),
+    )
+    # under the cap: fine
+    assert mann_kendall(big, max_series_points=500).count() == 1
+    with pytest.raises(ValueError, match="max_series_points"):
+        mann_kendall(big, max_series_points=100)
+
+    mp_in = big.select("key", F.col("t_s").cast("double").alias("ts"),
+                       F.col("v").cast("double").alias("value"))
+    assert matrix_profile_discords(mp_in, m=8, k=1).count() >= 1
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="max_series_len"):
+        matrix_profile_discords(mp_in, m=8, k=1, max_series_len=50).count()

@@ -8,11 +8,12 @@ plus a summary rollup. Plans are built at a small sf (construction of
 iterative queries runs their real barriered rounds; everything else
 stays lazy), so the audit is cheap and runs per round.
 
-Known-bounded flags (expected in the summary, not defects): the five
-eaglemine_* queries carry ONE CartesianProduct — an inequality
-self-join over the distinct water-LEVEL relation of the histogram
-contour tree (tens of rows, bounded by the level quantization, never
-data-sized).
+CartesianProduct nodes are classified by SUBTREE (r5): one whose
+inputs never read a data source (no FileScan below — e.g. the
+eaglemine water-LEVEL inequality self-join over a collected <=63-row
+level ladder) is counted as `bounded_cartesians` and does NOT fire
+`summary.with_cartesian_product`; only `risky_cartesians` (a data
+scan somewhere beneath the cartesian) do.
 
 Usage:
 
@@ -36,8 +37,47 @@ def plan_of(df, mode: str = "simple") -> str:
     return buf.getvalue()
 
 
+def _node_indent(line: str) -> int:
+    """Depth of a plan-tree line = column where the node name starts
+    (after the ':', '+', '-' branch art)."""
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def bounded_cartesians(plan: str) -> tuple[int, int]:
+    """Classify every CartesianProduct node by its SUBTREE: a cartesian
+    whose inputs never read a data source (no `FileScan parquet` below
+    it — e.g. the eaglemine water-LEVEL inequality self-join, whose
+    children derive from a collected <=63-row level ladder via `Scan
+    ExistingRDD`) is bounded by construction and cannot become
+    data-sized at any corpus scale. Returns (bounded, risky) counts.
+    """
+    lines = plan.splitlines()
+    bounded = risky = 0
+    for i, line in enumerate(lines):
+        if "CartesianProduct" not in line:
+            continue
+        d = _node_indent(line)
+        has_scan = False
+        for sub in lines[i + 1 :]:
+            if not sub.strip():
+                continue
+            if _node_indent(sub) <= d:
+                break
+            if "FileScan parquet" in sub:
+                has_scan = True
+                break
+        if has_scan:
+            risky += 1
+        else:
+            bounded += 1
+    return bounded, risky
+
+
 def audit_plan(plan: str) -> dict:
+    n_bounded, n_risky = bounded_cartesians(plan)
     return {
+        "bounded_cartesians": n_bounded,
+        "risky_cartesians": n_risky,
         "parquet_scans": plan.count("FileScan parquet"),
         "exchanges": plan.count("Exchange "),
         "hash_exchanges": plan.count("hashpartitioning"),
@@ -93,7 +133,7 @@ def main() -> int:
             out[name] = {"error": str(e).split("\n")[0][:200]}
             continue
         flag = " PYROW!" if out[name]["batch_eval_python"] else ""
-        cart = " CARTESIAN!" if out[name]["cartesian_products"] else ""
+        cart = " CARTESIAN!" if out[name]["risky_cartesians"] else ""
         print(
             f"{name:32s} scans={out[name]['parquet_scans']} "
             f"exch={out[name]['exchanges']} win={out[name]['windows']}"
@@ -107,7 +147,10 @@ def main() -> int:
             n for n, a in out.items() if a.get("batch_eval_python")
         ],
         "with_cartesian_product": [
-            n for n, a in out.items() if a.get("cartesian_products")
+            n for n, a in out.items() if a.get("risky_cartesians")
+        ],
+        "with_bounded_cartesian": [
+            n for n, a in out.items() if a.get("bounded_cartesians")
         ],
         "max_parquet_scans": max(
             (a.get("parquet_scans", 0) for a in out.values()), default=0
