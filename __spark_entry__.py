@@ -222,8 +222,11 @@ def _q_iat_hist(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = hist.agg(F.sum("cnt").alias("__t"))
+    # prob is a SINGLE divide of exact BIGINTs — emitted RAW per the
+    # float-oracle discipline (round() would introduce HALF_UP-vs-float
+    # boundary divergence, the r4 flow_peel_block bug class)
     return hist.crossJoin(F.broadcast(total)).select(
-        "iat_s", "cnt", F.round(F.col("cnt") / F.col("__t"), 8).alias("prob")
+        "iat_s", "cnt", (F.col("cnt") / F.col("__t")).alias("prob")
     )
 
 
@@ -233,7 +236,9 @@ _IAT_HIST_SQL = """
       FROM events),
     h AS (SELECT CAST(floor(iat_us/1000000) AS BIGINT) AS iat_s, count(*) AS cnt
           FROM i WHERE iat_us IS NOT NULL GROUP BY 1)
-    SELECT iat_s, cnt, round(cnt / (SELECT sum(cnt) FROM h), 8) AS prob FROM h
+    SELECT iat_s, cnt,
+           CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM h) AS prob
+    FROM h
 """
 
 
@@ -787,8 +792,8 @@ _NGRAM_JACCARD_SQL = """
                i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' '))) AS ng
       FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.ng, b.ng))), 8) AS jaccard
+           CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.ng, b.ng))) AS jaccard
     FROM d a, d b
     WHERE a.doc_id < b.doc_id
       AND CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
@@ -975,8 +980,8 @@ _NGRAM_CONTAINMENT_SQL = """
       FROM d a, d b
       WHERE a.doc_id < b.doc_id AND len(list_intersect(a.ng, b.ng)) > 0)
     SELECT id_a, id_b,
-           round(c / n_a, 8) AS cont_a,
-           round(c / n_b, 8) AS cont_b
+           c / n_a AS cont_a,
+           c / n_b AS cont_b
     FROM p WHERE greatest(c / n_a, c / n_b) >= 0.3
 """
 
@@ -1242,7 +1247,7 @@ _LSH_PURITY_SQL = """
            FROM cnt GROUP BY bucket)
     SELECT count(*)::BIGINT AS n_buckets,
            CAST(sum(n_b) AS BIGINT) AS n_vecs,
-           round(sum(maj) / sum(n_b), 8) AS purity
+           CAST(sum(maj) AS DOUBLE) / sum(n_b) AS purity
     FROM pb
 """
 
@@ -1485,8 +1490,8 @@ _KEY_SKEW_SQL = """
         ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.key <= a.key)
       GROUP BY a.key, a.cnt)
     SELECT r.key, r.rnk, r.cnt, s.n_keys,
-           round(CAST(r.cnt AS DOUBLE) / s.total, 8) AS share,
-           round(CAST(r.cum_cnt AS DOUBLE) / s.total, 8) AS cum_share
+           CAST(r.cnt AS DOUBLE) / s.total AS share,
+           CAST(r.cum_cnt AS DOUBLE) / s.total AS cum_share
     FROM ranked r CROSS JOIN stats s
 """
 
@@ -1514,9 +1519,9 @@ _QUALITY_SQL = """
       FROM documents)
     SELECT doc_id,
            n_tok AS q_n_tokens,
-           round(n_punct / greatest(n_chars, 1), 8) AS q_punct_ratio,
-           round(n_stop / greatest(n_tok, 1), 8) AS q_stop_ratio,
-           round(n_chars / greatest(n_tok, 1), 8) AS q_mean_word_len,
+           n_punct / greatest(n_chars, 1) AS q_punct_ratio,
+           n_stop / greatest(n_tok, 1) AS q_stop_ratio,
+           n_chars / greatest(n_tok, 1) AS q_mean_word_len,
            round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
              least(n_tok / 200.0, 1.0) * 0.25
              + least(n_stop / greatest(n_tok, 1) * 5.0, 1.0) * 0.25
@@ -1559,11 +1564,11 @@ _REPETITION_SQL = """
     SELECT g.id,
            len(tok)::BIGINT AS n_tokens,
            len(lines)::BIGINT AS n_lines,
-           round((len(lines) - len(list_distinct(lines)))
-                 / greatest(len(lines), 1), 8) AS dup_line_frac,
-           round((len(g3) - len(list_distinct(g3)))
-                 / greatest(len(g3), 1), 8) AS dup_3gram_frac,
-           round(coalesce(top2_cnt, 0) / greatest(len(g2), 1), 8) AS top_2gram_frac
+           (len(lines) - len(list_distinct(lines)))
+             / greatest(len(lines), 1) AS dup_line_frac,
+           (len(g3) - len(list_distinct(g3)))
+             / greatest(len(g3), 1) AS dup_3gram_frac,
+           coalesce(top2_cnt, 0) / greatest(len(g2), 1) AS top_2gram_frac
     FROM g LEFT JOIN top2 ON top2.id = g.id
 """
 
@@ -2588,7 +2593,7 @@ def _q_markov_transitions(spark, sf_dir):
     tot = pairs.groupBy("src").agg(F.sum("cnt").alias("n_src"))
     return pairs.join(tot, "src").select(
         "src", "dst", "cnt",
-        F.round(F.col("cnt") / F.col("n_src"), 8).alias("prob"),
+        (F.col("cnt") / F.col("n_src")).alias("prob"),
     )
 
 
@@ -2601,7 +2606,7 @@ _MARKOV_SQL = """
     c AS (SELECT src, dst, count(*)::BIGINT AS cnt FROM p
           WHERE src IS NOT NULL GROUP BY 1, 2),
     t AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_src FROM c GROUP BY 1)
-    SELECT c.src, c.dst, c.cnt, round(c.cnt / t.n_src, 8) AS prob
+    SELECT c.src, c.dst, c.cnt, CAST(c.cnt AS DOUBLE) / t.n_src AS prob
     FROM c JOIN t USING (src)
 """
 
@@ -2812,7 +2817,7 @@ def _q_benford_digits(spark, sf_dir):
     tot = counts.groupBy("event_type").agg(F.sum("cnt").alias("n"))
     return counts.join(tot, "event_type").select(
         "event_type", "digit", "cnt",
-        F.round(F.col("cnt") / F.col("n"), 8).alias("frac"),
+        (F.col("cnt") / F.col("n")).alias("frac"),
     )
 
 
@@ -2824,7 +2829,7 @@ _BENFORD_SQL = """
                  count(*)::BIGINT AS cnt
           FROM v WHERE v > 0 GROUP BY 1, 2),
     t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
-    SELECT c.event_type, c.digit, c.cnt, round(c.cnt / t.n, 8) AS frac
+    SELECT c.event_type, c.digit, c.cnt, CAST(c.cnt AS DOUBLE) / t.n AS frac
     FROM c JOIN t USING (event_type)
 """
 
@@ -4171,8 +4176,8 @@ def _q_combine_join(spark, sf_dir):
     out = combine_series(daily("click"), daily("view"))
     return out.select(
         F.unix_timestamp("ts").alias("day_s"),
-        F.round("vmean_c_1", 8).alias("click_mean_c"),
-        F.round("vmean_c_2", 8).alias("view_mean_c"),
+        F.col("vmean_c_1").alias("click_mean_c"),
+        F.col("vmean_c_2").alias("view_mean_c"),
     )
 
 
@@ -4184,7 +4189,7 @@ _COMBINE_SQL = """
                  sum(round(value*100)) / count(*) AS m
           FROM events WHERE event_type = 'view' GROUP BY 1)
     SELECT epoch(c.day)::BIGINT AS day_s,
-           round(c.m, 8) AS click_mean_c, round(v.m, 8) AS view_mean_c
+           c.m AS click_mean_c, v.m AS view_mean_c
     FROM c JOIN v USING (day)
 """
 
@@ -4227,7 +4232,7 @@ def _q_mean_var_sink(spark, sf_dir):
     )
     return g.select(
         "event_type",
-        F.round(F.col("s") / F.col("n"), 8).alias("mean_c"),
+        (F.col("s") / F.col("n")).alias("mean_c"),
         F.round(
             (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"), 6
         ).alias("var_c"),
@@ -4240,7 +4245,7 @@ _MEAN_VAR_SQL = """
                       sum(round(value*100) * round(value*100)) AS ss,
                       count(*) AS n
                FROM events GROUP BY 1)
-    SELECT event_type, round(s / n, 8) AS mean_c,
+    SELECT event_type, s / n AS mean_c,
            round((ss - s * s / n) / n, 6) AS var_c, n
     FROM g
 """

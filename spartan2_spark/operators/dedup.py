@@ -452,13 +452,17 @@ def ngram_jaccard_join(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # jaccard is ONE IEEE divide of exact integer counts — emitted RAW
+    # and filtered RAW per the float-oracle discipline (rounding before
+    # the threshold also let a 0.19999999999999998 pass as 0.2 on this
+    # side while the raw-filtering twin dropped it — r5 lint find)
     jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
     return (
         common.join(
             sz.select(F.col("id").alias("id_a"), F.col("n_sz").alias("n_a")), "id_a"
         )
         .join(sz.select(F.col("id").alias("id_b"), F.col("n_sz").alias("n_b")), "id_b")
-        .withColumn("jaccard", F.round(jac, 8))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -519,8 +523,9 @@ def ngram_containment_join(
         .select(
             "id_a",
             "id_b",
-            F.round(ca, 8).alias("cont_a"),
-            F.round(cb, 8).alias("cont_b"),
+            # single integer divides, RAW per the float-oracle discipline
+            ca.alias("cont_a"),
+            cb.alias("cont_b"),
         )
     )
 

@@ -292,8 +292,9 @@ def key_skew_profile(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
         "rnk",
         "cnt",
         "n_keys",
-        F.round(F.col("cnt") / F.col("total"), 8).alias("share"),
-        F.round(F.col("cum_cnt") / F.col("total"), 8).alias("cum_share"),
+        # single integer divides, RAW per the float-oracle discipline
+        (F.col("cnt") / F.col("total")).alias("share"),
+        (F.col("cum_cnt") / F.col("total")).alias("cum_share"),
     )
 
 

@@ -311,7 +311,7 @@ def lsh_label_purity(
     return per_bucket.agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
         F.sum("n_b").cast("long").alias("n_vecs"),
-        F.round(F.sum("maj") / F.sum("n_b"), 8).alias("purity"),
+        (F.sum("maj") / F.sum("n_b")).alias("purity"),
     )
 
 

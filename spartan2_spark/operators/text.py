@@ -90,9 +90,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         n_tok.cast("long").alias("q_n_tokens"),
-        F.round(punct_ratio, 8).alias("q_punct_ratio"),
-        F.round(stop_ratio, 8).alias("q_stop_ratio"),
-        F.round(mean_wlen, 8).alias("q_mean_word_len"),
+        # the three ratios are SINGLE divides of exact integer counts —
+        # emitted RAW per the float-oracle discipline; only the
+        # composite score is a multi-op chain and keeps its round(8)
+        punct_ratio.alias("q_punct_ratio"),
+        stop_ratio.alias("q_stop_ratio"),
+        mean_wlen.alias("q_mean_word_len"),
         F.round(score, 8).alias("q_score"),
     )
 
@@ -254,18 +257,19 @@ def repetition_stats(
         "id",
         F.size(toks).cast("long").alias("n_tokens"),
         n_lines.cast("long").alias("n_lines"),
-        F.round(
+        # each fraction is ONE IEEE divide (numerator/denominator stay
+        # in exact integer arithmetic) — emitted RAW per the
+        # float-oracle discipline
+        (
             (n_lines - F.size(F.array_distinct(lines)))
-            / F.greatest(n_lines, F.lit(1)),
-            8,
+            / F.greatest(n_lines, F.lit(1))
         ).alias("dup_line_frac"),
-        F.round(
+        (
             (F.size(g3) - F.size(F.array_distinct(g3)))
-            / F.greatest(F.size(g3), F.lit(1)),
-            8,
+            / F.greatest(F.size(g3), F.lit(1))
         ).alias("dup_3gram_frac"),
-        F.round(
-            top2_cnt / F.greatest(F.size(toks) - 1, F.lit(1)), 8
+        (
+            top2_cnt / F.greatest(F.size(toks) - 1, F.lit(1))
         ).alias("top_2gram_frac"),
     )
 

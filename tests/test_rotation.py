@@ -54,3 +54,45 @@ def test_reorder_preserves_registry():
     assert len(q) == len(reg)
     for k in q:
         assert q[k] is reg[k]
+
+
+def test_float_oracle_lint():
+    """r4 verdict item 9: the check_oracle float-emission lint flags
+    both violation classes on planted SQL, skips declared-safe columns,
+    and is clean over every shipped oracle twin."""
+    sys.path.insert(0, str(REPO / "tools"))
+    from check_oracle import FLOAT_LINT_ALLOW, lint_oracle_sql
+
+    # planted violation 1: rounded single divide
+    w = lint_oracle_sql("SELECT k, round(a / b, 8) AS frac FROM t")
+    assert len(w) == 1 and "single divide" in w[0]
+
+    # planted violation 2: un-rounded transcendental chain
+    w = lint_oracle_sql("SELECT k, sqrt(a) * b + ln(c) AS score FROM t")
+    assert len(w) == 1 and "un-rounded float chain" in w[0]
+
+    # safe forms: raw single divide; rounded multi-op; integer count
+    assert not lint_oracle_sql("SELECT k, a / b AS frac FROM t")
+    assert not lint_oracle_sql(
+        "SELECT k, round(sqrt(a) * b + ln(c), 8) AS score FROM t"
+    )
+    assert not lint_oracle_sql(
+        "SELECT k, CAST(sum(CASE WHEN x > sqrt(y) * 2 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_hits FROM t"
+    )
+    # CTE-heavy SQL: lint sees only the final select
+    assert not lint_oracle_sql(
+        "WITH a AS (SELECT round(x / y, 8) AS bad FROM t)"
+        " SELECT k, bad FROM a"
+    )
+
+    # every shipped twin is clean modulo the declared-safe columns
+    for name, sql in entry.oracle_sql().items():
+        warns = [
+            w
+            for w in lint_oracle_sql(sql)
+            if not any(
+                f"col {c}:" in w for c in FLOAT_LINT_ALLOW.get(name, {})
+            )
+        ]
+        assert not warns, (name, warns)

@@ -68,6 +68,136 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _final_select_items(sql: str) -> list[str]:
+    """Output expressions of the LAST top-level SELECT (after every
+    CTE), split on top-level commas, each 'expr AS alias' item whole."""
+    import re
+
+    depth = 0
+    last_sel = -1
+    for m in re.finditer(r"[()]|\bSELECT\b", sql, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            last_sel = m.end()
+    if last_sel < 0:
+        return []
+    tail = sql[last_sel:]
+    # cut at the top-level FROM
+    depth = 0
+    end = len(tail)
+    for m in re.finditer(r"[()]|\bFROM\b", tail, re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            end = m.start()
+            break
+    items, depth, start = [], 0, 0
+    sel = tail[:end]
+    for i, ch in enumerate(sel):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(sel[start:i].strip())
+            start = i + 1
+    items.append(sel[start:].strip())
+    return [it for it in items if it]
+
+
+def lint_oracle_sql(sql: str) -> list[str]:
+    """Float-emission discipline lint (SURVEY 'FLOAT-ORACLE DISCIPLINE',
+    the r4 wrap-2 finding):
+
+    * a SINGLE-DIVIDE quotient of exact integers is bit-identical by
+      IEEE construction and must be emitted RAW — wrapping it in
+      round() *introduces* cross-engine divergence (Spark rounds via
+      BigDecimal HALF_UP, DuckDB multiplies-rounds-divides in floats;
+      observed as the 1-ulp flow_peel_block objective4 mismatch).
+      Flagged: ``round(<expr with exactly one '/' and no other float
+      op>, n)``.
+    * a MULTI-OP float chain must be rounded on both sides. Textually
+      proving an unrounded chain is float (not integer-exact) is
+      unreliable, so the lint flags only the unambiguous case: an
+      un-rounded output expression containing a transcendental
+      (sqrt/ln/log/exp/pow/pi) — always float — combined with further
+      arithmetic.
+
+    Returns human-readable warnings (empty = clean).
+    """
+    import re
+
+    warns = []
+    for item in _final_select_items(sql):
+        alias_m = re.search(r"\bAS\s+(\w+)\s*$", item, re.IGNORECASE)
+        alias = alias_m.group(1) if alias_m else item[:30]
+        expr = item[: alias_m.start()] if alias_m else item
+        e = expr.strip()
+        # rule 1: rounded single divide
+        m = re.match(r"(?is)^round\s*\((.*),\s*\d+\s*\)$", e)
+        if m:
+            inner = m.group(1)
+            if (
+                inner.count("/") == 1
+                and not re.search(r"[+*]|(?<!\w)-", inner.replace("::", ""))
+                and not re.search(
+                    r"\b(sqrt|ln|log|exp|pow|pi|sin|cos)\s*\(", inner,
+                    re.IGNORECASE,
+                )
+            ):
+                warns.append(
+                    f"col {alias}: round() around a single divide — "
+                    "IEEE single divides are bit-identical raw; the "
+                    "round INTRODUCES HALF_UP-vs-float divergence"
+                )
+        # rule 2: un-rounded transcendental chain (skip integer-cast
+        # outputs — a CASE-count that merely COMPARES against a sqrt
+        # emits exact integers, not floats)
+        elif re.search(r"\b(sqrt|ln|exp|pow)\s*\(", e, re.IGNORECASE) and (
+            re.search(r"[+*/]", re.sub(r"(?is)\bround\s*\(.*\)", "", e))
+        ):
+            if not re.search(
+                r"(?is)^\s*(CAST\s*\(\s*)?round\s*\(", e
+            ) and not re.search(
+                r"(?is)^CAST\s*\(.*AS\s+(BIGINT|INTEGER|INT|LONG)\s*\)$",
+                e.strip(),
+            ):
+                warns.append(
+                    f"col {alias}: un-rounded float chain with a "
+                    "transcendental — emit through round(x, 6|8) on "
+                    "BOTH sides per the float-oracle discipline"
+                )
+    return warns
+
+
+# Declared-safe float emissions: each entry is a column PROVEN
+# bit-identical cross-engine despite tripping a lint rule, with the
+# docstring that carries the proof. New queries must either follow the
+# discipline or add a declaration here (reviewable, greppable).
+FLOAT_LINT_ALLOW: dict[str, dict[str, str]] = {
+    "rolling_corr": {
+        "corr": "num/(sqrt(dx)*sqrt(dy)) — 3 IEEE ops in fixed order on "
+                "exact BIGINT moments; split sqrt documented bit-identical "
+                "(operators/timeseries.rolling_corr docstring)",
+    },
+    "acf_multi": {
+        "acf": "same split-sqrt ratio contract as rolling_corr "
+               "(operators/timeseries.acf_multi docstring)",
+    },
+    "xcorr_lagged": {
+        "pearson_r": "same split-sqrt ratio contract as rolling_corr "
+                     "(operators/timeseries.xcorr_lagged docstring)",
+    },
+}
+
+
 def main() -> int:
     args = list(sys.argv[1:])
     json_out = None
@@ -119,6 +249,19 @@ def main() -> int:
             failed.append(name)
             report[name] = {"rows": len(sdf), "value_exact": False,
                             "err": f"duckdb: {exc}"[:300]}
+            continue
+        lint = [
+            w
+            for w in lint_oracle_sql(os_[name])
+            if not any(
+                f"col {c}:" in w for c in FLOAT_LINT_ALLOW.get(name, {})
+            )
+        ]
+        if lint:
+            print(f"LINT {name}: " + "; ".join(lint))
+            failed.append(name)
+            report[name] = {"rows": len(sdf), "value_exact": False,
+                            "err": "lint: " + "; ".join(lint)[:280]}
             continue
         problems = compare(sdf, odf)
         if problems:
