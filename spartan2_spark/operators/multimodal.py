@@ -9,7 +9,11 @@ bytes-derived stand-in for plumbing tests, ``'none'`` raises at
 execution, and a CALLABLE swaps in an external codec (PIL/ffmpeg on a
 real cluster). ffmpeg-class formats (JPEG/video/compressed audio) have
 no in-container codec and keep the stub seam; WAV audio decodes for
-real via png_codec.decode_wav (stdlib ``wave``).
+real via png_codec.decode_wav (stdlib ``wave``); ``'jpeg'`` is a
+REAL baseline-JPEG decode path (functions/jpeg_codec.py, pure numpy
+Huffman + IDCT — libjpeg-encoded baseline files included). The
+remaining ffmpeg-class seam (video, compressed audio, progressive
+JPEG) keeps the documented NotImplementedError.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` modest (the session
@@ -73,11 +77,12 @@ def extract_features(
     """
     schema = f"{id_col} string, n_bytes long, features array<double>"
 
-    if not callable(decoder) and decoder not in ("fake", "none", "png"):
+    if not callable(decoder) and decoder not in ("fake", "none", "png", "jpeg"):
         raise ValueError(
             f"unknown decoder {decoder!r}: pass a callable "
             "(buf, n_features) -> ndarray, or 'png' (real stdlib-zlib "
-            "PNG decode), or 'fake' (deterministic stand-in), or "
+            "PNG decode), or 'jpeg' (real numpy baseline-JPEG decode), "
+            "or 'fake' (deterministic stand-in), or "
             "'none' (raise at execution) — a typo must not silently "
             "produce fake features"
         )
@@ -85,6 +90,10 @@ def extract_features(
         from spartan2_spark.functions.png_codec import png_feature_decoder
 
         decode_fn = png_feature_decoder
+    elif decoder == "jpeg":
+        from spartan2_spark.functions.jpeg_codec import jpeg_feature_decoder
+
+        decode_fn = jpeg_feature_decoder
     else:
         decode_fn = decoder if callable(decoder) else _decode_fake
 
@@ -169,14 +178,19 @@ def resize_media(
     (sh, sw), (oh, ow) = src_hw, out_hw
     if sh % oh or sw % ow:
         raise ValueError(f"src_hw {src_hw} not divisible by out_hw {out_hw}")
-    if not callable(decoder) and decoder not in ("fake", "none", "png"):
+    if not callable(decoder) and decoder not in ("fake", "none", "png", "jpeg"):
         raise ValueError(
-            f"unknown decoder {decoder!r}: callable, 'png', 'fake', or 'none'"
+            f"unknown decoder {decoder!r}: callable, 'png', 'jpeg', "
+            "'fake', or 'none'"
         )
     if decoder == "png":
         from spartan2_spark.functions.png_codec import png_image_decoder
 
         decode_fn = png_image_decoder
+    elif decoder == "jpeg":
+        from spartan2_spark.functions.jpeg_codec import jpeg_image_decoder
+
+        decode_fn = jpeg_image_decoder
     else:
         decode_fn = decoder if callable(decoder) else _decode_image_fake
     schema = f"{id_col} string, out_h int, out_w int, pixels array<double>"
