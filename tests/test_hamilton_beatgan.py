@@ -229,3 +229,72 @@ def test_beatgan_ae_spark_wrapper(spark):
     _, errs = mlp_ae_window_scores(x, 16, 8, hidden=4, epochs=100)
     a = out[out.key == "a"].sort_values("win_start_idx")["err"].to_numpy()
     assert np.array_equal(a, errs)
+
+
+def test_adversarial_ae_planted_anomaly_and_determinism():
+    """Full BeatGAN objective (generator + discriminator with
+    feature-matching): recovers a planted distorted window, scores are
+    bit-deterministic, and differ from the non-adversarial AE (the
+    discriminator term engages)."""
+    from spartan2_spark.models.beatgan import (
+        adversarial_ae_window_scores,
+        mlp_ae_window_scores,
+    )
+
+    rng = np.random.default_rng(0)
+    t = np.arange(1024)
+    x = np.sin(2 * np.pi * t / 64) + 0.05 * rng.standard_normal(1024)
+    x[512:576] = x[512:576][::-1] * 2.5 + 1.0
+    s, e = adversarial_ae_window_scores(x, 64, 32)
+    assert s[np.argmax(e)] == 512
+    assert e.max() / np.median(e) > 3.0
+    _s2, e2 = adversarial_ae_window_scores(x, 64, 32)
+    assert np.array_equal(e, e2)
+    _s3, e3 = mlp_ae_window_scores(x, 64, 32)
+    assert not np.allclose(e, e3)
+    # fm_lambda=0 with matching shapes degenerates toward plain AE
+    # dynamics: still recovers the plant
+    _s4, e4 = adversarial_ae_window_scores(x, 64, 32, fm_lambda=0.0)
+    assert _s4[np.argmax(e4)] == 512
+
+
+def test_adversarial_training_actually_trains():
+    """The alternating loop LEARNS: reconstruction error after the
+    adversarial training is far below the untrained (epochs~0) error,
+    and the discriminator-regularized reconstructor still fits the
+    normal regime."""
+    from spartan2_spark.models.beatgan import adversarial_ae_window_scores
+
+    rng = np.random.default_rng(1)
+    t = np.arange(2048)
+    x = np.sin(2 * np.pi * t / 32) + 0.02 * rng.standard_normal(2048)
+    _s0, e0 = adversarial_ae_window_scores(x, 32, 16, epochs=1)
+    _s1, e1 = adversarial_ae_window_scores(x, 32, 16, epochs=300)
+    assert e1.mean() < e0.mean() / 20.0
+
+
+def test_beatgan_gan_spark_wrapper(spark):
+    import datetime as dt
+
+    from spartan2_spark.models.beatgan import beatgan_gan_scores
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(5)
+    for u in ("a", "b"):
+        for i in range(96):
+            v = float(np.sin(i / 6.0) * 10 + rng.standard_normal() * 0.1)
+            if u == "b" and 48 <= i < 64:
+                v = v * 4 + 30
+            rows.append((u, base + dt.timedelta(minutes=i), i, v))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, eid long, value double")
+    out = beatgan_gan_scores(
+        df, key="key", ts="ts", val="value", window=16, stride=8,
+        hidden=4, d_hidden=4, epochs=80, tie="eid",
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.key, []).append(r)
+    assert set(by_key) == {"a", "b"}
+    worst_b = max(by_key["b"], key=lambda r: r.err)
+    assert 40 <= worst_b.win_start_idx <= 64
