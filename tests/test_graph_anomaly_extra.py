@@ -543,3 +543,47 @@ def test_rich_club_planted_core(spark):
     assert abs(r2.phi - 1.0) < 1e-15
     r4 = out[4]
     assert r4.n_k == 0 and r4.e_k == 0 and r4.phi is None
+
+
+def test_connected_components_random_property(spark):
+    """r5 frontier-CC rework safety net: on random graphs (mixed
+    cliques, chains, stars, singetons-by-absence), labels must equal a
+    union-find ground truth, for both dedup_edges modes."""
+    import numpy as np
+
+    from spartan2_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 60
+        m = int(rng.integers(20, 120))
+        edges = [
+            (int(rng.integers(0, n)), int(rng.integers(0, n)))
+            for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find ground truth with min-label normalization
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        truth = {x: find(x) for x in touched}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        for dedup in (True, False):
+            got = {
+                r.node: r.component
+                for r in connected_components(
+                    df, dedup_edges=dedup
+                ).collect()
+            }
+            assert got == truth, (trial, dedup)
