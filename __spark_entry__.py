@@ -1252,6 +1252,54 @@ _LSH_PURITY_SQL = """
 """
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet/RedPajama-style LM perplexity filter (text.char_lm_counts
+    + text.lm_perplexity): a char-trigram LM trained on the even-id
+    reference slice, broadcast to score every document — add-one
+    smoothing over exact integer counts, per-gram ln p quantized to
+    1e-8 before the order-independent per-doc integer sum; ppl is the
+    one rounded float."""
+    from spartan2_spark.operators.text import char_lm_counts, lm_perplexity
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = char_lm_counts(d.filter(F.col("doc_id") % 2 == 0), "text", n=3)
+    return lm_perplexity(d, model, "text", "doc_id", n=3)
+
+
+_LM_PPL_SQL = """
+    WITH refg AS (
+      SELECT unnest(list_transform(generate_series(1, length(text) - 2),
+                    i -> substring(text, i, 3))) AS g
+      FROM documents WHERE doc_id % 2 = 0 AND length(text) >= 3),
+    m AS (SELECT substring(g, 1, 2) AS ctx, substring(g, 3, 1) AS ch,
+                 count(*)::BIGINT AS c
+          FROM refg GROUP BY 1, 2),
+    tot AS (SELECT ctx, CAST(sum(c) AS BIGINT) AS ctx_total FROM m GROUP BY 1),
+    v AS (SELECT count(DISTINCT ch)::BIGINT AS vv FROM m),
+    dg AS (SELECT id, substring(g, 1, 2) AS ctx, substring(g, 3, 1) AS ch
+           FROM (SELECT doc_id AS id,
+                        unnest(list_transform(generate_series(1, length(text) - 2),
+                               i -> substring(text, i, 3))) AS g
+                 FROM documents WHERE length(text) >= 3)),
+    sc AS (SELECT dg.id,
+                  CAST(round(ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
+                                / (coalesce(tot.ctx_total, 0) + v.vv)) * 1e8)
+                       AS BIGINT) AS lq
+           FROM dg LEFT JOIN m ON m.ctx = dg.ctx AND m.ch = dg.ch
+                   LEFT JOIN tot ON tot.ctx = dg.ctx
+                   CROSS JOIN v),
+    pd AS (SELECT id, count(*)::BIGINT AS n_grams,
+                  CAST(-sum(lq) AS BIGINT) AS nll_q
+           FROM sc GROUP BY 1)
+    SELECT d.doc_id AS id,
+           CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+           pd.nll_q,
+           round(exp(CAST(pd.nll_q AS DOUBLE) / 1e8 / pd.n_grams), 6) AS ppl
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN pd ON pd.id = d.doc_id
+"""
+
+
 def _q_doc_entropy(spark, sf_dir):
     """Per-doc Shannon entropy of the token distribution — per-term
     contributions quantized to 1e-8 before the per-doc integer sum."""
@@ -11014,6 +11062,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": _q_pmi_collocations,
         "lsh_label_purity": _q_lsh_label_purity,
         "doc_entropy": _q_doc_entropy,
+        "lm_perplexity": _q_lm_perplexity,
         "clustering_coeff": _q_clustering_coeff,
         "burst_islands": _q_burst_islands,
         "session_stats": _q_session_stats,
@@ -11265,6 +11314,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _PMI_SQL,
         "lsh_label_purity": _LSH_PURITY_SQL,
         "doc_entropy": _DOC_ENTROPY_SQL,
+        "lm_perplexity": _LM_PPL_SQL,
         "clustering_coeff": _CLUSTER_COEFF_SQL,
         "burst_islands": _BURST_ISLANDS_SQL,
         "session_stats": _SESSION_STATS_SQL,

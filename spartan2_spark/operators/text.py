@@ -16,6 +16,8 @@ __all__ = [
     "extract_text",
     "tokens_expr",
     "token_count",
+    "char_lm_counts",
+    "lm_perplexity",
     "quality_score",
     "lang_id",
     "fingerprint_bottom_k",
@@ -1447,4 +1449,138 @@ def filter_funnel(
         .otherwise(0)
         .cast("long")
         .alias("fail_ppm"),
+    )
+
+
+def _char_ngrams_all(text_col: str, n: int):
+    """EVERY char n-gram with multiplicity (positions 1..len-n+1) —
+    the LM counting form of :func:`dedup.char_shingles_expr` (which
+    dedups). Callers filter length(text) >= n."""
+    return F.expr(
+        f"transform(sequence(1, length({text_col}) - {n - 1}),"
+        f" i -> substring({text_col}, i, {n}))"
+    )
+
+
+def char_lm_counts(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Character n-gram language model from a REFERENCE corpus slice —
+    the model half of CCNet/RedPajama-style perplexity filtering
+    (Wenzek et al. 2020 train a small LM on clean text and bucket the
+    crawl by perplexity; a char n-gram model keeps the whole pipeline
+    closed-form and engine-exact where KenLM would be a binary dep).
+
+    Returns the model as a RELATION: one row per (ctx, ch) with its
+    count, where ctx is the (n-1)-char context and ch the next char.
+    Counting is one map-side-combinable aggregation over the exploded
+    grams; docs shorter than ``n`` chars contribute nothing. Contexts
+    and totals stay exact integers — smoothing happens at score time.
+
+    At web scale the REFERENCE slice is small by design (CCNet trains
+    on Wikipedia, not the crawl), so the model relation broadcast-joins
+    onto the corpus in :func:`lm_perplexity`.
+    """
+    if n < 2:
+        raise ValueError("char LM needs n >= 2 (a context and a next char)")
+    return (
+        df.filter(F.length(text_col) >= n)
+        .select(F.explode(_char_ngrams_all(text_col, n)).alias("g"))
+        .select(
+            F.substring("g", 1, n - 1).alias("ctx"),
+            F.substring("g", n, 1).alias("ch"),
+        )
+        .groupBy("ctx", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document perplexity under a :func:`char_lm_counts` model —
+    the scoring half of CCNet-style quality bucketing: low perplexity =
+    looks like the reference corpus, high = noise/boilerplate/ other
+    language.
+
+    Add-one (Laplace) smoothing over the model's character vocabulary:
+    ``p(ch | ctx) = (c + 1) / (ctx_total + V)`` with ``V`` the model's
+    distinct next-char count and ``ctx_total = 0`` for unseen contexts
+    (so every gram has mass and the score is total).
+
+    Exactness: each gram's ``ln p`` is a deterministic function of the
+    exact integers ``(c, ctx_total, V)``, quantized to 1e-8 BEFORE the
+    per-doc sum (the :func:`doc_entropy` discipline) so the aggregation
+    is an order-independent integer sum — engine plans can differ,
+    values cannot. ``nll_q`` (the negated quantized sum) and
+    ``n_grams`` are exact BIGINTs; ``ppl`` is the one multi-op float
+    (exp of the mean NLL) and is emitted through round(6).
+
+    Plan shape: the model + its context totals broadcast (reference
+    slices are small by contract); the corpus is read ONCE, grams
+    exploded, scored against the broadcast map, and reduced by one
+    map-side-combinable per-doc aggregation — a single shuffle on the
+    doc id, linear in corpus characters. Docs shorter than ``n`` chars
+    emit NULL ppl with n_grams = 0.
+    """
+    from spartan2_spark.operators.barrier import barrier
+
+    if n < 2:
+        raise ValueError("char LM needs n >= 2")
+    m = model.transform(barrier)
+    totals = m.groupBy("ctx").agg(F.sum("c").cast("long").alias("ctx_total"))
+    vocab = m.agg(F.countDistinct("ch").cast("long").alias("V"))
+    grams = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .filter(F.length("__t") >= n)
+        .select("id", F.explode(_char_ngrams_all("__t", n)).alias("g"))
+        .select(
+            "id",
+            F.substring("g", 1, n - 1).alias("ctx"),
+            F.substring("g", n, 1).alias("ch"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(m), ["ctx", "ch"], "left")
+        .join(F.broadcast(totals), "ctx", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (
+                        F.coalesce(F.col("ctx_total"), F.lit(0)) + F.col("V")
+                    ).cast("double")
+                )
+                * F.lit(1e8)
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        (-F.sum("lq")).cast("long").alias("nll_q"),
+    )
+    docs = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        docs.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.col("nll_q"),
+            F.round(
+                F.exp(
+                    F.col("nll_q").cast("double")
+                    / F.lit(1e8)
+                    / F.col("n_grams").cast("double")
+                ),
+                6,
+            ).alias("ppl"),
+        )
     )

@@ -394,3 +394,32 @@ def test_filter_funnel_first_fail_charging(spark):
     # B sees only the 4 A-survivors; doc 3 fails it
     assert out["B"].entered == 4 and out["B"].failed == 1
     assert out["B"].surviving == 3
+
+
+def test_lm_perplexity_discriminates_and_is_exact(spark):
+    """CCNet-style char-LM perplexity: reference-like text scores lower
+    ppl than alien text under a model trained on the reference; short
+    docs emit NULL ppl with n_grams=0; quantized sums make re-runs
+    bit-identical."""
+    from spartan2_spark.operators.text import char_lm_counts, lm_perplexity
+
+    ref_rows = [(i, "the quick brown fox jumps over the lazy dog " * 3)
+                for i in range(20)]
+    probe_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "zzqx jvwq xqzj wqvz qxzj vqwz zjxq wzqv qqxz"),
+        (102, "ab"),  # shorter than n=3
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    probe = spark.createDataFrame(probe_rows, "doc_id long, text string")
+    model = char_lm_counts(ref, "text", n=3)
+    out = {r.id: r for r in lm_perplexity(probe, model, "text", "doc_id", 3).collect()}
+    assert out[100].ppl < out[101].ppl
+    assert out[102].n_grams == 0 and out[102].ppl is None
+    out2 = {r.id: r for r in lm_perplexity(probe, model, "text", "doc_id", 3).collect()}
+    assert all(out[k].nll_q == out2[k].nll_q for k in (100, 101))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        char_lm_counts(ref, "text", n=1)
