@@ -6889,6 +6889,37 @@ _CHANGEPOINT_SQL = """
 """
 
 
+def _q_mix_alpha(spark, sf_dir):
+    """Temperature-scaled source-mixing weights
+    (partitioning.mix_alpha_weights, the mT5/XGLM alpha-sampling
+    design): per event-type stratum, p ~ n^alpha with the weight
+    quantized to a 1e6 BIGINT before the integer-normalizer sum;
+    p and epochs raw single divides, quota an exact floor."""
+    from spartan2_spark.operators.partitioning import mix_alpha_weights
+
+    ev = _events(spark, sf_dir).select(F.col("event_type").alias("source"))
+    return mix_alpha_weights(ev, "source", alpha=0.3, target_total=100_000)
+
+
+_MIX_ALPHA_SQL = """
+    WITH per AS (SELECT source AS stratum, count(*)::BIGINT AS n
+                 FROM (SELECT event_type AS source FROM events) GROUP BY 1),
+    w AS (SELECT stratum, n,
+                 CAST(round(exp(0.3 * ln(CAST(n AS DOUBLE))) * 1e6) AS BIGINT)
+                   AS wq
+          FROM per),
+    t AS (SELECT CAST(sum(wq) AS BIGINT) AS wq_total FROM w),
+    q AS (SELECT stratum, n, wq,
+                 CAST(wq AS DOUBLE) / wq_total AS p,
+                 CAST(floor(CAST(wq * 100000 AS DOUBLE) / wq_total) AS BIGINT)
+                   AS quota
+          FROM w CROSS JOIN t)
+    SELECT stratum, n, wq, p, quota,
+           CAST(quota AS DOUBLE) / n AS epochs
+    FROM q
+"""
+
+
 def _q_source_mix(spark, sf_dir):
     """Deterministic proportional source-mixing sample (training-data
     mixture weights): 60 docs at 0.4/0.35/0.25 across src0/1/2 by
@@ -11038,6 +11069,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_trend": _q_theilsen,
         "changepoint_binary": _q_changepoint,
         "source_mix_sample": _q_source_mix,
+        "mix_alpha_weights": _q_mix_alpha,
         "tier_compaction_plan": _q_compaction_plan,
         "counter_rate": _q_counter_rate,
         "counter_rate_buckets": _q_counter_rate_buckets,
@@ -11252,6 +11284,7 @@ def oracle_sql() -> dict[str, str]:
         "theilsen_trend": _THEILSEN_SQL,
         "changepoint_binary": _CHANGEPOINT_SQL,
         "source_mix_sample": _SOURCE_MIX_SQL,
+        "mix_alpha_weights": _MIX_ALPHA_SQL,
         "tier_compaction_plan": _COMPACTION_PLAN_SQL,
         "counter_rate": _COUNTER_RATE_SQL,
         "counter_rate_buckets": _COUNTER_RATE_BUCKETS_SQL,

@@ -33,6 +33,7 @@ __all__ = [
     "gini_concentration",
     "allocate_quotas",
     "source_mix_sample",
+    "mix_alpha_weights",
     "partition_split_plan",
 ]
 
@@ -350,6 +351,70 @@ def allocate_quotas(weights: dict[str, float], total: int) -> dict[str, int]:
     for s in order[:left]:
         base[s] += 1
     return base
+
+
+def mix_alpha_weights(
+    df: DataFrame,
+    strata_col: str = "source",
+    size_col: "str | None" = None,
+    alpha: float = 0.3,
+    target_total: "int | None" = None,
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights — the multi-source
+    sampling design of multilingual/multi-corpus pretraining (mT5's
+    alpha=0.3, XGLM's alpha~0.3, The Pile's hand-tuned epochs):
+    ``p_i proportional to n_i^alpha`` flattens the head so small
+    sources are not drowned (alpha=1 is natural proportions, alpha=0
+    uniform). Emits one row per stratum with its exact size, the
+    mixing probability, and — when ``target_total`` is set — the
+    implied sample quota and "epochs" (quota / size: > 1 means the
+    source repeats, the oversampling signal a data card must report).
+
+    ``size_col`` sums that column per stratum (token counts); default
+    counts rows (documents).
+
+    Exactness discipline: ``n^alpha`` is transcendental, so each
+    stratum's weight is quantized to a 1e6-scaled BIGINT FIRST; the
+    normalizer is then an exact integer sum (order-independent), and
+    ``p`` / ``epochs`` are raw single divides of exact integers — same
+    contract as doc_entropy / lm_perplexity.
+
+    Scale: one map-side-combinable aggregate over the corpus, then
+    arithmetic on the strata-sized relation. Strata counts are exact,
+    so the plan is replayable byte-for-byte by any engine.
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    size = (
+        F.sum(F.col(size_col)).cast("long")
+        if size_col
+        else F.count(F.lit(1)).cast("long")
+    )
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(size.alias("n"))
+    wq = F.round(
+        F.exp(F.lit(float(alpha)) * F.log(F.col("n").cast("double"))) * 1e6
+    ).cast("long")
+    weighted = per.select("stratum", "n", wq.alias("wq"))
+    tot = weighted.agg(F.sum("wq").cast("long").alias("wq_total"))
+    joined = weighted.crossJoin(F.broadcast(tot))
+    cols = [
+        F.col("stratum"),
+        F.col("n"),
+        F.col("wq"),
+        (F.col("wq") / F.col("wq_total")).alias("p"),
+    ]
+    if target_total is not None:
+        quota = F.floor(
+            (F.col("wq") * F.lit(int(target_total))).cast("double")
+            / F.col("wq_total").cast("double")
+        ).cast("long")
+        cols += [
+            quota.alias("quota"),
+            # quota and n are exact BIGINTs, so epochs is ONE IEEE
+            # divide - emitted RAW per the float-oracle discipline
+            (quota.cast("double") / F.col("n").cast("double")).alias("epochs"),
+        ]
+    return joined.select(*cols)
 
 
 def source_mix_sample(

@@ -284,3 +284,35 @@ def test_traffic_tiers_exact_cuts(spark):
     assert out["tail"].n_domains == 7 and out["tail"].fetches == 27
     assert out["head"].share_ppm == 100 * 1_000_000 // total
     assert out["tail"].share_ppm == 27 * 1_000_000 // total
+
+
+def test_mix_alpha_weights_temperature_semantics(spark):
+    """alpha=0 -> uniform p; alpha=1 -> natural proportions; 0<alpha<1
+    flattens (small source's p rises above its natural share); quotas
+    and epochs exact; invalid alpha raises."""
+    import pytest
+
+    from spartan2_spark.operators.partitioning import mix_alpha_weights
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, "source string")
+
+    def by_stratum(alpha, **kw):
+        return {
+            r.stratum: r
+            for r in mix_alpha_weights(df, "source", alpha=alpha, **kw).collect()
+        }
+
+    uni = by_stratum(0.0)
+    assert abs(uni["big"].p - 0.5) < 1e-9 and abs(uni["small"].p - 0.5) < 1e-9
+
+    nat = by_stratum(1.0)
+    assert abs(nat["big"].p - 0.9) < 1e-6 and abs(nat["small"].p - 0.1) < 1e-6
+
+    mid = by_stratum(0.3, target_total=1000)
+    assert 0.1 < mid["small"].p < 0.5  # flattened above natural share
+    assert mid["small"].quota + mid["big"].quota <= 1000
+    assert abs(mid["small"].epochs - mid["small"].quota / 100) < 1e-12
+
+    with pytest.raises(ValueError):
+        mix_alpha_weights(df, "source", alpha=-0.1)
